@@ -1,0 +1,63 @@
+"""Benchmark harness: runs every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution uses the noop sink so the FULL plan runs (a count() would let
+Catalyst prune projections and under-measure narrow queries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from endtoend_etl_openmeteo_spark import plans  # noqa: E402
+from endtoend_etl_openmeteo_spark.session import get_spark  # noqa: E402
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    registry = plans.load_all()
+    spark = get_spark("bench")
+
+    # JVM/codegen warmup on a cheap query so q-order doesn't skew timings.
+    run_query(registry["q_scan"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(registry.items()):
+        t0 = time.perf_counter()
+        try:
+            run_query(spec.fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # a failed query must not hide the rest
+            timings[name] = -1.0
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

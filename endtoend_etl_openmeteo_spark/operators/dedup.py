@@ -1,0 +1,181 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Extension surface (SURVEY.md §7 step 7): exact dedup, MinHash+LSH near-dup,
+SimHash fingerprints, exact n-gram Jaccard. All built from JVM-side
+primitives — no Python UDFs anywhere, so the whole path stays in whole-stage
+codegen and scales with executors.
+
+Scale design:
+- exact dedup: hash-groupBy on a digest of the normalized text → one shuffle
+  keyed by digest (never by the full document bytes).
+- MinHash+LSH: per-doc signature is a narrow transform (no shuffle);
+  candidate generation shuffles (band, band_hash) pairs only — the classic
+  O(n·bands) join that avoids the O(n²) cross product entirely. Verification
+  re-joins shingle sets for candidates only.
+- SimHash: 64 conditional sums over exploded tokens → one groupBy(doc);
+  near-dup candidates via 16-bit band buckets (hamming ≤ 3 within bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: Column | str) -> Column:
+    """lower + whitespace collapse + trim — the canonical form for digests."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col) if isinstance(col, str) else col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content digest: keep the smallest id per digest.
+
+    Returns (fp, keep_id, n_dups). Group on the 32-byte md5, not the
+    document body — the shuffle carries digests, not documents.
+    """
+    return (
+        df.select(F.md5(normalized_text(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (array<string>)."""
+    toks = F.split(normalized_text(col), " ")
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature: array of n_hashes mins of seeded 32-bit hashes.
+
+    Seeding trick: F.hash(shingle, lit(i)) — Murmur3 folds the seed literal
+    into the hash, giving n_hashes independent families without UDFs.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s, i=i: F.hash(s, F.lit(i))))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified by exact Jaccard.
+
+    Rows: (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold
+    over distinct shingle sets. Candidates come only from shared LSH band
+    buckets; the verification join touches candidates, not all pairs.
+    """
+    rows_per_band = n_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = base.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = base.select("id", "sh")
+    verified = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact token-set Jaccard over blocked pairs (id_a < id_b).
+
+    Blocking keeps the join from going O(n²) globally; within a block the
+    comparison is exact. This is the oracle-checkable counterpart of
+    minhash_lsh_pairs.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.array_distinct(F.split(normalized_text(text_col), " ")).alias("toks"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.size(F.array_intersect("a.toks", "b.toks")) / F.size(
+        F.array_union("a.toks", "b.toks")
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Explode tokens → per-bit signed counts in one groupBy → recombine sign
+    bits. One shuffle keyed by doc id; the 64 conditional sums are codegen'd
+    aggregate expressions, not UDFs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(normalized_text(text_col), " "))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+
+    fp: Column = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        )
+    return agg.select("id", fp.alias("simhash"))

@@ -1,0 +1,140 @@
+"""Declarative data-quality gate (SURVEY.md §2.11, §7 step 4).
+
+Re-expresses the reference's Great Expectations suite
+(``ge/validate_raw_weather.py:139-189`` in ``/root/reference/``) as a spec →
+single-pass aggregate compiler:
+
+- every expectation compiles to one violation-counting aggregate column;
+- ALL expectations run in ONE ``agg()`` over the data — one scan, one job,
+  no per-expectation passes (GE evaluates per-expectation; at 100 TB that
+  multiplier is the difference between one scan and eight);
+- ``between`` ignores nulls, exactly like GE: a null value passes a bounds
+  check and only fails an explicit ``not_null`` (parity detail, SURVEY §2.11);
+- ``mostly`` thresholds generalize pass/fail to
+  ``violations / total <= 1 - mostly``;
+- on failure, :func:`dq_gate` raises :class:`DQValidationError` so the
+  downstream load never runs — the blocking semantics of
+  ``etl_openmeteo.py:135-149`` (T6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One declarative expectation over a column.
+
+    kind: ``not_null`` | ``between`` | ``unique`` | ``in_set``.
+    ``mostly``: minimum fraction of rows that must pass (GE semantics);
+    1.0 = strict.
+    """
+
+    kind: str
+    column: str
+    lo: float | None = None
+    hi: float | None = None
+    values: tuple | None = None
+    mostly: float = 1.0
+
+    @property
+    def name(self) -> str:
+        if self.kind == "between":
+            return f"between_{self.column}_{self.lo}_{self.hi}"
+        return f"{self.kind}_{self.column}"
+
+
+class DQValidationError(ValueError):
+    """Raised by dq_gate when any expectation fails — blocks downstream load."""
+
+    def __init__(self, failures: list[dict]):
+        self.failures = failures
+        summary = "; ".join(
+            f"{f['expectation']} on {f['col_name']}: {f['violations']}/{f['n_rows']} violations"
+            for f in failures
+        )
+        super().__init__(f"data-quality gate failed ({len(failures)} expectations): {summary}")
+
+
+def _violation_count(e: Expectation) -> Column:
+    col = F.col(e.column)
+    if e.kind == "not_null":
+        cond = col.isNull()
+    elif e.kind == "between":
+        # NOT BETWEEN is null for null inputs -> count() skips them,
+        # matching GE's null-ignoring bounds check.
+        cond = ~col.between(e.lo, e.hi)
+    elif e.kind == "in_set":
+        cond = ~col.isin(*e.values)
+    else:
+        raise ValueError(f"unsupported expectation kind {e.kind!r}")
+    return F.count(F.when(cond, 1))
+
+
+def compile_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Compile a suite into ONE aggregate pass.
+
+    Returns a long-format DataFrame:
+    (expectation string, col_name string, violations long, n_rows long,
+    passed boolean) — one row per expectation.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        _violation_count(e).alias(f"v{i}") for i, e in enumerate(expectations)
+    ]
+    metrics = df.agg(*aggs)
+
+    stack_args: list[Column] = []
+    for i, e in enumerate(expectations):
+        stack_args += [
+            F.lit(e.name),
+            F.lit(e.column),
+            F.col(f"v{i}"),
+            F.lit(e.mostly),
+        ]
+    n = len(expectations)
+    return metrics.select(
+        F.stack(F.lit(n), *stack_args).alias("expectation", "col_name", "violations", "mostly"),
+        "n_rows",
+    ).select(
+        "expectation",
+        "col_name",
+        "violations",
+        "n_rows",
+        # violations/total <= 1 - mostly  (strict when mostly=1.0)
+        (
+            (F.col("violations").cast("double") / F.greatest(F.col("n_rows"), F.lit(1)))
+            <= (1.0 - F.col("mostly"))
+        ).alias("passed"),
+    )
+
+
+def dq_gate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Run the suite; raise DQValidationError if any expectation fails.
+
+    Returns the metrics DataFrame's collected rows re-wrapped for
+    inspection on success (small: one row per expectation).
+    """
+    results = compile_expectations(df, expectations)
+    rows = [r.asDict() for r in results.collect()]
+    failures = [r for r in rows if not r["passed"]]
+    if failures:
+        raise DQValidationError(failures)
+    return results
+
+
+#: The reference's exact GE suite (ge/validate_raw_weather.py:143-168),
+#: over the flattened validation records of schemas.VALIDATION_RECORD_SCHEMA.
+REFERENCE_WEATHER_SUITE: list[Expectation] = [
+    Expectation("not_null", "time"),
+    Expectation("not_null", "city"),
+    Expectation("not_null", "latitude"),
+    Expectation("not_null", "longitude"),
+    Expectation("not_null", "timezone"),
+    Expectation("between", "temperature_2m", lo=-90.0, hi=60.0, mostly=1.0),
+    Expectation("between", "precipitation", lo=0.0, hi=1000.0, mostly=1.0),
+    Expectation("between", "wind_speed_10m", lo=0.0, hi=200.0, mostly=1.0),
+]

@@ -1,0 +1,81 @@
+"""Join queries: broadcast dim join, semi/anti joins (SURVEY.md §2.3).
+
+Scale notes: the reference's only joins are dict-lookup dim joins and
+set-difference anti-joins. At 100 TB the dim side (customer here, city dim
+there) stays broadcast — no shuffle of the fact table; semi/anti joins let
+Catalyst pick broadcast variants when the right side is small, avoiding the
+sort-merge path entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.plans.registry import register
+from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+
+@register(
+    "q_broadcast_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="City-dimension lookup join (SURVEY §2.3 J3) — the CITY_COORDS dict "
+    "lookup of etl_openmeteo.py:30-45 as an explicit broadcast hash join: "
+    "the fact side never shuffles for the join.",
+    tags=("join", "broadcast"),
+)
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    customer = tbl(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    """,
+    doc="Set-membership filter as semi join (SURVEY §2.2 F3) — the "
+    "missing-hours membership check of backfill_openmeteo.py:149-151. "
+    "left_semi keeps only fact columns: no width explosion.",
+    tags=("join", "semi"),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    rich = tbl(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return orders.join(
+        F.broadcast(rich), orders.o_custkey == rich.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Already-processed skip as anti join (SURVEY §2.2 F5, §2.3 J2) — the "
+    "ingest-log skip of load_to_postgres.py:164-168: new keys minus logged "
+    "keys via left_anti.",
+    tags=("join", "anti"),
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")

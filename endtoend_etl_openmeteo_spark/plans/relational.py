@@ -1,0 +1,338 @@
+"""Core relational queries: scans, typed projections, sorts, limits, scalar
+functions (SURVEY.md §2.1/2.2/2.5/2.7).
+
+Scale notes: every query here is a single scan → narrow transform (no
+shuffle) or one hash aggregate. Filters/projections are plain Catalyst
+expressions so they reach the parquet reader as PushedFilters/ReadSchema —
+at 100 TB these scans read only the referenced columns and prune row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.plans.registry import register
+from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+
+@register(
+    "q_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity > 25
+    """,
+    doc="Projected + filtered table scan (SURVEY §2.1 S7). Predicate and "
+    "column list push into the parquet scan. Reference: dbt source scan "
+    "dbt/models/staging/stg_weather_hourly.sql:7.",
+    tags=("scan",),
+)
+def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .filter(F.col("l_quantity") > 25)
+    )
+
+
+@register(
+    "q_cast_projection",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_linenumber AS DOUBLE) AS linenumber_d,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           strptime(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'),
+                    '%Y-%m-%d %H:%M:%S') AS ship_ts
+    FROM lineitem
+    """,
+    doc="Typed projection (SURVEY §2.2 P5, §2.7 X3/X4/X8): numeric cast, "
+    "date truncation cast, and string→timestamp round-trip. Reference: "
+    "dbt/models/staging/stg_weather_hourly.sql:1-7, "
+    "ingestion/loader/load_to_postgres.py:125.",
+    tags=("projection",),
+)
+def q_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("double").alias("linenumber_d"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.to_timestamp(F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss")).alias("ship_ts"),
+    )
+
+
+@register(
+    "q_round",
+    oracle="""
+    SELECT l_returnflag,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(sum(l_quantity), 1) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Display rounding over aggregates (SURVEY §2.7 X5). Reference: "
+    "README.md:296-300 ROUND(x::numeric, 2).",
+    tags=("scalar",),
+)
+def q_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_sort",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Multi-key sort over the daily mart (SURVEY §2.5 O1). Reference: "
+    "README.md:294-303 ORDER BY city, day.",
+    tags=("sort",),
+)
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "q_top1",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    ORDER BY avg_value ASC, event_type ASC, day ASC LIMIT 1
+    """,
+    doc="Top-1 by measure — the reference's 'coldest day' query "
+    "(README.md:308-314, SURVEY §2.5 O2). Spark plans this as "
+    "TakeOrderedAndProject: no global sort materialization.",
+    tags=("sort", "limit"),
+)
+def q_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy(F.asc("avg_value"), F.asc("event_type"), F.asc("day"))
+        .limit(1)
+    )
+
+
+@register(
+    "q_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 100
+    """,
+    doc="Deterministic row-limit cap (SURVEY §2.5 O5). Reference: "
+    "load_to_postgres.py:187-188 limit_files. Ordered so the limit is "
+    "well-defined across engines.",
+    tags=("limit",),
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_distinct",
+    oracle="""
+    SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour FROM events
+    """,
+    doc="DISTINCT over truncated timestamp (SURVEY §2.4 A2, §2.1 S5). "
+    "Reference: backfill_openmeteo.py:53-63 SELECT DISTINCT "
+    "DATE_TRUNC('hour', ...). Partial aggregation runs map-side before "
+    "the shuffle.",
+    tags=("aggregate",),
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .distinct()
+    )
+
+
+@register(
+    "q_union",
+    oracle="""
+    SELECT event_id, ts, event_type, value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-10'
+    UNION
+    SELECT event_id, ts, event_type, value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-15'
+    """,
+    doc="Union of overlapping partition reads + dedup (SURVEY §2.6) — the "
+    "accumulate-files-into-one-table pattern of load_all_weather "
+    "(load_to_postgres.py:164-188) with the overlap reconciled like the "
+    "6-hour sliding window (T2).",
+    tags=("set",),
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    a = ev.filter((F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-10"))
+    b = ev.filter((F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-15"))
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "q_coalesce",
+    oracle="""
+    SELECT event_id,
+           coalesce(json_extract_string(props, '$.missing'), 'none') AS k_missing,
+           coalesce(value, 0.0) AS value_f
+    FROM events
+    """,
+    doc="coalesce-style defaulting (SURVEY §2.7 X17). Reference: "
+    "load_to_postgres.py:77-81 payload.get(...) or {} chains.",
+    tags=("scalar",),
+)
+def q_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "events").select(
+        "event_id",
+        F.coalesce(F.get_json_object("props", "$.missing"), F.lit("none")).alias("k_missing"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_f"),
+    )
+
+
+@register(
+    "q_string_ops",
+    oracle="""
+    SELECT doc_id,
+           source || '/' || lang AS src_lang,
+           upper(lang) AS lang_u,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           substr(text, 1, 20) AS prefix,
+           string_split(text, ' ')[1] AS first_tok
+    FROM documents
+    """,
+    doc="String split/concat/case/substring (SURVEY §2.7 X14/X15). "
+    "Reference: s3_writer.py:59-61 key construction, "
+    "validate_raw_weather.py:64-66 URI parsing.",
+    tags=("scalar",),
+)
+def q_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("/", "source", "lang").alias("src_lang"),
+        F.upper("lang").alias("lang_u"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.substring("text", 1, 20).alias("prefix"),
+        toks.getItem(0).alias("first_tok"),
+    )
+
+
+@register(
+    "q_date_format",
+    oracle="""
+    SELECT event_id, strftime(ts, '%Y-%m-%d') AS ds, strftime(ts, '%H') AS hh
+    FROM events
+    """,
+    doc="Timestamp formatting (SURVEY §2.7 X10) — the partition-key "
+    "strftime of s3_writer.py:59-61.",
+    tags=("scalar",),
+)
+def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("ds"),
+        F.date_format("ts", "HH").alias("hh"),
+    )
+
+
+@register(
+    "q_json_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           '{"k":' || json_extract_string(props, '$.k') || '}' AS j
+    FROM events
+    """,
+    doc="JSON parse + re-serialize (SURVEY §2.7 X13). Reference: "
+    "s3_writer.py:63 json.dumps, load_to_postgres.py:75 json.loads.",
+    tags=("scalar", "json"),
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k_str = F.get_json_object("props", "$.k")
+    return tbl(spark, sf_dir, "events").select(
+        "event_id",
+        k_str.cast("long").alias("k"),
+        F.concat(F.lit('{"k":'), k_str, F.lit("}")).alias("j"),
+    )
+
+
+@register(
+    "q_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact distinct aggregate (extension surface, SURVEY §7 step 7). "
+    "Expands to a two-stage aggregate in Spark (partial distinct map-side).",
+    tags=("aggregate",),
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_percentile",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.90), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles (extension surface). Spark "
+    "percentile == DuckDB quantile_cont (linear interpolation). The "
+    "approximate variant for the 100 TB path is q_approx_stats (rows-only).",
+    tags=("aggregate",),
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.25), 6).alias("p25"),
+            F.round(F.percentile("value", 0.50), 6).alias("p50"),
+            F.round(F.percentile("value", 0.90), 6).alias("p90"),
+        )
+    )
+
+
+@register(
+    "q_approx_stats",
+    oracle=None,  # approximate by design — driver records rows-only check
+    doc="Approximate distinct + quantile (SURVEY §7 step 7) — the 100 TB "
+    "path where exact distinct would shuffle every key: HLL++ sketch and "
+    "GK quantile sketch, both mergeable map-side.",
+    tags=("aggregate", "approx"),
+)
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5).alias("approx_p50"),
+        )
+    )

@@ -1,0 +1,117 @@
+"""Embedding-similarity and array-explode queries over `embeddings`
+(SURVEY.md §2.2 P1-P3 explode semantics; §7 step 7 ANN search).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from endtoend_etl_openmeteo_spark.plans.registry import register
+from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+
+@register(
+    "q_explode",
+    oracle="""
+    SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
+           embedding[u.i] AS a_val, embedding[u.i] AS b_val
+    FROM embeddings, unnest(generate_series(1, least(len(embedding), 8))) AS u(i)
+    """,
+    doc="Struct-of-arrays → rows with TRUNCATE ragged policy (SURVEY §2.2 "
+    "P1/P2): zip two parallel arrays of different length keeping only "
+    "fully-paired indices — load_to_postgres.py:83-86 min-of-lengths. "
+    "Here b is a prefix slice of a, so min length = 8.",
+    tags=("explode",),
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = F.col("embedding")
+    b = F.slice(F.col("embedding"), 1, 8)
+    n = F.least(F.size(a), F.size(b))
+    zipped = F.arrays_zip(F.slice(a, 1, n).alias("a"), F.slice(b, 1, n).alias("b"))
+    return (
+        tbl(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode(zipped).alias("pos", "z"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("z.a").alias("a_val"),
+            F.col("z.b").alias("b_val"),
+        )
+    )
+
+
+@register(
+    "q_explode_nullpad",
+    oracle="""
+    SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
+           embedding[u.i] AS a_val,
+           CASE WHEN u.i <= 8 THEN embedding[u.i] END AS b_val
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    """,
+    doc="Struct-of-arrays → rows with NULL-PAD ragged policy (SURVEY §2.2 "
+    "P3): arrays_zip pads the shorter array with null — the "
+    "etl_openmeteo.py:82-85 policy, which is exactly arrays_zip's "
+    "built-in semantics.",
+    tags=("explode",),
+)
+def q_explode_nullpad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    zipped = F.arrays_zip(
+        F.col("embedding").alias("a"), F.slice(F.col("embedding"), 1, 8).alias("b")
+    )
+    return (
+        tbl(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode(zipped).alias("pos", "z"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("z.a").alias("a_val"),
+            F.col("z.b").alias("b_val"),
+        )
+    )
+
+
+@register(
+    "q_ann_cosine",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+      FROM embeddings WHERE vec_id < 5
+    ),
+    s AS (
+      SELECT q.q_id, c.vec_id AS n_id,
+             round(list_dot_product(q.q_vec, c.embedding::DOUBLE[])
+                   / sqrt(list_dot_product(q.q_vec, q.q_vec)
+                          * list_dot_product(c.embedding::DOUBLE[],
+                                             c.embedding::DOUBLE[])), 6) AS cos_sim
+      FROM embeddings c, q WHERE q.q_id != c.vec_id
+    )
+    SELECT q_id, n_id, cos_sim,
+           CAST(row_number() OVER (
+             PARTITION BY q_id ORDER BY cos_sim DESC, n_id
+           ) AS BIGINT) AS rank
+    FROM s QUALIFY rank <= 10
+    """,
+    doc="Brute-force cosine top-10 for 5 query vectors (SURVEY §7 step 7): "
+    "broadcast queries, JVM array ops (zip_with/aggregate), per-query "
+    "ranking window. The exact baseline for ANN; similarity rounded "
+    "before ranking for cross-engine rank stability.",
+    tags=("similarity",),
+)
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "q_ann_lsh",
+    oracle=None,  # approximate-recall bucketing — rows-only check
+    doc="LSH-bucketed approximate cosine top-k (scale path): random- "
+    "hyperplane sign buckets prune the corpus before scoring; recall "
+    "tunable via plane count.",
+    tags=("similarity", "approx"),
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), n_planes=4, k=10)

@@ -1,0 +1,240 @@
+"""Text-analysis and deduplication queries over `documents`
+(training-data-pipeline extension surface, SURVEY.md §7 step 7).
+
+All JVM-side built-ins; regex patterns restricted to the common subset of
+Java regex and RE2 so the DuckDB oracles express identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    normalized_text,
+    simhash64,
+)
+from endtoend_etl_openmeteo_spark.plans.registry import register
+from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "la", "et", "les", "de"),
+}
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           round(length(text) / len(string_split(text, ' ')), 6) AS chars_per_token
+    FROM documents
+    """,
+    doc="Text quality stats: length, whitespace token count, chars/token "
+    "ratio — the length/ratio features of a quality-scoring pass.",
+    tags=("text",),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_chars = F.length("text").cast("long")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / n_tokens, 6).alias("chars_per_token"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="BPE-ish token counting: letter-runs | digit-runs | single "
+    "punctuation, via one regexp_extract_all pass.",
+    tags=("text",),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def _stopword_hits(lang: str):
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return words
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           round(len(list_filter(toks, t -> t IN ({_stopword_hits('en')})))
+                 / len(toks), 6) AS en_score,
+           round(len(list_filter(toks, t -> t IN ({_stopword_hits('de')})))
+                 / len(toks), 6) AS de_score,
+           CASE WHEN len(list_filter(toks, t -> t IN ({_stopword_hits('en')})))
+                     / len(toks) >= 0.05
+                THEN 'en' ELSE 'other' END AS lang_guess
+    FROM t
+    """,
+    doc="Language-ID heuristic: stopword-ratio n-gram scoring per language "
+    "(the classic cheap langid for corpus filtering). Pure array ops.",
+    tags=("text",),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def score(lang: str):
+        sw = STOPWORDS[lang]
+        return F.size(F.filter(toks, lambda t: t.isin(*sw))) / F.size(toks)
+
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(score("en"), 6).alias("en_score"),
+        F.round(score("de"), 6).alias("de_score"),
+        F.when(score("en") >= 0.05, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle=rf"""
+    SELECT doc_id,
+           round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(least(len(string_split(text, ' ')) / 64.0, 1.0)
+                 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                          / greatest(length(text), 1)), 6) AS quality
+    FROM documents
+    """,
+    doc="Composite quality score: token-count saturation × (1 − punctuation "
+    "ratio) — the shape of a heuristic corpus-quality filter, one scan.",
+    tags=("text",),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_chars = F.greatest(F.length("text"), F.lit(1))
+    punct = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", ""))
+    punct_ratio = punct / n_chars
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    quality = F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * (F.lit(1.0) - punct_ratio)
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 digest of case/whitespace-normalized "
+    "text — the dedup key for q_dedup_exact.",
+    tags=("text", "dedup"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalized_text("text")).alias("fp")
+    )
+
+
+@register(
+    "q_dedup_exact",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup via content-digest hash-groupBy (SURVEY §7 step 7): "
+    "shuffle carries 32-byte digests, not documents.",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(tbl(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+#: Exact pairwise Jaccard is O(block²) by construction — it exists as the
+#: oracle-checkable VERIFICATION stage; candidate generation at scale is
+#: q_minhash_neardup's LSH banding. Capped to a deterministic doc_id slice so
+#: the pair space stays bounded at every sf (the cap is the point, not a bug).
+JACCARD_VERIFY_MAX_DOC_ID = 1000
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents WHERE doc_id < {JACCARD_VERIFY_MAX_DOC_ID}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.toks, b.toks))
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.2
+    """,
+    doc="Exact token-set Jaccard near-dup pairs, blocked by lang, over a "
+    "bounded doc_id slice (the exact-verify stage; LSH candidate "
+    "generation is the scale path — q_minhash_neardup).",
+    tags=("dedup",),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < JACCARD_VERIFY_MAX_DOC_ID
+    )
+    return ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.2)
+
+
+@register(
+    "q_minhash_neardup",
+    oracle=None,  # approximate candidate generation — rows-only check
+    doc="MinHash+LSH near-duplicate pairs (SURVEY §7 step 7): shingle → "
+    "32-hash signature → 8-band buckets → candidate join → exact-Jaccard "
+    "verify. The banding keeps candidate generation O(n·bands).",
+    tags=("dedup", "approx"),
+)
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        tbl(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n_hashes=32,
+        bands=8,
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "q_simhash",
+    oracle=None,  # hash-function-specific fingerprints — rows-only check
+    doc="64-bit SimHash fingerprints per document: per-bit signed token "
+    "sums in one groupBy, bits recombined JVM-side.",
+    tags=("dedup", "approx"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash64(tbl(spark, sf_dir, "documents"), "doc_id", "text")

@@ -1,0 +1,279 @@
+"""Time-series queries: range/tz filters, daily marts, series generation,
+gap detection, upsert dedup, sessionization (SURVEY.md §2.2 F1/F2, §2.4 A1/A3,
+§2.7 X7/X9/X12, §2.3 J1, §2.1 S8, §2.9).
+
+The `events` table stands in for `weather_hourly`: (user_id, ts) keyed rows,
+`event_type` playing the city role. Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.plans.registry import register
+from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "q_range_filter",
+    oracle="""
+    SELECT event_id, ts, event_type, value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'
+    """,
+    doc="Half-open time-range filter (SURVEY §2.2 F1, §2.5 O6) — the 6-hour "
+    "extract window of etl_openmeteo.py:72-74, start <= ts < end. Pushes "
+    "to parquet row-group stats.",
+    tags=("filter",),
+)
+def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "events")
+        .filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-17"))
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "q_tz_filter",
+    oracle="""
+    SELECT event_id, ts,
+           timezone('Europe/Warsaw', timezone('UTC', ts)) AS local_ts
+    FROM events
+    WHERE EXTRACT(hour FROM timezone('Europe/Warsaw', timezone('UTC', ts))) < 12
+    """,
+    doc="Timezone-aware cutoff (SURVEY §2.2 F2, §2.7 X9) — the 'before noon "
+    "Warsaw' rule of fetch_october_2025.py:92-97. Storage stays UTC; the "
+    "local-time view is an explicit from_utc_timestamp.",
+    tags=("filter", "timezone"),
+)
+def q_tz_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    local_ts = F.from_utc_timestamp("ts", "Europe/Warsaw")
+    return (
+        tbl(spark, sf_dir, "events")
+        .select("event_id", "ts", local_ts.alias("local_ts"))
+        .filter(F.hour("local_ts") < 12)
+    )
+
+
+@register(
+    "q_daily_agg",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="The core mart: GROUP BY key + day with AVG (SURVEY §2.4 A1) — "
+    "fct_city_day.sql:2-9. Hash aggregate with map-side partial agg; one "
+    "shuffle on (event_type, day), the natural partitioning for the mart.",
+    tags=("aggregate", "mart"),
+)
+def q_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+@register(
+    "q_daily_agg_full",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           round(avg(value), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           round(sum(value), 4) AS sum_value,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    doc="The docs' extended mart (SURVEY §2.4 A3, discrepancy D3): "
+    "min/max/sum/avg/count in ONE aggregate pass — "
+    "docs/dashboard.md:89-95. Sum rounded to 4dp: cross-engine summation "
+    "order differs at ~1e-10.",
+    tags=("aggregate", "mart"),
+)
+def q_daily_agg_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q_sequence",
+    oracle="""
+    SELECT event_type,
+           unnest(generate_series(TIMESTAMP '2024-01-01',
+                                  TIMESTAMP '2024-01-01 23:00:00',
+                                  INTERVAL 1 HOUR)) AS hour
+    FROM (SELECT DISTINCT event_type FROM events)
+    """,
+    doc="Hour-series generation (SURVEY §2.7 X12) — the while-loop of "
+    "backfill_openmeteo.py:46-50 as sequence()+explode: pure codegen, no "
+    "driver loop, scales to any span.",
+    tags=("generator",),
+)
+def q_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hours = F.sequence(
+        F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        F.lit("2024-01-01 23:00:00").cast("timestamp"),
+        F.expr("INTERVAL 1 HOUR"),
+    )
+    return (
+        tbl(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .select("event_type", F.explode(hours).alias("hour"))
+    )
+
+
+@register(
+    "q_gap_detect",
+    oracle="""
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-07 23:00:00',
+                                    INTERVAL 1 HOUR)) AS expected_hour
+    ),
+    existing AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS expected_hour
+      FROM events
+    )
+    SELECT t.event_type, h.expected_hour
+    FROM types t CROSS JOIN hours h
+    WHERE NOT EXISTS (
+      SELECT 1 FROM existing e
+      WHERE e.event_type = t.event_type AND e.expected_hour = h.expected_hour
+    )
+    """,
+    doc="Gap detection (SURVEY §2.3 J1, §2.9 T5): expected hour series × key "
+    "dim, anti-joined against existing DISTINCT hours — "
+    "backfill_openmeteo.py:44-75, with its timestamp_utc column bug (D1) "
+    "fixed by construction. The expected side is tiny (dim × hours) and "
+    "broadcast; only the DISTINCT over facts shuffles.",
+    tags=("join", "anti", "generator"),
+)
+def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct()
+    hours = F.sequence(
+        F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        F.lit("2024-01-07 23:00:00").cast("timestamp"),
+        F.expr("INTERVAL 1 HOUR"),
+    )
+    expected = types.select("event_type", F.explode(hours).alias("expected_hour"))
+    existing = ev.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("expected_hour")
+    ).distinct()
+    return expected.join(existing, ["event_type", "expected_hour"], "left_anti")
+
+
+@register(
+    "q_upsert",
+    oracle="""
+    SELECT user_id, event_type, ts, event_id, value FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+    doc="Upsert/merge semantics (SURVEY §2.1 S8, §2.3 J4, §2.9 T4): "
+    "last-write-wins keyed dedup via row_number window — the ON CONFLICT "
+    "DO UPDATE of load_to_postgres.py:89-102. The full partition-scoped "
+    "merge lives in operators/merge.py; this query is its dedup core. "
+    "Shuffles once on the key — the window needs no global sort.",
+    tags=("window", "merge"),
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        tbl(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "q_window_lag",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_us
+    FROM events
+    """,
+    doc="lag() window (extension surface, SURVEY §2.8): inter-event gap per "
+    "user in exact microseconds (unix_micros avoids float epoch rounding).",
+    tags=("window",),
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    um = F.unix_micros(F.col("ts"))
+    return tbl(spark, sf_dir, "events").select(
+        "user_id", "event_id", (um - F.lag(um).over(w)).alias("gap_us")
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess,
+             event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM s GROUP BY 1, 2
+    """,
+    doc="Sessionization (SURVEY §7 step 7): lag-gap > 30 min starts a new "
+    "session; session id = running count of session starts. One shuffle "
+    "on user_id serves both windows and the final aggregate (same key).",
+    tags=("window", "sessionize"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    um = F.unix_micros(F.col("ts"))
+    gap = um - F.lag(um).over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        tbl(spark, sf_dir, "events")
+        .withColumn("session_id", F.sum(new_sess).over(running).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

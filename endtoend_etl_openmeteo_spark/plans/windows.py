@@ -1,0 +1,138 @@
+"""Window-function and multi-dimensional grouping queries (extension surface,
+SURVEY.md §2.8 and §7 step 7 — the reference has no window functions; the
+engine exposes them as first-class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.plans.registry import register
+from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+           ) AS BIGINT) AS rnk
+    FROM orders
+    QUALIFY rnk <= 3
+    """,
+    doc="Top-K per group via ranking window — the canonical Spark top-k "
+    "(no global sort; one shuffle on the partition key).",
+    tags=("window",),
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        tbl(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT event_type, day, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value FROM events)
+    GROUP BY ROLLUP (event_type, day)
+    """,
+    doc="ROLLUP hierarchy totals (extension surface): (type, day) → (type) → "
+    "() in one pass — Spark expands to Expand + single hash aggregate.",
+    tags=("aggregate", "rollup"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", F.col("ts")).alias("day"), "value")
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dims (extension surface).",
+    tags=("aggregate", "cube"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT event_type, user_id, count(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id))
+    """,
+    doc="Explicit GROUPING SETS (extension surface) — per-type and per-user "
+    "counts in one pass.",
+    tags=("aggregate",),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    view = f"events_gs_{abs(hash(sf_dir)) % 10_000}"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT event_type, user_id, count(*) AS n
+        FROM {view}
+        GROUP BY GROUPING SETS ((event_type), (user_id))
+        """
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1
+    """,
+    doc="Pivot day × event_type → counts (extension surface). Explicit value "
+    "list so the plan is a single conditional aggregate — no extra pass to "
+    "discover pivot values.",
+    tags=("aggregate", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", PIVOT_EVENT_TYPES)
+        .count()
+    )
+    # pivot-count yields null for empty cells; DuckDB's FILTER yields 0.
+    return df.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in PIVOT_EVENT_TYPES]
+    )

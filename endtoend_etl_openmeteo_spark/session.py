@@ -1,0 +1,79 @@
+"""SparkSession factory with engine defaults (SURVEY.md §7 step 0).
+
+Design decisions:
+
+- ``spark.sql.session.timeZone=UTC`` — the timestamp-parity linchpin. The
+  reference mixes naive ISO strings, ``Z``-suffix normalization, and Postgres
+  ``timestamptz`` session-tz casting (SURVEY.md §7 hard parts;
+  ``ingestion/loader/load_to_postgres.py:125`` in the reference). We store
+  UTC, pin the session timezone, and make every local-time operation an
+  explicit ``from_utc_timestamp``.
+- AQE on — runtime partition coalescing and skew-join splitting are the
+  scale-out levers that matter at 100 TB (skewed city/user keys).
+- ``partitionOverwriteMode=dynamic`` — ``merge_upsert`` rewrites only the
+  partitions that received new keys, never the whole table (a full-table
+  rewrite is the thing that does NOT survive a 100x scale-up).
+- shuffle partitions default to the local core count; on a real cluster this
+  is overridden (or left to AQE's coalescing with a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Session-creation-time configuration (static confs).
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+}
+
+#: Subset of ENGINE_CONF that is runtime-settable — applied defensively to
+#: externally-created sessions (e.g. the verification driver's) so query
+#: semantics (session timezone!) do not depend on who built the session.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # testdata events.parquet carries TIMESTAMP(NANOS); see sources.tables.tbl
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "endtoend-etl-openmeteo-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (``local[*]`` when the
+    env var is unset) — single-JVM for tests/bench; a real deployment passes
+    its cluster master/config through ``extra_conf``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
+    for key, value in {**ENGINE_CONF, **(extra_conf or {})}.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an existing session."""
+    for key, value in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - static confs on some builds
+            pass
+    return spark

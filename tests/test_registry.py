@@ -1,0 +1,37 @@
+"""Registry/driver-contract integrity tests."""
+
+import __spark_entry__ as entry_mod
+
+from endtoend_etl_openmeteo_spark import plans
+
+
+def test_registry_nonempty_and_well_formed():
+    registry = plans.load_all()
+    assert len(registry) >= 40
+    for name, spec in registry.items():
+        assert name.startswith("q_")
+        assert callable(spec.fn)
+        assert spec.doc  # every query documents its SURVEY provenance
+
+
+def test_driver_contract_shapes():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every oracle mentions at least one registered table name
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and sql.strip()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"event_type", "day", "avg_value", "n"} <= set(df.columns)
+
+
+def test_all_queries_execute_at_smoke_sf(spark, sf_dir):
+    registry = plans.load_all()
+    for name, spec in sorted(registry.items()):
+        df = spec.fn(spark, sf_dir)
+        assert df.count() >= 0, name

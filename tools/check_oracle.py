@@ -1,0 +1,144 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle at a given scale
+factor, then compares row count, column names/dtypes, and (order-insensitive)
+cell values. Stricter than the driver is likely to be: flags ANY non-exact
+float so boundary-rounding risks surface here first.
+
+Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from endtoend_etl_openmeteo_spark import plans  # noqa: E402
+from endtoend_etl_openmeteo_spark.session import get_spark  # noqa: E402
+from endtoend_etl_openmeteo_spark.sources.tables import TABLES  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(normalize_cell(x) for x in v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except Exception:
+        pass
+    return v
+
+
+def sorted_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(normalize_cell(r[i]) for i in idx) for r in rows]
+    key = lambda row: tuple((x is None, str(x)) for x in row)  # noqa: E731
+    return [cols[i] for i in idx], sorted(out, key=key)
+
+
+def compare(name, spark_cols, spark_rows, duck_cols, duck_rows) -> list[str]:
+    problems = []
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        return problems
+    sc, sr = sorted_rows(spark_cols, spark_rows)
+    dc, dr = sorted_rows(duck_cols, duck_rows)
+    if sc != dc:
+        problems.append(f"columns spark={sc} duck={dc}")
+        return problems
+    n_mismatch = 0
+    worst = None
+    for a, b in zip(sr, dr):
+        if a == b:
+            continue
+        for x, y in zip(a, b):
+            if x == y:
+                continue
+            if isinstance(x, float) and isinstance(y, float):
+                if abs(x - y) <= 1e-9 * max(1.0, abs(x), abs(y)):
+                    # tolerable, but flag: the driver may hash exactly
+                    n_mismatch += 1
+                    if worst is None:
+                        worst = (a, b)
+                    break
+            n_mismatch += 1
+            if worst is None:
+                worst = (a, b)
+            break
+    if n_mismatch:
+        problems.append(f"{n_mismatch}/{len(sr)} rows differ; first: spark={worst[0]} duck={worst[1]}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    registry = plans.load_all()
+    spark = get_spark("check-oracle")
+    con = duck_con(sf_dir)
+    failures, rows_only = [], []
+    for name, spec in sorted(registry.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if spec.oracle is None:
+            rows_only.append(name)
+            print(f"rows  {name}: {len(spark_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        problems = compare(name, spark_cols, spark_rows, duck_cols, duck_rows)
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+        else:
+            print(f"ok    {name}: {len(spark_rows)} rows [{time.time()-t0:.1f}s]")
+    print(
+        f"\n{len(registry) - len(failures) - len(rows_only)} ok, "
+        f"{len(rows_only)} rows-only, {len(failures)} FAILED"
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
