@@ -1,0 +1,91 @@
+"""Gap detection + incremental-processing log (SURVEY.md §2.3 J1, §2.9 T3/T5,
+§7 step 5).
+
+Re-expresses the reference's weekly backfill gap query
+(``airflow/dags/backfill_openmeteo.py:44-75``) — generate the expected hourly
+series, subtract what exists, per key — fixing its ``timestamp_utc`` column
+bug (SURVEY §8 D1) by construction.
+
+Scale: the expected side is (keys × hours), tiny relative to facts, and
+broadcast into the anti-join; the facts side is reduced to DISTINCT
+(key, hour) — one shuffle — before the join.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def expected_hours(
+    keys: DataFrame, start: dt.datetime, end: dt.datetime, key_cols: list[str]
+) -> DataFrame:
+    """Cross product of keys × hourly series over [start, end] inclusive."""
+    series = F.sequence(
+        F.lit(start.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"),
+        F.lit(end.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"),
+        F.expr("INTERVAL 1 HOUR"),
+    )
+    return keys.select(*key_cols).distinct().select(
+        *key_cols, F.explode(series).alias("expected_hour")
+    )
+
+
+def find_missing_hours(
+    existing: DataFrame,
+    start: dt.datetime,
+    end: dt.datetime,
+    key_cols: list[str],
+    ts_col: str = "timestamp",
+    keys: DataFrame | None = None,
+) -> DataFrame:
+    """Hours with no row per key: expected series anti-join existing hours.
+
+    ``keys`` defaults to the distinct keys of ``existing`` (the reference
+    discovers cities from partitions, S5); pass the city dimension to also
+    detect wholly-missing keys.
+    """
+    key_src = keys if keys is not None else existing
+    expected = expected_hours(key_src, start, end, key_cols)
+    present = existing.select(
+        *key_cols, F.date_trunc("hour", F.col(ts_col)).alias("expected_hour")
+    ).distinct()
+    return expected.join(F.broadcast(present) if keys is not None else present,
+                         [*key_cols, "expected_hour"], "left_anti")
+
+
+def chunk_hours(missing: DataFrame, key_cols: list[str], chunk_size: int = 24) -> DataFrame:
+    """Group missing hours into fetch batches of ≤chunk_size per key —
+    the 24-hour API chunking of backfill_openmeteo.py:117-124, as a
+    rank-based bucket id instead of a driver-side loop."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy("expected_hour")
+    return missing.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / chunk_size).cast("long"),
+    )
+
+
+def filter_new_files(
+    candidates: DataFrame, ingest_log: DataFrame | None, key_col: str = "key"
+) -> DataFrame:
+    """Already-processed skip (F5/J2/T3): candidates minus logged keys via
+    left_anti — the batch analog of a streaming checkpoint."""
+    if ingest_log is None:
+        return candidates
+    return candidates.join(
+        ingest_log.select(key_col).distinct(), key_col, "left_anti"
+    )
+
+
+def log_ingested(
+    spark: SparkSession,
+    processed: DataFrame,
+    log_path: str,
+) -> None:
+    """Append processed-file records (bucket, key, etag, rows_inserted,
+    ingested_at) to the ingest log — load_to_postgres.py:174-185."""
+    processed.write.mode("append").parquet(log_path)

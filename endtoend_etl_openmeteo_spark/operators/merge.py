@@ -1,0 +1,103 @@
+"""Keyed upsert/merge on plain Parquet (SURVEY.md §4 custom-work item 1).
+
+The reference's ``INSERT ... ON CONFLICT (city,"timestamp") DO UPDATE``
+(``ingestion/loader/load_to_postgres.py:89-102``) gives last-write-wins per
+key. OSS Spark without a table format has no MERGE INTO, so the engine
+provides it as a library operator:
+
+    union(affected target partitions, new batch)
+      → row_number() over key ordered by order_col desc → keep first
+      → dynamic partition overwrite
+
+Scale design (the part that must survive 100 TB):
+- **Partition-scoped, never full-table.** Only partitions present in the
+  new batch are read back and rewritten; a 24-row hourly batch against a
+  100 TB table touches a handful of partitions. The partition values of the
+  batch are collected (small by construction — a batch's distinct partition
+  keys) and pushed as an IN filter so partition pruning limits the
+  read-back.
+- The dedup window shuffles on the merge keys only — no global sort.
+- ``partitionOverwriteMode=dynamic`` makes the final write replace exactly
+  the touched partitions atomically-per-partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def dedup_last_write_wins(
+    df: DataFrame, keys: list[str], order_col: str
+) -> DataFrame:
+    """Keep the newest row per key (ties broken arbitrarily-but-
+    deterministically by the remaining columns being equal in practice)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Quiet existence check through Hadoop's FileSystem (a speculative
+    spark.read would log a full FileNotFoundException stack on first run)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def merge_upsert(
+    spark: SparkSession,
+    new: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_col: str,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Last-write-wins merge of ``new`` into the Parquet table at
+    ``target_path`` keyed by ``keys``, newest-by-``order_col`` winning —
+    the reference's upsert semantics (S8/J4/T4).
+
+    Idempotent: re-merging the same batch leaves the table unchanged.
+    """
+    partition_cols = partition_cols or []
+
+    exists = _path_exists(spark, target_path)
+    if exists:
+        target = spark.read.parquet(target_path)
+
+    if exists:
+        if partition_cols:
+            # Partition-scoped read-back: only partitions the batch touches.
+            batch_parts = new.select(*partition_cols).distinct().collect()
+            pred = None
+            for row in batch_parts:
+                clause = None
+                for c in partition_cols:
+                    eq = F.col(c) == F.lit(row[c])
+                    clause = eq if clause is None else (clause & eq)
+                pred = clause if pred is None else (pred | clause)
+            affected = target.filter(pred) if pred is not None else target
+        else:
+            affected = target
+        merged = dedup_last_write_wins(
+            affected.unionByName(new.select(*affected.columns)), keys, order_col
+        )
+    else:
+        merged = dedup_last_write_wins(new, keys, order_col)
+
+    writer = merged.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    # Dynamic overwrite rewrites only the partitions present in `merged`
+    # (engine conf partitionOverwriteMode=dynamic) — but the DataFrame must
+    # be materialized before overwriting the files it reads from.
+    if exists:
+        merged_cached = merged.localCheckpoint(eager=True)
+        writer = merged_cached.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+    writer.parquet(target_path)

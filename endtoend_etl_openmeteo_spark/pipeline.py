@@ -1,0 +1,100 @@
+"""The reference's ELT pipeline, Spark-first (SURVEY.md §3.1):
+
+    extract → validate → load → transform
+
+collapses into ONE Spark job: bronze JSON scan → flatten → DQ gate →
+partition-scoped merge into silver → daily mart. The reference's process
+boundaries (Airflow tasks, XCom, psycopg2) become Spark stage boundaries;
+the only shuffles are the merge's key dedup and the mart's groupBy.
+
+Reference lifecycle traced at /root/reference/airflow/dags/
+etl_openmeteo.py:179-183 (extract:20-109, validate:111-149, load:151-177)
+and dbt/models/marts/fct_city_day.sql:1-11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.operators.dq import REFERENCE_WEATHER_SUITE, dq_gate
+from endtoend_etl_openmeteo_spark.operators.explode import (
+    flatten_validation_records,
+    unzip_hourly,
+)
+from endtoend_etl_openmeteo_spark.operators.merge import merge_upsert
+from endtoend_etl_openmeteo_spark.sources.bronze import read_bronze
+
+
+def fct_city_day(silver: DataFrame) -> DataFrame:
+    """The gold mart: GROUP BY city, day with three AVGs — exactly what the
+    shipped model computes (fct_city_day.sql:2-10; parity target is the
+    code, not the docs — SURVEY §8 D3)."""
+    return silver.groupBy(
+        "city", F.date_trunc("day", F.col("timestamp")).alias("day")
+    ).agg(
+        F.avg("temperature_2m").alias("temperature_2m"),
+        F.avg("precipitation").alias("precipitation"),
+        F.avg("wind_speed_10m").alias("wind_speed_10m"),
+    )
+
+
+def fct_city_day_full(silver: DataFrame) -> DataFrame:
+    """The docs' extended mart (docs/dashboard.md:89-95, D3):
+    min/max/avg temperature, precipitation sum, wind max — one pass."""
+    return silver.groupBy(
+        "city", F.date_trunc("day", F.col("timestamp")).alias("day")
+    ).agg(
+        F.avg("temperature_2m").alias("temperature_avg"),
+        F.min("temperature_2m").alias("temperature_min"),
+        F.max("temperature_2m").alias("temperature_max"),
+        F.sum("precipitation").alias("precipitation_sum"),
+        F.max("wind_speed_10m").alias("wind_speed_max"),
+    )
+
+
+def run_elt(
+    spark: SparkSession,
+    bronze_path: str,
+    silver_path: str,
+    gold_path: str | None = None,
+    policy: str = "nullpad",
+    time_range: tuple[str, str] | None = None,
+    ingested_at: Column | None = None,
+) -> DataFrame:
+    """One ELT cycle: read bronze → validate (raises on DQ failure, T6) →
+    flatten → optional half-open window filter (F1) → merge into silver
+    (last-write-wins on (city, timestamp), T4) → rebuild gold mart.
+
+    Idempotent under re-runs and overlapping windows (T2): the merge
+    reconciles duplicates exactly like the reference's ON CONFLICT loader.
+    Returns the gold DataFrame.
+    """
+    raw = read_bronze(spark, bronze_path)
+
+    # validate BEFORE load — failure blocks the load (etl_openmeteo.py:135-149)
+    records = flatten_validation_records(raw)
+    dq_gate(records, REFERENCE_WEATHER_SUITE)
+
+    hourly = unzip_hourly(raw, policy=policy, ingested_at=ingested_at)
+    if time_range is not None:
+        start, end = time_range
+        hourly = hourly.filter(
+            (F.col("timestamp") >= F.lit(start)) & (F.col("timestamp") < F.lit(end))
+        )
+
+    merge_upsert(
+        spark,
+        hourly,
+        silver_path,
+        keys=["city", "timestamp"],
+        order_col="_ingested_at",
+        partition_cols=["city"],
+    )
+
+    silver = spark.read.parquet(silver_path)
+    gold = fct_city_day(silver)
+    if gold_path is not None:
+        gold.write.mode("overwrite").parquet(gold_path)
+        gold = spark.read.parquet(gold_path)
+    return gold

@@ -1,0 +1,246 @@
+"""Weather-domain parity tests (FIXTURES.md A1-A6, SURVEY.md §7 steps 1-5).
+
+Covers: bronze partitioned JSON round-trip, both ragged-array policies,
+merge_upsert last-write-wins + idempotency, gap detection, and the full
+bronze→silver→gold ELT including the blocking DQ gate.
+"""
+
+import datetime as dt
+import shutil
+import uuid
+from pathlib import Path
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.operators.dq import DQValidationError
+from endtoend_etl_openmeteo_spark.operators.explode import unzip_hourly
+from endtoend_etl_openmeteo_spark.operators.gaps import (
+    chunk_hours,
+    filter_new_files,
+    find_missing_hours,
+)
+from endtoend_etl_openmeteo_spark.operators.merge import merge_upsert
+from endtoend_etl_openmeteo_spark.pipeline import fct_city_day, run_elt
+from endtoend_etl_openmeteo_spark.schemas import (
+    RAW_OPENMETEO_SCHEMA,
+    WEATHER_HOURLY_SCHEMA,
+)
+from endtoend_etl_openmeteo_spark.sources.bronze import (
+    BRONZE_READ_SCHEMA,
+    read_bronze,
+    write_bronze,
+)
+
+TMP = Path(__file__).resolve().parent.parent / ".tmp"
+
+
+@pytest.fixture()
+def workdir():
+    d = TMP / uuid.uuid4().hex[:8]
+    d.mkdir(parents=True, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _payload(city, ds, hour, times, temps, precips, winds, lat=52.23, lon=21.01):
+    return Row(
+        latitude=lat,
+        longitude=lon,
+        timezone="Europe/Berlin",
+        hourly=Row(
+            time=times, temperature_2m=temps, precipitation=precips, wind_speed_10m=winds
+        ),
+        city=city,
+        ds=ds,
+        hour=hour,
+    )
+
+
+def _bronze_df(spark, rows):
+    return spark.createDataFrame(rows, BRONZE_READ_SCHEMA)
+
+
+GOOD_ROWS = [
+    _payload("Warsaw", "2025-10-31", "12", ["2025-10-31T12:00"], [15.5], [0.0], [5.2]),
+    _payload("Berlin", "2025-10-31", "12", ["2025-10-31T12:00Z"], [16.8], [2.5], [8.1],
+             lat=52.52, lon=13.41),
+    # multi-hour as-fetched form
+    _payload(
+        "Paris", "2025-10-31", "00",
+        [f"2025-10-31T{h:02d}:00" for h in range(4)],
+        [10.0, 11.0, 12.0, 13.0], [0.0, 0.1, 0.0, 0.2], [3.0, 3.5, 4.0, 4.5],
+        lat=48.86, lon=2.35,
+    ),
+]
+
+
+def test_bronze_roundtrip_partition_discovery(spark, workdir):
+    path = str(workdir / "bronze")
+    write_bronze(_bronze_df(spark, GOOD_ROWS), path)
+    back = read_bronze(spark, path)
+    assert back.count() == 3
+    assert set(r.city for r in back.select("city").distinct().collect()) == {
+        "Warsaw", "Berlin", "Paris",
+    }
+    # partition pruning: a city filter must not scan other partitions
+    plan = back.filter(F.col("city") == "Warsaw")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_unzip_nullpad_vs_truncate_ragged(spark):
+    # measure arrays shorter than time: 3 hours, 2 temps, 1 precip, 3 winds
+    ragged = _bronze_df(
+        spark,
+        [
+            _payload(
+                "Warsaw", "2025-10-01", "00",
+                ["2025-10-01T00:00", "2025-10-01T01:00", "2025-10-01T02:00"],
+                [1.0, 2.0], [0.5], [7.0, 8.0, 9.0],
+            )
+        ],
+    )
+    at = F.lit("2025-10-01 03:00:00").cast("timestamp")
+
+    padded = unzip_hourly(ragged, policy="nullpad", ingested_at=at).orderBy("timestamp")
+    rows = padded.collect()
+    assert len(rows) == 3  # padded to len(time)
+    assert rows[2].temperature_2m is None and rows[2].precipitation is None
+    assert rows[2].wind_speed_10m == 9.0
+
+    truncated = unzip_hourly(ragged, policy="truncate", ingested_at=at)
+    assert truncated.count() == 1  # min(3, 2, 1, 3)
+
+
+def test_unzip_z_suffix_and_empty_guard(spark):
+    df = _bronze_df(
+        spark,
+        [
+            _payload("Berlin", "2025-10-01", "00", ["2025-10-01T05:00Z"], [1.0], [0.0], [2.0]),
+            _payload("Paris", "2025-10-01", "00", [], [], [], []),  # F4 guard
+        ],
+    )
+    out = unzip_hourly(df, ingested_at=F.lit("2025-10-01").cast("timestamp")).collect()
+    assert len(out) == 1
+    assert out[0].timestamp == dt.datetime(2025, 10, 1, 5, 0)
+
+
+def _silver_rows():
+    base = dt.datetime(2025, 10, 1, 0, 0)
+    ing = dt.datetime(2025, 10, 2, 0, 0)
+    rows = []
+    for city in ("Warsaw", "Berlin"):
+        for h in range(48):
+            if city == "Warsaw" and h in (5, 6, 30):  # deliberate gaps
+                continue
+            rows.append(
+                (city, base + dt.timedelta(hours=h), 10.0 + h % 10, 0.1, 5.0, ing)
+            )
+    return rows
+
+
+def test_merge_upsert_last_write_wins_and_idempotent(spark, workdir):
+    path = str(workdir / "silver")
+    t0 = dt.datetime(2025, 10, 1, 12, 0)
+    first = spark.createDataFrame(
+        [("Warsaw", t0, 10.0, 0.0, 1.0, dt.datetime(2025, 10, 1, 13, 0))],
+        WEATHER_HOURLY_SCHEMA,
+    )
+    merge_upsert(spark, first, path, ["city", "timestamp"], "_ingested_at", ["city"])
+    assert spark.read.parquet(path).count() == 1
+
+    # newer ingest for the same key overwrites (T4 last-write-wins)
+    newer = spark.createDataFrame(
+        [("Warsaw", t0, 99.0, 0.0, 1.0, dt.datetime(2025, 10, 1, 14, 0))],
+        WEATHER_HOURLY_SCHEMA,
+    )
+    merge_upsert(spark, newer, path, ["city", "timestamp"], "_ingested_at", ["city"])
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 1 and got[0].temperature_2m == 99.0
+
+    # OLDER ingest must NOT overwrite
+    older = spark.createDataFrame(
+        [("Warsaw", t0, -5.0, 0.0, 1.0, dt.datetime(2025, 10, 1, 10, 0))],
+        WEATHER_HOURLY_SCHEMA,
+    )
+    merge_upsert(spark, older, path, ["city", "timestamp"], "_ingested_at", ["city"])
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 1 and got[0].temperature_2m == 99.0
+
+    # idempotency: same batch twice ⇒ identical table
+    merge_upsert(spark, newer, path, ["city", "timestamp"], "_ingested_at", ["city"])
+    assert spark.read.parquet(path).count() == 1
+
+    # merge of an unrelated partition doesn't disturb existing ones
+    other = spark.createDataFrame(
+        [("Berlin", t0, 7.0, 0.0, 1.0, dt.datetime(2025, 10, 1, 14, 0))],
+        WEATHER_HOURLY_SCHEMA,
+    )
+    merge_upsert(spark, other, path, ["city", "timestamp"], "_ingested_at", ["city"])
+    final = {(r.city, r.temperature_2m) for r in spark.read.parquet(path).collect()}
+    assert final == {("Warsaw", 99.0), ("Berlin", 7.0)}
+
+
+def test_gap_detection_and_chunking(spark):
+    silver = spark.createDataFrame(_silver_rows(), WEATHER_HOURLY_SCHEMA)
+    start = dt.datetime(2025, 10, 1, 0, 0)
+    end = dt.datetime(2025, 10, 2, 23, 0)
+    missing = find_missing_hours(silver, start, end, ["city"])
+    got = {(r.city, r.expected_hour) for r in missing.collect()}
+    assert got == {
+        ("Warsaw", start + dt.timedelta(hours=5)),
+        ("Warsaw", start + dt.timedelta(hours=6)),
+        ("Warsaw", start + dt.timedelta(hours=30)),
+    }
+    # wholly-missing key detected when the city dim is supplied
+    dim = spark.createDataFrame([("Warsaw",), ("Berlin",), ("Paris",)], ["city"])
+    missing_with_dim = find_missing_hours(silver, start, end, ["city"], keys=dim)
+    paris = missing_with_dim.filter(F.col("city") == "Paris").count()
+    assert paris == 48  # all hours missing
+
+    chunked = chunk_hours(missing, ["city"], chunk_size=2)
+    batches = sorted(r.batch_id for r in chunked.collect())
+    assert batches == [0, 0, 1]
+
+
+def test_ingest_log_skip(spark):
+    cand = spark.createDataFrame([("k1",), ("k2",), ("k3",)], ["key"])
+    log = spark.createDataFrame([("k2",)], ["key"])
+    left = {r.key for r in filter_new_files(cand, log).collect()}
+    assert left == {"k1", "k3"}
+    assert filter_new_files(cand, None).count() == 3
+
+
+def test_elt_end_to_end_idempotent_and_gated(spark, workdir):
+    bronze = str(workdir / "bronze")
+    silver = str(workdir / "silver")
+    gold = str(workdir / "gold")
+    write_bronze(_bronze_df(spark, GOOD_ROWS), bronze)
+
+    at = F.lit("2025-10-31 13:00:00").cast("timestamp")
+    out1 = run_elt(spark, bronze, silver, gold, ingested_at=at)
+    mart = {(r.city, r.day, round(r.temperature_2m, 6)) for r in out1.collect()}
+    assert ("Paris", dt.datetime(2025, 10, 31), 11.5) in mart
+    assert ("Warsaw", dt.datetime(2025, 10, 31), 15.5) in mart
+
+    # re-run over the same bronze (overlapping window, T2) ⇒ identical gold
+    out2 = run_elt(spark, bronze, silver, gold, ingested_at=at)
+    mart2 = {(r.city, r.day, round(r.temperature_2m, 6)) for r in out2.collect()}
+    assert mart2 == mart
+
+    # a bad payload (temp 150 > 60) blocks the load: silver must not change
+    bad = _payload("Warsaw", "2025-11-01", "00", ["2025-11-01T00:00"], [150.0], [0.0], [1.0])
+    write_bronze(_bronze_df(spark, [bad]), bronze)
+    before = spark.read.parquet(silver).count()
+    with pytest.raises(DQValidationError):
+        run_elt(spark, bronze, silver, gold, ingested_at=at)
+    assert spark.read.parquet(silver).count() == before
+
+
+def test_fct_city_day_matches_reference_shape(spark):
+    silver = spark.createDataFrame(_silver_rows(), WEATHER_HOURLY_SCHEMA)
+    mart = fct_city_day(silver)
+    assert mart.columns == ["city", "day", "temperature_2m", "precipitation", "wind_speed_10m"]
+    # 2 cities × 2 days
+    assert mart.count() == 4
