@@ -1,0 +1,128 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata
+(training-data-pipeline extension surface).
+
+The Spark-side plumbing is real and tested — schema, partitioning, Arrow
+batch shape, mapInPandas signatures; the codec step is STUBBED because no
+image/audio libraries exist in this container:
+
+- ``decode=\"fake\"`` (default) derives deterministic pseudo-features from
+  the bytes themselves, so pipelines are testable end-to-end;
+- ``decode=\"real\"`` raises NotImplementedError at the exact seam where
+  Pillow/ffmpeg/torchaudio would plug in.
+
+Scale notes: binary payloads ride Arrow batches into pandas workers —
+``maxRecordsPerBatch`` bounds executor memory per batch; media tables
+should be partitioned by kind/date so feature extraction jobs prune to the
+modality they need. Nothing here shuffles: decode/feature-extract are
+narrow mapInPandas passes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical media table layout: opaque payload + typed, modality-specific
+#: metadata. Writers partition by (kind, ds).
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_s", T.DoubleType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, sha256 string, width int, height int, "
+    "embedding array<float>"
+)
+
+FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_ts_s double"
+
+
+def _fake_embedding(digest: bytes, dim: int = 8) -> list[float]:
+    """Deterministic unit-scale vector derived from a content digest —
+    the stand-in for a real vision/audio encoder."""
+    out = []
+    for i in range(dim):
+        chunk = digest[(i * 4) % len(digest) : (i * 4) % len(digest) + 4]
+        out.append(int.from_bytes(chunk.ljust(4, b"\0"), "big") / 2**32 - 0.5)
+    return out
+
+
+def decode_images(df: DataFrame, decode: str = "fake") -> DataFrame:
+    """Image decode + feature extraction over Arrow batches (mapInPandas).
+
+    Real implementation would decode payload → pixels → encoder embedding;
+    the fake path hashes the payload into deterministic features so the
+    pipeline shape (schema, batching, nullability) is fully exercised.
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decode == "real":  # pragma: no cover - codec seam
+                raise NotImplementedError(
+                    "real image decode requires an imaging library "
+                    "(Pillow/opencv); not available in this environment"
+                )
+            payloads = pdf["payload"]
+            digests = payloads.map(
+                lambda b: hashlib.sha256(b if b is not None else b"").digest()
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "sha256": digests.map(bytes.hex),
+                    "width": pdf["meta"].map(lambda m: m["width"] if m else None),
+                    "height": pdf["meta"].map(lambda m: m["height"] if m else None),
+                    "embedding": digests.map(_fake_embedding),
+                }
+            )
+
+    images = df.filter(F.col("kind") == "image")
+    return images.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, fps: float = 1.0) -> DataFrame:
+    """Frame-sampling plan for video rows: which frame indices/timestamps a
+    decoder would extract, at ``fps`` frames/second of media time.
+
+    The INDEX ARITHMETIC is real (pure JVM: sequence over duration); only
+    pixel extraction is deferred to the decode seam. This split matters at
+    scale — planning frames is a narrow transform over metadata and never
+    touches payload bytes.
+    """
+    videos = df.filter(F.col("kind") == "video").select(
+        "media_id", F.col("meta.duration_s").alias("duration_s")
+    )
+    n_frames = F.greatest(
+        F.floor(F.col("duration_s") * F.lit(fps)).cast("int"), F.lit(1)
+    )
+    return videos.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).select(
+        "media_id",
+        "frame_idx",
+        (F.col("frame_idx") / F.lit(fps)).alias("frame_ts_s"),
+    )

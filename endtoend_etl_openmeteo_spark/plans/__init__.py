@@ -14,6 +14,7 @@ def load_all() -> dict[str, QuerySpec]:
     from endtoend_etl_openmeteo_spark.plans import (  # noqa: F401
         dq,
         joins,
+        multimodal,
         relational,
         similarity,
         text,

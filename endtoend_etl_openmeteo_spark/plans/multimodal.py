@@ -1,0 +1,59 @@
+"""Multimodal declared queries (rows-only: the codec is a deterministic
+stub, so there is no SQL oracle — the driver records the weaker check).
+
+The media table is synthesized from `documents` (text bytes as the opaque
+payload) so the Arrow-batch mapInPandas plumbing runs against real testdata
+at every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.operators.multimodal import (
+    decode_images,
+    sample_video_frames,
+)
+from endtoend_etl_openmeteo_spark.plans.registry import register
+from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 4 == 0, "video").otherwise("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            (F.col("n_chars") % 1024).cast("int").alias("width"),
+            (F.col("n_chars") % 768).cast("int").alias("height"),
+            (F.col("n_chars") / 100.0).alias("duration_s"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "q_multimodal_features",
+    oracle=None,  # stubbed codec — rows-only check
+    doc="Binary-column feature extraction via Arrow-batched mapInPandas "
+    "(SURVEY §7 step 7 multimodal): opaque payload → per-item digest + "
+    "deterministic fake embedding. The decode seam is stubbed; schema, "
+    "batching and partitioning are the real 100 TB plumbing.",
+    tags=("multimodal", "pandas-udf"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_images(_media_from_documents(spark, sf_dir))
+
+
+@register(
+    "q_multimodal_frames",
+    oracle=None,  # metadata-only plan; exercised rows-only
+    doc="Video frame-sampling plan (1 fps) from typed metadata — JVM-side "
+    "sequence arithmetic, payload bytes never touched.",
+    tags=("multimodal",),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_video_frames(_media_from_documents(spark, sf_dir), fps=1.0)

@@ -1,0 +1,13 @@
+from endtoend_etl_openmeteo_spark.streaming.pipeline import (
+    run_streaming_elt,
+    stream_bronze,
+    streaming_daily_agg,
+    streaming_hourly,
+)
+
+__all__ = [
+    "run_streaming_elt",
+    "stream_bronze",
+    "streaming_daily_agg",
+    "streaming_hourly",
+]

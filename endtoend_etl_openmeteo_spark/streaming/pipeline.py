@@ -1,0 +1,104 @@
+"""Structured Streaming variant of the ELT (SURVEY.md §2.9, §7 step 6).
+
+The reference is micro-batch-by-scheduler; its semantics map 1:1 onto
+Structured Streaming:
+
+- T1 hourly trigger        → ``trigger(processingTime="1 hour")``
+  (tests use ``availableNow`` for a synchronous drain);
+- T3 exactly-once files    → the file source's checkpointed file index
+  replaces ``staging._ingest_log`` (load_to_postgres.py:150-185) outright;
+- T2 6-hour lookback       → ``withWatermark("timestamp", "6 hours")``;
+- T4 last-write-wins       → ``foreachBatch`` → the same partition-scoped
+  ``merge_upsert`` the batch path uses — one merge implementation, two
+  execution modes;
+- A1 daily mart            → tumbling 1-day event-time window aggregate.
+
+Scale: the file source lists incrementally (maxFilesPerTrigger bounds a
+micro-batch); state for the windowed aggregate is bounded by the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from endtoend_etl_openmeteo_spark.operators.explode import unzip_hourly
+from endtoend_etl_openmeteo_spark.operators.merge import merge_upsert
+from endtoend_etl_openmeteo_spark.sources.bronze import BRONZE_READ_SCHEMA
+
+
+def stream_bronze(
+    spark: SparkSession, bronze_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming scan of the bronze JSON table. The checkpoint (given at
+    writeStream time) makes file processing exactly-once — the built-in
+    replacement for the reference's ingest log (T3)."""
+    reader = spark.readStream.schema(BRONZE_READ_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(bronze_path)
+
+
+def streaming_hourly(raw_stream: DataFrame, policy: str = "nullpad") -> DataFrame:
+    """Flatten the payload stream to hourly rows with a 6-hour watermark
+    (T2) — late rows beyond the lookback are dropped, mirroring the
+    reference's re-fetch window."""
+    hourly = unzip_hourly(raw_stream, policy=policy)
+    return hourly.withWatermark("timestamp", "6 hours")
+
+
+def streaming_daily_agg(hourly: DataFrame) -> DataFrame:
+    """Streaming fct_city_day: tumbling 1-day event-time window (the
+    streaming form of A1). State is purged once the watermark passes the
+    window end."""
+    return (
+        hourly.groupBy(F.window("timestamp", "1 day").alias("w"), "city")
+        .agg(
+            F.avg("temperature_2m").alias("temperature_2m"),
+            F.avg("precipitation").alias("precipitation"),
+            F.avg("wind_speed_10m").alias("wind_speed_10m"),
+        )
+        .select("city", F.col("w.start").alias("day"), "temperature_2m",
+                "precipitation", "wind_speed_10m")
+    )
+
+
+def run_streaming_elt(
+    spark: SparkSession,
+    bronze_path: str,
+    silver_path: str,
+    checkpoint_path: str,
+    policy: str = "nullpad",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """bronze stream → flatten → foreachBatch merge into silver.
+
+    Each micro-batch goes through the SAME merge_upsert as the batch path,
+    so reruns/overlaps stay last-write-wins (T4) and the checkpoint gives
+    exactly-once file consumption (T3). ``available_now`` drains all
+    pending files then stops — the test/backfill mode; production passes
+    False and a processingTime trigger.
+    """
+    hourly = streaming_hourly(stream_bronze(spark, bronze_path), policy=policy)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        merge_upsert(
+            batch.sparkSession,
+            batch,
+            silver_path,
+            keys=["city", "timestamp"],
+            order_col="_ingested_at",
+            partition_cols=["city"],
+        )
+
+    writer = (
+        hourly.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 hour")
+    return writer.start()

@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests — real Spark plumbing, stubbed codecs."""
+
+import pytest
+from pyspark.sql import Row
+
+from endtoend_etl_openmeteo_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_images,
+    sample_video_frames,
+)
+
+
+def _media_df(spark):
+    rows = [
+        Row(media_id=1, kind="image", payload=b"\x89PNG fake bytes 1",
+            meta=Row(mime="image/png", width=640, height=480, duration_s=None, sample_rate=None)),
+        Row(media_id=2, kind="image", payload=b"\x89PNG fake bytes 2",
+            meta=Row(mime="image/png", width=32, height=32, duration_s=None, sample_rate=None)),
+        Row(media_id=3, kind="video", payload=b"fake mp4",
+            meta=Row(mime="video/mp4", width=1280, height=720, duration_s=3.5, sample_rate=None)),
+        Row(media_id=4, kind="image", payload=None,
+            meta=Row(mime="image/png", width=1, height=1, duration_s=None, sample_rate=None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_images_fake_features_deterministic(spark):
+    media = _media_df(spark)
+    feats = decode_images(media).orderBy("media_id").collect()
+    assert [f.media_id for f in feats] == [1, 2, 4]  # video filtered out
+    assert feats[0].width == 640 and feats[0].height == 480
+    assert len(feats[0].embedding) == 8
+    # deterministic: same payload -> same embedding across runs
+    again = decode_images(media).orderBy("media_id").collect()
+    assert feats[0].embedding == again[0].embedding
+    assert feats[0].sha256 != feats[1].sha256
+    # null payload handled (0 bytes, digest of empty)
+    assert feats[2].n_bytes == 0
+
+
+def test_decode_real_raises_at_codec_seam(spark):
+    with pytest.raises(Exception) as exc:
+        decode_images(_media_df(spark), decode="real").collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_decode_rejects_bad_mode(spark):
+    with pytest.raises(ValueError):
+        decode_images(_media_df(spark), decode="jpeg")
+
+
+def test_sample_video_frames_plan(spark):
+    frames = sample_video_frames(_media_df(spark), fps=2.0).collect()
+    # 3.5s * 2fps -> 7 frames, ts 0.0 .. 3.0
+    assert len(frames) == 7
+    assert [f.frame_idx for f in sorted(frames, key=lambda r: r.frame_idx)] == list(range(7))
+    assert max(f.frame_ts_s for f in frames) == pytest.approx(3.0)
