@@ -34,6 +34,14 @@ def main() -> None:
 
     # JVM/codegen warmup on a cheap query so q-order doesn't skew timings.
     run_query(registry["q_scan"].fn(spark, sf_dir))
+    # Python-worker warmup: spawn the pandas daemons once so Arrow-batched
+    # queries measure steady-state compute, not interpreter startup.
+    warm = spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    warm.mapInPandas(lambda it: it, schema="id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(registry.items()):

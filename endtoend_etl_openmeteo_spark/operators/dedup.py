@@ -50,11 +50,28 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def cpu_parallelize(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    CPU-bound per-row operators (hashing, array math, pandas batches) must
+    not inherit byte-based file splits: a 5 MB single-file table arrives as
+    ONE partition and serializes the whole computation onto one core.
+    At warehouse scale inputs span many files and this is a near-no-op
+    (AQE coalesces right back); on small inputs it is the difference
+    between 1 and N cores.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def minhash_signature(shingle_col: Column, n_hashes: int = 32) -> Column:
     """MinHash signature: array of n_hashes mins of seeded 32-bit hashes.
 
     Seeding trick: F.hash(shingle, lit(i)) — Murmur3 folds the seed literal
     into the hash, giving n_hashes independent families without UDFs.
+    (Measured: n_hashes codegen'd transform+array_min passes beat a
+    single-pass aggregate() with an array accumulator — the accumulator
+    allocates a fresh 32-wide array per shingle.)
     """
     return F.array(
         *[
@@ -80,7 +97,7 @@ def minhash_lsh_pairs(
     buckets; the verification join touches candidates, not all pairs.
     """
     rows_per_band = n_hashes // bands
-    base = df.select(
+    base = cpu_parallelize(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
     ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
 
@@ -133,7 +150,7 @@ def ngram_jaccard_pairs(
     comparison is exact. This is the oracle-checkable counterpart of
     minhash_lsh_pairs.
     """
-    d = df.select(
+    d = cpu_parallelize(df.select(id_col, block_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         F.array_distinct(F.split(normalized_text(text_col), " ")).alias("toks"),
@@ -160,7 +177,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bits. One shuffle keyed by doc id; the 64 conditional sums are codegen'd
     aggregate expressions, not UDFs.
     """
-    toks = df.select(
+    toks = cpu_parallelize(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(normalized_text(text_col), " "))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

@@ -99,7 +99,9 @@ def decode_images(df: DataFrame, decode: str = "fake") -> DataFrame:
                 }
             )
 
-    images = df.filter(F.col("kind") == "image")
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    images = cpu_parallelize(df.filter(F.col("kind") == "image"))
     return images.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
 
 

@@ -42,10 +42,12 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
     )
-    c = corpus.select(
+    c = cpu_parallelize(corpus).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
     )
     scored = (
@@ -104,10 +106,12 @@ def lsh_bucketed_topk(
             )
         return bits
 
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
     ).withColumn("bucket", bucket_bits(F.col("q_vec")))
-    c = corpus.select(
+    c = cpu_parallelize(corpus).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
     ).withColumn("bucket", bucket_bits(F.col("n_vec")))
 

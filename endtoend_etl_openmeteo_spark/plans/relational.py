@@ -182,9 +182,11 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("set",),
 )
 def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = tbl(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
-    a = ev.filter((F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-10"))
-    b = ev.filter((F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-15"))
+    from endtoend_etl_openmeteo_spark.sources.tables import events_between
+
+    cols = ["event_id", "ts", "event_type", "value"]
+    a = events_between(spark, sf_dir, "2024-01-01", "2024-01-10").select(*cols)
+    b = events_between(spark, sf_dir, "2024-01-05", "2024-01-15").select(*cols)
     return a.unionByName(b).distinct()
 
 

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from endtoend_etl_openmeteo_spark.plans.registry import register
-from endtoend_etl_openmeteo_spark.sources.tables import tbl
+from endtoend_etl_openmeteo_spark.sources.tables import events_between, tbl
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
@@ -24,15 +24,14 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
     WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'
     """,
     doc="Half-open time-range filter (SURVEY §2.2 F1, §2.5 O6) — the 6-hour "
-    "extract window of etl_openmeteo.py:72-74, start <= ts < end. Pushes "
-    "to parquet row-group stats.",
+    "extract window of etl_openmeteo.py:72-74, start <= ts < end. Filters "
+    "the raw ns column so the predicate reaches parquet row-group stats "
+    "(a filter on the derived timestamp would scan everything).",
     tags=("filter",),
 )
 def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        tbl(spark, sf_dir, "events")
-        .filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-17"))
-        .select("event_id", "ts", "event_type", "value")
+    return events_between(spark, sf_dir, "2024-01-10", "2024-01-17").select(
+        "event_id", "ts", "event_type", "value"
     )
 
 

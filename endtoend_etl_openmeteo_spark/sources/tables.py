@@ -45,3 +45,29 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_between(spark: SparkSession, sf_dir: str, start_iso: str, end_iso: str) -> DataFrame:
+    """Half-open time-range scan of events with REAL parquet pushdown.
+
+    ``ts`` is derived (timestamp_micros over the raw ns long), so a filter
+    on it cannot reach the parquet reader — at 100 TB that's a full scan.
+    This helper filters the RAW long column with ns epoch literals (pushed
+    into row-group stats) and converts afterwards.
+    """
+    import datetime as dt
+
+    def ns(iso: str) -> int:
+        d = dt.datetime.fromisoformat(iso).replace(tzinfo=dt.timezone.utc)
+        return int(d.timestamp()) * 1_000_000_000
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not isinstance(raw.schema["ts"].dataType, T.LongType):
+        return raw.filter(
+            (F.col("ts") >= F.lit(start_iso).cast("timestamp"))
+            & (F.col("ts") < F.lit(end_iso).cast("timestamp"))
+        )
+    return raw.filter(
+        (F.col("ts") >= F.lit(ns(start_iso))) & (F.col("ts") < F.lit(ns(end_iso)))
+    ).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

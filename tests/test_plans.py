@@ -1,0 +1,81 @@
+"""Physical-plan quality gates (the 100 TB design checks, SURVEY.md §4).
+
+These assert the plans Catalyst actually produces — pushdown reaching the
+parquet scan, dimension joins going broadcast, top-k avoiding global sorts —
+so a regression in plan shape fails CI even while results stay correct.
+"""
+
+import pytest
+
+from endtoend_etl_openmeteo_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return plans.load_all()
+
+
+def test_scan_pushes_filter_and_prunes_columns(spark, registry):
+    plan = _physical(registry["q_scan"].fn(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)" in plan
+    # only the 4 projected columns reach the reader
+    assert "l_extendedprice" in plan and "l_returnflag" not in plan
+
+
+def test_range_filter_pushes_timestamp_bounds(spark, registry):
+    """The ns-long filter (not the derived timestamp) reaches the reader."""
+    plan = _physical(registry["q_range_filter"].fn(spark, SF))
+    assert "GreaterThanOrEqual(ts" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_dim_joins_are_broadcast(spark, registry):
+    for q in ("q_broadcast_join", "q_semi_join", "q_anti_join"):
+        plan = _physical(registry[q].fn(spark, SF))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_top1_uses_take_ordered_not_global_sort(spark, registry):
+    plan = _physical(registry["q_top1"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregates_have_partial_stage(spark, registry):
+    """Map-side partial aggregation before the shuffle (HashAggregate x2)."""
+    plan = _physical(registry["q_daily_agg"].fn(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_avg" in plan or "partial_" in plan
+
+
+def test_whole_stage_codegen_covers_hot_path(spark, registry):
+    df = registry["q_daily_agg_full"].fn(spark, SF)
+    df.collect()  # AQE finalizes the plan (codegen spans appear post-exec)
+    plan = _physical(df)
+    # '*(n)' prefixes mark WholeStageCodegen spans in the plan string;
+    # both the partial and final aggregate stages must be inside one.
+    assert "isFinalPlan=true" in plan
+    assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+
+
+def test_no_python_udfs_in_reference_parity_queries(spark, registry):
+    """SURVEY §2.10: reference parity needs zero Python UDFs — everything
+    stays in Tungsten. Only the multimodal extension uses Arrow batches."""
+    for name, spec in registry.items():
+        if name.startswith("q_multimodal"):
+            continue
+        plan = _physical(spec.fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_gap_detect_broadcasts_expected_side(spark, registry):
+    """The tiny (keys x hours) expected series must broadcast — the fact
+    scan never shuffles for the anti-join."""
+    plan = _physical(registry["q_gap_detect"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
