@@ -1,0 +1,70 @@
+"""As-of (nearest-preceding-event) join — an operator Spark lacks natively
+(SURVEY.md guidance: compose built-in DataFrame ops when semantics allow).
+
+Implementation: the union-and-carry-forward trick —
+
+    tag left/right rows, union into one spine, one window per key ordered
+    by (ts, side, tiebreak), last(col, ignorenulls) carries the most recent
+    right row forward onto each left row.
+
+Scale: ONE shuffle on the join key (the window sorts within partitions;
+no cross product, no range explosion). This beats bucketize-and-filter
+whenever right-side density per key is unbounded, and is the shape a
+1000-executor attribution job wants: all events of a key co-located once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    carry_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach ``asof_<col>`` for each right carry column
+    from the latest right row with ``right_ts <= left_ts`` on the same key
+    (inclusive; ties and multiple right rows at the same instant resolve
+    deterministically by ``tiebreak`` ascending — last one wins).
+
+    Output: all left columns + asof_* columns (null when nothing precedes).
+    """
+    carried = [f"asof_{c}" for c in carry_cols]
+    left_payload = [c for c in left.columns if c not in key_cols]
+
+    l = left.select(
+        *key_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tb") if tiebreak is None
+        else F.lit(None).cast(dict(right.dtypes)[tiebreak]).alias("__tb"),
+        *left_payload,
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"asof_{c}") for c in carry_cols],
+    )
+    r = right.select(
+        *key_cols,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        (F.lit(0).cast("long") if tiebreak is None else F.col(tiebreak)).alias("__tb"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_payload],
+        *[F.col(c).alias(f"asof_{c}") for c in carry_cols],
+    )
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spine = l.unionByName(r).select(
+        *key_cols,
+        "__side",
+        *left_payload,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    return spine.filter(F.col("__side") == 1).drop("__side")

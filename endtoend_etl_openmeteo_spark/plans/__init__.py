@@ -12,6 +12,7 @@ from endtoend_etl_openmeteo_spark.plans.registry import REGISTRY, QuerySpec, reg
 def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (idempotent) and return the registry."""
     from endtoend_etl_openmeteo_spark.plans import (  # noqa: F401
+        advanced,
         dq,
         joins,
         multimodal,

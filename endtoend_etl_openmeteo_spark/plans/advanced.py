@@ -1,0 +1,201 @@
+"""Advanced analytics queries: as-of join, TPC-H-style headline aggregates,
+embedding centroids, vocabulary statistics (extension surface beyond the
+reference, SURVEY.md §7 step 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.operators.asof import asof_join
+from endtoend_etl_openmeteo_spark.plans.registry import register
+from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, 1 AS side, NULL::BIGINT AS tb,
+             event_id, NULL::BIGINT AS asof_event_id
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 0 AS side, event_id AS tb,
+             NULL::BIGINT AS event_id, event_id AS asof_event_id
+      FROM events WHERE event_type = 'click'
+    ),
+    spine AS (
+      SELECT user_id, side, ts, event_id,
+             last_value(asof_event_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, tb
+               ROWS UNBOUNDED PRECEDING
+             ) AS asof_event_id
+      FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, ts, asof_event_id AS click_id
+    FROM spine WHERE side = 1
+    """,
+    doc="As-of join (purchase → latest preceding click per user): the "
+    "attribution primitive Spark lacks natively, composed as "
+    "union + carry-forward window — ONE shuffle on the key, no range "
+    "explosion (operators/asof.py).",
+    tags=("join", "asof", "window"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        carry_cols=["event_id"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("click_id"),
+    )
+
+
+@register(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+             AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary (headline aggregate): 8 aggregates over "
+    "a pushed-down date filter in one partial+final hash-agg pass — the "
+    "canonical scan-bound warehouse query.",
+    tags=("aggregate", "tpch"),
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15'
+      AND l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shipping priority: selective dim filter broadcast into a "
+    "two-join star, aggregate, top-10 — the canonical join-then-topk. "
+    "customer broadcasts; lineitem (the big side) never shuffles for the "
+    "join, only for the final aggregate.",
+    tags=("join", "aggregate", "tpch"),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1996-03-15").cast("timestamp")
+    cust = tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = tbl(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_embedding_centroid",
+    oracle="""
+    SELECT label, CAST(u.i - 1 AS BIGINT) AS pos,
+           round(avg(embedding[u.i]::DOUBLE), 6) AS centroid
+    FROM embeddings, unnest(generate_series(1, 64)) AS u(i)
+    GROUP BY 1, 2
+    """,
+    doc="Per-label embedding centroid (the IVF coarse-quantizer building "
+    "block): posexplode to (label, pos, value), one hash aggregate. At "
+    "scale this is the k-means-assignment reducer shape.",
+    tags=("similarity", "aggregate"),
+)
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg("col"), 6).alias("centroid"))
+    )
+
+
+@register(
+    "q_vocab_topk",
+    oracle="""
+    SELECT tok, n FROM (
+      SELECT tok, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, tok) AS rnk
+      FROM (
+        SELECT unnest(string_split(
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      )
+      GROUP BY tok
+    ) WHERE rnk <= 50
+    """,
+    doc="Corpus vocabulary top-50 (tokenizer-training prep): explode "
+    "tokens, count, rank — partial aggregation absorbs the token "
+    "explosion map-side before one shuffle.",
+    tags=("text", "aggregate"),
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.dedup import normalized_text
+
+    toks = tbl(spark, sf_dir, "documents").select(
+        F.explode(F.split(normalized_text("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.desc("n"), "tok").limit(50).select("tok", "n")

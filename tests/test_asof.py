@@ -1,0 +1,47 @@
+"""as-of join semantics (operators/asof.py)."""
+
+import datetime as dt
+
+from endtoend_etl_openmeteo_spark.operators.asof import asof_join
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def test_asof_join_semantics(spark):
+    purchases = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(12), 101), (2, _ts(9), 102)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    clicks = spark.createDataFrame(
+        [
+            (1, _ts(9, 30), 7),   # precedes purchase 100 and 101
+            (1, _ts(11, 0), 8),   # supersedes for purchase 101
+            (1, _ts(12, 0), 9),   # ties purchase 101's instant -> inclusive
+            (1, _ts(13, 0), 10),  # after everything: never matched
+            # user 2 has no clicks at all
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = {
+        r.event_id: r.asof_event_id
+        for r in asof_join(
+            purchases, clicks, ["user_id"], "ts", "ts", ["event_id"], tiebreak="event_id"
+        ).collect()
+    }
+    assert out == {100: 7, 101: 9, 102: None}
+
+
+def test_asof_join_tie_on_same_instant_takes_highest_tiebreak(spark):
+    purchases = spark.createDataFrame(
+        [(1, _ts(10), 100)], "user_id long, ts timestamp, event_id long"
+    )
+    clicks = spark.createDataFrame(
+        [(1, _ts(10), 5), (1, _ts(10), 6)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["event_id"], tiebreak="event_id"
+    ).collect()
+    assert out[0].asof_event_id == 6
