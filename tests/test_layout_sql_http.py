@@ -1,0 +1,133 @@
+"""SQL facade, HTTP source shape, bucketing and salting tests."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.operators.layout import (
+    salted_aggregate,
+    salted_join,
+    write_bucketed,
+)
+from endtoend_etl_openmeteo_spark.sources.http import (
+    build_request_url,
+    payloads_to_df,
+)
+from endtoend_etl_openmeteo_spark.sql import register_views, sql
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sql_facade_runs_reference_style_queries(spark):
+    out = sql(
+        spark,
+        SF,
+        """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               round(avg(value), 2) AS avg_value
+        FROM events GROUP BY 1, 2 ORDER BY 3 ASC LIMIT 1
+        """,
+    ).collect()
+    assert len(out) == 1
+
+    names = register_views(spark, SF)
+    assert "lineitem" in names
+    assert spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n > 0
+
+
+def test_http_request_shapes():
+    start = dt.datetime(2025, 10, 1)
+    end = dt.datetime(2025, 10, 2)
+    fc = build_request_url(52.23, 21.01, start, end)
+    ar = build_request_url(52.23, 21.01, start, end, archive=True)
+    assert fc.startswith("https://api.open-meteo.com/v1/forecast?")
+    assert "hourly=temperature_2m%2Cprecipitation%2Cwind_speed_10m" in fc
+    assert "start_date=2025-10-01" in fc and "end_date=2025-10-02" in fc
+    assert ar.startswith("https://archive-api.open-meteo.com/v1/archive?")
+    assert "timezone=auto" in ar
+
+
+def test_payloads_to_df_bronze_shape(spark):
+    payload = {
+        "latitude": 52.23,
+        "longitude": 21.01,
+        "timezone": "Europe/Berlin",
+        "hourly": {
+            "time": ["2025-10-31T12:00"],
+            "temperature_2m": [15.5],
+            "precipitation": [0.0],
+            "wind_speed_10m": [5.2],
+        },
+    }
+    empty = {"latitude": 1.0, "longitude": 2.0, "timezone": "UTC", "hourly": {}}
+    df = payloads_to_df(spark, [("Warsaw", payload), ("Paris", empty)])
+    rows = {r.city: r for r in df.collect()}
+    assert rows["Warsaw"].ds == "2025-10-31" and rows["Warsaw"].hour == "12"
+    assert rows["Warsaw"].hourly.temperature_2m == [15.5]
+    assert rows["Paris"].ds is None and rows["Paris"].hourly.time == []
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    write_bucketed(orders, "orders_b", ["o_custkey"], num_buckets=4)
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "customer_b",
+        ["o_custkey"], num_buckets=4,
+    )
+    # disable broadcast so the join would normally need a shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot-key data: 90% of left rows share key 1
+    left = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], "k long, row_id long"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k long, v string")
+    plain = left.join(right, "k")
+    salted = salted_join(left, right, "k", salt_factor=4, distribute_by="row_id")
+    assert salted.count() == plain.count()
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = spark.createDataFrame(
+        [(1 if i % 10 else 2, float(i)) for i in range(1000)], "k long, v double"
+    )
+    plain = {
+        (r.k): (r.s, r.c, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("c"),
+             F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    got = {
+        (r.k): (r.sum_v, r.count_v, r.min_v, r.max_v)
+        for r in salted_aggregate(
+            df, ["k"], {"v": "sum"}, salt_factor=4, distribute_by="v"
+        )
+        .join(
+            salted_aggregate(df, ["k"], {"v": "count"}, 4, "v"), "k"
+        )
+        .join(salted_aggregate(df, ["k"], {"v": "min"}, 4, "v"), "k")
+        .join(salted_aggregate(df, ["k"], {"v": "max"}, 4, "v"), "k")
+        .collect()
+    }
+    assert got == plain
+
+
+def test_salted_aggregate_rejects_non_decomposable(spark):
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with pytest.raises(ValueError):
+        salted_aggregate(df, ["k"], {"v": "median"})
