@@ -65,6 +65,102 @@ def cosine_topk(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    The exact all-pairs form — O(n²) by construction, so callers bound it
+    (``max_id``) and use it as the VERIFY stage; candidate generation at
+    scale is lsh_bucketed_topk's hyperplane buckets, mirroring the
+    MinHash-LSH / exact-Jaccard split in operators/dedup.py.
+    """
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    base = corpus
+    if max_id is not None:
+        base = base.filter(F.col(id_col) < max_id)
+    d = cpu_parallelize(base).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse cells + probe the nearest nprobe
+    cells per query.
+
+    The coarse quantizer here is the per-``cell_col`` centroid (at scale:
+    k-means centroids refreshed offline; the search path is identical).
+    Plan shape: centroids are tiny → broadcast twice (assignment + probe);
+    the corpus is scored only against queries probing its cell — the
+    fraction of work vs brute force is nprobe/n_cells.
+    """
+    from pyspark.sql import Window
+
+    vec = F.col(vec_col).cast("array<double>")
+    corpus_v = corpus.select(
+        F.col(id_col).alias("n_id"), vec.alias("n_vec"), F.col(cell_col).alias("cell")
+    )
+    # centroid per cell: posexplode + avg, reassembled with array_agg by pos
+    cent = (
+        corpus_v.select("cell", F.posexplode("n_vec"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("col").alias("c"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cell", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), vec.alias("q_vec"))
+    # probe assignment: top-nprobe cells by query→centroid cosine
+    qc = q.join(F.broadcast(cent))
+    wq = Window.partitionBy("q_id").orderBy(
+        F.desc(F.round(cosine(F.col("q_vec"), F.col("centroid")), 9)), F.col("cell")
+    )
+    probes = (
+        qc.withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("q_id", "q_vec", "cell")
+    )
+    scored = corpus_v.join(F.broadcast(probes), "cell").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id")
+    )
+    return (
+        scored.select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from a counter hash.
 
@@ -89,43 +185,69 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     k: int = 10,
 ) -> DataFrame:
-    """Approximate cosine top-k: random-hyperplane sign bucket, score within
-    bucket only. Recall is tunable via n_planes (fewer planes = bigger
-    buckets = higher recall, more compute)."""
-    from pyspark.sql import Window
+    """Approximate cosine top-k via MULTI-TABLE random-hyperplane LSH.
 
-    def bucket_bits(vec: Column) -> Column:
-        bits = F.lit(0).cast("long")
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
-            bits = bits.bitwiseOR(
-                F.when(dot(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
-            )
-        return bits
+    Each of ``n_tables`` hash tables buckets vectors by the sign pattern of
+    ``n_planes`` hyperplanes; a candidate is any corpus vector sharing a
+    bucket with the query in ANY table (the OR-amplification that single-
+    table sign-LSH lacks — one table of p planes scans ~2^-p of the corpus
+    and recall collapses on diffuse data). Tuning: recall rises with
+    n_tables, falls with n_planes; cost ≈ n_tables/2^n_planes of brute force.
+    """
+    from pyspark.sql import Window
 
     from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
 
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
-    ).withColumn("bucket", bucket_bits(F.col("q_vec")))
-    c = cpu_parallelize(corpus).select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
-    ).withColumn("bucket", bucket_bits(F.col("n_vec")))
+    def table_buckets(vec: Column) -> Column:
+        entries = []
+        for t in range(n_tables):
+            bits: Column = F.lit(0).cast("long")
+            for p in range(n_planes):
+                plane = F.array(
+                    *[F.lit(v) for v in _hyperplane(dim, t * n_planes + p)]
+                )
+                bits = bits.bitwiseOR(
+                    F.when(
+                        dot(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), p)
+                    ).otherwise(0)
+                )
+            entries.append(F.struct(F.lit(t).alias("t"), bits.alias("b")))
+        return F.array(*entries)
 
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("q_id") != F.col("n_id"))
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+        )
+        .withColumn("tb", F.explode(table_buckets(F.col("q_vec"))))
+        .select("q_id", "q_vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    )
+    c = (
+        cpu_parallelize(corpus)
         .select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).cast("array<double>").alias("n_vec"),
+        )
+        .withColumn("tb", F.explode(table_buckets(F.col("n_vec"))))
+        .select("n_id", "n_vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    )
+
+    candidates = (
+        c.join(F.broadcast(q), ["t", "b"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])  # OR across tables, score once
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        candidates.select(
             "q_id",
             "n_id",
             F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
         )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )

@@ -7,7 +7,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from endtoend_etl_openmeteo_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from endtoend_etl_openmeteo_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from endtoend_etl_openmeteo_spark.plans.registry import register
 from endtoend_etl_openmeteo_spark.sources.tables import tbl
 
@@ -105,13 +110,57 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embed_neardup",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / sqrt(list_dot_product(a.v, a.v)
+                        * list_dot_product(b.v, b.v)), 6) AS cos_sim
+    FROM d a JOIN d b ON a.id < b.id
+    WHERE round(list_dot_product(a.v, b.v)
+                / sqrt(list_dot_product(a.v, a.v)
+                       * list_dot_product(b.v, b.v)), 6) >= 0.3
+    """,
+    doc="Embedding-cosine near-duplicate pairs (SURVEY §7 step 7 dedup "
+    "mode): exact verify stage over a bounded id slice; LSH hyperplane "
+    "buckets (q_ann_lsh) are the candidate path at scale.",
+    tags=("dedup", "similarity"),
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        tbl(spark, sf_dir, "embeddings"), threshold=0.3, max_id=300
+    )
+
+
+@register(
+    "q_ann_ivf",
+    oracle=None,  # approximate recall by design — rows-only check
+    doc="IVF-style ANN: per-label centroids as the coarse quantizer, "
+    "nprobe=2 cells searched per query (operators/similarity.ivf_topk). "
+    "Work vs brute force scales as nprobe/n_cells; recall measured in "
+    "tests/test_similarity.py.",
+    tags=("similarity", "approx"),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, nprobe=2)
+
+
+@register(
     "q_ann_lsh",
     oracle=None,  # approximate-recall bucketing — rows-only check
-    doc="LSH-bucketed approximate cosine top-k (scale path): random- "
-    "hyperplane sign buckets prune the corpus before scoring; recall "
-    "tunable via plane count.",
+    doc="Multi-table random-hyperplane LSH approximate cosine top-k (scale "
+    "path): 8 tables x 4 planes, OR-amplified candidates scored once — "
+    "~n_tables/2^n_planes of brute-force work; recall ~0.6 at default "
+    "settings (measured in tests/test_similarity.py).",
     tags=("similarity", "approx"),
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), n_planes=4, k=10)
+    return lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 5), n_planes=4, n_tables=8, k=10
+    )

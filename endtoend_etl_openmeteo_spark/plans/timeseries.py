@@ -228,6 +228,36 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ), 6) AS mov_avg,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           ), 4) AS running_sum
+    FROM events
+    """,
+    doc="Moving average + running sum with explicit ROWS frames (extension "
+    "surface, SURVEY §2.8): one shuffle on user_id serves both frames.",
+    tags=("window",),
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    mov = base.rowsBetween(-3, Window.currentRow)
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return tbl(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(mov), 6).alias("mov_avg"),
+        F.round(F.sum("value").over(run), 4).alias("running_sum"),
+    )
+
+
+@register(
     "q_sessionize",
     oracle=f"""
     WITH g AS (

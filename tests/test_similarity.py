@@ -1,0 +1,67 @@
+"""Similarity-search quality tests: approximate methods measured against
+the exact baseline (recall), not just executed."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.q_id, set()).add(r.n_id)
+    return out
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    """The synthetic labels cluster only weakly (same-label mean cos ~0.05),
+    so IVF recall tracks the scanned fraction; the correctness properties
+    are monotonicity in nprobe and exactness when every cell is probed."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(cosine_topk(emb, queries, k=10))
+
+    def recall(nprobe):
+        approx = _topk_sets(ivf_topk(emb, queries, k=10, nprobe=nprobe))
+        return sum(len(exact[q] & approx.get(q, set())) / 10 for q in exact) / len(exact)
+
+    n_cells = emb.select("label").distinct().count()
+    r2, r4, rall = recall(2), recall(4), recall(n_cells)
+    assert r2 >= 2 / n_cells * 0.9, f"worse than the scanned-fraction baseline: {r2}"
+    assert r4 > r2, f"recall not monotone in nprobe: {r2} -> {r4}"
+    assert rall == 1.0, f"probing all {n_cells} cells must equal brute force, got {rall}"
+
+
+def test_lsh_recall_vs_brute_force(spark, emb):
+    """Multi-table OR-amplification: 8 tables x 4 planes scans ~50% of the
+    corpus but recovers ~60% of true neighbors; more tables -> more recall."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(cosine_topk(emb, queries, k=10))
+
+    def recall(n_tables):
+        approx = _topk_sets(
+            lsh_bucketed_topk(emb, queries, n_planes=4, n_tables=n_tables, k=10)
+        )
+        return sum(len(exact[q] & approx.get(q, set())) / 10 for q in exact) / len(exact)
+
+    r8, r16 = recall(8), recall(16)
+    assert r8 >= 0.4, f"LSH mean recall@10 too low at 8 tables: {r8}"
+    assert r16 > r8, f"recall not improved by more tables: {r8} -> {r16}"
+
+
+def test_neardup_pairs_symmetric_and_thresholded(spark, emb):
+    pairs = embedding_neardup_pairs(emb, threshold=0.5, max_id=100).collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+    assert all(r.cos_sim >= 0.5 for r in pairs)
