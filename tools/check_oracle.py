@@ -62,6 +62,39 @@ def sorted_rows(cols, rows):
     return [cols[i] for i in idx], sorted(out, key=key)
 
 
+#: Coarse dtype classes — a schema mismatch across these is the kind the
+#: driver's schema compare would flag (int vs float vs string vs temporal).
+_SPARK_CLASS = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+}
+_DUCK_CLASS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "HUGEINT": "int", "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int",
+    "UBIGINT": "int", "NUMBER": "float",
+    "FLOAT": "float", "DOUBLE": "float", "REAL": "float", "DECIMAL": "float",
+    "VARCHAR": "str", "STRING": "str", "BOOLEAN": "bool", "bool": "bool",
+    "TIMESTAMP": "ts", "DATETIME": "ts", "TIMESTAMP_NS": "ts", "DATE": "date",
+}
+
+
+def _dtype_problems(name, spark_dtypes, duck_cols, duck_types) -> list[str]:
+    spark_map = {c: t for c, t in spark_dtypes}
+    out = []
+    for col, dtype in zip(duck_cols, duck_types):
+        dtype = str(dtype)
+        st = spark_map.get(col)
+        if st is None:
+            continue  # column-name mismatch reported elsewhere
+        sc = _SPARK_CLASS.get(st.split("(")[0], st)
+        dc = _DUCK_CLASS.get(dtype.split("(")[0], dtype)
+        if sc != dc and "array" not in st and "[]" not in dtype:
+            out.append(f"dtype[{col}] spark={st}({sc}) duck={dtype}({dc})")
+    return out
+
+
 def compare(name, spark_cols, spark_rows, duck_cols, duck_rows) -> list[str]:
     problems = []
     if len(spark_rows) != len(duck_rows):
@@ -110,6 +143,7 @@ def main() -> int:
         try:
             sdf = spec.fn(spark, sf_dir)
             spark_cols = sdf.columns
+            spark_dtypes = sdf.dtypes
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
@@ -120,14 +154,16 @@ def main() -> int:
             print(f"rows  {name}: {len(spark_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(spec.oracle)
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            rel = con.sql(spec.oracle)
+            duck_cols = list(rel.columns)
+            duck_types = list(rel.types)
+            duck_rows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         problems = compare(name, spark_cols, spark_rows, duck_cols, duck_rows)
+        problems += _dtype_problems(name, spark_dtypes, duck_cols, duck_types)
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
