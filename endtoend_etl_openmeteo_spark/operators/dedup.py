@@ -61,6 +61,8 @@ def cpu_parallelize(df: DataFrame) -> DataFrame:
     between 1 and N cores.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df  # already parallel enough — never force a down-shuffle
     return df.repartition(target)
 
 

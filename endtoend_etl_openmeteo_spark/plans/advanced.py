@@ -124,8 +124,9 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q3 shipping priority: selective dim filter broadcast into a "
     "two-join star, aggregate, top-10 — the canonical join-then-topk. "
-    "customer broadcasts; lineitem (the big side) never shuffles for the "
-    "join, only for the final aggregate.",
+    "Only the true dimension (filtered customer) is broadcast-hinted; "
+    "orders is a FACT — forcing it broadcast would OOM at warehouse "
+    "scale, so Catalyst/AQE picks its join strategy from actual sizes.",
     tags=("join", "aggregate", "tpch"),
 )
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +136,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -166,9 +167,11 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < TIMESTAMP '1997-01-01'
     GROUP BY n_name
     """,
-    doc="TPC-H Q5 local-supplier volume: five broadcast dim joins around "
-    "the lineitem fact — the whole join tree resolves without shuffling "
-    "the fact side; one aggregate shuffle on n_name.",
+    doc="TPC-H Q5 local-supplier volume: true dims (supplier/nation/region) "
+    "broadcast; orders and customer are facts whose join strategy "
+    "Catalyst/AQE sizes at runtime (force-broadcasting a filtered fact "
+    "is the classic does-not-survive-100x mistake); one aggregate "
+    "shuffle on n_name.",
     tags=("join", "aggregate", "tpch"),
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,8 +185,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = tbl(spark, sf_dir, "nation")
     reg = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey)
