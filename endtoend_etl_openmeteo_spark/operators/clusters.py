@@ -1,0 +1,130 @@
+"""Near-duplicate clustering + iterative k-means (SURVEY.md §7 step 7 —
+the "iterative algorithms" class the driver's oracle can't express in SQL;
+correctness is pytest-verified against hand-built graphs instead).
+
+Both are bounded-iteration DataFrame loops: each iteration is a declarative
+join/aggregate Catalyst optimizes independently, with localCheckpoint()
+between rounds to truncate the growing lineage (the classic iterative-
+algorithm failure mode on Spark: an unbounded plan tree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Connected components over near-duplicate pairs (id_a, id_b) →
+    (id, cluster_id) with cluster_id = min id reachable.
+
+    Min-label propagation: every node repeatedly adopts the smallest label
+    among itself and its neighbors; converges in O(diameter) rounds —
+    near-dup clusters are tiny and dense, so a handful of rounds suffices
+    (the loop exits early on a fixed point via a cheap count check).
+
+    The downstream dedup policy is then "keep cluster_id" (the smallest id
+    representative per cluster) — the standard corpus-dedup reducer.
+    """
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .distinct()
+        .localCheckpoint(eager=True)  # pair generation may be expensive
+        # (e.g. an LSH pipeline) — never re-execute it per iteration
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)  # truncate iteration lineage
+        )
+        # labels only ever decrease → the label sum is a strictly decreasing
+        # convergence measure; one cheap agg instead of a change-detect join.
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def kmeans(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd's k-means over an array<double> column.
+
+    Init: the k smallest-id vectors (deterministic, no RNG — reruns give
+    identical clusters). Each iteration: broadcast the k centroids, assign
+    by squared euclidean distance (tie → lower centroid id), recompute
+    centroids via posexplode + avg. Returns (assignments(id, cluster),
+    centroids(cluster, centroid array)).
+
+    Scale shape: assignment is a narrow pass against broadcast centroids
+    (k·dim doubles — tiny); the update is one hash aggregate keyed by
+    (cluster, pos). Iterations multiply jobs, not state.
+    """
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    v = cpu_parallelize(vectors).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    ).localCheckpoint(eager=True)
+
+    from pyspark.sql import Window
+
+    seed_w = Window.orderBy("id")  # global window over only k rows
+    centroids = (
+        v.orderBy("id")
+        .limit(k)
+        .select(
+            (F.row_number().over(seed_w) - 1).alias("cluster"),
+            F.col("vec").alias("centroid"),
+        )
+    )
+
+    dist2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    assignments = None
+    for _ in range(iterations):
+        scored = v.join(F.broadcast(centroids)).select(
+            "id", "vec", "cluster", dist2(F.col("vec"), F.col("centroid")).alias("d2")
+        )
+        w = Window.partitionBy("id").orderBy("d2", "cluster")
+        assignments = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "vec", "cluster")
+        )
+        centroids = (
+            assignments.select("cluster", F.posexplode("vec"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("col").alias("c"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cluster", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    return assignments.select("id", "cluster"), centroids

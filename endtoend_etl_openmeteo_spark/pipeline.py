@@ -93,8 +93,36 @@ def run_elt(
     )
 
     silver = spark.read.parquet(silver_path)
-    gold = fct_city_day(silver)
     if gold_path is not None:
-        gold.write.mode("overwrite").parquet(gold_path)
-        gold = spark.read.parquet(gold_path)
-    return gold
+        refresh_gold_incremental(spark, hourly, silver, gold_path)
+        return spark.read.parquet(gold_path)
+    return fct_city_day(silver)
+
+
+def refresh_gold_incremental(
+    spark: SparkSession,
+    batch: DataFrame,
+    silver: DataFrame,
+    gold_path: str,
+) -> None:
+    """Rebuild the gold mart ONLY for the city partitions the batch touched.
+
+    The reference recomputes the whole mart on every dbt run
+    (fct_city_day.sql materialized='table'); at 100 TB that full rebuild is
+    the scale killer — a 24-row hourly batch must not re-aggregate years of
+    history. Touched cities come from the batch (small by construction);
+    partition pruning limits the silver re-read, and dynamic partition
+    overwrite replaces only those cities' gold partitions.
+    """
+    from endtoend_etl_openmeteo_spark.operators.merge import _path_exists
+
+    touched = [r.city for r in batch.select("city").distinct().collect()]
+    if not _path_exists(spark, gold_path):
+        fct_city_day(silver).write.mode("overwrite").partitionBy("city").parquet(
+            gold_path
+        )
+        return
+    scoped = silver.filter(F.col("city").isin(touched))
+    updated = fct_city_day(scoped).localCheckpoint(eager=True)
+    # dynamic partitionOverwriteMode (engine conf): only touched cities move
+    updated.write.mode("overwrite").partitionBy("city").parquet(gold_path)

@@ -230,6 +230,41 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_clusters",
+    oracle=None,  # iterative label propagation — rows-only check
+    doc="Near-duplicate clustering: connected components over MinHash-LSH "
+    "pair candidates via bounded min-label propagation (iterative "
+    "DataFrame loop with lineage checkpoints) — the keep-one-per-cluster "
+    "reducer of a corpus dedup pipeline (operators/clusters.py).",
+    tags=("dedup", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.clusters import dedup_clusters
+
+    pairs = minhash_lsh_pairs(
+        tbl(spark, sf_dir, "documents"), "doc_id", "text",
+        n_hashes=32, bands=8, jaccard_threshold=0.5,
+    )
+    return dedup_clusters(pairs)
+
+
+@register(
+    "q_kmeans",
+    oracle=None,  # iterative algorithm — rows-only check
+    doc="Deterministic Lloyd's k-means (k=8, 3 iterations) over the "
+    "embedding column: broadcast-centroid assignment + posexplode/avg "
+    "update per round (operators/clusters.py) — the offline coarse-"
+    "quantizer trainer for q_ann_ivf.",
+    tags=("similarity", "iterative"),
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.clusters import kmeans
+
+    assignments, _ = kmeans(tbl(spark, sf_dir, "embeddings"), k=8, iterations=3)
+    return assignments
+
+
+@register(
     "q_simhash",
     oracle=None,  # hash-function-specific fingerprints — rows-only check
     doc="64-bit SimHash fingerprints per document: per-bit signed token "

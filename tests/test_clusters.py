@@ -1,0 +1,89 @@
+"""Connected-components clustering and k-means correctness tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.operators.clusters import dedup_clusters, kmeans
+
+
+def test_dedup_clusters_known_graph(spark):
+    # components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,6}, isolated pairs absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    # worst case for label propagation: a 12-node path graph
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in dedup_clusters(pairs, max_iterations=20).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    # two tight blobs far apart; k=2 must split them exactly
+    a = [[0.0, 0.0], [0.1, 0.0], [0.0, 0.1], [0.1, 0.1]]
+    b = [[10.0, 10.0], [10.1, 10.0], [10.0, 10.1], [10.1, 10.1]]
+    rows = [(i, v) for i, v in enumerate(a + b)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assignments, centroids = kmeans(df, k=2, iterations=4)
+    got = {r.id: r.cluster for r in assignments.collect()}
+    assert len({got[i] for i in range(4)}) == 1
+    assert len({got[i] for i in range(4, 8)}) == 1
+    assert got[0] != got[4]
+    cents = sorted((r.centroid for r in centroids.collect()), key=lambda c: c[0])
+    assert cents[0][0] == pytest.approx(0.05) and cents[1][0] == pytest.approx(10.05)
+
+
+def test_kmeans_deterministic(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a1, _ = kmeans(emb, k=4, iterations=2)
+    a2, _ = kmeans(emb, k=4, iterations=2)
+    assert {(r.id, r.cluster) for r in a1.collect()} == {
+        (r.id, r.cluster) for r in a2.collect()
+    }
+
+
+def test_incremental_gold_only_touches_batch_cities(spark, tmp_path_factory):
+    import datetime as dt
+
+    from endtoend_etl_openmeteo_spark.pipeline import (
+        fct_city_day,
+        refresh_gold_incremental,
+    )
+    from endtoend_etl_openmeteo_spark.schemas import WEATHER_HOURLY_SCHEMA
+    from pathlib import Path
+    import shutil, uuid
+
+    d = Path(__file__).resolve().parent.parent / ".tmp" / f"gold_{uuid.uuid4().hex[:6]}"
+    d.mkdir(parents=True)
+    try:
+        ing = dt.datetime(2025, 10, 2)
+        rows = [
+            ("Warsaw", dt.datetime(2025, 10, 1, h), 10.0, 0.0, 1.0, ing) for h in range(4)
+        ] + [("Berlin", dt.datetime(2025, 10, 1, h), 20.0, 0.0, 1.0, ing) for h in range(4)]
+        silver = spark.createDataFrame(rows, WEATHER_HOURLY_SCHEMA)
+        gold = str(d / "gold")
+        # initial full build
+        refresh_gold_incremental(spark, silver, silver, gold)
+        first = {r.city: r.temperature_2m for r in spark.read.parquet(gold).collect()}
+        assert first == {"Warsaw": 10.0, "Berlin": 20.0}
+
+        # batch touches ONLY Warsaw; silver now has updated Warsaw temps
+        batch = spark.createDataFrame(
+            [("Warsaw", dt.datetime(2025, 10, 1, 5), 50.0, 0.0, 1.0, ing)],
+            WEATHER_HOURLY_SCHEMA,
+        )
+        silver2 = silver.unionByName(batch)
+        refresh_gold_incremental(spark, batch, silver2, gold)
+        after = {r.city: round(r.temperature_2m, 2) for r in spark.read.parquet(gold).collect()}
+        assert after["Warsaw"] == 18.0  # (4*10 + 50)/5
+        assert after["Berlin"] == 20.0  # untouched partition preserved
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
