@@ -228,6 +228,53 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_session_window",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess,
+             event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Built-in session_window aggregation (SURVEY §7 step 6/7): dynamic-"
+    "gap session windows (30 min) — works identically in batch and "
+    "streaming (with a watermark). Window end = last event + gap; the "
+    "oracle replicates via lag/cumsum (a >= gap starts a new session, "
+    "matching the half-open window end).",
+    tags=("window", "sessionize", "streaming"),
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "q_moving_avg",
     oracle="""
     SELECT user_id, event_id,

@@ -1,0 +1,69 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY.md guidance: the tool for operators Structured Streaming's
+built-ins can't express).
+
+Demonstrated operator: per-key running aggregates (count / sum / max) that
+persist across micro-batches — the streaming analog of an ever-growing
+groupBy, with explicit state the engine controls (built-in streaming aggs
+hold equivalent state internally; the explicit form is the template for
+genuinely custom logic: decaying counters, per-key models, CUSUM monitors).
+
+Scale: state lives in the state store partitioned by key — the shuffle is
+on the grouping key, state size is O(distinct keys), and a processing-time
+timeout (configurable) is where idle-key eviction plugs in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, max_value double"
+STATE_SCHEMA = "n long, s double, m double"
+
+
+def _update_running(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch's rows for this key into persistent state and
+    emit the updated running aggregate."""
+    if state.exists:
+        n, s, m = state.get
+    else:
+        n, s, m = 0, 0.0, float("-inf")
+    for pdf in batches:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        if len(pdf):
+            m = max(m, float(pdf["value"].max()))
+    state.update((n, s, m))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "max_value": [m]}
+    )
+
+
+def running_user_stats(events_stream: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, max) over a stream of events rows
+    (user_id long, value double, ...). Update-mode output: one row per key
+    per micro-batch it appeared in.
+
+    Deployment note: pair with a RESTARTABLE sink (foreachBatch / files).
+    The memory sink refuses checkpoint recovery, which silently forfeits
+    the cross-restart state this operator exists to provide."""
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_running,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,65 @@
+"""applyInPandasWithState: state persists across micro-batches and the
+final running aggregates equal the batch ground truth."""
+
+import shutil
+import uuid
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.streaming.stateful import running_user_stats
+
+TMP = Path(__file__).resolve().parent.parent / ".tmp"
+
+
+@pytest.fixture()
+def workdir():
+    d = TMP / f"state_{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_running_stats_across_micro_batches(spark, workdir):
+    src = workdir / "events"
+    src.mkdir()
+    # two separate files -> with maxFilesPerTrigger=1, two micro-batches
+    t1 = pa.table({"user_id": [1, 1, 2], "value": [1.0, 2.0, 10.0]})
+    t2 = pa.table({"user_id": [1, 3], "value": [4.0, 7.0]})
+    pq.write_table(t1, src / "a.parquet")
+    pq.write_table(t2, src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"running_{uuid.uuid4().hex[:6]}"
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(workdir / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # memory sink in update mode appends each emission; the LAST row per
+    # user is the final running state
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.sum_value, r.max_value)
+    assert final[1] == (3, 7.0, 4.0)  # state carried across both batches
+    assert final[2] == (1, 10.0, 10.0)
+    assert final[3] == (1, 7.0, 7.0)
+    # user 1 appeared in two micro-batches -> two emissions, proving the
+    # state store fed the second batch with the first batch's totals
+    user1_emissions = [r for r in rows if r.user_id == 1]
+    assert len(user1_emissions) == 2
+    assert {r.n_events for r in user1_emissions} == {2, 3}
