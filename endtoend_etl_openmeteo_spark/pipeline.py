@@ -99,6 +99,60 @@ def run_elt(
     return fct_city_day(silver)
 
 
+def backfill_missing(
+    spark: SparkSession,
+    silver_path: str,
+    bronze_path: str,
+    start,
+    end,
+    fetch_hours,
+    city_dim: DataFrame | None = None,
+    chunk_size: int = 24,
+    gold_path: str | None = None,
+) -> DataFrame:
+    """The weekly backfill flow (SURVEY §3.3, backfill_openmeteo.py:244-248):
+    identify_gaps → extract_missing (chunked) → validate → load.
+
+    ``fetch_hours(city, [datetime, ...]) -> payload dict`` is injected — the
+    HTTP client in production (sources.http), a fixture in tests; fetching
+    stays driver-side by design. Batches are ≤``chunk_size`` hours per call,
+    mirroring the API chunking of backfill_openmeteo.py:119-124. Gap
+    detection uses the REAL timestamp column, fixing the reference's
+    timestamp_utc bug (SURVEY §8 D1) by construction.
+
+    Returns the refreshed gold mart. Idempotent: re-running after a full
+    backfill finds no gaps and changes nothing.
+    """
+    from endtoend_etl_openmeteo_spark.operators.gaps import (
+        chunk_hours,
+        find_missing_hours,
+    )
+    from endtoend_etl_openmeteo_spark.sources.bronze import write_bronze
+    from endtoend_etl_openmeteo_spark.sources.http import payloads_to_df
+
+    silver = spark.read.parquet(silver_path)
+    missing = find_missing_hours(silver, start, end, ["city"], keys=city_dim)
+    batches = chunk_hours(missing, ["city"], chunk_size=chunk_size).collect()
+
+    by_batch: dict[tuple, list] = {}
+    for row in batches:
+        by_batch.setdefault((row.city, row.batch_id), []).append(row.expected_hour)
+
+    payloads = []
+    for (city, _bid), hours in sorted(by_batch.items()):
+        payload = fetch_hours(city, sorted(hours))
+        if payload and (payload.get("hourly") or {}).get("time"):
+            payloads.append((city, payload))
+
+    if payloads:
+        write_bronze(payloads_to_df(spark, payloads), bronze_path)
+        return run_elt(spark, bronze_path, silver_path, gold_path)
+    silver = spark.read.parquet(silver_path)
+    if gold_path is not None:
+        return spark.read.parquet(gold_path)
+    return fct_city_day(silver)
+
+
 def refresh_gold_incremental(
     spark: SparkSession,
     batch: DataFrame,
