@@ -202,39 +202,48 @@ def lsh_bucketed_topk(
 
     from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
 
-    def table_buckets(vec: Column) -> Column:
-        entries = []
-        for t in range(n_tables):
-            bits: Column = F.lit(0).cast("long")
-            for p in range(n_planes):
-                plane = F.array(
-                    *[F.lit(v) for v in _hyperplane(dim, t * n_planes + p)]
-                )
-                bits = bits.bitwiseOR(
-                    F.when(
-                        dot(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), p)
-                    ).otherwise(0)
-                )
-            entries.append(F.struct(F.lit(t).alias("t"), bits.alias("b")))
-        return F.array(*entries)
+    # All n_tables*n_planes projections in ONE Arrow-batched matmul — the
+    # canonical "Pandas UDF beats built-ins" case: per-element JVM folds
+    # would traverse each vector 32x; numpy does (batch x dim) @ (dim x 32)
+    # in one BLAS call. The plane matrix is deterministic (seeded counter
+    # hash), so every executor derives identical planes.
+    import numpy as np
 
-    q = (
-        queries.select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).cast("array<double>").alias("q_vec"),
-        )
-        .withColumn("tb", F.explode(table_buckets(F.col("q_vec"))))
-        .select("q_id", "q_vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
-    )
-    c = (
-        cpu_parallelize(corpus)
-        .select(
-            F.col(id_col).alias("n_id"),
-            F.col(vec_col).cast("array<double>").alias("n_vec"),
-        )
-        .withColumn("tb", F.explode(table_buckets(F.col("n_vec"))))
-        .select("n_id", "n_vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
-    )
+    planes = np.array(
+        [_hyperplane(dim, i) for i in range(n_tables * n_planes)]
+    ).T  # (dim, n_tables*n_planes)
+    weights = (2 ** np.arange(n_planes)).reshape(1, n_planes)
+
+    def bucketize(id_name: str, vec_name: str):
+        out_schema = f"{id_name} long, {vec_name} array<double>, t int, b long"
+
+        def op(batches):
+            for pdf in batches:
+                vecs = np.stack(pdf[vec_name].to_numpy())  # (n, dim)
+                signs = (vecs @ planes) > 0  # (n, tables*planes)
+                bits = signs.reshape(len(pdf), n_tables, n_planes)
+                buckets = (bits * weights).sum(axis=2)  # (n, tables)
+                import pandas as pd
+
+                yield pd.DataFrame(
+                    {
+                        id_name: pdf[id_name].to_numpy().repeat(n_tables),
+                        vec_name: pdf[vec_name].to_numpy().repeat(n_tables),
+                        "t": np.tile(np.arange(n_tables), len(pdf)),
+                        "b": buckets.reshape(-1),
+                    }
+                )
+
+        return op, out_schema
+
+    q_op, q_schema = bucketize("q_id", "q_vec")
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    ).mapInPandas(q_op, schema=q_schema)
+    c_op, c_schema = bucketize("n_id", "n_vec")
+    c = cpu_parallelize(corpus).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
+    ).mapInPandas(c_op, schema=c_schema)
 
     candidates = (
         c.join(F.broadcast(q), ["t", "b"])
