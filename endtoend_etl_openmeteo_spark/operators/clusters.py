@@ -33,6 +33,13 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         .localCheckpoint(eager=True)  # pair generation may be expensive
         # (e.g. an LSH pipeline) — never re-execute it per iteration
     )
+    # Size the iteration parallelism to the graph, not the session default:
+    # near-dup graphs are usually tiny relative to the corpus, and paying
+    # 32-partition shuffle overhead per round dominates small inputs.
+    n_edges = edges.count()
+    spark = pairs.sparkSession
+    target = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 20_000 + 1))
+    edges = edges.repartition(target, "dst")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -52,8 +52,10 @@ def find_missing_hours(
     present = existing.select(
         *key_cols, F.date_trunc("hour", F.col(ts_col)).alias("expected_hour")
     ).distinct()
-    return expected.join(F.broadcast(present) if keys is not None else present,
-                         [*key_cols, "expected_hour"], "left_anti")
+    # No broadcast hint on `present`: it derives from the FACT table and can
+    # be arbitrarily large; Catalyst/AQE sizes the anti-join at runtime
+    # (the small expected side broadcasts whenever eligible).
+    return expected.join(present, [*key_cols, "expected_hour"], "left_anti")
 
 
 def chunk_hours(missing: DataFrame, key_cols: list[str], chunk_size: int = 24) -> DataFrame:
