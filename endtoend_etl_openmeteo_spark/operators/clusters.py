@@ -14,14 +14,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Connected components over near-duplicate pairs (id_a, id_b) →
-    (id, cluster_id) with cluster_id = min id reachable.
+    (id, cluster_id) with cluster_id = min id reachable. Works for any
+    id type (long doc ids, string URIs/digests).
 
     Min-label propagation: every node repeatedly adopts the smallest label
     among itself and its neighbors; converges in O(diameter) rounds —
-    near-dup clusters are tiny and dense, so a handful of rounds suffices
-    (the loop exits early on a fixed point via a cheap count check).
+    near-dup clusters are tiny and dense, so a handful of rounds suffices.
+    Raises RuntimeError if the cap is hit before the fixed point: a
+    silently-split component would make downstream keep-one-per-cluster
+    dedup keep extra duplicate copies with no signal.
 
     The downstream dedup policy is then "keep cluster_id" (the smallest id
     representative per cluster) — the standard corpus-dedup reducer.
@@ -45,7 +48,8 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
-    prev_sum = None
+    prev_sig = None
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -62,12 +66,25 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
             )
             .localCheckpoint(eager=True)  # truncate iteration lineage
         )
-        # labels only ever decrease → the label sum is a strictly decreasing
-        # convergence measure; one cheap agg instead of a change-detect join.
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if cur_sum == prev_sum:
+        # Labels only change between rounds at a non-fixed-point, so an
+        # order-insensitive multiset signature (sum of per-row hashes —
+        # type-agnostic, works for string ids) detects convergence with
+        # one cheap agg instead of a change-detect join.
+        cur_sig = labels.agg(
+            # decimal(38,0) accumulator: a long sum of 64-bit hashes
+            # overflows (and ANSI mode rightly raises on it)
+            F.sum(F.xxhash64("id", "cluster_id").cast("decimal(38,0)")).alias("sig")
+        ).collect()[0][0]
+        if cur_sig == prev_sig:
+            converged = True
             break
-        prev_sum = cur_sum
+        prev_sig = cur_sig
+    if not converged and prev_sig is not None:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iterations} rounds "
+            "(a component's diameter exceeds the cap); raise max_iterations — "
+            "returning split clusters would keep duplicate documents silently"
+        )
     return labels
 
 

@@ -70,6 +70,9 @@ def _violation_count(e: Expectation) -> Column:
         cond = ~col.between(e.lo, e.hi)
     elif e.kind == "in_set":
         cond = ~col.isin(*e.values)
+    elif e.kind == "unique":
+        # violations = non-null rows beyond the first per distinct value
+        return F.count(col) - F.count_distinct(col)
     else:
         raise ValueError(f"unsupported expectation kind {e.kind!r}")
     return F.count(F.when(cond, 1))

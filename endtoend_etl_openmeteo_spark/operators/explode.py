@@ -53,8 +53,11 @@ def unzip_hourly(
     Timestamp parsing normalizes ``Z``-suffixed ISO strings (SURVEY §2.7
     X8) — Spark's to_timestamp handles both naive and ``Z`` forms; the
     session timezone is pinned UTC so naive strings are read as UTC.
-    Rows whose ``time`` entry is missing are dropped (the empty-input
-    guard F4); null measures survive (they are data, not raggedness).
+    Rows whose ``time`` entry is NULL are dropped (the empty-input guard
+    F4); a MALFORMED time string raises (ANSI mode, pinned in engine
+    conf) — exactly the reference's ``datetime.fromisoformat`` behavior
+    (etl_openmeteo.py:66): bad data fails the run, it doesn't vanish.
+    Null measures survive (they are data, not raggedness).
     """
     zipped = _zip_hourly(policy)
     exploded = raw.select(

@@ -22,7 +22,16 @@ from pyspark.sql import functions as F
 def expected_hours(
     keys: DataFrame, start: dt.datetime, end: dt.datetime, key_cols: list[str]
 ) -> DataFrame:
-    """Cross product of keys × hourly series over [start, end] inclusive."""
+    """Cross product of keys × hourly series over [start, end] inclusive.
+
+    Bounds are truncated to the hour (the reference's X11
+    ``.replace(minute=0, second=0, microsecond=0)``, etl_openmeteo.py:37) —
+    a 06:30 start must generate 06:00/07:00/... so the series aligns with
+    the hour-truncated existing side; unaligned bounds would otherwise
+    declare EVERY hour missing and trigger a full spurious backfill.
+    """
+    start = start.replace(minute=0, second=0, microsecond=0)
+    end = end.replace(minute=0, second=0, microsecond=0)
     series = F.sequence(
         F.lit(start.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"),
         F.lit(end.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"),

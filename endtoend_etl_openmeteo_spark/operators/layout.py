@@ -34,12 +34,26 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
-def salted(df: DataFrame, distribute_by: str, salt_factor: int) -> DataFrame:
-    """Add a deterministic ``__salt`` in [0, salt_factor) derived from a
-    high-cardinality column (not rand(): reruns must land rows in the same
-    sub-key for idempotent pipelines)."""
+def salted(
+    df: DataFrame, distribute_by: str | None, salt_factor: int
+) -> DataFrame:
+    """Add ``__salt`` in [0, salt_factor).
+
+    With ``distribute_by`` (a column varying WITHIN each hot key): salt is
+    a deterministic hash — stable across reruns. Without one: salt derives
+    from ``monotonically_increasing_id()`` — evenly spread but not stable
+    across reruns (harmless for joins/aggregations, whose OUTPUT is
+    independent of which sub-key a row landed in).
+
+    Never salt on the join/group key itself: that yields ONE salt value
+    per key and zero skew mitigation.
+    """
+    if distribute_by is not None:
+        return df.withColumn(
+            "__salt", F.pmod(F.hash(F.col(distribute_by)), F.lit(salt_factor))
+        )
     return df.withColumn(
-        "__salt", F.pmod(F.hash(F.col(distribute_by)), F.lit(salt_factor))
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_factor))
     )
 
 
@@ -52,14 +66,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join resilient to a hot key on the skewed side.
 
-    The skewed side gets a deterministic salt from ``distribute_by`` (any
-    well-distributed column; defaults to the join key's companion row
-    content via all columns is too wide — pick explicitly); the other side
-    is replicated ``salt_factor``× with an exploded salt, then the join key
-    becomes (key, salt). Row-for-row identical to the plain join.
+    The skewed side gets a salt (see :func:`salted`; ``distribute_by`` must
+    vary within a key — passing the join key is rejected as it would leave
+    the hot key unsplit); the other side is replicated ``salt_factor``×
+    with an exploded salt, then the join key becomes (key, salt).
+    Row-for-row identical to the plain join.
     """
-    dist = distribute_by or on
-    left = salted(skewed, dist, salt_factor)
+    if distribute_by == on:
+        raise ValueError(
+            "distribute_by must differ from the join key: salting by the key "
+            "gives every hot-key row the same salt (no skew mitigation)"
+        )
+    left = salted(skewed, distribute_by, salt_factor)
     right = other.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
     )
@@ -82,7 +100,12 @@ def salted_aggregate(
     (AQE rebalances skewed JOINs but not skewed AGGREGATES — this is the
     tool for a groupBy where one key holds half the table.)
     """
-    dist = distribute_by or group_cols[0]
+    if distribute_by in group_cols:
+        raise ValueError(
+            "distribute_by must not be a group key: salting by the group key "
+            "leaves the hot key on one reducer"
+        )
+    dist = distribute_by
     partial_aggs: list[Column] = []
     final_aggs: list[Column] = []
     for col, fn in agg_cols.items():

@@ -89,15 +89,13 @@ def merge_upsert(
     else:
         merged = dedup_last_write_wins(new, keys, order_col)
 
+    # Dynamic overwrite rewrites only the partitions present in `merged`
+    # (engine conf partitionOverwriteMode=dynamic); when the target already
+    # exists the DataFrame must be materialized first — it reads the very
+    # files the write will replace.
+    if exists:
+        merged = merged.localCheckpoint(eager=True)
     writer = merged.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    # Dynamic overwrite rewrites only the partitions present in `merged`
-    # (engine conf partitionOverwriteMode=dynamic) — but the DataFrame must
-    # be materialized before overwriting the files it reads from.
-    if exists:
-        merged_cached = merged.localCheckpoint(eager=True)
-        writer = merged_cached.write.mode("overwrite")
-        if partition_cols:
-            writer = writer.partitionBy(*partition_cols)
     writer.parquet(target_path)

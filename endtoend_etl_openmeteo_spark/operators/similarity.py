@@ -25,7 +25,10 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+    """Cosine similarity; null (ranked last) for zero-norm vectors instead
+    of an ANSI divide-by-zero abort — one padding/failed-encoder row must
+    not kill a corpus-wide top-k job."""
+    return dot(a, b) / F.nullif(F.sqrt(dot(a, a) * dot(b, b)), F.lit(0.0))
 
 
 def cosine_topk(

@@ -120,9 +120,18 @@ def backfill_missing(
     detection uses the REAL timestamp column, fixing the reference's
     timestamp_utc bug (SURVEY §8 D1) by construction.
 
+    Only the NEWLY FETCHED payloads are validated and merged — backfilling
+    one missing day must not re-scan, re-validate, or re-merge the whole
+    bronze corpus (and a historical DQ violation must not block a good
+    backfill). The payloads are still archived to ``bronze_path`` so the
+    bronze layer stays the complete record.
+
     Returns the refreshed gold mart. Idempotent: re-running after a full
     backfill finds no gaps and changes nothing.
     """
+    from endtoend_etl_openmeteo_spark.operators.explode import (
+        flatten_validation_records,
+    )
     from endtoend_etl_openmeteo_spark.operators.gaps import (
         chunk_hours,
         find_missing_hours,
@@ -145,9 +154,23 @@ def backfill_missing(
             payloads.append((city, payload))
 
     if payloads:
-        write_bronze(payloads_to_df(spark, payloads), bronze_path)
-        return run_elt(spark, bronze_path, silver_path, gold_path)
-    silver = spark.read.parquet(silver_path)
+        raw = payloads_to_df(spark, payloads)
+        write_bronze(raw, bronze_path)  # archive; processing uses `raw` directly
+        dq_gate(flatten_validation_records(raw), REFERENCE_WEATHER_SUITE)
+        batch_hourly = unzip_hourly(raw)
+        merge_upsert(
+            spark,
+            batch_hourly,
+            silver_path,
+            keys=["city", "timestamp"],
+            order_col="_ingested_at",
+            partition_cols=["city"],
+        )
+        silver = spark.read.parquet(silver_path)
+        if gold_path is not None:
+            refresh_gold_incremental(spark, batch_hourly, silver, gold_path)
+            return spark.read.parquet(gold_path)
+        return fct_city_day(silver)
     if gold_path is not None:
         return spark.read.parquet(gold_path)
     return fct_city_day(silver)

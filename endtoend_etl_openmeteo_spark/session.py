@@ -26,6 +26,10 @@ from pyspark.sql import SparkSession
 #: Session-creation-time configuration (static confs).
 ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # Pinned, not inherited: malformed input raises (matching the
+    # reference's fromisoformat/raise behavior) on EVERY session,
+    # including externally-created ones with different defaults.
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -42,6 +46,7 @@ ENGINE_CONF: dict[str, str] = {
 #: semantics (session timezone!) do not depend on who built the session.
 RUNTIME_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     # testdata events.parquet carries TIMESTAMP(NANOS); see sources.tables.tbl

@@ -41,19 +41,24 @@ def stream_bronze(
 
 
 def streaming_hourly(raw_stream: DataFrame, policy: str = "nullpad") -> DataFrame:
-    """Flatten the payload stream to hourly rows with a 6-hour watermark
-    (T2) — late rows beyond the lookback are dropped, mirroring the
-    reference's re-fetch window."""
-    hourly = unzip_hourly(raw_stream, policy=policy)
-    return hourly.withWatermark("timestamp", "6 hours")
+    """Flatten the payload stream to hourly rows.
+
+    NOTE on late data: a watermark only gates STATEFUL operators; on the
+    stateless foreachBatch merge path (run_streaming_elt) arbitrarily late
+    rows flow through and the MERGE reconciles them — which is the
+    reference's actual semantics (late/duplicate data is upserted, T4, not
+    dropped). The watermark lives in streaming_daily_agg, the stateful
+    consumer whose window state it bounds (T2's 6-hour lookback)."""
+    return unzip_hourly(raw_stream, policy=policy)
 
 
 def streaming_daily_agg(hourly: DataFrame) -> DataFrame:
     """Streaming fct_city_day: tumbling 1-day event-time window (the
-    streaming form of A1). State is purged once the watermark passes the
-    window end."""
+    streaming form of A1) behind a 6-hour watermark (T2). State is purged
+    once the watermark passes the window end."""
     return (
-        hourly.groupBy(F.window("timestamp", "1 day").alias("w"), "city")
+        hourly.withWatermark("timestamp", "6 hours")
+        .groupBy(F.window("timestamp", "1 day").alias("w"), "city")
         .agg(
             F.avg("temperature_2m").alias("temperature_2m"),
             F.avg("precipitation").alias("precipitation"),

@@ -87,3 +87,23 @@ def test_incremental_gold_only_touches_batch_cities(spark, tmp_path_factory):
         assert after["Berlin"] == 20.0  # untouched partition preserved
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_clusters_raises_when_cap_too_low(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iterations=3)
+
+
+def test_dedup_clusters_string_ids(spark):
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-c"), ("doc-a", "doc-b"), ("doc-x", "doc-y")],
+        "id_a string, id_b string",
+    )
+    got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "doc-x": "doc-x", "doc-y": "doc-x",
+    }

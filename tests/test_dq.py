@@ -82,3 +82,11 @@ def test_single_pass_compilation(spark):
     result = compile_expectations(df, REFERENCE_WEATHER_SUITE)
     plan = result._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("aggregate") <= 2  # partial+final, not 8 passes
+
+
+def test_unique_expectation(spark):
+    rows = GOOD + [GOOD[0]]  # duplicate Warsaw row -> city duplicated
+    suite = [Expectation("unique", "city")]
+    result = compile_expectations(_df(spark, rows), suite).collect()[0]
+    assert result.violations == 1 and not result.passed
+    assert compile_expectations(_df(spark, GOOD), suite).collect()[0].passed

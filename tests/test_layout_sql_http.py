@@ -131,3 +131,20 @@ def test_salted_aggregate_rejects_non_decomposable(spark):
     df = spark.createDataFrame([(1, 1.0)], "k long, v double")
     with pytest.raises(ValueError):
         salted_aggregate(df, ["k"], {"v": "median"})
+
+
+def test_salted_join_rejects_key_as_distribute_by(spark):
+    left = spark.createDataFrame([(1, 1)], "k long, row_id long")
+    right = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="distribute_by"):
+        salted_join(left, right, "k", distribute_by="k")
+
+
+def test_salted_join_default_salt_actually_splits_hot_key(spark):
+    left = spark.createDataFrame([(1, i) for i in range(400)], "k long, row_id long")
+    right = spark.createDataFrame([(1, "hot")], "k long, v string")
+    from endtoend_etl_openmeteo_spark.operators.layout import salted
+
+    salts = salted(left, None, 8).select("__salt").distinct().count()
+    assert salts > 1  # the hot key is actually spread
+    assert salted_join(left, right, "k", salt_factor=8).count() == 400

@@ -65,3 +65,13 @@ def test_neardup_pairs_symmetric_and_thresholded(spark, emb):
     pairs = embedding_neardup_pairs(emb, threshold=0.5, max_id=100).collect()
     assert all(r.id_a < r.id_b for r in pairs)
     assert all(r.cos_sim >= 0.5 for r in pairs)
+
+
+def test_zero_norm_vector_does_not_abort_topk(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])]  # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(df, df.filter("vec_id = 0"), k=5).collect()
+    by_n = {r.n_id: r for r in out}
+    assert by_n[2].cos_sim is None  # null, not an ANSI divide-by-zero abort
+    # the null similarity ranks LAST, after all real neighbors
+    assert max(r.rank for r in out) == by_n[2].rank

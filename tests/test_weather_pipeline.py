@@ -244,3 +244,19 @@ def test_fct_city_day_matches_reference_shape(spark):
     assert mart.columns == ["city", "day", "temperature_2m", "precipitation", "wind_speed_10m"]
     # 2 cities × 2 days
     assert mart.count() == 4
+
+
+def test_gap_detection_with_unaligned_bounds(spark):
+    """A 06:30 start must align to hour boundaries, not declare every
+    hour missing (reference X11 truncate-to-hour)."""
+    silver = spark.createDataFrame(_silver_rows(), WEATHER_HOURLY_SCHEMA)
+    start = dt.datetime(2025, 10, 1, 0, 30, 15)
+    end = dt.datetime(2025, 10, 2, 22, 59)
+    missing = find_missing_hours(silver, start, end, ["city"])
+    got = {(r.city, r.expected_hour) for r in missing.collect()}
+    base = dt.datetime(2025, 10, 1)
+    assert got == {
+        ("Warsaw", base + dt.timedelta(hours=5)),
+        ("Warsaw", base + dt.timedelta(hours=6)),
+        ("Warsaw", base + dt.timedelta(hours=30)),
+    }
