@@ -230,6 +230,35 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_train_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+                  THEN 'val' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT split, lang, count(*) AS n FROM assigned GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val split assignment (training-pipeline "
+    "staple): content-independent md5(id) bucketing — 1/16 of ids land "
+    "in val, stable across runs/engines/partitionings, no RNG state. "
+    "Per-(split, lang) counts expose stratification balance.",
+    tags=("text", "sampling"),
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0", "val"
+    ).otherwise("train")
+    return (
+        tbl(spark, sf_dir, "documents")
+        .select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "q_dedup_clusters",
     oracle=None,  # iterative label propagation — rows-only check
     doc="Near-duplicate clustering: connected components over MinHash-LSH "
