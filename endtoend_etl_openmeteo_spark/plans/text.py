@@ -230,6 +230,69 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_boilerplate_ngrams",
+    oracle=r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s.sh
+      FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+      ), LATERAL (
+        SELECT array_to_string(toks[i:i+4], ' ') AS sh
+        FROM unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS t(i)
+      ) s
+    )
+    SELECT sh AS ngram, count(*) AS n_docs
+    FROM sh GROUP BY sh HAVING count(*) >= 3
+    """,
+    doc="Boilerplate detection: 5-gram shingles appearing in >= 3 "
+    "distinct documents — the repeated-span finder behind boilerplate "
+    "stripping in corpus pipelines. Shingle explosion is absorbed by "
+    "map-side partial aggregation before one shuffle.",
+    tags=("text", "dedup"),
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.dedup import shingles
+
+    doc_shingles = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(shingles("text", 5)).alias("ngram")
+    )
+    return (
+        doc_shingles.groupBy("ngram")
+        .agg(F.count("*").alias("n_docs"))  # shingles() is per-doc distinct
+        .filter(F.col("n_docs") >= 3)
+    )
+
+
+@register(
+    "q_repetition",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 - len(list_distinct(toks)) / len(toks), 6) AS dup_token_ratio
+    FROM t
+    """,
+    doc="Within-document repetition score: 1 − distinct/total tokens — the "
+    "degenerate-text filter (loops, keyword stuffing) of a corpus "
+    "quality pass.",
+    tags=("text",),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(normalized_text("text"), " ")
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks), 6
+        ).alias("dup_token_ratio"),
+    )
+
+
+@register(
     "q_train_split",
     oracle="""
     WITH assigned AS (
