@@ -148,3 +148,16 @@ def test_salted_join_default_salt_actually_splits_hot_key(spark):
     salts = salted(left, None, 8).select("__salt").distinct().count()
     assert salts > 1  # the hot key is actually spread
     assert salted_join(left, right, "k", salt_factor=8).count() == 400
+
+
+def test_jdbc_reader_guards(spark):
+    from endtoend_etl_openmeteo_spark.sources.jdbc import read_jdbc
+
+    with pytest.raises(ValueError, match="unpartitioned"):
+        read_jdbc(spark, "jdbc:postgresql://db/x", "t")
+    with pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc(spark, "jdbc:postgresql://db/x", "t", partition_col="id")
+    # with no driver in this env the acknowledged-small-dim path fails
+    # with a clear ConnectionError, not a raw Py4J stack
+    with pytest.raises(ConnectionError, match="JDBC read failed"):
+        read_jdbc(spark, "jdbc:postgresql://db/x", "t", allow_single_partition="true")
