@@ -34,8 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 / §7 step 7."""
-    return {name: spec.fn for name, spec in plans.load_all().items()}
+    """One entry per implemented operator from SURVEY.md §2 / §7 step 7,
+    in driver-check priority order (parity core first — the driver verifies
+    a prefix of this dict)."""
+    return {name: spec.fn for name, spec in plans.ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -43,6 +45,6 @@ def oracle_sql() -> dict[str, str]:
     hash-specific operators, which get the driver's rows-only check)."""
     return {
         name: spec.oracle
-        for name, spec in plans.load_all().items()
+        for name, spec in plans.ordered_registry().items()
         if spec.oracle is not None
     }

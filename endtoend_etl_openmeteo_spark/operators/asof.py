@@ -31,7 +31,11 @@ def asof_join(
     """For each left row, attach ``asof_<col>`` for each right carry column
     from the latest right row with ``right_ts <= left_ts`` on the same key
     (inclusive; ties and multiple right rows at the same instant resolve
-    deterministically by ``tiebreak`` ascending — last one wins).
+    deterministically by ``tiebreak`` ascending — last one wins). Without a
+    ``tiebreak``, duplicate right rows at the same (key, ts) fall back to
+    xxhash64 of the carry columns, so the winner is still deterministic
+    across runs/partitionings (value-dependent, but never partition-order-
+    dependent).
 
     Output: all left columns + asof_* columns (null when nothing precedes).
     """
@@ -51,7 +55,13 @@ def asof_join(
         *key_cols,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        (F.lit(0).cast("long") if tiebreak is None else F.col(tiebreak)).alias("__tb"),
+        (
+            # Deterministic fallback: without a caller tiebreak, equal-(key,ts)
+            # right rows order by a value hash instead of partition order.
+            F.xxhash64(*[F.col(c) for c in carry_cols])
+            if tiebreak is None
+            else F.col(tiebreak)
+        ).alias("__tb"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_payload],
         *[F.col(c).alias(f"asof_{c}") for c in carry_cols],
     )

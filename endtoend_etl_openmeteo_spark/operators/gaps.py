@@ -30,6 +30,14 @@ def expected_hours(
     the hour-truncated existing side; unaligned bounds would otherwise
     declare EVERY hour missing and trigger a full spurious backfill.
     """
+    # Normalize tz-aware bounds to UTC before formatting — strftime drops
+    # tzinfo, so a naive format of an aware non-UTC datetime would shift the
+    # whole expected series relative to the UTC-stored facts (spurious or
+    # missed gaps).
+    if start.tzinfo is not None:
+        start = start.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    if end.tzinfo is not None:
+        end = end.astimezone(dt.timezone.utc).replace(tzinfo=None)
     start = start.replace(minute=0, second=0, microsecond=0)
     end = end.replace(minute=0, second=0, microsecond=0)
     series = F.sequence(

@@ -23,6 +23,8 @@ Scale design (the part that must survive 100 TB):
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -47,6 +49,30 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(hpath))
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
+def _stage_and_reread(
+    spark: SparkSession, df: DataFrame, base_path: str
+) -> tuple[DataFrame, str]:
+    """Materialize ``df`` to a staging dir beside ``base_path`` and re-read.
+
+    Needed before dynamic-partition-overwriting files the plan itself reads.
+    localCheckpoint would be cheaper but stores UNREPLICATED executor-local
+    blocks: on a real cluster an executor loss mid-write truncates lineage
+    and fails the merge unrecoverably. The staging copy lives on the same
+    durable filesystem (HDFS/S3) as the target, so it survives executor
+    loss; caller deletes it after the final write commits.
+    """
+    staging = base_path.rstrip("/") + f"__stage_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)
+    return spark.read.parquet(staging), staging
 
 
 def merge_upsert(
@@ -91,11 +117,16 @@ def merge_upsert(
 
     # Dynamic overwrite rewrites only the partitions present in `merged`
     # (engine conf partitionOverwriteMode=dynamic); when the target already
-    # exists the DataFrame must be materialized first — it reads the very
-    # files the write will replace.
+    # exists the DataFrame must be materialized durably first — it reads the
+    # very files the write will replace.
+    staging = None
     if exists:
-        merged = merged.localCheckpoint(eager=True)
-    writer = merged.write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(target_path)
+        merged, staging = _stage_and_reread(spark, merged, target_path)
+    try:
+        writer = merged.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(target_path)
+    finally:
+        if staging is not None:
+            _delete_path(spark, staging)

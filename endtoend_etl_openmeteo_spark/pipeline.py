@@ -200,6 +200,9 @@ def refresh_gold_incremental(
         )
         return
     scoped = silver.filter(F.col("city").isin(touched))
-    updated = fct_city_day(scoped).localCheckpoint(eager=True)
+    # No materialization needed: the plan reads silver_path only — the gold
+    # write never overwrites its own input (localCheckpoint here would add an
+    # unreplicated-block availability risk on a real cluster for nothing).
+    updated = fct_city_day(scoped)
     # dynamic partitionOverwriteMode (engine conf): only touched cities move
     updated.write.mode("overwrite").partitionBy("city").parquet(gold_path)

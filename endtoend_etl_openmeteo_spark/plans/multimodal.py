@@ -41,11 +41,21 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Binary-column feature extraction via Arrow-batched mapInPandas "
     "(SURVEY §7 step 7 multimodal): opaque payload → per-item digest + "
     "deterministic fake embedding. The decode seam is stubbed; schema, "
-    "batching and partitioning are the real 100 TB plumbing.",
+    "batching and partitioning are the real 100 TB plumbing. The declared "
+    "query digests the embedding array (md5 of its JSON form) so the output "
+    "is flat scalars — the harness canonicalizer can't sort list columns.",
     tags=("multimodal", "pandas-udf"),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_images(_media_from_documents(spark, sf_dir))
+    feats = decode_images(_media_from_documents(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "sha256",
+        "width",
+        "height",
+        F.md5(F.to_json("embedding")).alias("embedding_md5"),
+    )
 
 
 @register(

@@ -5,6 +5,8 @@ engine exposes them as first-class).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -132,7 +134,9 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tbl(spark, sf_dir, "events")
-    view = f"events_gs_{abs(hash(sf_dir)) % 10_000}"
+    # hashlib, not hash(): hash() is PYTHONHASHSEED-salted per process, which
+    # would make the view name nondeterministic across runs.
+    view = f"events_gs_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     ev.createOrReplaceTempView(view)
     return spark.sql(
         f"""

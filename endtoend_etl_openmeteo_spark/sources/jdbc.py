@@ -38,6 +38,9 @@ def read_jdbc(
     anything but explicitly acknowledged small dims (pass
     ``allow_single_partition='true'``)."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    # Pop unconditionally: passed alongside partition_col it must not leak
+    # through as a JDBC reader option / driver connection property.
+    allow_single = options.pop("allow_single_partition", "false")
     if partition_col is not None:
         if lower_bound is None or upper_bound is None:
             raise ValueError("partitioned JDBC read needs lower_bound and upper_bound")
@@ -47,7 +50,7 @@ def read_jdbc(
             .option("upperBound", str(upper_bound))
             .option("numPartitions", str(num_partitions))
         )
-    elif options.pop("allow_single_partition", "false") != "true":
+    elif allow_single != "true":
         raise ValueError(
             "unpartitioned JDBC read pulls the whole table through one "
             "connection; pass partition_col+bounds, or "
