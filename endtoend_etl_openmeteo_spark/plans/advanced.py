@@ -595,3 +595,206 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
     return counts.orderBy(F.desc("n"), "tok").limit(50).select("tok", "n")
+
+
+@register(
+    "q_tpch_q2",
+    oracle="""
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type,
+           round(l_extendedprice, 4) AS min_price
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size = 15 AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      AND l_extendedprice = (
+        SELECT min(l2.l_extendedprice)
+        FROM lineitem l2, supplier s2, nation n2, region r2
+        WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier per part; lineitem stands in for "
+    "partsupp — the testdata has no partsupp table): the correlated "
+    "min-subquery decorrelates to a per-partkey min WINDOW over the "
+    "region-restricted offers — one shuffle on p_partkey instead of a "
+    "subquery-per-row; supplier/nation/region collapse to one broadcast "
+    "dim before the fact scan.",
+    tags=("join", "tpch", "window", "subquery"),
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    supp = tbl(spark, sf_dir, "supplier")
+    nat = tbl(spark, sf_dir, "nation")
+    reg = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # One small broadcastable dim: European suppliers with their nation name.
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = tbl(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_type"
+    )
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    offers = li.join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey).join(
+        F.broadcast(parts), li.l_partkey == parts.p_partkey
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("__min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("__min_price"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("l_extendedprice", 4).alias("min_price"),
+        )
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q9",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.5 * p_retailprice * l_quantity AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%gear%'
+    ) profit GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape (product-type profit by nation and year; "
+    "0.5*p_retailprice stands in for ps_supplycost — no partsupp table): "
+    "a five-table join where only the true dims (filtered part, supplier, "
+    "nation) are broadcast; lineitem-orders is the fact-fact join whose "
+    "strategy AQE sizes at runtime; profit expression stays in one "
+    "codegen stage before the two-key aggregate shuffle.",
+    tags=("join", "aggregate", "tpch"),
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = (
+        tbl(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("gear"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.5) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q17 small-quantity-order revenue: the correlated avg-per-part "
+    "subquery decorrelates to groupBy(l_partkey).avg over the lineitems of "
+    "the brand's parts only (semantically identical — the correlation key "
+    "determines the part set), broadcast back against the same filtered "
+    "scan: zero extra shuffles at warehouse scale.",
+    tags=("aggregate", "tpch", "subquery"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = (
+        tbl(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    limits = brand_li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__qty_limit")
+    )
+    return (
+        brand_li.join(F.broadcast(limits), brand_li.l_partkey == limits.__pk)
+        .filter(F.col("l_quantity") < F.col("__qty_limit"))
+        .agg((F.round(F.sum("l_extendedprice") / 7.0, 4)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle="""
+    SELECT s_name, round(s_acctbal, 4) AS s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 60)
+      AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape (suppliers with excess shipped volume; shipped "
+    "lineitem quantity stands in for partsupp availability): nested "
+    "IN-subqueries become broadcast semi-joins — part filter broadcast "
+    "into the dated lineitem scan, grouped HAVING survivors broadcast "
+    "semi-joined against supplier; no correlated re-scan anywhere.",
+    tags=("join", "tpch", "subquery", "semi"),
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = (
+        tbl(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = tbl(spark, sf_dir, "supplier")
+    nat = tbl(spark, sf_dir, "nation").filter(F.col("n_name").startswith("NATION_1"))
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(heavy), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 4).alias("s_acctbal"))
+        .orderBy("s_name")
+    )

@@ -79,3 +79,28 @@ def test_gap_detect_broadcasts_expected_side(spark, registry):
     scan never shuffles for the anti-join."""
     plan = _physical(registry["q_gap_detect"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_parity_queries_fit_in_driver_checked_prefix():
+    """The driver verifies only a prefix of queries() (50 entries in round
+    1); every SURVEY §2 parity query must sit inside it, orderly, so the
+    hard correctness signal always covers the reference core first."""
+    ordered = list(plans.ordered_registry())
+    parity = [
+        "q_range_filter", "q_tz_filter", "q_daily_agg", "q_daily_agg_full",
+        "q_sequence", "q_gap_detect", "q_upsert",
+        "q_scan", "q_cast_projection", "q_round", "q_sort", "q_top1",
+        "q_limit", "q_distinct", "q_union", "q_coalesce", "q_string_ops",
+        "q_date_format", "q_json_roundtrip",
+        "q_broadcast_join", "q_semi_join", "q_anti_join",
+        "q_dq_nulls", "q_dq_bounds", "q_dq_gate",
+        "q_explode", "q_explode_nullpad",
+        "q_multimodal_features", "q_multimodal_frames",
+    ]
+    prefix = set(ordered[:50])
+    missing = [q for q in parity if q not in prefix]
+    assert not missing, f"parity queries outside driver-checked prefix: {missing}"
+    # every PRIORITY name must actually exist (catches typos/renames)
+    reg = plans.load_all()
+    unknown = [q for q in plans.PRIORITY if q not in reg]
+    assert not unknown, f"PRIORITY names not in registry: {unknown}"
