@@ -248,20 +248,36 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Boilerplate detection: 5-gram shingles appearing in >= 3 "
     "distinct documents — the repeated-span finder behind boilerplate "
-    "stripping in corpus pipelines. Shingle explosion is absorbed by "
-    "map-side partial aggregation before one shuffle.",
+    "stripping in corpus pipelines. Counting happens on xxhash64(ngram): "
+    "mostly-unique shingle strings defeat map-side partial aggregation, so "
+    "the count shuffle must carry 8-byte keys, not full spans; the tiny "
+    ">=3-docs survivor set is then broadcast back against the shingle scan "
+    "to recover the strings — only surviving spans ever shuffle as text.",
     tags=("text", "dedup"),
 )
 def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from endtoend_etl_openmeteo_spark.operators.dedup import shingles
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize, shingles
 
-    doc_shingles = tbl(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(shingles("text", 5)).alias("ngram")
-    )
-    return (
-        doc_shingles.groupBy("ngram")
+    # Shingling is the CPU cost and is recomputed on both lineage branches —
+    # single-file tables must spread across cores first.
+    docs = cpu_parallelize(tbl(spark, sf_dir, "documents").select("text"))
+    doc_shingles = docs.select(F.explode(shingles("text", 5)).alias("ngram"))
+    survivors = (
+        doc_shingles.select(F.xxhash64("ngram").alias("__h"))
+        .groupBy("__h")
         .agg(F.count("*").alias("n_docs"))  # shingles() is per-doc distinct
         .filter(F.col("n_docs") >= 3)
+    )
+    # Broadcast is the point: a shuffle join here would write the full
+    # shingle-string stream to shuffle again. If a corpus's boilerplate set
+    # ever outgrew the broadcast threshold, drop the hint and let AQE size it.
+    return (
+        doc_shingles.join(
+            F.broadcast(survivors), F.xxhash64("ngram") == F.col("__h")
+        )
+        .groupBy("ngram")
+        .agg(F.min("n_docs").alias("n_docs"))
+        .select("ngram", "n_docs")
     )
 
 
