@@ -76,3 +76,64 @@ def test_streaming_daily_agg_window(spark, workdir):
     assert rows["Paris"].temperature_2m == pytest.approx(11.5)
     assert rows["Berlin"].temperature_2m == pytest.approx(16.8)
     assert rows["Warsaw"].day.day == 31
+
+
+def test_streaming_checkpoint_recovery_after_midstream_failure(spark, workdir):
+    """T3 rerun-safety, the kill-and-resume case: a stream that DIES mid-run
+    (one committed micro-batch, one failed) must, on restart from the same
+    checkpoint, process only the unfinished files — committed batches are
+    never reprocessed and the final silver equals a clean one-shot run."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from endtoend_etl_openmeteo_spark.operators.merge import merge_upsert
+    from endtoend_etl_openmeteo_spark.streaming import (
+        stream_bronze,
+        streaming_hourly,
+    )
+
+    bronze = str(workdir / "bronze")
+    silver = str(workdir / "silver")
+    ckpt = str(workdir / "ckpt")
+    write_bronze(_bronze_df(spark, GOOD_ROWS), bronze)  # 3 files (city/ds/hour)
+
+    calls = {"n": 0}
+
+    def flaky_merge(batch, epoch_id):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first batch commits, second dies mid-stream
+            raise RuntimeError("injected executor-side failure")
+        merge_upsert(
+            batch.sparkSession, batch, silver,
+            keys=["city", "timestamp"], order_col="_ingested_at",
+            partition_cols=["city"],
+        )
+
+    hourly = streaming_hourly(stream_bronze(spark, bronze, max_files_per_trigger=1))
+    q = (
+        hourly.writeStream.foreachBatch(flaky_merge)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    assert calls["n"] == 2
+
+    partial = {
+        (r.city, r.timestamp): r._ingested_at
+        for r in spark.read.parquet(silver).collect()
+    }
+    assert partial  # exactly the committed first file's rows
+
+    # Recovery: the REAL pipeline on the same checkpoint drains the rest.
+    q2 = run_streaming_elt(spark, bronze, silver, ckpt)
+    q2.awaitTermination(120)
+
+    final = spark.read.parquet(silver).collect()
+    assert len(final) == 6  # 1 Warsaw + 1 Berlin + 4 Paris hourly rows
+    assert len({(r.city, r.timestamp) for r in final}) == 6  # each key once
+    # committed-before-crash rows kept their ingest stamp -> not reprocessed
+    for r in final:
+        if (r.city, r.timestamp) in partial:
+            assert r._ingested_at == partial[(r.city, r.timestamp)]
