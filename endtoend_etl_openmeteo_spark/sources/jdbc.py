@@ -4,9 +4,10 @@ The reference reads its staging table back out of Postgres for gap
 detection (``airflow/dags/backfill_openmeteo.py:30-63`` in
 ``/root/reference/``) and upserts into it over psycopg2. The Spark
 equivalents are ``spark.read.jdbc`` with partitioned reads and a batched
-``DataFrameWriter.jdbc`` append; both are thin wrappers here because this
-environment ships no JDBC driver jar or database — the functions raise a
-clear error in that case instead of a Py4J stack.
+``DataFrameWriter.jdbc`` append; exercised end-to-end against embedded
+Derby (which ships in Spark's jars — tests/test_jdbc.py). Against a URL
+with no driver jar or reachable database the functions raise a clear
+ConnectionError instead of a Py4J stack.
 
 Scale notes baked into the defaults:
 - reads MUST be partitioned (`partition_col` + bounds) or the whole table
