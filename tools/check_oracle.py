@@ -136,6 +136,7 @@ def main() -> int:
     spark = get_spark("check-oracle")
     con = duck_con(sf_dir)
     failures, rows_only = [], []
+    ann_results: dict[str, list] = {}
     for name, spec in sorted(registry.items()):
         if only and name not in only:
             continue
@@ -149,6 +150,8 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        if name in ("q_ann_cosine", "q_ann_ivf", "q_ann_lsh"):
+            ann_results[name] = [dict(zip(spark_cols, r)) for r in spark_rows]
         if spec.oracle is None:
             rows_only.append(name)
             print(f"rows  {name}: {len(spark_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
@@ -169,6 +172,22 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
         else:
             print(f"ok    {name}: {len(spark_rows)} rows [{time.time()-t0:.1f}s]")
+    # Quantitative floor for the approximate ANN paths: a rows-only check
+    # proves the query runs, not that it finds neighbors. Recall vs the
+    # exact brute-force baseline must clear 0.5 (LSH measured ~0.6 at its
+    # default 8x4 setting; IVF nprobe=2 similar on this data).
+    RECALL_FLOOR = 0.5
+    if "q_ann_cosine" in ann_results:
+        exact = {(r["q_id"], r["n_id"]) for r in ann_results["q_ann_cosine"]}
+        for approx_name in ("q_ann_ivf", "q_ann_lsh"):
+            if approx_name not in ann_results:
+                continue
+            approx = {(r["q_id"], r["n_id"]) for r in ann_results[approx_name]}
+            recall = len(approx & exact) / max(len(exact), 1)
+            status = "ok   " if recall >= RECALL_FLOOR else "FAIL "
+            print(f"{status} recall[{approx_name}] = {recall:.3f} (floor {RECALL_FLOOR})")
+            if recall < RECALL_FLOOR:
+                failures.append(f"recall:{approx_name}")
     print(
         f"\n{len(registry) - len(failures) - len(rows_only)} ok, "
         f"{len(rows_only)} rows-only, {len(failures)} FAILED"
