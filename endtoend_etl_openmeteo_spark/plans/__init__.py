@@ -120,6 +120,13 @@ PRIORITY: list[str] = [
     "q_tpch_q13",
     "q_tpch_q14",
     "q_tpch_q18",
+    "q_tpch_q8",
+    "q_tpch_q11",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q19",
+    "q_tpch_q21",
+    "q_tpch_q22",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

@@ -798,3 +798,374 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.round("s_acctbal", 4).alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+@register(
+    "q_tpch_q8",
+    oracle="""
+    SELECT o_year, round(sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END)
+           / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        AND p_type = 'ECONOMY'
+    ) all_nations GROUP BY o_year
+    """,
+    doc="TPC-H Q8 national market share: eight-table star with the nation "
+    "dim joined twice (customer side prunes to a region, supplier side "
+    "names the share); conditional-sum ratio per year. Dims broadcast, "
+    "lineitem-orders strategy left to AQE.",
+    tags=("join", "aggregate", "tpch"),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = (
+        tbl(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    supp = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    n1 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    reg = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    orders = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = tbl(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name LIKE 'NATION_2%'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(value, 4) AS value
+    FROM val
+    WHERE value > (SELECT sum(value) * 0.001 FROM val)
+    ORDER BY value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 shape (important stock; shipped value stands in for "
+    "partsupp stock value): the group-vs-global scalar subquery "
+    "decorrelates to one grouped aggregate reused on both sides — the "
+    "global total is a 1-row broadcast cross-join, not a re-scan.",
+    tags=("aggregate", "tpch", "subquery"),
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = (
+        tbl(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                tbl(spark, sf_dir, "nation").filter(
+                    F.col("n_name").startswith("NATION_2")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    total = val.agg((F.sum("value") * 0.001).alias("__threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("__threshold"))
+        .select("l_partkey", F.round("value", 4).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 top supplier: max-over-derived-view equality — the "
+    "revenue view computes once, its 1-row max broadcast cross-joins "
+    "back (no second scan of lineitem), supplier dim broadcast.",
+    tags=("aggregate", "tpch", "subquery"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    supp = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (supplier count per part attributes; lineitem "
+    "supplies the part-supplier pairs): NOT IN on a null-free key becomes "
+    "a broadcast anti-join; count(DISTINCT) per 3-key group — the "
+    "distinct expands map-side then two-phase aggregates.",
+    tags=("aggregate", "tpch", "anti"),
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    flagged = tbl(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = tbl(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(F.broadcast(flagged), li.l_suppkey == flagged.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND (
+      (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 11)
+      OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        AND l_quantity BETWEEN 10 AND 20)
+      OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        AND l_quantity BETWEEN 20 AND 30))
+    """,
+    doc="TPC-H Q19 shape (disjunctive bracketed predicates over a "
+    "dimension join; no container/shipmode columns in this testdata): "
+    "the three-brand part filter broadcast into the fact scan, the "
+    "cross-side OR evaluated post-join in one codegen stage.",
+    tags=("join", "aggregate", "tpch"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = tbl(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    li = tbl(spark, sf_dir, "lineitem")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    doc="TPC-H Q21 shape (suppliers who alone shipped late on "
+    "multi-supplier orders; ship>order+60d stands in for the missing "
+    "receipt/commit dates): the EXISTS / NOT EXISTS pair decorrelates to "
+    "ONE per-order aggregate — distinct suppliers and distinct LATE "
+    "suppliers counted in the same pass — instead of two correlated "
+    "re-scans of lineitem; late lines then filter on (nsupp>1, nlate=1).",
+    tags=("join", "aggregate", "tpch", "subquery"),
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "__late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__nsupp"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__nlate"),
+    )
+    nat = tbl(spark, sf_dir, "nation").filter(F.col("n_name").startswith("NATION_1"))
+    supp = (
+        tbl(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        lo.filter(F.col("__late"))
+        .join(per_order, F.col("l_orderkey") == F.col("__ok"))
+        .filter((F.col("__nsupp") > 1) & (F.col("__nlate") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle="""
+    SELECT nationgroup, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM (
+      SELECT 'G' || CAST(c_nationkey % 5 AS VARCHAR) AS nationgroup,
+             c_acctbal, c_custkey
+      FROM customer
+      WHERE c_nationkey % 5 IN (0, 1, 2)
+        AND c_acctbal > (
+          SELECT avg(c_acctbal) FROM customer
+          WHERE c_acctbal > 0 AND c_nationkey % 5 IN (0, 1, 2))
+        AND NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '1999-01-01')
+    ) custsale GROUP BY nationgroup ORDER BY nationgroup
+    """,
+    doc="TPC-H Q22 shape (global-sales-opportunity; nationkey buckets "
+    "stand in for phone country codes, dormant-since-1999 for "
+    "never-ordered): the avg scalar subquery broadcasts as one row, the "
+    "NOT EXISTS becomes a broadcast anti-join on recent orders.",
+    tags=("aggregate", "tpch", "anti", "subquery"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer").filter(
+        (F.col("c_nationkey") % 5).isin(0, 1, 2)
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    recent = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .select(
+            F.concat(F.lit("G"), (F.col("c_nationkey") % 5).cast("string")).alias(
+                "nationgroup"
+            ),
+            "c_acctbal",
+        )
+        .groupBy("nationgroup")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("nationgroup")
+    )
