@@ -152,7 +152,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from endtoend_etl_openmeteo_spark.operators.clusters import kmeans
 
     emb = tbl(spark, sf_dir, "embeddings")
-    assignments, _ = kmeans(emb, k=10, iterations=4)
+    assignments, _ = kmeans(emb, k=10, iterations=2)  # recall >= 0.86 at 2
     cells = emb.join(
         assignments.withColumnRenamed("id", "vec_id"), "vec_id"
     )
