@@ -1,0 +1,70 @@
+"""Point-in-interval (range) join — an operator OSS Spark lacks natively.
+
+A naive ``points JOIN intervals ON ts BETWEEN start AND end`` has no equi
+key, so Catalyst plans a broadcast nested-loop / cartesian product:
+O(|points| x |intervals|) comparisons, the classic does-not-survive-100x
+shape (Databricks' range-join optimization is proprietary; this is the
+portable form).
+
+The scalable composition: chunk-bucket the time axis.
+
+    intervals --explode--> one row per fixed-size chunk the interval
+                           overlaps             (|R| * avg_len/chunk rows)
+    points    --key-----> their containing chunk (narrow, no growth)
+    equi-join on the chunk key, then re-check the exact bounds.
+
+One hash shuffle on an 8-byte chunk key replaces the cross product; each
+(point, interval) pair meets exactly once because a point lives in exactly
+one chunk. Pick ``chunk`` near the median interval length: too coarse and
+a chunk hosts many irrelevant intervals, too fine and intervals explode
+into many rows. Heavily-hit chunks (a flash-sale window) are ordinary
+join skew — salt the chunk key or let AQE's skew-join split them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CHUNKS = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY", "week": "INTERVAL 7 DAYS"}
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    chunk: str = "day",
+) -> DataFrame:
+    """Inner-join each point to every interval with
+    ``start <= ts < end`` (half-open, the engine's range convention).
+
+    Output: all point columns + all interval columns. ``chunk`` is the
+    bucketing granularity: ``hour`` | ``day`` | ``week``.
+    """
+    if chunk not in _CHUNKS:
+        raise ValueError(f"chunk must be one of {sorted(_CHUNKS)}, got {chunk!r}")
+    step = F.expr(_CHUNKS[chunk])
+    trunc_unit = "week" if chunk == "week" else chunk
+
+    # trunc(end) is included on purpose: an interval ending mid-chunk still
+    # owns points in that chunk's early part (ts < end re-checks exactness).
+    exploded = intervals.withColumn(
+        "__chunk",
+        F.explode(
+            F.sequence(
+                F.date_trunc(trunc_unit, F.col(start_col)),
+                F.date_trunc(trunc_unit, F.col(end_col)),
+                step,
+            )
+        ),
+    )
+    keyed = points.withColumn("__chunk", F.date_trunc(trunc_unit, F.col(ts_col)))
+    return (
+        keyed.join(exploded, "__chunk")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("__chunk")
+    )

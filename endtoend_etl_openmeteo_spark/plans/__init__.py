@@ -127,6 +127,7 @@ PRIORITY: list[str] = [
     "q_tpch_q19",
     "q_tpch_q21",
     "q_tpch_q22",
+    "q_range_join",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

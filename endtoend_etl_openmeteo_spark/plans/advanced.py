@@ -1169,3 +1169,38 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationgroup")
     )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    WITH win AS (
+      SELECT user_id AS win_id, min(ts) AS win_start,
+             min(ts) + INTERVAL 6 HOUR AS win_end
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    )
+    SELECT e.event_id, w.win_id
+    FROM events e JOIN win w
+      ON e.ts >= w.win_start AND e.ts < w.win_end
+    """,
+    doc="Point-in-interval join (operators/rangejoin.py): each user's "
+    "first-6-hours window vs ALL events — no equi key, so naive SQL plans "
+    "a nested-loop cross product. The operator chunk-buckets the time "
+    "axis (hour grain here) turning it into one equi-join shuffle; exact "
+    "bounds re-checked post-join.",
+    tags=("join", "range"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.rangejoin import interval_join
+
+    ev = tbl(spark, sf_dir, "events")
+    win = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy(F.col("user_id").alias("win_id"))
+        .agg(F.min("ts").alias("win_start"))
+        .withColumn("win_end", F.col("win_start") + F.expr("INTERVAL 6 HOURS"))
+    )
+    pts = ev.select("event_id", "ts")
+    return interval_join(pts, win, "ts", "win_start", "win_end", chunk="hour").select(
+        "event_id", "win_id"
+    )
