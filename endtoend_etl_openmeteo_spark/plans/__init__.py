@@ -128,6 +128,8 @@ PRIORITY: list[str] = [
     "q_tpch_q21",
     "q_tpch_q22",
     "q_range_join",
+    "q_stratified_sample",
+    "q_histogram",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

@@ -1204,3 +1204,33 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(pts, win, "ts", "win_start", "win_end", chunk="hour").select(
         "event_id", "win_id"
     )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Fixed-width histogram over order value: floor-division bucketing "
+    "keeps the whole plan in one partial+final hash aggregate (a "
+    "data-derived equal-width variant would add one scalar-aggregate "
+    "broadcast, same shape as q_tpch_q11's threshold).",
+    tags=("aggregate", "histogram"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -381,3 +381,32 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(tbl(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE WHEN lang = 'en' THEN '4000' ELSE '8000' END
+    ORDER BY doc_id
+    """,
+    doc="Deterministic stratified sampling (training-corpus balancing): "
+    "per-language keep-rates via a content-independent md5(doc_id) "
+    "bucket compared against a per-stratum hex threshold ('4000' ~ 25% "
+    "for the over-represented language, '8000' ~ 50% elsewhere). No RNG, "
+    "no shuffle — a narrow filter that yields the same sample on every "
+    "engine, every run, any partitioning; downsampling 100 TB costs one "
+    "scan.",
+    tags=("text", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    threshold = F.when(F.col("lang") == "en", "4000").otherwise("8000")
+    return (
+        docs.filter(bucket < threshold)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
