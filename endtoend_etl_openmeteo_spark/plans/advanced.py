@@ -1077,12 +1077,15 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q21 shape (suppliers who alone shipped late on "
     "multi-supplier orders; ship>order+60d stands in for the missing "
     "receipt/commit dates): the EXISTS / NOT EXISTS pair decorrelates to "
-    "ONE per-order aggregate — distinct suppliers and distinct LATE "
-    "suppliers counted in the same pass — instead of two correlated "
-    "re-scans of lineitem; late lines then filter on (nsupp>1, nlate=1).",
+    "per-order distinct-supplier counts — computed as collect_set windows "
+    "over l_orderkey so the whole check costs ONE shuffle on the order "
+    "key (a groupBy+rejoin would shuffle the fact twice); late lines "
+    "then filter on (nsupp>1, nlate=1).",
     tags=("join", "aggregate", "tpch", "subquery"),
 )
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     orders = (
         tbl(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -1095,9 +1098,15 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("__ok")).agg(
-        F.countDistinct("l_suppkey").alias("__nsupp"),
-        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__nlate"),
+    w = Window.partitionBy("l_orderkey")
+    per_order = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "__late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("__nsupp"),
+        F.size(
+            F.collect_set(F.when(F.col("__late"), F.col("l_suppkey"))).over(w)
+        ).alias("__nlate"),
     )
     nat = tbl(spark, sf_dir, "nation").filter(F.col("n_name").startswith("NATION_1"))
     supp = (
@@ -1106,9 +1115,9 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        lo.filter(F.col("__late"))
-        .join(per_order, F.col("l_orderkey") == F.col("__ok"))
-        .filter((F.col("__nsupp") > 1) & (F.col("__nlate") == 1))
+        per_order.filter(
+            F.col("__late") & (F.col("__nsupp") > 1) & (F.col("__nlate") == 1)
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
