@@ -179,6 +179,174 @@ def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_gapfill_locf",
+    oracle="""
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-07 23:00:00',
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             round(avg(value), 6) AS avg_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      GROUP BY 1, 2
+    )
+    SELECT t.event_type, h.hour, y.avg_value,
+           last_value(y.avg_value IGNORE NULLS) OVER (
+             PARTITION BY t.event_type ORDER BY h.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           CAST(y.avg_value IS NULL AS BIGINT) AS was_gap
+    FROM types t
+    CROSS JOIN hours h
+    LEFT JOIN hourly y ON y.event_type = t.event_type AND y.hour = h.hour
+    """,
+    doc="Gap-fill with last-observation-carried-forward (the natural read "
+    "path over the gap-detected mart — backfill_openmeteo.py:44-75 finds "
+    "the holes, this serves a dense series across them). Dense hour grid "
+    "(dim × sequence, tiny, broadcast) left-joined to the hourly "
+    "aggregate, then one ignorenulls last() window per key. Two shuffles "
+    "total at any scale: the hourly agg and the per-key window sort.",
+    tags=("window", "generator", "timeseries"),
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    hourly = (
+        events_between(spark, sf_dir, "2024-01-01", "2024-01-08")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    hours = F.sequence(
+        F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        F.lit("2024-01-07 23:00:00").cast("timestamp"),
+        F.expr("INTERVAL 1 HOUR"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(hours).alias("hour"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("avg_value").isNull().cast("long").alias("was_gap"),
+    )
+
+
+@register(
+    "q_interp_linear",
+    oracle="""
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-07 23:00:00',
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             round(avg(value), 6) AS avg_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT t.event_type, h.hour, y.avg_value,
+             CASE WHEN y.avg_value IS NOT NULL THEN h.hour END AS known_ts
+      FROM types t
+      CROSS JOIN hours h
+      LEFT JOIN hourly y ON y.event_type = t.event_type AND y.hour = h.hour
+    ),
+    f AS (
+      SELECT event_type, hour, avg_value,
+             last_value(avg_value IGNORE NULLS) OVER wp AS prev_val,
+             last_value(known_ts  IGNORE NULLS) OVER wp AS prev_ts,
+             first_value(avg_value IGNORE NULLS) OVER wn AS next_val,
+             first_value(known_ts  IGNORE NULLS) OVER wn AS next_ts
+      FROM g
+      WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour, avg_value,
+           round(CASE
+             WHEN prev_val IS NULL THEN next_val
+             WHEN next_val IS NULL THEN prev_val
+             WHEN next_ts = prev_ts THEN prev_val
+             ELSE prev_val + (next_val - prev_val)
+                  * ((epoch_us(hour) - epoch_us(prev_ts))
+                     / (epoch_us(next_ts) - epoch_us(prev_ts)))
+           END, 6) AS interp_value
+    FROM f
+    """,
+    doc="Linear interpolation across series gaps (the smooth-fill sibling "
+    "of q_gapfill_locf): bracket each grid hour with the nearest known "
+    "values via one ignorenulls last() (preceding) and first() "
+    "(following) window pair, then lerp on exact microsecond offsets. "
+    "Both frames share the (event_type, hour) sort — one shuffle serves "
+    "all four window expressions. Leading/trailing gaps degrade to "
+    "nearest-known; interior gaps interpolate.",
+    tags=("window", "generator", "timeseries"),
+)
+def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    hourly = (
+        events_between(spark, sf_dir, "2024-01-01", "2024-01-08")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    hours = F.sequence(
+        F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        F.lit("2024-01-07 23:00:00").cast("timestamp"),
+        F.expr("INTERVAL 1 HOUR"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(hours).alias("hour"))
+    )
+    g = grid.join(hourly, ["event_type", "hour"], "left").withColumn(
+        "known_ts", F.when(F.col("avg_value").isNotNull(), F.col("hour"))
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_val = F.last("avg_value", ignorenulls=True).over(wp)
+    prev_ts = F.last("known_ts", ignorenulls=True).over(wp)
+    next_val = F.first("avg_value", ignorenulls=True).over(wn)
+    next_ts = F.first("known_ts", ignorenulls=True).over(wn)
+    frac = (F.unix_micros(F.col("hour")) - F.unix_micros(prev_ts)) / (
+        F.unix_micros(next_ts) - F.unix_micros(prev_ts)
+    )
+    interp = (
+        F.when(prev_val.isNull(), next_val)
+        .when(next_val.isNull(), prev_val)
+        .when(next_ts == prev_ts, prev_val)
+        .otherwise(prev_val + (next_val - prev_val) * frac)
+    )
+    return g.select(
+        "event_type", "hour", "avg_value", F.round(interp, 6).alias("interp_value")
+    )
+
+
+@register(
     "q_upsert",
     oracle="""
     SELECT user_id, event_type, ts, event_id, value FROM events
