@@ -20,6 +20,7 @@ def load_all() -> dict[str, QuerySpec]:
         advanced,
         dq,
         joins,
+        llm,
         multimodal,
         relational,
         similarity,
@@ -130,6 +131,15 @@ PRIORITY: list[str] = [
     "q_range_join",
     "q_stratified_sample",
     "q_histogram",
+    # --- round-2 oracle-backed extensions ---
+    "q_gapfill_locf",
+    "q_interp_linear",
+    "q_except_intersect",
+    "q_pii_scrub",
+    "q_contamination",
+    "q_chunk_windows",
+    "q_pack_sequences",
+    "q_winsorize",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

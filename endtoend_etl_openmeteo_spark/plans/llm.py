@@ -1,0 +1,278 @@
+"""LLM training-data pipeline queries over `documents`
+(training-data-pipeline extension surface, SURVEY.md §7 step 7).
+
+The corpus-preparation stages a pretraining pipeline runs between "raw
+crawl" and "tokenized shards": PII redaction, benchmark-contamination
+screening, context-window chunking, sequence packing, and outlier
+winsorization. All JVM-side built-ins; the synthetic corpus contains no
+real PII/URLs, so the scrub query derives its PII-bearing input
+deterministically from existing columns — both engines derive the same
+input, so the redaction machinery itself is what the oracle checks.
+
+Regex patterns are restricted to the common subset of Java regex (Spark)
+and RE2 (DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.operators.dedup import normalized_text, shingles
+from endtoend_etl_openmeteo_spark.plans.registry import register
+from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             concat_ws(' ', text, 'contact',
+                       source || '.' || CAST(doc_id AS VARCHAR) || '@example.com',
+                       'tel', '+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                       'from', '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7') AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body, '{EMAIL_RE}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(body, '{PHONE_RE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(body, '{IPV4_RE}')) AS BIGINT) AS n_ip,
+           regexp_replace(regexp_replace(regexp_replace(body,
+             '{EMAIL_RE}', '[EMAIL]', 'g'),
+             '{PHONE_RE}', '[PHONE]', 'g'),
+             '{IPV4_RE}', '[IP]', 'g') AS clean
+    FROM enriched
+    """,
+    doc="PII redaction pass (corpus-prep staple): regex-redact emails, "
+    "phone numbers and IPv4 addresses to typed placeholders and count "
+    "each hit class. Pure per-row regexp_replace — narrow, no shuffle, "
+    "whole-stage codegen; at 100 TB this is a map-only stage bounded by "
+    "scan throughput. The PII-bearing input is derived deterministically "
+    "from (text, source, doc_id) because the synthetic corpus carries no "
+    "real PII; both engines derive the identical body.",
+    tags=("text", "llm"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    body = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.lit("contact"),
+        F.concat(
+            F.col("source"), F.lit("."), F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+        F.lit("tel"),
+        F.concat(
+            F.lit("+1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+        F.lit("from"),
+        F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(body, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+        ),
+        IPV4_RE,
+        "[IP]",
+    )
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(body, F.lit(EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(body, F.lit(PHONE_RE)).cast("long").alias("n_phone"),
+        F.regexp_count(body, F.lit(IPV4_RE)).cast("long").alias("n_ip"),
+        clean.alias("clean"),
+    )
+
+
+@register(
+    "q_contamination",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source, array_to_string(toks[i:i+4], ' ') AS sh
+      FROM norm, unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+    cand AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0'),
+    n AS (SELECT doc_id, count(*) AS n_shingles FROM cand GROUP BY 1),
+    o AS (SELECT c.doc_id, count(*) AS n_contaminated
+          FROM cand c JOIN bench b USING (sh) GROUP BY 1)
+    SELECT n.doc_id, n.n_shingles,
+           coalesce(o.n_contaminated, 0) AS n_contaminated,
+           round(coalesce(o.n_contaminated, 0) / n.n_shingles, 6) AS contamination
+    FROM n LEFT JOIN o ON n.doc_id = o.doc_id
+    """,
+    doc="Benchmark-contamination screen (eval-integrity staple): treat one "
+    "source as the held-out benchmark suite, compute per-candidate-doc "
+    "overlap of distinct word 5-gram shingles against the benchmark "
+    "shingle set. The benchmark set is broadcast (eval suites are tiny "
+    "next to the corpus) so the candidate side streams map-side with no "
+    "shuffle of document content; at 100 TB swap the shingle-string join "
+    "key for xxhash64(shingle) to shuffle 8-byte keys.",
+    tags=("text", "llm", "dedup"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(shingles("text", 5)).alias("sh"))
+        .distinct()
+    )
+    cand = docs.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode(shingles("text", 5)).alias("sh")
+    )
+    counts = cand.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    overlap = (
+        cand.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    hits = F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long"))
+    return (
+        counts.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            hits.alias("n_contaminated"),
+            F.round(hits / F.col("n_shingles"), 6).alias("contamination"),
+        )
+    )
+
+
+@register(
+    "q_chunk_windows",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((i - 1) / 6 AS BIGINT) AS chunk_id,
+           array_to_string(toks[i:i+7], ' ') AS chunk,
+           CAST(len(toks[i:i+7]) AS BIGINT) AS n_chunk_tokens
+    FROM norm, unnest(generate_series(1, len(toks), 6)) AS u(i)
+    """,
+    doc="Context-window chunking (RAG / long-doc pretraining prep): slide "
+    "a window-8 stride-6 token frame over each document, emitting "
+    "overlapping chunks with stable chunk ids. sequence+transform+explode "
+    "— per-row array work inside codegen, no shuffle at any scale; chunk "
+    "count grows the row count ~n_tokens/stride-fold, which parquet "
+    "scan parallelism absorbs.",
+    tags=("text", "llm"),
+)
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(normalized_text("text"), " ")
+    base = tbl(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(6))
+    chunk = F.array_join(F.slice(F.col("toks"), F.col("i"), 8), " ")
+    return (
+        base.select("doc_id", "toks", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            ((F.col("i") - 1) / 6).cast("long").alias("chunk_id"),
+            chunk.alias("chunk"),
+            F.size(F.slice(F.col("toks"), F.col("i"), 8)).cast("long").alias(
+                "n_chunk_tokens"
+            ),
+        )
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=r"""
+    WITH sized AS (
+      SELECT doc_id, doc_id % 8 AS bin,
+             CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, bin, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY bin ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM sized
+    )
+    SELECT doc_id, bin, n_tokens,
+           CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id,
+           (cum - n_tokens) % 256 AS pack_offset
+    FROM packed
+    """,
+    doc="Sequence packing (pretraining shard prep, concat-and-split "
+    "style): shard docs into bins by id, concatenate within each bin in "
+    "deterministic doc_id order, and assign every document the 256-token "
+    "context slot its first token lands in. One window cumsum per bin — "
+    "a single shuffle on the bin key; bins bound partition size so the "
+    "running sum never needs a global order. Greedy best-fit packing "
+    "trades determinism for ~2% fewer pad tokens; this form is the one "
+    "that parallelizes.",
+    tags=("text", "llm", "window"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_tokens = F.size(F.split(normalized_text("text"), " ")).cast("long")
+    sized = tbl(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("bin"), n_tokens.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("bin")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return sized.select(
+        "doc_id",
+        "bin",
+        "n_tokens",
+        F.floor(start / 256).cast("long").alias("pack_id"),
+        (start % 256).alias("pack_offset"),
+    )
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           round(least(greatest(d.n_chars, s.p05), s.p95), 6) AS n_chars_winsor
+    FROM documents d JOIN s USING (lang)
+    """,
+    doc="Per-language winsorization of document length (outlier clipping "
+    "before quality-score normalization): exact interpolated p05/p95 per "
+    "lang (tiny aggregate, broadcast back), clip in a narrow projection. "
+    "The per-group stats table is |langs| rows at any corpus size, so "
+    "the join is always broadcast; the 100 TB variant swaps "
+    "percentile() for percentile_approx() to keep the stats pass "
+    "single-shuffle mergeable.",
+    tags=("text", "llm", "aggregate"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.percentile("n_chars", 0.05).alias("p05"),
+        F.percentile("n_chars", 0.95).alias("p95"),
+    )
+    return docs.join(F.broadcast(stats), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(
+            F.least(F.greatest(F.col("n_chars"), F.col("p05")), F.col("p95")), 6
+        ).alias("n_chars_winsor"),
+    )

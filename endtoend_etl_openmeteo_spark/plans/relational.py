@@ -338,3 +338,45 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("value", 0.5).alias("approx_p50"),
         )
     )
+
+
+@register(
+    "q_except_intersect",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1994),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1995)
+    SELECT o_custkey, 'only_1994' AS tag
+    FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT o_custkey, 'only_1995' AS tag
+    FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+    UNION ALL
+    SELECT o_custkey, 'both' AS tag
+    FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+    """,
+    doc="EXCEPT / INTERSECT set operations (the SET family beyond "
+    "q_union's UNION+dedup): customer-cohort churn between two order "
+    "years, tagged per membership class. Spark lowers subtract/intersect "
+    "to left-anti / left-semi hash joins on already-distinct inputs — "
+    "same shuffle shape as the J-family joins, no extra pass.",
+    tags=("set", "relational"),
+)
+def q_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    a = (
+        orders.filter(F.year("o_orderdate") == 1994)
+        .select("o_custkey")
+        .distinct()
+    )
+    b = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        a.subtract(b).select("o_custkey", F.lit("only_1994").alias("tag"))
+        .unionAll(b.subtract(a).select("o_custkey", F.lit("only_1995").alias("tag")))
+        .unionAll(a.intersect(b).select("o_custkey", F.lit("both").alias("tag")))
+    )

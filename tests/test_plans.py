@@ -104,3 +104,33 @@ def test_parity_queries_fit_in_driver_checked_prefix():
     reg = plans.load_all()
     unknown = [q for q in plans.PRIORITY if q not in reg]
     assert not unknown, f"PRIORITY names not in registry: {unknown}"
+
+
+def test_contamination_broadcasts_benchmark_set(spark, registry):
+    """The benchmark shingle set is corpus-size-independent (an eval suite)
+    — it must broadcast so candidate shingles never shuffle for the probe."""
+    plan = _physical(registry["q_contamination"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_winsorize_broadcasts_group_stats(spark, registry):
+    """Per-lang p05/p95 is |langs| rows at any scale; the clip join must
+    broadcast, never sort-merge the corpus."""
+    plan = _physical(registry["q_winsorize"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_map_only_llm_stages_have_no_shuffle(spark, registry):
+    """PII scrub and context chunking are per-row stages — any Exchange in
+    their plan is a regression (at 100 TB it would shuffle the corpus)."""
+    for q in ("q_pii_scrub", "q_chunk_windows"):
+        plan = _physical(registry[q].fn(spark, SF))
+        assert "Exchange" not in plan, q
+
+
+def test_pack_sequences_single_shuffle(spark, registry):
+    """Packing is one window cumsum per bin: exactly one hash-partitioning
+    exchange on the bin key."""
+    plan = _physical(registry["q_pack_sequences"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
