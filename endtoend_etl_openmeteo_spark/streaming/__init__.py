@@ -2,6 +2,7 @@ from endtoend_etl_openmeteo_spark.streaming.pipeline import (
     run_streaming_elt,
     stream_bronze,
     streaming_daily_agg,
+    streaming_dedup,
     streaming_hourly,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "run_streaming_elt",
     "stream_bronze",
     "streaming_daily_agg",
+    "streaming_dedup",
     "streaming_hourly",
 ]

@@ -52,6 +52,22 @@ def streaming_hourly(raw_stream: DataFrame, policy: str = "nullpad") -> DataFram
     return unzip_hourly(raw_stream, policy=policy)
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "timestamp",
+    delay: str = "6 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, drop
+    re-deliveries that land within the watermark delay (the streaming form
+    of operators.dedup.exact_dedup, and the row-granular generalization of
+    T3's file-level exactly-once). State is keyed by ``key_cols`` only and
+    purged as the event-time watermark advances past ``delay`` — bounded
+    memory at any throughput, unlike an unwatermarked dropDuplicates whose
+    state grows forever."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
+
+
 def streaming_daily_agg(hourly: DataFrame) -> DataFrame:
     """Streaming fct_city_day: tumbling 1-day event-time window (the
     streaming form of A1) behind a 6-hour watermark (T2). State is purged

@@ -137,3 +137,34 @@ def test_streaming_checkpoint_recovery_after_midstream_failure(spark, workdir):
     for r in final:
         if (r.city, r.timestamp) in partial:
             assert r._ingested_at == partial[(r.city, r.timestamp)]
+
+
+def test_streaming_dedup_within_watermark(spark, workdir):
+    """Duplicate deliveries of the same (city, timestamp) rows collapse to
+    one arrival; state is watermark-bounded (dropDuplicatesWithinWatermark)."""
+    from endtoend_etl_openmeteo_spark.streaming import (
+        stream_bronze,
+        streaming_dedup,
+        streaming_hourly,
+    )
+
+    bronze = str(workdir / "bronze")
+    # same payloads delivered twice -> two files, identical logical rows
+    write_bronze(_bronze_df(spark, GOOD_ROWS), bronze)
+    write_bronze(_bronze_df(spark, GOOD_ROWS), bronze)
+
+    deduped = streaming_dedup(
+        streaming_hourly(stream_bronze(spark, bronze)), ["city", "timestamp"]
+    )
+    name = f"dedup_{uuid.uuid4().hex[:6]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT city, timestamp FROM {name}").collect()
+    assert len(rows) == 6  # 12 delivered, 6 unique survive
+    assert len({(r.city, r.timestamp) for r in rows}) == 6
