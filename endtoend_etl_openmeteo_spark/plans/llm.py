@@ -131,21 +131,16 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = docs.filter(F.col("source") != "src0").select(
         "doc_id", F.explode(shingles("text", 5)).alias("sh")
     )
-    counts = cand.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    overlap = (
-        cand.join(F.broadcast(bench), "sh")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
+    # One pass: broadcast-left-join a hit flag, then a single aggregate —
+    # no second candidate scan, no counts-vs-overlap rejoin.
+    flagged = cand.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "sh", "left"
     )
-    hits = F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long"))
-    return (
-        counts.join(overlap, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            hits.alias("n_contaminated"),
-            F.round(hits / F.col("n_shingles"), 6).alias("contamination"),
-        )
+    hits = F.count("hit")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        hits.alias("n_contaminated"),
+        F.round(hits / F.count("*"), 6).alias("contamination"),
     )
 
 
