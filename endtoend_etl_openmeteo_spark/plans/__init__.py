@@ -140,6 +140,8 @@ PRIORITY: list[str] = [
     "q_chunk_windows",
     "q_pack_sequences",
     "q_winsorize",
+    "q_rebalance",
+    "q_bpe_pairs",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

@@ -122,13 +122,17 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm", "dedup"),
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
     docs = tbl(spark, sf_dir, "documents")
     bench = (
         docs.filter(F.col("source") == "src0")
         .select(F.explode(shingles("text", 5)).alias("sh"))
         .distinct()
     )
-    cand = docs.filter(F.col("source") != "src0").select(
+    # Shingling is CPU-bound per row — spread the single-file scan across
+    # cores before the explode (near-no-op on multi-file inputs).
+    cand = cpu_parallelize(docs.filter(F.col("source") != "src0")).select(
         "doc_id", F.explode(shingles("text", 5)).alias("sh")
     )
     # One pass: broadcast-left-join a hit flag, then a single aggregate —
@@ -270,4 +274,93 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.least(F.greatest(F.col("n_chars"), F.col("p05")), F.col("p95")), 6
         ).alias("n_chars_winsor"),
+    )
+
+
+@register(
+    "q_rebalance",
+    oracle="""
+    WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    w AS (
+      SELECT lang, n_docs,
+             pow(n_docs / (SELECT sum(n_docs) FROM n), 0.3) AS raw_w
+      FROM n
+    )
+    SELECT lang, n_docs,
+           round(raw_w / (SELECT sum(raw_w) FROM w), 6) AS sample_prob,
+           round((raw_w / (SELECT sum(raw_w) FROM w))
+                 / (n_docs / (SELECT sum(n_docs) FROM n)), 6) AS upweight
+    FROM w
+    """,
+    doc="Temperature-scaled language rebalancing (multilingual pretraining "
+    "staple, alpha=0.3): per-language corpus shares raised to alpha and "
+    "renormalized into sampling probabilities, plus the per-doc upweight "
+    "factor vs natural frequency. One |langs|-row aggregate and two "
+    "scalar subqueries — the whole computation is dimension-sized at any "
+    "corpus scale.",
+    tags=("text", "llm", "aggregate"),
+)
+def q_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        tbl(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    w = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "raw_w", F.pow(F.col("n_docs") / F.col("total"), F.lit(0.3))
+    )
+    z = w.agg(F.sum("raw_w").alias("z"))
+    prob = F.col("raw_w") / F.col("z")
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(prob, 6).alias("sample_prob"),
+            F.round(prob / (F.col("n_docs") / F.col("total")), 6).alias("upweight"),
+        )
+    )
+
+
+@register(
+    "q_bpe_pairs",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT toks[i] || ' ' || toks[i + 1] AS pair
+      FROM norm, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    )
+    SELECT pair, n FROM (
+      SELECT pair, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, pair) AS rnk
+      FROM pairs GROUP BY pair
+    ) WHERE rnk <= 50
+    """,
+    doc="BPE merge-candidate counting (tokenizer-training prep): adjacent "
+    "token-pair frequencies — the statistic the first BPE merge iteration "
+    "maximizes — via a zipped-slice pair explode and one count aggregate; "
+    "top-50 by TakeOrdered, no global sort. Map-side partial aggregation "
+    "absorbs the ~n_tokens-fold explode before the only shuffle.",
+    tags=("text", "llm", "aggregate"),
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(normalized_text("text"), " ")
+    pair_arr = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        tbl(spark, sf_dir, "documents")
+        .select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+        .select("pair", "n")
     )
