@@ -1,0 +1,117 @@
+"""Invariant tests for the LLM corpus-prep queries (plans/llm.py) —
+properties the DuckDB oracle equality can't express: scrub completeness
+and idempotence, packing monotonicity, chunk coverage/reconstruction,
+probability normalization."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark import plans
+from endtoend_etl_openmeteo_spark.plans.llm import EMAIL_RE, IPV4_RE, PHONE_RE
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return plans.load_all()
+
+
+def test_pii_scrub_leaves_no_residual_and_is_idempotent(spark, registry):
+    scrubbed = registry["q_pii_scrub"].fn(spark, SF)
+    residual = scrubbed.select(
+        F.sum(
+            F.regexp_count("clean", F.lit(EMAIL_RE))
+            + F.regexp_count("clean", F.lit(PHONE_RE))
+            + F.regexp_count("clean", F.lit(IPV4_RE))
+        ).alias("n")
+    ).first()["n"]
+    assert residual == 0
+    # scrubbing already-clean text must be the identity
+    rescrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("clean"), EMAIL_RE, "[EMAIL]"),
+            PHONE_RE,
+            "[PHONE]",
+        ),
+        IPV4_RE,
+        "[IP]",
+    )
+    changed = scrubbed.filter(rescrub != F.col("clean")).count()
+    assert changed == 0
+
+
+def test_pack_sequences_offsets_and_monotonicity(spark, registry):
+    rows = registry["q_pack_sequences"].fn(spark, SF).collect()
+    assert all(0 <= r.pack_offset < 256 for r in rows)
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r.bin, []).append(r)
+    for rs in by_bin.values():
+        rs.sort(key=lambda r: r.doc_id)
+        assert rs[0].pack_id == 0 and rs[0].pack_offset == 0
+        cum = 0
+        for r in rs:
+            # each doc starts exactly where the previous one ended
+            assert r.pack_id == cum // 256 and r.pack_offset == cum % 256
+            cum += r.n_tokens
+
+
+def test_chunk_windows_cover_every_token(spark, registry):
+    chunks = registry["q_chunk_windows"].fn(spark, SF)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max("chunk_id").alias("max_chunk"),
+            F.sum("n_chunk_tokens").alias("covered"),
+        )
+        .collect()
+    )
+    toks = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(
+                F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+            ).alias("n"),
+        )
+        .collect()
+    }
+    for r in per_doc:
+        n = toks[r.doc_id]
+        assert r.n_chunks == math.ceil(n / 6)  # stride-6 start grid
+        assert r.max_chunk == r.n_chunks - 1  # dense, zero-based ids
+        assert r.covered >= n  # overlap ⇒ every token covered at least once
+
+
+def test_contamination_is_bounded_and_excludes_benchmark(spark, registry):
+    res = registry["q_contamination"].fn(spark, SF)
+    bad = res.filter(
+        (F.col("n_contaminated") < 0)
+        | (F.col("n_contaminated") > F.col("n_shingles"))
+        | (F.col("contamination") < 0)
+        | (F.col("contamination") > 1)
+    ).count()
+    assert bad == 0
+    bench_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("source") == "src0")
+        .select("doc_id")
+        .collect()
+    }
+    assert not bench_ids & {r.doc_id for r in res.select("doc_id").collect()}
+
+
+def test_rebalance_is_a_distribution(spark, registry):
+    rows = registry["q_rebalance"].fn(spark, SF).collect()
+    assert abs(sum(r.sample_prob for r in rows) - 1.0) < 1e-4
+    assert all(r.sample_prob > 0 and r.upweight > 0 for r in rows)
+    # temperature < 1 upweights rare languages over frequent ones
+    rarest = min(rows, key=lambda r: r.n_docs)
+    commonest = max(rows, key=lambda r: r.n_docs)
+    assert rarest.upweight >= commonest.upweight
