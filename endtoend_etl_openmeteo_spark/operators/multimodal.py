@@ -128,3 +128,50 @@ def sample_video_frames(df: DataFrame, fps: float = 1.0) -> DataFrame:
         "frame_idx",
         (F.col("frame_idx") / F.lit(fps)).alias("frame_ts_s"),
     )
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "media_id long, win_idx int, start_s double, end_s double, n_samples long"
+)
+
+
+def plan_audio_windows(
+    df: DataFrame, window_s: float = 5.0, hop_s: float = 2.5
+) -> DataFrame:
+    """Overlapping analysis-window plan for audio rows (the STFT/encoder
+    front-end shape): window/hop arithmetic over (duration_s, sample_rate)
+    metadata. Like sample_video_frames, the index math is real JVM work and
+    the waveform decode stays behind the codec seam — the plan never
+    touches payload bytes, so at scale it is a narrow metadata transform.
+
+    Windows start every ``hop_s`` while the start lies inside the media;
+    the last window truncates at the media end.
+    """
+    audio = df.filter(F.col("kind") == "audio").select(
+        "media_id",
+        F.col("meta.duration_s").alias("duration_s"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+    )
+    last_idx = F.greatest(
+        F.ceil((F.col("duration_s") - F.lit(window_s)) / F.lit(hop_s)).cast("int"),
+        F.lit(0),
+    )
+    start = F.col("win_idx") * F.lit(hop_s)
+    end = F.least(start + F.lit(window_s), F.col("duration_s"))
+    return (
+        audio.select(
+            "media_id",
+            "duration_s",
+            "sample_rate",
+            F.explode(F.sequence(F.lit(0), last_idx)).alias("win_idx"),
+        )
+        .select(
+            "media_id",
+            "win_idx",
+            start.alias("start_s"),
+            end.alias("end_s"),
+            F.round((end - start) * F.col("sample_rate")).cast("long").alias(
+                "n_samples"
+            ),
+        )
+    )

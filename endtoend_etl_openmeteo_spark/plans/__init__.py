@@ -151,6 +151,7 @@ PRIORITY: list[str] = [
     "q_kmeans",
     "q_ann_ivf",
     "q_ann_lsh",
+    "q_multimodal_audio",
 ]
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from endtoend_etl_openmeteo_spark.operators.multimodal import (
     decode_images,
+    plan_audio_windows,
     sample_video_frames,
 )
 from endtoend_etl_openmeteo_spark.plans.registry import register
@@ -21,16 +22,24 @@ from endtoend_etl_openmeteo_spark.sources.tables import tbl
 
 def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 4 == 0, "video")
+        .when(F.col("doc_id") % 4 == 1, "audio")
+        .otherwise("image")
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 4 == 0, "video").otherwise("image").alias("kind"),
+        kind.alias("kind"),
         F.encode("text", "UTF-8").alias("payload"),
         F.struct(
-            F.lit("image/png").alias("mime"),
+            F.when(kind == "audio", "audio/wav")
+            .when(kind == "video", "video/mp4")
+            .otherwise("image/png")
+            .alias("mime"),
             (F.col("n_chars") % 1024).cast("int").alias("width"),
             (F.col("n_chars") % 768).cast("int").alias("height"),
             (F.col("n_chars") / 100.0).alias("duration_s"),
-            F.lit(None).cast("int").alias("sample_rate"),
+            F.when(kind == "audio", 16000).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
 
@@ -67,3 +76,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(_media_from_documents(spark, sf_dir), fps=1.0)
+
+
+@register(
+    "q_multimodal_audio",
+    oracle=None,  # metadata-only plan; exercised rows-only
+    doc="Audio analysis-window plan (5 s window, 2.5 s hop) from typed "
+    "metadata — the STFT/encoder front-end shape; JVM-side window "
+    "arithmetic, payload bytes never touched.",
+    tags=("multimodal",),
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return plan_audio_windows(
+        _media_from_documents(spark, sf_dir), window_s=5.0, hop_s=2.5
+    )

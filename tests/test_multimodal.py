@@ -1,5 +1,7 @@
 """Multimodal plumbing tests — real Spark plumbing, stubbed codecs."""
 
+SF = "/root/testdata/sf0.001"
+
 import pytest
 from pyspark.sql import Row
 
@@ -57,3 +59,31 @@ def test_sample_video_frames_plan(spark):
     assert len(frames) == 7
     assert [f.frame_idx for f in sorted(frames, key=lambda r: r.frame_idx)] == list(range(7))
     assert max(f.frame_ts_s for f in frames) == pytest.approx(3.0)
+
+
+def test_audio_window_plan_covers_duration(spark):
+    from endtoend_etl_openmeteo_spark.operators.multimodal import plan_audio_windows
+    from endtoend_etl_openmeteo_spark.plans.multimodal import _media_from_documents
+
+    media = _media_from_documents(spark, SF)
+    wins = plan_audio_windows(media, window_s=5.0, hop_s=2.5).collect()
+    assert wins, "no audio rows planned"
+    durations = {
+        r.media_id: r.duration_s
+        for r in media.filter("kind = 'audio'")
+        .selectExpr("media_id", "meta.duration_s AS duration_s")
+        .collect()
+    }
+    by_media = {}
+    for w in wins:
+        by_media.setdefault(w.media_id, []).append(w)
+    for mid, ws in by_media.items():
+        ws.sort(key=lambda w: w.win_idx)
+        assert ws[0].start_s == 0.0
+        assert all(w.end_s <= durations[mid] + 1e-9 for w in ws)
+        # hops tile the media: last window reaches the end
+        assert ws[-1].end_s == pytest.approx(durations[mid])
+        assert all(w.n_samples == round((w.end_s - w.start_s) * 16000) for w in ws)
+        # consecutive windows overlap by window - hop
+        for a, b in zip(ws, ws[1:]):
+            assert b.start_s == pytest.approx(a.start_s + 2.5)
