@@ -142,6 +142,7 @@ PRIORITY: list[str] = [
     "q_winsorize",
     "q_rebalance",
     "q_bpe_pairs",
+    "q_regression",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

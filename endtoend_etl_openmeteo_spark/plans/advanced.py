@@ -1243,3 +1243,37 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_regression",
+    oracle="""
+    SELECT event_type,
+           round(corr(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 3600.0), 6)
+             AS corr_vt,
+           round(regr_slope(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 3600.0), 6)
+             AS slope_per_hour,
+           round(regr_intercept(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 3600.0), 6)
+             AS intercept,
+           round(regr_r2(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 3600.0), 6)
+             AS r2
+    FROM events GROUP BY event_type
+    """,
+    doc="Regression aggregates (drift detection over a measure): per-key "
+    "OLS slope/intercept/correlation/R² of value against hours since a "
+    "fixed anchor — single-pass mergeable moment aggregates (sum, sum², "
+    "sum-of-products), the same shuffle shape as any groupBy; the anchor "
+    "centers x so the moments stay numerically stable at any time range.",
+    tags=("aggregate", "advanced"),
+)
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    x = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    ) / 3.6e9
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", x), 6).alias("corr_vt"),
+        F.round(F.regr_slope("value", x), 6).alias("slope_per_hour"),
+        F.round(F.regr_intercept("value", x), 6).alias("intercept"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"),
+    )
