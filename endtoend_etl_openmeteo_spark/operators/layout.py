@@ -127,3 +127,49 @@ def salted_aggregate(
         *partial_aggs
     )
     return partial.groupBy(*group_cols).agg(*final_aggs)
+
+
+def zorder_key(*cols: Column | str, bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each input.
+
+    Inputs must be non-negative integers already scaled into [0, 2^bits)
+    — use ntile/rank or fixed-width binning upstream for arbitrary
+    domains. Rows close in z-key are close in EVERY input dimension, so
+    range-partitioning + sorting by the key clusters parquet row groups
+    for min/max skipping on any single dimension of a multi-dimensional
+    predicate — the layout trick single-column sorting can't do (sorting
+    by x leaves y's per-file ranges spanning the full domain).
+
+    Pure bit arithmetic (shiftright/and/shiftleft sums) — whole-stage
+    codegen, no UDF.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs at least 2 columns")
+    if bits * n > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    exprs = [F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
+             for c in cols]
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, e in enumerate(exprs):
+            bit = F.shiftright(e, b).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, b * n + j)
+    return key
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], n_partitions: int, bits: int = 16
+) -> DataFrame:
+    """Re-layout for multi-dimensional data skipping: range-partition and
+    sort by the Morton key of ``cols``, then drop the key. Writing the
+    result yields files whose per-file min/max stats are tight on every
+    ``cols`` dimension — predicates on any of them prune files/row-groups
+    at scan time. The one-time cost is a single range exchange + local
+    sort; at 100 TB this is the compaction job, not the query path."""
+    keyed = df.withColumn("__zkey", zorder_key(*cols, bits=bits))
+    return (
+        keyed.repartitionByRange(n_partitions, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )

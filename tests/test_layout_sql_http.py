@@ -161,3 +161,51 @@ def test_jdbc_reader_guards(spark):
     # with a clear ConnectionError, not a raw Py4J stack
     with pytest.raises(ConnectionError, match="JDBC read failed"):
         read_jdbc(spark, "jdbc:postgresql://db/x", "t", allow_single_partition="true")
+
+
+def test_zorder_layout_tightens_both_dimensions(spark):
+    from endtoend_etl_openmeteo_spark.operators.layout import zorder_layout
+    from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+    # two independent, uniformly hashed 10-bit dimensions
+    df = (
+        tbl(spark, SF, "events")
+        .select(
+            (F.abs(F.xxhash64("user_id")) % 1024).alias("x"),
+            (F.abs(F.xxhash64("event_id")) % 1024).alias("y"),
+        )
+    )
+
+    def worst_dim_coverage(laid_out):
+        """For a point predicate on dimension d, mean(range_d)/domain is the
+        fraction of partitions min/max stats CANNOT skip. The layout's
+        pruning quality is its WORST dimension — single-column sorting
+        leaves the other dimension's ranges spanning ~the full domain."""
+        parts = (
+            laid_out.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(
+                (F.max("x") - F.min("x")).alias("rx"),
+                (F.max("y") - F.min("y")).alias("ry"),
+            )
+            .collect()
+        )
+        mean_rx = sum(r.rx for r in parts) / len(parts) / 1024
+        mean_ry = sum(r.ry for r in parts) / len(parts) / 1024
+        return max(mean_rx, mean_ry)
+
+    single_sorted = df.repartitionByRange(16, "x").sortWithinPartitions("x")
+    zordered = zorder_layout(df, ["x", "y"], 16, bits=10)
+    cov_single = worst_dim_coverage(single_sorted)  # y spans ~1.0 everywhere
+    cov_z = worst_dim_coverage(zordered)  # ~0.25 on both dims (4x4 grid)
+    assert cov_single > 0.9, cov_single
+    assert cov_z < 0.5 * cov_single, (cov_z, cov_single)
+
+
+def test_zorder_key_guards(spark):
+    from endtoend_etl_openmeteo_spark.operators.layout import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key("x")
+    with pytest.raises(ValueError):
+        zorder_key("x", "y", bits=32)
