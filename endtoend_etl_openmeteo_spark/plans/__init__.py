@@ -143,6 +143,8 @@ PRIORITY: list[str] = [
     "q_rebalance",
     "q_bpe_pairs",
     "q_regression",
+    "q_funnel",
+    "q_retention",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

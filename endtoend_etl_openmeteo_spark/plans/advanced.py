@@ -1277,3 +1277,141 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("value", x), 6).alias("intercept"),
         F.round(F.regr_r2("value", x), 6).alias("r2"),
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ),
+    s2 AS (
+      SELECT user_id, ts, event_type, t_view,
+             min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+      FROM s1
+    ),
+    s3 AS (
+      SELECT DISTINCT user_id, t_view, t_click,
+             min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+      FROM s2
+    )
+    SELECT user_id, t_view, t_click, t_purchase,
+           CASE WHEN t_purchase IS NOT NULL THEN 3
+                WHEN t_click IS NOT NULL THEN 2
+                WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage,
+           epoch_us(t_click) - epoch_us(t_view) AS view_to_click_us,
+           epoch_us(t_purchase) - epoch_us(t_click) AS click_to_purchase_us
+    FROM s3
+    """,
+    doc="Ordered conversion funnel (view -> click -> purchase, each step "
+    "strictly after the previous): three stacked per-user window minima "
+    "— ONE user_id shuffle serves all three stages because every window "
+    "shares the same partitioning; a per-step self-join would shuffle "
+    "three times. Emits per-user stage reached + inter-step latencies.",
+    tags=("window", "advanced", "behavior"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = ev.select("user_id", "ts", "event_type", t_view.alias("t_view"))
+    t_click = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+               F.col("ts"))
+    ).over(w)
+    s2 = s1.select("user_id", "ts", "event_type", "t_view", t_click.alias("t_click"))
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s3 = s2.select(
+        "user_id", "t_view", "t_click", t_purchase.alias("t_purchase")
+    ).distinct()
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return s3.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        stage.alias("funnel_stage"),
+        (F.unix_micros("t_click") - F.unix_micros("t_view")).alias("view_to_click_us"),
+        (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias(
+            "click_to_purchase_us"
+        ),
+    )
+
+
+@register(
+    "q_retention",
+    oracle="""
+    WITH first_act AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+      FROM events
+    ),
+    j AS (
+      SELECT f.cohort_week, a.user_id,
+             CAST((epoch(a.w) - epoch(f.cohort_week)) / 604800 AS BIGINT) AS week_k
+      FROM first_act f JOIN active a ON f.user_id = a.user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM first_act GROUP BY 1
+    )
+    SELECT j.cohort_week, j.week_k,
+           count(DISTINCT j.user_id) AS n_active,
+           round(count(DISTINCT j.user_id) / any_value(s.cohort_size), 6)
+             AS retention
+    FROM j JOIN sizes s ON j.cohort_week = s.cohort_week
+    GROUP BY 1, 2
+    """,
+    doc="Weekly retention cohorts: cohort = ISO week of first activity; "
+    "retention(k) = fraction of the cohort active k weeks later. Two "
+    "user-keyed aggregates feed a join whose left side is one row per "
+    "(user, active-week) — the cohort-size side is |weeks| rows, "
+    "broadcast. The distinct-user count per (cohort, k) is the only "
+    "wide aggregation.",
+    tags=("aggregate", "advanced", "behavior"),
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    first_act = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    j = first_act.join(active, "user_id").select(
+        "cohort_week",
+        "user_id",
+        (
+            (F.unix_seconds("w") - F.unix_seconds("cohort_week")) / 604800
+        ).cast("long").alias("week_k"),
+    )
+    sizes = first_act.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        j.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_k")
+        .agg(
+            F.count_distinct("user_id").alias("n_active"),
+            F.round(
+                F.count_distinct("user_id") / F.any_value("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
