@@ -134,3 +134,11 @@ def test_pack_sequences_single_shuffle(spark, registry):
     exchange on the bin key."""
     plan = _physical(registry["q_pack_sequences"].fn(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_windows_share_one_exchange(spark, registry):
+    """Three stacked per-user window minima must reuse a single user_id
+    hash exchange — a per-step self-join would shuffle three times."""
+    plan = _physical(registry["q_funnel"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 3
