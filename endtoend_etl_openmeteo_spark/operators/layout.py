@@ -173,3 +173,45 @@ def zorder_layout(
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
     )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(bytes / target_mb) files, optionally re-sorting for stats locality.
+
+    The small-files problem is the dominant operational failure of
+    streaming/incremental writers at scale — a 100 TB table ingested in
+    24-row micro-batches becomes millions of kB-files whose listing +
+    footer reads swamp the actual scan. Compaction is the recurring
+    maintenance job: read once, range-repartition to the byte target,
+    rewrite. Returns the new file count.
+
+    Local/posix semantics: write to a sibling tmp dir then swap — the
+    job-commit analog of a table format's atomic manifest flip (without a
+    format there is no reader isolation during the swap; run it in the
+    maintenance window, exactly as the reference's Postgres VACUUM/reindex
+    would be).
+    """
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jvm_path).getLength()
+    n = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    out = (
+        df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+        if sort_cols
+        else df.repartition(n)
+    )
+    tmp = path.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").parquet(tmp)
+    fs.delete(jvm_path, True)
+    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jvm_path)
+    return n

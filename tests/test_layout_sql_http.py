@@ -209,3 +209,24 @@ def test_zorder_key_guards(spark):
         zorder_key("x")
     with pytest.raises(ValueError):
         zorder_key("x", "y", bits=32)
+
+
+def test_compact_shrinks_file_count_preserving_rows(spark, tmp_path):
+    from endtoend_etl_openmeteo_spark.operators.layout import compact
+    from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+    path = str(tmp_path / "frag")
+    ev = tbl(spark, SF, "events").select("event_id", "user_id", "value")
+    ev.repartition(64).write.parquet(path)  # fragment: 64 tiny files
+    n_before = len([p for p in (tmp_path / "frag").glob("*.parquet")])
+    assert n_before >= 32
+    before = ev.count()
+
+    n_target = compact(spark, path, target_mb=128, sort_cols=["event_id"])
+    files = list((tmp_path / "frag").glob("*.parquet"))
+    assert len(files) == n_target == 1  # tiny table fits one 128 MB target
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    # re-sorted: the single file is globally ordered by event_id
+    ids = [r.event_id for r in after.select("event_id").collect()]
+    assert ids == sorted(ids)
