@@ -145,6 +145,11 @@ PRIORITY: list[str] = [
     "q_regression",
     "q_funnel",
     "q_retention",
+    "q_scd2",
+    "q_anomaly_zscore",
+    "q_ewma",
+    "q_word_entropy",
+    "q_salted_join",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

@@ -79,3 +79,44 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    SELECT c_mktsegment AS mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    doc="Skew-salted shuffle join whose ORACLE IS THE PLAIN JOIN — the "
+    "correctness proof that salting is semantics-preserving. The fact side "
+    "gets a deterministic salt (hashed from a within-key column), the dim "
+    "side is exploded salt_factor times, and the join key becomes "
+    "(key, salt); a shuffle-hash hint keeps it a real distributed join "
+    "rather than a broadcast that would mask the salting. This is the "
+    "explicit tool for the one-hot-key case AQE's skew splitting doesn't "
+    "reach (and for skewed aggregations, which AQE never rebalances).",
+    tags=("join", "skew"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.layout import salted_join
+
+    orders = (
+        tbl(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+        )
+        .hint("shuffle_hash")
+    )
+    customer = tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(
+        orders, customer, on="custkey", salt_factor=8, distribute_by="o_orderkey"
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )

@@ -410,3 +410,44 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_word_entropy",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    wc AS (
+      SELECT doc_id, word, count(*) AS c
+      FROM words WHERE word <> '' GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           count(*) AS n_distinct,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+           round(count(*) * 1.0 / sum(c), 6) AS ttr
+    FROM wc GROUP BY doc_id
+    """,
+    doc="Per-document word-distribution entropy + type-token ratio — the "
+    "lexical-diversity quality signals (low entropy = keyword stuffing / "
+    "generated spam). Uses the closed form H = ln(N) - (1/N)*sum(c*ln c) "
+    "so ONE aggregation over (doc, word) counts yields entropy, distinct "
+    "count and TTR together; map-side partial agg absorbs the word "
+    "explosion before the (doc_id, word) shuffle.",
+    tags=("text", "quality"),
+)
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    words = cpu_parallelize(
+        tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    return wc.groupBy("doc_id").agg(
+        n.cast("long").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6).alias("entropy"),
+        F.round(F.count("*") / n, 6).alias("ttr"),
+    )

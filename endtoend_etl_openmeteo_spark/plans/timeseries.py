@@ -521,3 +521,60 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+@register(
+    "q_scd2",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events),
+    grouped AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged),
+    runs AS (
+      SELECT user_id, event_type, grp,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM grouped GROUP BY 1, 2, 3)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER w AS valid_to,
+           lead(valid_from) OVER w IS NULL AS is_current,
+           n_events
+    FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+    doc="SCD Type-2 dimension build (extension surface): collapse each "
+    "user's consecutive runs of the same event_type into validity "
+    "intervals [valid_from, valid_to) with an is_current flag — the "
+    "gaps-and-islands change-capture every warehouse ships. Change flag "
+    "(lag) + running sum + lead all share ONE hash partitioning on "
+    "user_id, so the whole history rebuild is a single shuffle followed "
+    "by per-key sorts — embarrassingly parallel across users at 100 TB.",
+    tags=("window", "timeseries", "scd"),
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(wo)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    running = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = (
+        tbl(spark, sf_dir, "events")
+        .withColumn("__chg", chg)
+        .withColumn("__grp", F.sum("__chg").over(running))
+        .groupBy("user_id", "event_type", "__grp")
+        .agg(F.min("ts").alias("valid_from"), F.count("*").alias("n_events"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(w2)
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )

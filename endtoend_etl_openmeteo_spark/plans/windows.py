@@ -148,6 +148,93 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH rolled AS (
+      SELECT user_id, ts, event_id, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id, value, round((value - mu) / sd, 6) AS z
+    FROM rolled WHERE rn >= 24 AND abs((value - mu) / sd) > 2
+    """,
+    doc="Rolling z-score anomaly flags (extension surface): 24-row trailing "
+    "mean/stddev per user, emit |z| > 2 once the window is full. One "
+    "shuffle on user_id serves the rolling stats AND the row_number — "
+    "same window ordering, single sort. At scale the per-user partitions "
+    "are small and numerous (no hot key), the shape that parallelizes.",
+    tags=("window", "timeseries"),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-23, 0)
+    wn = Window.partitionBy("user_id").orderBy(*order)
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        tbl(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            z.alias("__z"),
+            F.row_number().over(wn).cast("long").alias("__rn"),
+        )
+        .filter((F.col("__rn") >= 24) & (F.abs("__z") > 2))
+        .select(
+            "user_id", "ts", "event_id", "value", F.round("__z", 6).alias("z")
+        )
+    )
+
+
+@register(
+    "q_ewma",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS arr
+      FROM events)
+    SELECT user_id, ts, event_id,
+           round(list_sum(list_transform(arr, (x, i) -> x * pow(0.7, len(arr) - i)))
+                 / list_sum(list_transform(arr, (x, i) -> pow(0.7, len(arr) - i))),
+                 6) AS ewma
+    FROM w
+    """,
+    doc="Exponentially weighted moving average (extension surface), "
+    "alpha=0.3 over a 12-row trailing window: collect the frame as an "
+    "array, weight by recency with an indexed transform, normalize by the "
+    "weight sum (pandas ewm adjust=True semantics, truncated at 12 lags — "
+    "the truncation bounds state so the plan is a plain windowed agg, no "
+    "recursion). All JVM-side: collect_list window + higher-order "
+    "functions. DuckDB lambda indexes are 1-based, Spark's 0-based — the "
+    "exponent (n-i vs n-1-i) accounts for it.",
+    tags=("window", "timeseries"),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-11, 0)
+    num = "aggregate(transform(arr, (x, i) -> x * pow(0.7D, size(arr) - 1 - i)), 0D, (a, x) -> a + x)"
+    den = "aggregate(transform(arr, (x, i) -> pow(0.7D, size(arr) - 1 - i)), 0D, (a, x) -> a + x)"
+    return (
+        tbl(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", F.collect_list("value").over(w).alias("arr"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.expr(num) / F.expr(den), 6).alias("ewma"),
+        )
+    )
+
+
+@register(
     "q_pivot",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
