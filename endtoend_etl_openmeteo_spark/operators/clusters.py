@@ -98,14 +98,18 @@ def kmeans(
     """Deterministic Lloyd's k-means over an array<double> column.
 
     Init: the k smallest-id vectors (deterministic, no RNG — reruns give
-    identical clusters). Each iteration: broadcast the k centroids, assign
-    by squared euclidean distance (tie → lower centroid id), recompute
-    centroids via posexplode + avg. Returns (assignments(id, cluster),
-    centroids(cluster, centroid array)).
+    identical clusters). Each iteration: ship the k centroids to every
+    executor as LITERALS (k·dim doubles — the MLlib pattern: centroids are
+    driver-side state, data never shuffles for assignment), assign by
+    squared euclidean distance (tie → lower centroid id) with a narrow
+    codegen argmin, recompute centroids via posexplode + avg. Returns
+    (assignments(id, cluster), centroids(cluster, centroid array)).
 
-    Scale shape: assignment is a narrow pass against broadcast centroids
-    (k·dim doubles — tiny); the update is one hash aggregate keyed by
-    (cluster, pos). Iterations multiply jobs, not state.
+    Scale shape: assignment is shuffle-FREE (argmin over literal centroids
+    inside whole-stage codegen); the only exchange per iteration is the
+    (cluster, pos)-keyed update aggregate, map-side-combined. Iterations
+    multiply jobs, not state, and the per-iteration driver collect is k
+    rows — bounded by construction.
     """
     from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
 
@@ -113,42 +117,51 @@ def kmeans(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     ).localCheckpoint(eager=True)
 
-    from pyspark.sql import Window
-
-    seed_w = Window.orderBy("id")  # global window over only k rows
-    centroids = (
-        v.orderBy("id")
-        .limit(k)
-        .select(
-            (F.row_number().over(seed_w) - 1).alias("cluster"),
-            F.col("vec").alias("centroid"),
-        )
-    )
-
     dist2 = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
+    # k seed rows → driver: [(cluster, [dim doubles]), ...]
+    seed = v.orderBy("id").limit(k).select("vec").collect()
+    cent: list[tuple[int, list[float]]] = [
+        (i, list(r["vec"])) for i, r in enumerate(seed)
+    ]
+
+    def assign(cent_lits: list[tuple[int, list[float]]]) -> DataFrame:
+        # argmin over (d2, cluster) structs — struct ordering gives the
+        # lower-cluster tie-break; everything stays in codegen, no shuffle.
+        # ONE transform over a 2-D centroid literal (not k unrolled distance
+        # expressions) keeps the generated code small enough to JIT fast.
+        cents = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for _, c in cent_lits]
+        )
+        ids = F.array(*[F.lit(cl) for cl, _ in cent_lits])
+        choices = F.transform(
+            cents,
+            lambda c, i: F.struct(
+                dist2(F.col("vec"), c).alias("d2"),
+                F.element_at(ids, i + 1).alias("cluster"),
+            ),
+        )
+        return v.select("id", "vec", F.array_min(choices)["cluster"].alias("cluster"))
+
     assignments = None
     for _ in range(iterations):
-        scored = v.join(F.broadcast(centroids)).select(
-            "id", "vec", "cluster", dist2(F.col("vec"), F.col("centroid")).alias("d2")
-        )
-        w = Window.partitionBy("id").orderBy("d2", "cluster")
-        assignments = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", "vec", "cluster")
-        )
-        centroids = (
+        assignments = assign(cent)
+        updated = (
             assignments.select("cluster", F.posexplode("vec"))
             .groupBy("cluster", "pos")
             .agg(F.avg("col").alias("c"))
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
             .select("cluster", F.transform("pc", lambda s: s["c"]).alias("centroid"))
-            .localCheckpoint(eager=True)
+            .collect()  # k rows — the driver-side state handoff
         )
+        cent = sorted((r["cluster"], list(r["centroid"])) for r in updated)
+    spark = vectors.sparkSession
+    centroids = spark.createDataFrame(
+        [(cl, c) for cl, c in cent], "cluster int, centroid array<double>"
+    )
     return assignments.select("id", "cluster"), centroids
