@@ -64,7 +64,10 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)  # truncate iteration lineage
+            # Lazy: the signature agg below is the first action, so ONE job
+            # both materializes the checkpoint and computes the signature
+            # (eager=True would pay a separate materialization job per round).
+            .localCheckpoint(eager=False)
         )
         # Labels only change between rounds at a non-fixed-point, so an
         # order-insensitive multiset signature (sum of per-row hashes —
