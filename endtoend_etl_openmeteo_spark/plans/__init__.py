@@ -150,6 +150,9 @@ PRIORITY: list[str] = [
     "q_ewma",
     "q_word_entropy",
     "q_salted_join",
+    "q_span_dedup",
+    "q_domain_cap",
+    "q_lm_score",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

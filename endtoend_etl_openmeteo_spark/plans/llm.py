@@ -364,3 +364,199 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("pair", "n")
     )
+
+
+@register(
+    "q_span_dedup",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    spans AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS span_pos,
+             array_to_string(t[u.i * 20 + 1 : u.i * 20 + 20], ' ') AS span
+      FROM toks,
+           unnest(generate_series(0, CAST(ceil(len(t) / 20.0) AS BIGINT) - 1))
+             AS u(i)),
+    flags AS (
+      SELECT doc_id, span_pos, span,
+             count(DISTINCT doc_id) OVER (PARTITION BY span) AS n_docs
+      FROM spans)
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           coalesce(string_agg(CASE WHEN n_docs = 1 THEN span END, ' '
+                               ORDER BY span_pos), '') AS clean_text
+    FROM flags GROUP BY doc_id
+    """,
+    doc="Span-level exact dedup (the line-level dedup of CCNet/RefinedWeb "
+    "adapted to delimiter-free text): segment each document into "
+    "consecutive 20-token spans, drop every span that occurs verbatim in "
+    "more than one document (cross-document boilerplate), and reassemble "
+    "the surviving spans in order. Segmentation is a per-row "
+    "sequence+transform (no shuffle); the duplicate census is one "
+    "count-distinct aggregate keyed by span and a join back — at 100 TB "
+    "both shuffles swap the span string for xxhash64(span) so only "
+    "8-byte keys move (same swap q_boilerplate_ngrams ships), and "
+    "reassembly stays a per-doc sort of a few dozen spans.",
+    tags=("text", "llm", "dedup"),
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    t = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size("t") / F.lit(20.0)).cast("long")
+    span_of = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("t"), i * 20 + 1, 20), " "
+    )
+    spans = (
+        cpu_parallelize(tbl(spark, sf_dir, "documents").select("doc_id", t.alias("t")))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - 1), lambda i: span_of(i)
+                )
+            ).alias("span_pos", "span"),
+        )
+        .select("doc_id", F.col("span_pos").cast("long").alias("span_pos"), "span")
+    )
+    census = spans.groupBy("span").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    flagged = spans.join(census, "span")
+    kept = F.when(F.col("n_docs") == 1, F.struct("span_pos", "span"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("long").alias(
+            "n_removed"
+        ),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["span"]),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+@register(
+    "q_domain_cap",
+    oracle=r"""
+    WITH urls AS (
+      SELECT doc_id, n_chars,
+             'https://WWW.' || source || '.Example.COM/p/'
+               || CAST(doc_id AS VARCHAR)
+               || '/?utm_source=feed&ref=rss&id=' || CAST(doc_id % 7 AS VARCHAR)
+               || '#frag' AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(regexp_replace(regexp_replace(lower(url),
+               '#.*$', ''),
+               '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'),
+               '[?&]+$', '') AS canon_url,
+             regexp_replace(regexp_extract(lower(url), '^https?://([^/]+)', 1),
+               '^www\.', '') AS domain
+      FROM urls)
+    SELECT doc_id, domain, canon_url, n_chars, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+      FROM canon) WHERE rk <= 10
+    """,
+    doc="URL canonicalization + per-domain cap (crawl-corpus staple: "
+    "tracking-parameter stripping, then bound any one domain's share of "
+    "the corpus). The URL is derived deterministically from "
+    "(source, doc_id) — the synthetic corpus carries none — so both "
+    "engines canonicalize identical inputs; the machinery (lowercase, "
+    "fragment strip, utm/ref query-param removal, registered-domain "
+    "extraction) is what the oracle checks. Canonicalization is narrow "
+    "codegen regex; the cap is one row_number window per domain — "
+    "domains are many and individually small, the shape that "
+    "parallelizes, with AQE skew splitting covering the one megadomain.",
+    tags=("text", "llm", "window"),
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&ref=rss&id="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#frag"),
+    )
+    low = F.lower(url)
+    canon_url = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(low, r"#.*$", ""),
+            r"(utm_[a-z]+|ref)=[^&#]*&?",
+            "",
+        ),
+        r"[?&]+$",
+        "",
+    )
+    domain = F.regexp_replace(
+        F.regexp_extract(low, r"^https?://([^/]+)", 1), r"^www\.", ""
+    )
+    w = Window.partitionBy("domain").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        tbl(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            domain.alias("domain"),
+            canon_url.alias("canon_url"),
+            "n_chars",
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@register(
+    "q_lm_score",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''),
+    wc AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM wc)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(-ln((c + 1.0) / (t + v))), 6) AS nll,
+           round(exp(avg(-ln((c + 1.0) / (t + v)))), 6) AS ppl
+    FROM words JOIN wc USING (w), tot
+    GROUP BY doc_id
+    """,
+    doc="Unigram-LM perplexity score (the KenLM-style quality filter of "
+    "CCNet/Gopher reduced to its in-engine form): train add-one-smoothed "
+    "unigram counts over the corpus, score each document by mean token "
+    "surprisal and perplexity. Two aggregates and one broadcast join — "
+    "the LM table is vocabulary-sized, so at 100 TB it is trained once "
+    "(min-count-pruned to stay broadcastable; smoothing absorbs the "
+    "pruned tail) and reused across scoring runs; scoring itself is a "
+    "map-side join plus one per-doc aggregate.",
+    tags=("text", "llm", "quality"),
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    words = (
+        cpu_parallelize(tbl(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("c"))
+    tot = wc.agg(
+        F.sum("c").cast("long").alias("t"), F.count("*").alias("v")
+    )
+    nll_term = -F.log((F.col("c") + 1.0) / (F.col("t") + F.col("v")))
+    return (
+        words.join(F.broadcast(wc), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(nll_term), 6).alias("nll"),
+            F.round(F.exp(F.avg(nll_term)), 6).alias("ppl"),
+        )
+    )
