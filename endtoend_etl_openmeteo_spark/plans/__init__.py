@@ -153,6 +153,7 @@ PRIORITY: list[str] = [
     "q_span_dedup",
     "q_domain_cap",
     "q_lm_score",
+    "q_range_window",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

@@ -261,3 +261,40 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in PIVOT_EVENT_TYPES]
     )
+
+
+@register(
+    "q_range_window",
+    oracle="""
+    SELECT user_id, ts, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(value) OVER w, 4) AS sum_1h,
+           round(avg(value) OVER w, 6) AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-RANGE window frame (value-based, not row-based): per-user "
+    "trailing 1-hour count/sum/avg where the frame is defined by the "
+    "timestamp VALUE — irregular event spacing means ROWS frames cannot "
+    "express it. Ordering key is epoch microseconds on both engines "
+    "(events carry sub-second precision; a seconds cast would shift "
+    "frame membership). Same single-shuffle shape as every per-user "
+    "window: hash partition on user_id, per-partition sort, streaming "
+    "frame evaluation — the frame bound adds zero extra exchanges.",
+    tags=("window", "timeseries"),
+)
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return tbl(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+    )

@@ -1,6 +1,7 @@
 from endtoend_etl_openmeteo_spark.streaming.pipeline import (
     run_streaming_elt,
     stream_bronze,
+    stream_stream_join,
     streaming_daily_agg,
     streaming_dedup,
     streaming_hourly,
@@ -9,6 +10,7 @@ from endtoend_etl_openmeteo_spark.streaming.pipeline import (
 __all__ = [
     "run_streaming_elt",
     "stream_bronze",
+    "stream_stream_join",
     "streaming_daily_agg",
     "streaming_dedup",
     "streaming_hourly",

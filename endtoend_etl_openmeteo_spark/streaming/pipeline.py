@@ -68,6 +68,40 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    left_delay: str = "6 hours",
+    right_delay: str = "6 hours",
+    tolerance: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left row with
+    right rows sharing ``keys`` whose event time lands in
+    ``[left_ts, left_ts + tolerance]`` — the streaming enrichment shape
+    (observations ⋈ late corrections, requests ⋈ responses).
+
+    Both sides carry watermarks AND the join carries an event-time range
+    constraint, which is exactly what lets Spark bound the join state: a
+    buffered left row is droppable once the right watermark passes
+    ``left_ts + tolerance``, and vice versa — without the range condition
+    stream-stream join state grows forever. Outer modes emit the
+    unmatched row only after the opposing watermark proves no match can
+    still arrive (correct, watermark-delayed nulls).
+    """
+    l_wm = left.withWatermark(left_ts, left_delay).alias("l")
+    r_wm = right.withWatermark(right_ts, right_delay).alias("r")
+    key_cond = " AND ".join(f"l.{k} = r.{k}" for k in keys)
+    time_cond = (
+        f"r.{right_ts} >= l.{left_ts} "
+        f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {tolerance}"
+    )
+    return l_wm.join(r_wm, F.expr(f"{key_cond} AND {time_cond}"), how)
+
+
 def streaming_daily_agg(hourly: DataFrame) -> DataFrame:
     """Streaming fct_city_day: tumbling 1-day event-time window (the
     streaming form of A1) behind a 6-hour watermark (T2). State is purged

@@ -168,3 +168,50 @@ def test_streaming_dedup_within_watermark(spark, workdir):
     rows = spark.sql(f"SELECT city, timestamp FROM {name}").collect()
     assert len(rows) == 6  # 12 delivered, 6 unique survive
     assert len({(r.city, r.timestamp) for r in rows}) == 6
+
+
+def test_stream_stream_interval_join(spark, workdir):
+    """Observations x late corrections pair up iff the correction lands
+    within [obs_ts, obs_ts + 1 hour] for the same city; state is bounded
+    by the two watermarks plus the range condition."""
+    import datetime as dt
+
+    from endtoend_etl_openmeteo_spark.streaming import stream_stream_join
+
+    t = lambda h, m=0: dt.datetime(2025, 10, 31, h, m)  # noqa: E731
+    obs_dir, corr_dir = str(workdir / "obs"), str(workdir / "corr")
+    spark.createDataFrame(
+        [("Paris", t(10), 10.0), ("Paris", t(15), 11.0), ("Berlin", t(10, 30), 9.0)],
+        "city string, obs_ts timestamp, temp double",
+    ).write.json(obs_dir)
+    spark.createDataFrame(
+        # 10:30 -> joins Paris@10:00; 12:00 -> outside Berlin@10:30 + 1h;
+        # 15:30 -> joins Paris@15:00
+        [("Paris", t(10, 30), 0.5), ("Berlin", t(12), 1.0), ("Paris", t(15, 30), -0.2)],
+        "city string, corr_ts timestamp, delta double",
+    ).write.json(corr_dir)
+
+    obs = spark.readStream.schema("city string, obs_ts timestamp, temp double").json(
+        obs_dir
+    )
+    corr = spark.readStream.schema(
+        "city string, corr_ts timestamp, delta double"
+    ).json(corr_dir)
+    joined = stream_stream_join(
+        obs, corr, keys=["city"], left_ts="obs_ts", right_ts="corr_ts"
+    ).selectExpr("l.city AS city", "obs_ts", "temp + delta AS corrected")
+
+    name = f"ssj_{uuid.uuid4().hex[:6]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.city, r.obs_ts.hour): r.corrected
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got == {("Paris", 10): 10.5, ("Paris", 15): 10.8}
