@@ -450,10 +450,12 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     canon AS (
       SELECT doc_id, n_chars,
-             regexp_replace(regexp_replace(regexp_replace(lower(url),
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(url),
                '#.*$', ''),
                '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'),
-               '[?&]+$', '') AS canon_url,
+               '[?&]+$', ''),
+               '://www\.', '://') AS canon_url,
              regexp_replace(regexp_extract(lower(url), '^https?://([^/]+)', 1),
                '^www\.', '') AS domain
       FROM urls)
@@ -487,12 +489,16 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = F.lower(url)
     canon_url = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(low, r"#.*$", ""),
-            r"(utm_[a-z]+|ref)=[^&#]*&?",
+            F.regexp_replace(
+                F.regexp_replace(low, r"#.*$", ""),
+                r"(utm_[a-z]+|ref)=[^&#]*&?",
+                "",
+            ),
+            r"[?&]+$",
             "",
         ),
-        r"[?&]+$",
-        "",
+        r"://www\.",
+        "://",
     )
     domain = F.regexp_replace(
         F.regexp_extract(low, r"^https?://([^/]+)", 1), r"^www\.", ""

@@ -115,3 +115,55 @@ def test_rebalance_is_a_distribution(spark, registry):
     rarest = min(rows, key=lambda r: r.n_docs)
     commonest = max(rows, key=lambda r: r.n_docs)
     assert rarest.upweight >= commonest.upweight
+
+
+def test_span_dedup_reassembly_invariants(spark, registry):
+    """Clean text = original minus removed spans: token counts reconcile,
+    no doc gains text, and every surviving span appears in >= 1 doc only."""
+    out = {r.doc_id: r for r in registry["q_span_dedup"].fn(spark, SF).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    assert set(out) == set(docs)
+    for doc_id, r in out.items():
+        orig_toks = docs[doc_id].split(" ")
+        clean_toks = [t for t in r.clean_text.split(" ") if t]
+        assert r.n_removed <= r.n_spans
+        assert len(clean_toks) <= len(orig_toks)
+        if r.n_removed == 0:
+            assert clean_toks == orig_toks
+
+
+def test_lm_score_is_a_proper_score(spark, registry):
+    """Perplexity = exp(nll) within rounding, both positive; token counts
+    match a direct recount."""
+    import math
+
+    rows = registry["q_lm_score"].fn(spark, SF).collect()
+    assert rows and all(r.ppl > 0 and r.nll > 0 for r in rows)
+    for r in rows:
+        assert math.isclose(r.ppl, math.exp(r.nll), rel_tol=1e-4)
+    n = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    # split on single space yields no empty tokens in this corpus
+    assert all(r.n_tokens == n[r.doc_id] for r in rows)
+
+
+def test_domain_cap_bounds_every_domain(spark, registry):
+    rows = registry["q_domain_cap"].fn(spark, SF).collect()
+    per_domain = {}
+    for r in rows:
+        per_domain.setdefault(r.domain, []).append(r)
+        assert "utm_" not in r.canon_url and "ref=" not in r.canon_url
+        assert "#" not in r.canon_url
+        assert not r.canon_url.startswith("https://www.")
+        assert r.canon_url == r.canon_url.lower()
+    assert all(len(v) <= 10 for v in per_domain.values())
+    # ranks are dense 1..n within each domain
+    for v in per_domain.values():
+        assert sorted(r.rk for r in v) == list(range(1, len(v) + 1))

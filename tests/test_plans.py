@@ -142,3 +142,29 @@ def test_funnel_windows_share_one_exchange(spark, registry):
     plan = _physical(registry["q_funnel"].fn(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 3
+
+
+def test_range_window_single_exchange(spark, registry):
+    """The time-RANGE frame evaluates inside the one per-user window sort —
+    the value-based bound must not add exchanges over a ROWS frame."""
+    plan = _physical(registry["q_range_window"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_lm_score_broadcasts_language_model(spark, registry):
+    """The unigram LM table is vocabulary-sized, not corpus-sized — the
+    scoring join must broadcast it so document tokens never shuffle."""
+    df = registry["q_lm_score"].fn(spark, SF)
+    df.collect()  # AQE finalizes join strategies
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_cap_single_window_exchange(spark, registry):
+    """Canonicalization is narrow; the cap is one row_number window on
+    domain — exactly one hash exchange, no join, no global sort."""
+    plan = _physical(registry["q_domain_cap"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
