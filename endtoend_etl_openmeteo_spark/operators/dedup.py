@@ -173,28 +173,39 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document.
+    """64-bit SimHash fingerprint per document — a MAP-ONLY stage.
 
-    Explode tokens → per-bit signed counts in one groupBy → recombine sign
-    bits. One shuffle keyed by doc id; the 64 conditional sums are codegen'd
-    aggregate expressions, not UDFs.
+    The fingerprint is a per-document reduction, so it never needs a
+    shuffle: fold the distinct-token hashes into a 64-slot signed-count
+    array with nested higher-order functions, then recombine the sign
+    bits — all inside whole-stage codegen. (The alternative explode +
+    groupBy(doc) shape pays a corpus-wide exchange for a computation
+    that was per-row all along.)
     """
-    toks = cpu_parallelize(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(normalized_text(text_col), " "))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = toks.groupBy("id").agg(*bit_sums)
-
-    fp: Column = F.lit(0).cast("long")
-    for i in range(64):
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    toks_arr = F.array_distinct(F.split(normalized_text(text_col), " "))
+    fp = F.expr(
+        """
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(__toks, t -> xxhash64(t)),
+              array_repeat(0L, 64),
+              (acc, h) -> zip_with(
+                acc, sequence(0, 63),
+                (a, i) -> a + IF((shiftright(h, i) & 1L) = 1L, 1L, -1L))
+            ),
+            sequence(0, 63),
+            (c, i) -> IF(c > 0, shiftleft(1L, i), 0L)
+          ),
+          0L, (a, x) -> a | x
         )
-    return agg.select("id", fp.alias("simhash"))
+        """
+    )
+    return (
+        cpu_parallelize(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("id"), toks_arr.alias("__toks"))
+        # empty documents have no tokens → no fingerprint (matching the
+        # row-per-token formulation, where they vanish at the explode)
+        .filter(F.size("__toks") > 0)
+        .select("id", fp.alias("simhash"))
+    )

@@ -107,3 +107,52 @@ def test_dedup_clusters_string_ids(spark):
         "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
         "doc-x": "doc-x", "doc-y": "doc-x",
     }
+
+
+def test_simhash_matches_reference_fold_and_is_map_only(spark):
+    """The HOF-folded SimHash equals a driver-side Python fold over the
+    same xxhash64 token hashes, is token-order-invariant, and plans with
+    no data shuffle (per-document reduction = map-only)."""
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.dedup import simhash64
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "delta gamma beta alpha"),  # permutation of 1
+            (3, "epsilon zeta"),
+            (4, "alpha beta gamma delta epsilon"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.simhash for r in simhash64(df, "id", "text").collect()}
+    assert got[1] == got[2]  # bag-of-words: order must not matter
+    assert got[1] != got[3]
+
+    # independent reference: Python fold over Spark's own token hashes
+    toks = {
+        r.id: r.hs
+        for r in df.select(
+            "id",
+            F.expr(
+                "transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"
+            ).alias("hs"),
+        ).collect()
+    }
+    for doc_id, hashes in toks.items():
+        counts = [0] * 64
+        for h in hashes:
+            for i in range(64):
+                counts[i] += 1 if (h >> i) & 1 else -1
+        expected = 0
+        for i in range(64):
+            if counts[i] > 0:
+                expected |= 1 << i
+        # Spark longs are signed 64-bit
+        if expected >= 1 << 63:
+            expected -= 1 << 64
+        assert got[doc_id] == expected, doc_id
+
+    plan = simhash64(df, "id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
