@@ -47,19 +47,26 @@ def cosine_topk(
 
     from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
 
+    # Norms are per-ROW quantities — compute each once, not once per pair
+    # (the naive cosine() call would fold 3 arrays per candidate pair; with
+    # precomputed norms the pair loop folds exactly one). The oracle SQL
+    # uses the same sqrt(qq)*sqrt(nn) association so 6dp rounding matches
+    # bit-for-bit across engines.
+    vec = F.col(vec_col).cast("array<double>")
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
-    )
+        F.col(id_col).alias("q_id"),
+        vec.alias("q_vec"),
+    ).withColumn("q_norm", F.sqrt(dot(F.col("q_vec"), F.col("q_vec"))))
     c = cpu_parallelize(corpus).select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
+        F.col(id_col).alias("n_id"),
+        vec.alias("n_vec"),
+    ).withColumn("n_norm", F.sqrt(dot(F.col("n_vec"), F.col("n_vec"))))
+    cos = dot(F.col("q_vec"), F.col("n_vec")) / F.nullif(
+        F.col("q_norm") * F.col("n_norm"), F.lit(0.0)
     )
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .select(
-            "q_id",
-            "n_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
-        )
+        .select("q_id", "n_id", F.round(cos, 6).alias("cos_sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
     return (
@@ -89,9 +96,11 @@ def embedding_neardup_pairs(
         base = base.filter(F.col(id_col) < max_id)
     d = cpu_parallelize(base).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     a, b = d.alias("a"), d.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    cos = dot(F.col("a.v"), F.col("b.v")) / F.nullif(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+    )
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(

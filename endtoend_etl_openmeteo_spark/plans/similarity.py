@@ -81,16 +81,22 @@ def q_explode_nullpad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ann_cosine",
     oracle="""
     WITH q AS (
-      SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS q_norm
       FROM embeddings WHERE vec_id < 5
     ),
+    c AS (
+      SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS n_norm
+      FROM embeddings
+    ),
     s AS (
-      SELECT q.q_id, c.vec_id AS n_id,
-             round(list_dot_product(q.q_vec, c.embedding::DOUBLE[])
-                   / sqrt(list_dot_product(q.q_vec, q.q_vec)
-                          * list_dot_product(c.embedding::DOUBLE[],
-                                             c.embedding::DOUBLE[])), 6) AS cos_sim
-      FROM embeddings c, q WHERE q.q_id != c.vec_id
+      SELECT q.q_id, c.n_id,
+             round(list_dot_product(q.q_vec, c.n_vec)
+                   / (q.q_norm * c.n_norm), 6) AS cos_sim
+      FROM c, q WHERE q.q_id != c.n_id
     )
     SELECT q_id, n_id, cos_sim,
            CAST(row_number() OVER (
@@ -113,17 +119,15 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embed_neardup",
     oracle="""
     WITH d AS (
-      SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
       FROM embeddings WHERE vec_id < 300
     )
     SELECT a.id AS id_a, b.id AS id_b,
-           round(list_dot_product(a.v, b.v)
-                 / sqrt(list_dot_product(a.v, a.v)
-                        * list_dot_product(b.v, b.v)), 6) AS cos_sim
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
     FROM d a JOIN d b ON a.id < b.id
-    WHERE round(list_dot_product(a.v, b.v)
-                / sqrt(list_dot_product(a.v, a.v)
-                       * list_dot_product(b.v, b.v)), 6) >= 0.3
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
     """,
     doc="Embedding-cosine near-duplicate pairs (SURVEY §7 step 7 dedup "
     "mode): exact verify stage over a bounded id slice; LSH hyperplane "
