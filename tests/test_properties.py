@@ -88,3 +88,93 @@ def test_last_write_wins_matches_sequential_upsert(spark, updates):
         tied = [r[2] for r in rows
                 if (r[0], r[1]) == k and r[5] == max(r2[5] for r2 in rows if (r2[0], r2[1]) == k)]
         assert got[k] in tied
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    values=st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=40)
+)
+def test_ewma_matches_pandas_truncated_window(spark, values):
+    """The windowed higher-order-function EWMA must equal pandas
+    ewm(alpha=0.3, adjust=True) restricted to the same 12-lag truncation."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2025, 10, 1) + dt.timedelta(hours=i), i, v)
+         for i, v in enumerate(values)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-11, 0)
+    num = ("aggregate(transform(arr, (x, i) -> x * pow(0.7D, size(arr) - 1 - i)),"
+           " 0D, (a, x) -> a + x)")
+    den = ("aggregate(transform(arr, (x, i) -> pow(0.7D, size(arr) - 1 - i)),"
+           " 0D, (a, x) -> a + x)")
+    got = (
+        df.select("event_id", F.collect_list("value").over(w).alias("arr"))
+        .select("event_id", (F.expr(num) / F.expr(den)).alias("ewma"))
+        .orderBy("event_id")
+        .collect()
+    )
+    # pandas reference: adjust=True EWMA over each 12-element trailing slice
+    s = pd.Series(values)
+    for r in got:
+        lo = max(0, r.event_id - 11)
+        window = s.iloc[lo : r.event_id + 1]
+        expected = window.ewm(alpha=0.3, adjust=True).mean().iloc[-1]
+        assert r.ewma == pytest.approx(expected, rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=25)
+)
+def test_scd2_intervals_tile_each_users_history(spark, events):
+    """SCD2 output must tile the timeline: consecutive runs collapse, each
+    valid_to equals the next valid_from, exactly one current row per user,
+    and run lengths sum to the event count."""
+    from endtoend_etl_openmeteo_spark.plans import load_all
+
+    base = dt.datetime(2025, 10, 1)
+    df = spark.createDataFrame(
+        [(7, e, base + dt.timedelta(hours=i), i, 0.0, "{}")
+         for i, e in enumerate(events)],
+        "user_id long, event_type string, ts timestamp, event_id long,"
+        " value double, props string",
+    )
+    df.createOrReplaceTempView("__scd2_prop_events")
+    # reuse the registered query's logic by replaying it on this frame
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(wo)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    running = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = (
+        df.withColumn("__chg", chg)
+        .withColumn("__grp", F.sum("__chg").over(running))
+        .groupBy("user_id", "event_type", "__grp")
+        .agg(F.min("ts").alias("valid_from"), F.count("*").alias("n_events"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    out = runs.select(
+        "user_id", "event_type", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_events",
+    ).orderBy("valid_from").collect()
+
+    # expected runs via itertools-style scan
+    expected_runs = []
+    for i, e in enumerate(events):
+        if not expected_runs or expected_runs[-1][0] != e:
+            expected_runs.append([e, 0])
+        expected_runs[-1][1] += 1
+    assert [(r.event_type, r.n_events) for r in out] == [
+        (e, n) for e, n in expected_runs
+    ]
+    assert sum(r.n_events for r in out) == len(events)
+    assert [r.is_current for r in out] == [False] * (len(out) - 1) + [True]
+    for cur, nxt in zip(out, out[1:]):
+        assert cur.valid_to == nxt.valid_from  # gap-free tiling
