@@ -154,6 +154,7 @@ PRIORITY: list[str] = [
     "q_domain_cap",
     "q_lm_score",
     "q_range_window",
+    "q_rolling_distinct",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

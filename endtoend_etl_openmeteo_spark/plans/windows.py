@@ -298,3 +298,52 @@ def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 4).alias("sum_1h"),
         F.round(F.avg("value").over(w), 6).alias("avg_1h"),
     )
+
+
+@register(
+    "q_rolling_distinct",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+      FROM events),
+    contrib AS (
+      SELECT day + u.i * INTERVAL 1 DAY AS day, user_id
+      FROM pairs, unnest(generate_series(0, 6)) AS u(i))
+    SELECT c.day, count(DISTINCT c.user_id) AS wau
+    FROM contrib c SEMI JOIN (SELECT DISTINCT day FROM pairs) d
+      ON c.day = d.day
+    GROUP BY 1
+    """,
+    doc="Trailing 7-day distinct active users per day (the WAU metric) — "
+    "sliding-window COUNT(DISTINCT) that PARALLELIZES: a global "
+    "RANGE-frame distinct would order the whole table on one timeline, "
+    "so instead each distinct (user, day) activity emits the 7 window "
+    "anchors it serves and one hash aggregate counts distinct users per "
+    "anchor. Cost is a bounded 7x inflation of the (user, day) DEDUPED "
+    "activity (tiny vs raw events), all shuffles are keyed and "
+    "map-side-combined, and anchors beyond the observed days are "
+    "semi-joined away. The approximate form at 100 TB swaps "
+    "count_distinct for HLL sketches merged across days.",
+    tags=("window", "timeseries", "aggregate"),
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        tbl(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    contrib = pairs.select(
+        F.explode(
+            F.expr(
+                "sequence(day, day + make_interval(0,0,0,6),"
+                " make_interval(0,0,0,1))"
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    active_days = pairs.select("day").distinct()
+    return (
+        contrib.join(active_days, "day", "semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
