@@ -27,18 +27,25 @@ def asof_join(
     right_ts: str,
     carry_cols: list[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach ``asof_<col>`` for each right carry column
     from the latest right row with ``right_ts <= left_ts`` on the same key
-    (inclusive; ties and multiple right rows at the same instant resolve
-    deterministically by ``tiebreak`` ascending — last one wins). Without a
-    ``tiebreak``, duplicate right rows at the same (key, ts) fall back to
-    xxhash64 of the carry columns, so the winner is still deterministic
-    across runs/partitionings (value-dependent, but never partition-order-
+    (``direction="backward"``, inclusive) or the earliest right row with
+    ``right_ts >= left_ts`` (``direction="forward"`` — the same carry
+    window over a reversed timestamp order, still one shuffle). Ties and
+    multiple right rows at the same instant resolve deterministically by
+    ``tiebreak`` ascending — last one wins. Without a ``tiebreak``,
+    duplicate right rows at the same (key, ts) fall back to xxhash64 of
+    the carry columns, so the winner is still deterministic across
+    runs/partitionings (value-dependent, but never partition-order-
     dependent).
 
-    Output: all left columns + asof_* columns (null when nothing precedes).
+    Output: all left columns + asof_* columns (null when nothing precedes
+    or follows, per direction).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     carried = [f"asof_{c}" for c in carry_cols]
     left_payload = [c for c in left.columns if c not in key_cols]
 
@@ -66,9 +73,10 @@ def asof_join(
         *[F.col(c).alias(f"asof_{c}") for c in carry_cols],
     )
 
+    order_ts = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("__ts"), F.col("__side"), F.col("__tb"))
+        .orderBy(order_ts, F.col("__side"), F.col("__tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     spine = l.unionByName(r).select(

@@ -155,6 +155,7 @@ PRIORITY: list[str] = [
     "q_lm_score",
     "q_range_window",
     "q_rolling_distinct",
+    "q_asof_forward",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

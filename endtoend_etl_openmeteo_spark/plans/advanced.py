@@ -68,6 +68,63 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_forward",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, 1 AS side, NULL::BIGINT AS tb,
+             event_id, NULL::BIGINT AS asof_event_id
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 0 AS side, event_id AS tb,
+             NULL::BIGINT AS event_id, event_id AS asof_event_id
+      FROM events WHERE event_type = 'click'
+    ),
+    spine AS (
+      SELECT user_id, side, ts, event_id,
+             last_value(asof_event_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts DESC, side, tb
+               ROWS UNBOUNDED PRECEDING
+             ) AS asof_event_id
+      FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, ts, asof_event_id AS click_id
+    FROM spine WHERE side = 1
+    """,
+    doc="FORWARD as-of join (purchase -> earliest following click per "
+    "user, the post-conversion-behavior primitive): the same "
+    "union + carry window as q_asof_join over a reversed timestamp "
+    "order — direction is a sort flag, not a new algorithm, and the "
+    "plan is still one shuffle on the key (operators/asof.py).",
+    tags=("join", "asof", "window"),
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        carry_cols=["event_id"],
+        tiebreak="event_id",
+        direction="forward",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("click_id"),
+    )
+
+
+
+@register(
     "q_tpch_q1",
     oracle="""
     SELECT l_returnflag, l_linestatus,

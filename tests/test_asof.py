@@ -45,3 +45,38 @@ def test_asof_join_tie_on_same_instant_takes_highest_tiebreak(spark):
         purchases, clicks, ["user_id"], "ts", "ts", ["event_id"], tiebreak="event_id"
     ).collect()
     assert out[0].asof_event_id == 6
+
+
+def test_asof_forward_picks_earliest_following(spark):
+    purchases = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(12), 101), (2, _ts(9), 102)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    clicks = spark.createDataFrame(
+        [
+            (1, _ts(9, 30), 7),   # before everything: never matched forward
+            (1, _ts(11, 0), 8),   # earliest follower of purchase 100
+            (1, _ts(12, 0), 9),   # ties purchase 101's instant -> inclusive
+            (1, _ts(13, 0), 10),
+            # user 2 has no clicks at all
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = {
+        r.event_id: r.asof_event_id
+        for r in asof_join(
+            purchases, clicks, ["user_id"], "ts", "ts", ["event_id"],
+            tiebreak="event_id", direction="forward",
+        ).collect()
+    }
+    assert out == {100: 8, 101: 9, 102: None}
+
+
+def test_asof_rejects_unknown_direction(spark):
+    import pytest as _pytest
+
+    df = spark.range(1).selectExpr(
+        "id AS user_id", "timestamp'2024-01-01' AS ts", "id AS event_id"
+    )
+    with _pytest.raises(ValueError, match="backward|forward"):
+        asof_join(df, df, ["user_id"], "ts", "ts", ["event_id"], direction="nearest")
