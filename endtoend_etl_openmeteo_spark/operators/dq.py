@@ -115,6 +115,46 @@ def compile_expectations(df: DataFrame, expectations: list[Expectation]) -> Data
     )
 
 
+def row_violation_predicate(expectations: list[Expectation]) -> Column:
+    """Boolean column: does THIS row violate any expectation?
+
+    Mirrors _violation_count's null semantics (null values never violate
+    bounds/set checks — only ``not_null`` fails them). ``unique`` is not a
+    row-wise property (it needs the whole key's history) and is rejected:
+    it belongs to the aggregate gate, not a row splitter.
+    """
+    import functools
+
+    conds: list[Column] = []
+    for e in expectations:
+        col = F.col(e.column)
+        if e.kind == "not_null":
+            conds.append(col.isNull())
+        elif e.kind == "between":
+            conds.append(col.isNotNull() & ~col.between(e.lo, e.hi))
+        elif e.kind == "in_set":
+            conds.append(col.isNotNull() & ~col.isin(*e.values))
+        elif e.kind == "unique":
+            raise ValueError(
+                "unique is an aggregate-level expectation; row-level "
+                "splitting cannot attribute the violation to one row"
+            )
+        else:
+            raise ValueError(f"unsupported expectation kind {e.kind!r}")
+    return functools.reduce(lambda a, b: a | b, conds, F.lit(False))
+
+
+def split_valid(
+    df: DataFrame, expectations: list[Expectation]
+) -> tuple[DataFrame, DataFrame]:
+    """(valid_rows, violating_rows) — the quarantine split: rows failing ANY
+    row-wise expectation divert instead of poisoning the load (the
+    row-granular counterpart of dq_gate's all-or-nothing batch block).
+    One narrow predicate, evaluated twice — no shuffle, no cache needed."""
+    viol = row_violation_predicate(expectations)
+    return df.filter(~viol), df.filter(viol)
+
+
 def dq_gate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     """Run the suite; raise DQValidationError if any expectation fails.
 

@@ -126,18 +126,37 @@ def run_streaming_elt(
     checkpoint_path: str,
     policy: str = "nullpad",
     available_now: bool = True,
+    expectations: list | None = None,
+    quarantine_path: str | None = None,
 ) -> StreamingQuery:
-    """bronze stream → flatten → foreachBatch merge into silver.
+    """bronze stream → flatten → [DQ split/gate] → foreachBatch merge into
+    silver.
 
     Each micro-batch goes through the SAME merge_upsert as the batch path,
     so reruns/overlaps stay last-write-wins (T4) and the checkpoint gives
-    exactly-once file consumption (T3). ``available_now`` drains all
-    pending files then stops — the test/backfill mode; production passes
-    False and a processingTime trigger.
+    exactly-once file consumption (T3). With ``expectations`` set, each
+    micro-batch is quality-checked first (T6 in streaming form): rows
+    violating a row-wise expectation divert to ``quarantine_path`` (append,
+    stamped ``_quarantined_at``) and the clean remainder merges — or, with
+    no quarantine path, the whole batch gates through ``dq_gate`` and a
+    violation fails the stream (the reference's hard-block behavior).
+    ``available_now`` drains all pending files then stops — the
+    test/backfill mode; production passes False and a processingTime
+    trigger.
     """
     hourly = streaming_hourly(stream_bronze(spark, bronze_path), policy=policy)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        from endtoend_etl_openmeteo_spark.operators.dq import dq_gate, split_valid
+
+        if expectations is not None:
+            if quarantine_path is not None:
+                batch, bad = split_valid(batch, expectations)
+                bad.withColumn(
+                    "_quarantined_at", F.current_timestamp()
+                ).write.mode("append").parquet(quarantine_path)
+            else:
+                dq_gate(batch, expectations)
         merge_upsert(
             batch.sparkSession,
             batch,

@@ -215,3 +215,44 @@ def test_stream_stream_interval_join(spark, workdir):
         for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
     assert got == {("Paris", 10): 10.5, ("Paris", 15): 10.8}
+
+
+def test_streaming_dq_quarantine_diverts_bad_rows(spark, workdir):
+    """T6 in streaming form: rows violating the suite divert to quarantine,
+    clean rows merge; with no quarantine path a bad batch fails the stream."""
+    from endtoend_etl_openmeteo_spark.operators.dq import Expectation
+
+    bronze = str(workdir / "bronze")
+    silver = str(workdir / "silver")
+    quarantine = str(workdir / "quarantine")
+    suite = [
+        Expectation("not_null", "timestamp"),
+        Expectation("between", "temperature_2m", lo=-90.0, hi=60.0),
+    ]
+    rows = GOOD_ROWS + [
+        _payload("Oslo", "2025-10-31", "14", ["2025-10-31T14:00"], [999.0], [0.0], [1.0])
+    ]
+    write_bronze(_bronze_df(spark, rows), bronze)
+    q = run_streaming_elt(
+        spark, bronze, silver, str(workdir / "ckpt1"),
+        expectations=suite, quarantine_path=quarantine,
+    )
+    q.awaitTermination(120)
+    silver_rows = spark.read.parquet(silver)
+    assert silver_rows.count() == 6  # the 6 good hourly rows, no Oslo
+    assert silver_rows.filter(F.col("city") == "Oslo").count() == 0
+    quarantined = spark.read.parquet(quarantine).collect()
+    assert [(r.city, r.temperature_2m) for r in quarantined] == [("Oslo", 999.0)]
+    assert all(r._quarantined_at is not None for r in quarantined)
+
+    # hard-block mode: same bad data, no quarantine path -> stream fails
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q2 = run_streaming_elt(
+        spark, bronze, str(workdir / "silver2"), str(workdir / "ckpt2"),
+        expectations=suite,
+    )
+    with _pytest.raises(StreamingQueryException, match="data-quality gate"):
+        q2.awaitTermination(120)
+        raise AssertionError("stream should have failed")  # pragma: no cover
