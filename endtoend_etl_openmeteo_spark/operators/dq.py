@@ -155,6 +155,48 @@ def split_valid(
     return df.filter(~viol), df.filter(viol)
 
 
+def observe_expectations(
+    df: DataFrame, expectations: list[Expectation], name: str = "dq"
+):
+    """Attach the expectation metrics to df's NEXT action via
+    ``DataFrame.observe`` — the metrics ride the write/collect itself, so
+    monitoring costs ZERO extra scans (vs compile_expectations' dedicated
+    aggregate pass). Returns ``(observed_df, observation)``; after an
+    action runs, feed the observation to :func:`observation_results`.
+
+    This is the MONITOR mode: the action has already happened when the
+    metrics surface, so it cannot block a load — gating stays with
+    :func:`dq_gate`, which must scan before the write. ``unique`` is
+    rejected (observe disallows distinct aggregates).
+    """
+    from pyspark.sql import Observation
+
+    if any(e.kind == "unique" for e in expectations):
+        raise ValueError("unique needs a distinct aggregate; observe() cannot")
+    obs = Observation(name)
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        _violation_count(e).alias(f"v{i}") for i, e in enumerate(expectations)
+    ]
+    return df.observe(obs, *aggs), obs
+
+
+def observation_results(obs, expectations: list[Expectation]) -> list[dict]:
+    """Decode an Observation (after its action ran) into the same row shape
+    compile_expectations produces."""
+    got = obs.get
+    n = got["n_rows"]
+    return [
+        {
+            "expectation": e.name,
+            "col_name": e.column,
+            "violations": got[f"v{i}"],
+            "n_rows": n,
+            "passed": (got[f"v{i}"] / max(n, 1)) <= (1.0 - e.mostly),
+        }
+        for i, e in enumerate(expectations)
+    ]
+
+
 def dq_gate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     """Run the suite; raise DQValidationError if any expectation fails.
 

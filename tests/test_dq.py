@@ -90,3 +90,44 @@ def test_unique_expectation(spark):
     result = compile_expectations(_df(spark, rows), suite).collect()[0]
     assert result.violations == 1 and not result.passed
     assert compile_expectations(_df(spark, GOOD), suite).collect()[0].passed
+
+
+def test_observe_expectations_metrics_ride_the_action(spark):
+    """observe() metrics equal the dedicated aggregate pass, row-split
+    agrees, and unique is rejected (no distinct aggregates in observe)."""
+    import pytest as _pytest
+
+    from endtoend_etl_openmeteo_spark.operators.dq import (
+        Expectation,
+        compile_expectations,
+        observation_results,
+        observe_expectations,
+        split_valid,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 999.0), (4, -5.0)],
+        "id long, temp double",
+    )
+    suite = [
+        Expectation("not_null", "temp", mostly=0.5),
+        Expectation("between", "temp", lo=-90.0, hi=60.0),
+    ]
+    observed, obs = observe_expectations(df, suite)
+    observed.write.format("noop").mode("overwrite").save()  # any action
+    got = observation_results(obs, suite)
+    want = [r.asDict() for r in compile_expectations(df, suite).collect()]
+    for g, w in zip(got, want):
+        assert g["violations"] == w["violations"]
+        assert g["n_rows"] == w["n_rows"]
+        assert g["passed"] == w["passed"]
+    assert got[0]["passed"] is True      # 1/4 nulls <= 1 - 0.5
+    assert got[1]["passed"] is False     # 999 out of bounds, strict
+
+    valid, bad = split_valid(df, suite)
+    # null temp violates not_null (row-wise) but passes bounds; -5 is in range
+    assert {r.id for r in valid.collect()} == {1, 4}
+    assert {r.id for r in bad.collect()} == {2, 3}
+
+    with _pytest.raises(ValueError, match="unique"):
+        observe_expectations(df, [Expectation("unique", "id")])
