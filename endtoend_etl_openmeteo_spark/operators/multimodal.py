@@ -130,11 +130,6 @@ def sample_video_frames(df: DataFrame, fps: float = 1.0) -> DataFrame:
     )
 
 
-AUDIO_WINDOW_SCHEMA = (
-    "media_id long, win_idx int, start_s double, end_s double, n_samples long"
-)
-
-
 def plan_audio_windows(
     df: DataFrame, window_s: float = 5.0, hop_s: float = 2.5
 ) -> DataFrame:
@@ -144,8 +139,11 @@ def plan_audio_windows(
     the waveform decode stays behind the codec seam — the plan never
     touches payload bytes, so at scale it is a narrow metadata transform.
 
-    Windows start every ``hop_s`` while the start lies inside the media;
-    the last window truncates at the media end.
+    Windows tile the media at ``hop_s`` stride up to the first window whose
+    end reaches the media end (ceil((duration - window) / hop) + 1 windows,
+    minimum one); that final window truncates at the media end. No window
+    starts beyond it — a start inside the media but past the last full
+    window would only re-cover already-windowed samples.
     """
     audio = df.filter(F.col("kind") == "audio").select(
         "media_id",

@@ -349,6 +349,8 @@ def q_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm", "aggregate"),
 )
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
     toks = F.split(normalized_text("text"), " ")
     pair_arr = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -356,7 +358,7 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.concat_ws(" ", a, b),
     )
     return (
-        tbl(spark, sf_dir, "documents")
+        cpu_parallelize(tbl(spark, sf_dir, "documents").select("text"))
         .select(F.explode(pair_arr).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").alias("n"))
@@ -450,10 +452,11 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     canon AS (
       SELECT doc_id, n_chars,
-             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                lower(url),
                '#.*$', ''),
-               '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'),
+               '([?&])(utm_[a-z]+|ref)=[^&#]*', '\1', 'g'),
+               '([?&])&+', '\1', 'g'),
                '[?&]+$', ''),
                '://www\.', '://') AS canon_url,
              regexp_replace(regexp_extract(lower(url), '^https?://([^/]+)', 1),
@@ -487,12 +490,20 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("#frag"),
     )
     low = F.lower(url)
+    # The param-strip pattern is LEFT-ANCHORED on [?&] (kept via $1): an
+    # unanchored '(utm_[a-z]+|ref)=' would eat the tail of longer param
+    # names ('href=', 'subref='). Stripping leaves consecutive delimiters
+    # ('?&&id=3'), which the ([?&])&+ pass collapses.
     canon_url = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(
-                F.regexp_replace(low, r"#.*$", ""),
-                r"(utm_[a-z]+|ref)=[^&#]*&?",
-                "",
+                F.regexp_replace(
+                    F.regexp_replace(low, r"#.*$", ""),
+                    r"([?&])(utm_[a-z]+|ref)=[^&#]*",
+                    "$1",
+                ),
+                r"([?&])&+",
+                "$1",
             ),
             r"[?&]+$",
             "",

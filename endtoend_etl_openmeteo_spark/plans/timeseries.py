@@ -545,7 +545,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(valid_from) OVER w AS valid_to,
            lead(valid_from) OVER w IS NULL AS is_current,
            n_events
-    FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+    FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, grp)
     """,
     doc="SCD Type-2 dimension build (extension surface): collapse each "
     "user's consecutive runs of the same event_type into validity "
@@ -568,7 +568,11 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "event_type", "__grp")
         .agg(F.min("ts").alias("valid_from"), F.count("*").alias("n_events"))
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    # Order by (valid_from, __grp): two runs of one user can share valid_from
+    # (distinct events at the identical timestamp), and valid_from alone would
+    # leave lead()/is_current tie-order-dependent across runs and engines.
+    # __grp is the run sequence number, so the order is total.
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "__grp")
     valid_to = F.lead("valid_from").over(w2)
     return runs.select(
         "user_id",

@@ -152,9 +152,18 @@ def run_streaming_elt(
         if expectations is not None:
             if quarantine_path is not None:
                 batch, bad = split_valid(batch, expectations)
-                bad.withColumn(
-                    "_quarantined_at", F.current_timestamp()
-                ).write.mode("append").parquet(quarantine_path)
+                # Replay-safe: partition by epoch and dynamically overwrite,
+                # so a retried micro-batch REPLACES its own quarantine rows
+                # instead of appending duplicates (plain append would break
+                # the T3 exactly-once story on epoch retry).
+                (
+                    bad.withColumn("_quarantined_at", F.current_timestamp())
+                    .withColumn("_epoch_id", F.lit(int(epoch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_epoch_id")
+                    .parquet(quarantine_path)
+                )
             else:
                 dq_gate(batch, expectations)
         merge_upsert(
