@@ -245,6 +245,17 @@ def test_streaming_dq_quarantine_diverts_bad_rows(spark, workdir):
     assert [(r.city, r.temperature_2m) for r in quarantined] == [("Oslo", 999.0)]
     assert all(r._quarantined_at is not None for r in quarantined)
 
+    # Replay safety: reprocessing the same batch (fresh checkpoint -> same
+    # epoch id 0) must REPLACE the epoch's quarantine partition, not append
+    # a duplicate of the Oslo row — a micro-batch retry hits the same path.
+    q_replay = run_streaming_elt(
+        spark, bronze, silver, str(workdir / "ckpt1_replay"),
+        expectations=suite, quarantine_path=quarantine,
+    )
+    q_replay.awaitTermination(120)
+    replayed = spark.read.parquet(quarantine).collect()
+    assert [(r.city, r.temperature_2m) for r in replayed] == [("Oslo", 999.0)]
+
     # hard-block mode: same bad data, no quarantine path -> stream fails
     import pytest as _pytest
     from pyspark.errors.exceptions.captured import StreamingQueryException
