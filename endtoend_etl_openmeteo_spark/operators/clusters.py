@@ -91,6 +91,60 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     return labels
 
 
+def _assign_literal(
+    v: DataFrame, cent_lits: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Shuffle-free assignment of v(id, vec) against literal centroids:
+    argmin over (d2, cluster) structs — struct ordering gives the
+    lower-cluster tie-break; everything stays in codegen, no shuffle.
+    ONE transform over a 2-D centroid literal (not k unrolled distance
+    expressions) keeps the generated code small enough to JIT fast."""
+    dist2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for _, c in cent_lits]
+    )
+    ids = F.array(*[F.lit(cl) for cl, _ in cent_lits])
+    choices = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            dist2(F.col("vec"), c).alias("d2"),
+            F.element_at(ids, i + 1).alias("cluster"),
+        ),
+    )
+    return v.select("id", "vec", F.array_min(choices)["cluster"].alias("cluster"))
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest trained centroid — the search-time
+    half of the sample-trained quantizer pattern (train ``kmeans`` on a
+    sample, assign the full corpus). Collects the k centroids (bounded
+    driver state, k·dim doubles) and reuses the literal-argmin plan, so
+    assignment is a narrow codegen pass over ``vectors`` — no join and no
+    key-based shuffle regardless of corpus size (small single-file inputs
+    get a round-robin ``cpu_parallelize`` so the argmin uses every core).
+    Returns assignments(id, cluster).
+    """
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    cent = sorted(
+        (r["cluster"], list(r["centroid"])) for r in centroids.collect()
+    )
+    v = cpu_parallelize(vectors).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    return _assign_literal(v, cent).select("id", "cluster")
+
+
 def kmeans(
     vectors: DataFrame,
     k: int = 8,
@@ -120,39 +174,14 @@ def kmeans(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     ).localCheckpoint(eager=True)
 
-    dist2 = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
     # k seed rows → driver: [(cluster, [dim doubles]), ...]
     seed = v.orderBy("id").limit(k).select("vec").collect()
     cent: list[tuple[int, list[float]]] = [
         (i, list(r["vec"])) for i, r in enumerate(seed)
     ]
 
-    def assign(cent_lits: list[tuple[int, list[float]]]) -> DataFrame:
-        # argmin over (d2, cluster) structs — struct ordering gives the
-        # lower-cluster tie-break; everything stays in codegen, no shuffle.
-        # ONE transform over a 2-D centroid literal (not k unrolled distance
-        # expressions) keeps the generated code small enough to JIT fast.
-        cents = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for _, c in cent_lits]
-        )
-        ids = F.array(*[F.lit(cl) for cl, _ in cent_lits])
-        choices = F.transform(
-            cents,
-            lambda c, i: F.struct(
-                dist2(F.col("vec"), c).alias("d2"),
-                F.element_at(ids, i + 1).alias("cluster"),
-            ),
-        )
-        return v.select("id", "vec", F.array_min(choices)["cluster"].alias("cluster"))
-
-    assignments = None
     for _ in range(iterations):
-        assignments = assign(cent)
+        assignments = _assign_literal(v, cent)
         updated = (
             assignments.select("cluster", F.posexplode("vec"))
             .groupBy("cluster", "pos")
@@ -163,6 +192,10 @@ def kmeans(
             .collect()  # k rows — the driver-side state handoff
         )
         cent = sorted((r["cluster"], list(r["centroid"])) for r in updated)
+    # Final assignment AGAINST the returned centroids, so the two halves of
+    # the result are consistent (the in-loop assignment predates the last
+    # centroid update) — and so kmeans_assign(v, centroids) reproduces it.
+    assignments = _assign_literal(v, cent)
     spark = vectors.sparkSession
     centroids = spark.createDataFrame(
         [(cl, c) for cl, c in cent], "cluster int, centroid array<double>"

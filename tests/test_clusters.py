@@ -3,7 +3,11 @@
 import pytest
 from pyspark.sql import functions as F
 
-from endtoend_etl_openmeteo_spark.operators.clusters import dedup_clusters, kmeans
+from endtoend_etl_openmeteo_spark.operators.clusters import (
+    dedup_clusters,
+    kmeans,
+    kmeans_assign,
+)
 
 
 def test_dedup_clusters_known_graph(spark):
@@ -48,6 +52,27 @@ def test_kmeans_deterministic(spark):
     assert {(r.id, r.cluster) for r in a1.collect()} == {
         (r.id, r.cluster) for r in a2.collect()
     }
+
+
+def test_kmeans_assign_matches_training_assignment(spark):
+    # Assigning the training table against its own trained centroids must
+    # reproduce kmeans's final assignment (same literal-argmin plan), and
+    # unseen vectors must land on their nearest centroid.
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    trained, centroids = kmeans(emb, k=4, iterations=2)
+    applied = kmeans_assign(emb, centroids)
+    assert {(r.id, r.cluster) for r in trained.collect()} == {
+        (r.id, r.cluster) for r in applied.collect()
+    }
+    # unseen vectors land on the nearest centroid
+    cents = {r.cluster: list(r.centroid) for r in centroids.collect()}
+    probe_cluster, probe_vec = max(cents.items())
+    new = spark.createDataFrame(
+        [(999_999, [x + 0.001 for x in probe_vec])],
+        "vec_id long, embedding array<double>",
+    )
+    got = kmeans_assign(new, centroids).collect()
+    assert [(r.id, r.cluster) for r in got] == [(999_999, probe_cluster)]
 
 
 def test_incremental_gold_only_touches_batch_cities(spark, tmp_path_factory):
