@@ -215,3 +215,67 @@ def compact(
     fs.delete(jvm_path, True)
     fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jvm_path)
     return n
+
+
+def global_shuffle_index(
+    df: DataFrame, id_col: str, n_buckets: int = 256, idx_col: str = "gidx"
+) -> DataFrame:
+    """Dense 0..n-1 index over a deterministic pseudorandom permutation of
+    ``df`` — the distributed zipWithIndex every shard writer needs.
+
+    A naive ``row_number() OVER (ORDER BY shuffle_key)`` funnels the whole
+    table through ONE partition. Instead: bucket rows by id (mod
+    ``n_buckets``), count each bucket (tiny aggregate), turn the counts
+    into cumulative offsets on the driver (n_buckets rows — bounded), and
+    add a per-bucket row_number. Every window is per-bucket (n_buckets-way
+    parallel, ~n/n_buckets rows each) and the only data-scale exchange is
+    the bucket hash partition. The order is bucket-major by (md5(id), id)
+    within bucket: a deterministic, content-independent shuffle — exactly
+    what training-shard writes need (reproducible across engines and runs,
+    uncorrelated with ingest order).
+    """
+    s = F.md5(F.col(id_col).cast("string"))
+    b = F.pmod(F.col(id_col).cast("long"), F.lit(n_buckets)).cast("int")
+    keyed = df.withColumn("__s", s).withColumn("__b", b)
+    counts = sorted(
+        (r["__b"], r["cnt"])
+        for r in keyed.groupBy("__b").agg(F.count("*").alias("cnt")).collect()
+    )
+    if not counts:  # empty input: map literal can't resolve a type
+        return df.withColumn(idx_col, F.lit(None).cast("long"))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bucket, cnt in counts:
+        offsets[bucket] = acc
+        acc += cnt
+    off_map = F.create_map(
+        *[F.lit(x) for bc in offsets.items() for x in bc]
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__b").orderBy("__s", id_col)
+    return (
+        keyed.withColumn(
+            idx_col,
+            (
+                F.element_at(off_map, F.col("__b"))
+                + F.row_number().over(w)
+                - F.lit(1)
+            ).cast("long"),
+        )
+        .drop("__s", "__b")
+    )
+
+
+def shard_assign(
+    df: DataFrame, id_col: str, shard_size: int, n_buckets: int = 256
+) -> DataFrame:
+    """Fixed-size shard assignment over the global shuffle order: shard k
+    holds index range [k*shard_size, (k+1)*shard_size) — every shard but
+    the last exactly ``shard_size`` rows, deterministic membership AND
+    in-shard order. Downstream, ``.repartition(n, 'shard')`` +
+    ``partitionBy('shard')`` writes one reproducible file per shard."""
+    idx = global_shuffle_index(df, id_col, n_buckets=n_buckets)
+    return idx.withColumn(
+        "shard", F.floor(F.col("gidx") / F.lit(shard_size)).cast("long")
+    )

@@ -577,3 +577,53 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(F.avg(nll_term)), 6).alias("ppl"),
         )
     )
+
+
+@register(
+    "q_shard_pack",
+    oracle=r"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS s,
+             CAST(doc_id % 16 AS INTEGER) AS bucket
+      FROM documents),
+    off AS (
+      SELECT bucket, count(*) AS c FROM keyed GROUP BY bucket),
+    off2 AS (
+      SELECT bucket,
+             CAST(sum(c) OVER (ORDER BY bucket) - c AS BIGINT) AS off
+      FROM off),
+    idx AS (
+      SELECT k.doc_id, k.n_chars,
+             o.off + row_number() OVER (
+               PARTITION BY k.bucket ORDER BY k.s, k.doc_id) - 1 AS gidx
+      FROM keyed k JOIN off2 o USING (bucket))
+    SELECT CAST(gidx // 100 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(gidx) AS BIGINT) AS first_idx,
+           CAST(max(gidx) AS BIGINT) AS last_idx
+    FROM idx GROUP BY shard
+    """,
+    doc="Fixed-size training-shard packing (the shard-writer tail of a "
+    "data pipeline): deterministic pseudorandom permutation -> dense "
+    "global index -> shard = gidx div 100, summarized per shard. The "
+    "index is the distributed zipWithIndex (operators/layout."
+    "global_shuffle_index): per-bucket row_numbers plus driver-side "
+    "cumulative offsets (n_buckets rows), so NO single-partition window "
+    "exists anywhere — the naive row_number() OVER (ORDER BY key) would "
+    "funnel 100 TB through one task. Every shard except the last gets "
+    "exactly 100 docs, reproducibly, on any engine.",
+    tags=("llm", "layout", "window"),
+)
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.layout import shard_assign
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    shards = shard_assign(docs, "doc_id", shard_size=100, n_buckets=16)
+    return shards.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("gidx").alias("first_idx"),
+        F.max("gidx").alias("last_idx"),
+    )

@@ -230,3 +230,42 @@ def test_compact_shrinks_file_count_preserving_rows(spark, tmp_path):
     # re-sorted: the single file is globally ordered by event_id
     ids = [r.event_id for r in after.select("event_id").collect()]
     assert ids == sorted(ids)
+
+
+def test_global_shuffle_index_dense_and_deterministic(spark):
+    from endtoend_etl_openmeteo_spark.operators.layout import (
+        global_shuffle_index,
+        shard_assign,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+    n = docs.count()
+    idx = global_shuffle_index(docs, "doc_id", n_buckets=16)
+    got = sorted(r.gidx for r in idx.collect())
+    assert got == list(range(n))  # dense 0..n-1, no gaps or dupes
+    # deterministic across invocations
+    again = {(r.doc_id, r.gidx) for r in
+             global_shuffle_index(docs, "doc_id", n_buckets=16).collect()}
+    assert {(r.doc_id, r.gidx) for r in idx.collect()} == again
+    # the permutation actually shuffles: not just doc_id order
+    by_idx = [r.doc_id for r in sorted(idx.collect(), key=lambda r: r.gidx)]
+    assert by_idx != sorted(by_idx)
+
+    # fixed-size shards: every shard but the last exactly shard_size rows
+    shards = shard_assign(docs, "doc_id", shard_size=64, n_buckets=16)
+    sizes = {r.shard: r.cnt for r in shards.groupBy("shard").count()
+             .withColumnRenamed("count", "cnt").collect()}
+    last = max(sizes)
+    for s, c in sizes.items():
+        assert c == 64 or (s == last and c == n - 64 * last)
+
+
+def test_global_shuffle_index_empty_input(spark):
+    from endtoend_etl_openmeteo_spark.operators.layout import global_shuffle_index
+
+    empty = spark.createDataFrame([], "doc_id long")
+    out = global_shuffle_index(empty, "doc_id")
+    assert out.collect() == []
+    assert dict(out.dtypes)["gidx"] == "bigint"
