@@ -164,6 +164,7 @@ PRIORITY: list[str] = [
     "q_simhash",
     "q_dedup_clusters",
     "q_kmeans",
+    "q_bpe_train",
     "q_ann_ivf",
     "q_ann_lsh",
     "q_multimodal_audio",

@@ -627,3 +627,28 @@ def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gidx").alias("first_idx"),
         F.max("gidx").alias("last_idx"),
     )
+
+
+@register(
+    "q_bpe_train",
+    oracle=None,  # iterative driver-state loop — rows-only check
+    doc="Iterative BPE merge training (operators/bpe.bpe_train): per "
+    "iteration one map-side-combined pair-count aggregate hands its top-1 "
+    "row to the driver, then a map-only higher-order-aggregate fold fuses "
+    "every leftmost-nonoverlapping occurrence corpus-wide — the "
+    "genuinely sequential within-row step expressed as a codegen fold, "
+    "no UDF. Returns the ordered merge table (the artifact a tokenizer "
+    "ships); correctness pinned by hand-example and invariant tests in "
+    "tests/test_bpe.py. The kmeans scale shape: iterations multiply "
+    "jobs, not state; driver state is n_merges rows.",
+    tags=("text", "llm", "iterative"),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(
+        tbl(spark, sf_dir, "documents").select("doc_id", "text"), n_merges=4
+    )
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count long"
+    )
