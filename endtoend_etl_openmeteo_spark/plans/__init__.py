@@ -154,6 +154,7 @@ PRIORITY: list[str] = [
     "q_domain_cap",
     "q_lm_score",
     "q_shard_pack",
+    "q_resample",
     "q_range_window",
     "q_rolling_distinct",
     "q_asof_forward",

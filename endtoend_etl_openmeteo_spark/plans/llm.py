@@ -652,3 +652,76 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count long"
     )
+
+
+@register(
+    "q_resample",
+    oracle="""
+    WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    tot AS (SELECT sum(n_docs) AS total FROM n),
+    w AS (
+      SELECT lang, n_docs,
+             pow(n_docs / (SELECT total FROM tot), 0.3) AS raw_w
+      FROM n),
+    z AS (SELECT sum(raw_w) AS z FROM w),
+    up AS (
+      SELECT lang,
+             round((raw_w / (SELECT z FROM z))
+                   / (n_docs / (SELECT total FROM tot)), 6) AS upweight
+      FROM w),
+    docs AS (
+      SELECT d.doc_id, d.lang, u.upweight,
+             (d.doc_id * 2654435761) % 4294967296 / 4294967296.0 AS unif
+      FROM documents d JOIN up u USING (lang)),
+    copies AS (
+      SELECT doc_id, lang,
+             CAST(floor(upweight)
+                  + (CASE WHEN unif < upweight - floor(upweight)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+      FROM docs)
+    SELECT doc_id, lang, CAST(u.i AS BIGINT) AS copy_idx
+    FROM copies, unnest(generate_series(1, n_copies)) AS u(i)
+    """,
+    doc="Materialize the q_rebalance temperature weights into an actual "
+    "resampled corpus: per-doc copies = floor(upweight) plus a "
+    "deterministic stochastic-rounding bit (Knuth multiplicative hash of "
+    "doc_id as the uniform — reproducible on any engine, no RNG state), "
+    "emitted as one row per copy via sequence+explode. Upweights are "
+    "dimension-sized and broadcast; the explode is map-only, so the "
+    "whole resample is scan-bounded at 100 TB. Downsampled languages "
+    "(upweight<1) drop docs where the uniform exceeds the fractional "
+    "part — same rule, no separate path.",
+    tags=("text", "llm", "sampling"),
+)
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    w = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "raw_w", F.pow(F.col("n_docs") / F.col("total"), F.lit(0.3))
+    )
+    z = w.agg(F.sum("raw_w").alias("z"))
+    up = w.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.round(
+            (F.col("raw_w") / F.col("z")) / (F.col("n_docs") / F.col("total")), 6
+        ).alias("upweight"),
+    )
+    # Knuth multiplicative hash -> uniform in [0,1): pure 64-bit integer
+    # arithmetic (doc_id * 2654435761 stays < 2^63), identical everywhere.
+    unif = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ) / F.lit(4294967296.0)
+    frac = F.col("upweight") - F.floor("upweight")
+    n_copies = (
+        F.floor("upweight") + F.when(unif < frac, 1).otherwise(0)
+    ).cast("long")
+    copies = F.when(
+        F.col("n_copies") >= 1,
+        F.sequence(F.lit(1).cast("long"), F.col("n_copies")),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        docs.join(F.broadcast(up), "lang")
+        .withColumn("n_copies", n_copies)
+        .select("doc_id", "lang", F.explode(copies).alias("copy_idx"))
+    )

@@ -167,3 +167,24 @@ def test_domain_cap_bounds_every_domain(spark, registry):
     # ranks are dense 1..n within each domain
     for v in per_domain.values():
         assert sorted(r.rk for r in v) == list(range(1, len(v) + 1))
+
+
+def test_resample_preserves_total_mass_and_reweights(spark, registry):
+    """Stochastic rounding must preserve expected mass (~n_docs total) and
+    actually move mass from the largest language to the smallest."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    by_lang = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = registry["q_resample"].fn(spark, SF)
+    copies = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = sum(copies.values())
+    assert abs(total - n_docs) / n_docs < 0.1
+    smallest = min(by_lang, key=by_lang.get)
+    largest = max(by_lang, key=by_lang.get)
+    assert copies[smallest] / by_lang[smallest] > 1.0  # rare lang upsampled
+    assert copies[largest] / by_lang[largest] < 1.0    # dominant lang downsampled
+    # copy indices are dense 1..n per doc
+    per_doc = out.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("copy_idx").alias("mx")
+    )
+    assert per_doc.filter(F.col("n") != F.col("mx")).count() == 0
