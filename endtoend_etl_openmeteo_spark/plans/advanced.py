@@ -968,6 +968,12 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+        # Both sides of the decorrelated subquery consume this part-keyed
+        # aggregate; materialize it once (part-sized, bounded) instead of
+        # re-running the lineitem scan+join+agg for the 1-row total —
+        # exchange reuse does NOT kick in across the broadcast boundary
+        # (measured: 9 parquet scans without, 5 with).
+        .localCheckpoint(eager=True)
     )
     total = val.agg((F.sum("value") * 0.001).alias("__threshold"))
     return (
@@ -1009,7 +1015,9 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
-    )
+    # supplier-sized and consumed twice (max + stream): materialize once
+    # rather than re-scanning lineitem for the 1-row max (see Q11 note)
+    ).localCheckpoint(eager=True)
     top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     supp = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
