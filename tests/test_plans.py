@@ -168,3 +168,15 @@ def test_domain_cap_single_window_exchange(spark, registry):
     plan = _physical(registry["q_domain_cap"].fn(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_shard_pack_avoids_single_partition_window(spark, registry):
+    """The distributed zipWithIndex must never funnel data through one
+    task: every Exchange is hash/agg-keyed, no SinglePartition exchange,
+    no global Sort — the per-bucket windows carry the ordering."""
+    import re
+
+    plan = _physical(registry["q_shard_pack"].fn(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert not re.search(r"Sort \[[^\]]*\], true", plan)  # no global sort
+    assert "Window" in plan  # per-bucket row_number is the mechanism

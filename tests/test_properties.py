@@ -178,3 +178,32 @@ def test_scd2_intervals_tile_each_users_history(spark, events):
     assert [r.is_current for r in out] == [False] * (len(out) - 1) + [True]
     for cur, nxt in zip(out, out[1:]):
         assert cur.valid_to == nxt.valid_from  # gap-free tiling
+
+
+def _fuse_reference(toks: list[str], left: str, right: str) -> list[str]:
+    """Pure-Python leftmost-nonoverlapping fuse — the BPE merge oracle."""
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+            out.append(left + "+" + right)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(st.sampled_from(["a", "b", "c"]), max_size=12),
+    left=st.sampled_from(["a", "b"]),
+    right=st.sampled_from(["a", "b"]),
+)
+def test_merge_adjacent_matches_reference_fold(spark, toks, left, right):
+    from endtoend_etl_openmeteo_spark.operators.bpe import merge_adjacent
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = df.select(merge_adjacent(F.col("toks"), left, right).alias("m")).collect()[
+        0
+    ].m
+    assert got == _fuse_reference(toks, left, right)
