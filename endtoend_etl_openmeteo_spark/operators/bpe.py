@@ -30,10 +30,13 @@ from endtoend_etl_openmeteo_spark.operators.dedup import (
     normalized_text,
 )
 
-#: Joiner for fused tokens. Any character absent from the normalized token
-#: stream works; '+' survives normalized_text (which only folds case and
-#: whitespace) and keeps fused tokens readable ("new+york+city").
-JOINER = "+"
+#: Joiner for fused tokens. MUST be absent from the normalized token
+#: stream, or literal occurrences collide with fused tokens and corrupt
+#: later merge statistics — normalized_text only folds case/whitespace, so
+#: printable joiners ('+', '_') are unsafe on real text ("c++", urls).
+#: U+001E (ASCII record separator) is unprintable and never survives into
+#: prose; render with ``fused.replace(JOINER, ' ')`` when displaying.
+JOINER = "\x1e"
 
 
 def merge_adjacent(tokens: Column, left: str, right: str) -> Column:

@@ -224,18 +224,24 @@ def global_shuffle_index(
     ``df`` — the distributed zipWithIndex every shard writer needs.
 
     A naive ``row_number() OVER (ORDER BY shuffle_key)`` funnels the whole
-    table through ONE partition. Instead: bucket rows by id (mod
-    ``n_buckets``), count each bucket (tiny aggregate), turn the counts
-    into cumulative offsets on the driver (n_buckets rows — bounded), and
-    add a per-bucket row_number. Every window is per-bucket (n_buckets-way
-    parallel, ~n/n_buckets rows each) and the only data-scale exchange is
-    the bucket hash partition. The order is bucket-major by (md5(id), id)
-    within bucket: a deterministic, content-independent shuffle — exactly
-    what training-shard writes need (reproducible across engines and runs,
-    uncorrelated with ingest order).
+    table through ONE partition. Instead: bucket rows by an md5-prefix of
+    the id (``n_buckets`` <= 256; larger values leave buckets empty, which
+    the offsets absorb), count each bucket (tiny aggregate), turn the
+    counts into cumulative offsets on the driver (n_buckets rows —
+    bounded), and add a per-bucket row_number. Every window is per-bucket
+    (n_buckets-way parallel) and the only data-scale exchange is the
+    bucket hash partition. Because the bucket is a PREFIX of the md5 sort
+    key, the global order is (almost) pure md5 order: a deterministic,
+    content-independent permutation, id-type-agnostic (ids go through a
+    string cast, so string/UUID keys work) and uncorrelated with id
+    arithmetic — id-mod bucketing would make every shard a single
+    id-residue class, re-correlating shards with whatever the id's low
+    bits encode (writer ids, shard allocators).
     """
     s = F.md5(F.col(id_col).cast("string"))
-    b = F.pmod(F.col(id_col).cast("long"), F.lit(n_buckets)).cast("int")
+    b = F.pmod(
+        F.conv(F.substring(s, 1, 2), 16, 10).cast("int"), F.lit(n_buckets)
+    ).cast("int")
     keyed = df.withColumn("__s", s).withColumn("__b", b)
     counts = sorted(
         (r["__b"], r["cnt"])

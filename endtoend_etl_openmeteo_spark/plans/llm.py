@@ -596,7 +596,9 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keyed AS (
       SELECT doc_id, n_chars,
              md5(CAST(doc_id AS VARCHAR)) AS s,
-             CAST(doc_id % 16 AS INTEGER) AS bucket
+             CAST((16 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                   + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                  % 16 AS INTEGER) AS bucket
       FROM documents),
     off AS (
       SELECT bucket, count(*) AS c FROM keyed GROUP BY bucket),
@@ -682,7 +684,8 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w),
     docs AS (
       SELECT d.doc_id, d.lang, u.upweight,
-             (d.doc_id * 2654435761) % 4294967296 / 4294967296.0 AS unif
+             ((d.doc_id % 2147483648) * 2654435761) % 4294967296
+               / 4294967296.0 AS unif
       FROM documents d JOIN up u USING (lang)),
     copies AS (
       SELECT doc_id, lang,
@@ -708,9 +711,12 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
     up = _lang_weights(docs).select("lang", "upweight")
     # Knuth multiplicative hash -> uniform in [0,1): pure 64-bit integer
-    # arithmetic (doc_id * 2654435761 stays < 2^63), identical everywhere.
+    # arithmetic. Pre-mod doc_id to 2^31 so the product stays < 2^63 for
+    # ANY id magnitude — without it, ids past ~3.5e9 (routine at 100 TB)
+    # silently wrap negative in Spark and overflow-error in DuckDB.
     unif = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
     ) / F.lit(4294967296.0)
     frac = F.col("upweight") - F.floor("upweight")
     n_copies = (

@@ -153,16 +153,22 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "approx"),
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from endtoend_etl_openmeteo_spark.operators.clusters import kmeans
+    from endtoend_etl_openmeteo_spark.operators.clusters import (
+        kmeans,
+        kmeans_assign,
+    )
 
     emb = tbl(spark, sf_dir, "embeddings")
     # Full-corpus quantizer training: this table's cluster structure is weak
     # enough that sample-trained centroids cost real recall (0.86 -> 0.64
     # on a 50% slice, measured) for no local win — training cost here is
-    # job overhead, not data. At 100 TB train offline on a sample and apply
-    # the trained centroids with operators.clusters.kmeans_assign (a
-    # shuffle-free codegen pass); the search path below is identical.
-    assignments, _ = kmeans(emb, k=10, iterations=2)  # recall >= 0.86 at 2
+    # job overhead, not data. The trained centroids go through
+    # kmeans_assign — the same shuffle-free apply path a 100 TB corpus
+    # would use after offline sample training — so the correctness gate
+    # exercises train AND apply (identical output to kmeans's own final
+    # assignment, pinned by tests/test_clusters.py).
+    _, centroids = kmeans(emb, k=10, iterations=2)  # recall >= 0.86 at 2
+    assignments = kmeans_assign(emb, centroids)
     cells = emb.join(
         assignments.withColumnRenamed("id", "vec_id"), "vec_id"
     )

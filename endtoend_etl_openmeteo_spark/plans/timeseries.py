@@ -559,7 +559,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(wo)
-    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    # eqNullSafe mirrors the oracle's IS DISTINCT FROM: a NULL event_type
+    # after a non-null one must START a run (plain != yields NULL there,
+    # which otherwise(0) would silently swallow).
+    chg = F.when(~prev.eqNullSafe(F.col("event_type")), 1).otherwise(0)
     running = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     runs = (
         tbl(spark, sf_dir, "events")

@@ -144,7 +144,14 @@ def run_streaming_elt(
     test/backfill mode; production passes False and a processingTime
     trigger.
     """
+    import hashlib
+
     hourly = streaming_hourly(stream_bronze(spark, bronze_path), policy=policy)
+    # Epoch ids are only unique WITHIN one checkpoint lineage; scope the
+    # quarantine partitions by a run id derived from the checkpoint path so
+    # a fresh-checkpoint rerun (epochs restart at 0) appends a new run's
+    # history instead of clobbering the old run's epoch-0 partition.
+    run_id = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         from endtoend_etl_openmeteo_spark.operators.dq import dq_gate, split_valid
@@ -152,16 +159,18 @@ def run_streaming_elt(
         if expectations is not None:
             if quarantine_path is not None:
                 batch, bad = split_valid(batch, expectations)
-                # Replay-safe: partition by epoch and dynamically overwrite,
-                # so a retried micro-batch REPLACES its own quarantine rows
-                # instead of appending duplicates (plain append would break
-                # the T3 exactly-once story on epoch retry).
+                # Replay-safe: partition by (run, epoch) and dynamically
+                # overwrite, so a retried micro-batch REPLACES its own
+                # quarantine rows instead of appending duplicates (plain
+                # append would break the T3 exactly-once story on retry),
+                # while other runs' partitions are untouched.
                 (
                     bad.withColumn("_quarantined_at", F.current_timestamp())
+                    .withColumn("_run_id", F.lit(run_id))
                     .withColumn("_epoch_id", F.lit(int(epoch_id)))
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("_epoch_id")
+                    .partitionBy("_run_id", "_epoch_id")
                     .parquet(quarantine_path)
                 )
             else:

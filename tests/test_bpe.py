@@ -3,9 +3,12 @@
 from pyspark.sql import functions as F
 
 from endtoend_etl_openmeteo_spark.operators.bpe import (
+    JOINER,
     bpe_train,
     merge_adjacent,
 )
+
+J = JOINER
 
 
 def test_merge_adjacent_leftmost_nonoverlapping(spark):
@@ -26,9 +29,9 @@ def test_merge_adjacent_leftmost_nonoverlapping(spark):
         ).collect()
     }
     assert got == {
-        1: ["a+a", "a"],
-        2: ["a+a", "a+a"],
-        3: ["x", "a+a", "x"],
+        1: ["a" + J + "a", "a"],
+        2: ["a" + J + "a", "a" + J + "a"],
+        3: ["x", "a" + J + "a", "x"],
         4: ["a"],
         5: [],
     }
@@ -43,12 +46,12 @@ def test_bpe_train_hand_example(spark):
     merges, toked = bpe_train(df, n_merges=3, min_count=2)
     # step 0: (b,c) count 3 beats (a,b) count 2
     assert merges[0][1:] == ("b", "c", 3)
-    # step 1: after fusing, (a, b+c) appears twice
-    assert merges[1][1:] == ("a", "b+c", 2)
+    # step 1: after fusing, (a, b<J>c) appears twice
+    assert merges[1][1:] == ("a", "b" + J + "c", 2)
     # nothing left with count >= 2 -> early stop
     assert len(merges) == 2
     got = {r.doc_id: r.toks for r in toked.collect()}
-    assert got == {1: ["a+b+c"], 2: ["a+b+c"], 3: ["b+c"]}
+    assert got == {1: ["a" + J + "b" + J + "c"], 2: ["a" + J + "b" + J + "c"], 3: ["b" + J + "c"]}
 
 
 def test_bpe_train_deterministic_on_ties(spark):

@@ -180,12 +180,15 @@ def test_scd2_intervals_tile_each_users_history(spark, events):
         assert cur.valid_to == nxt.valid_from  # gap-free tiling
 
 
+from endtoend_etl_openmeteo_spark.operators.bpe import JOINER
+
+
 def _fuse_reference(toks: list[str], left: str, right: str) -> list[str]:
     """Pure-Python leftmost-nonoverlapping fuse — the BPE merge oracle."""
     out, i = [], 0
     while i < len(toks):
         if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
-            out.append(left + "+" + right)
+            out.append(left + JOINER + right)
             i += 2
         else:
             out.append(toks[i])

@@ -245,16 +245,44 @@ def test_streaming_dq_quarantine_diverts_bad_rows(spark, workdir):
     assert [(r.city, r.temperature_2m) for r in quarantined] == [("Oslo", 999.0)]
     assert all(r._quarantined_at is not None for r in quarantined)
 
-    # Replay safety: reprocessing the same batch (fresh checkpoint -> same
-    # epoch id 0) must REPLACE the epoch's quarantine partition, not append
-    # a duplicate of the Oslo row — a micro-batch retry hits the same path.
-    q_replay = run_streaming_elt(
-        spark, bronze, silver, str(workdir / "ckpt1_replay"),
-        expectations=suite, quarantine_path=quarantine,
+    # Replay safety: a retry within the SAME checkpoint lineage replaces
+    # its own (run, epoch) quarantine partition instead of appending — the
+    # same bad rows land in the same partition and dynamic overwrite makes
+    # the write idempotent. Simulate the epoch-0 retry by re-running the
+    # foreachBatch body directly against the quarantine sink.
+    from endtoend_etl_openmeteo_spark.operators.dq import split_valid
+    from endtoend_etl_openmeteo_spark.streaming.pipeline import (
+        streaming_hourly,
     )
-    q_replay.awaitTermination(120)
+    import hashlib
+
+    run_id = hashlib.md5(str(workdir / "ckpt1").encode()).hexdigest()[:12]
+    hourly = streaming_hourly(_bronze_df(spark, rows))
+    _, bad = split_valid(hourly, suite)
+    (
+        bad.withColumn("_quarantined_at", F.current_timestamp())
+        .withColumn("_run_id", F.lit(run_id))
+        .withColumn("_epoch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_run_id", "_epoch_id")
+        .parquet(quarantine)
+    )
     replayed = spark.read.parquet(quarantine).collect()
     assert [(r.city, r.temperature_2m) for r in replayed] == [("Oslo", 999.0)]
+
+    # A DIFFERENT run (fresh checkpoint -> epochs restart at 0) appends its
+    # own run partition: prior history is preserved, never clobbered.
+    q_rerun = run_streaming_elt(
+        spark, bronze, silver, str(workdir / "ckpt1_rerun"),
+        expectations=suite, quarantine_path=quarantine,
+    )
+    q_rerun.awaitTermination(120)
+    rerun_rows = spark.read.parquet(quarantine).collect()
+    assert sorted((r.city, r.temperature_2m) for r in rerun_rows) == [
+        ("Oslo", 999.0), ("Oslo", 999.0),
+    ]
+    assert len({r._run_id for r in rerun_rows}) == 2
 
     # hard-block mode: same bad data, no quarantine path -> stream fails
     import pytest as _pytest
