@@ -155,6 +155,7 @@ PRIORITY: list[str] = [
     "q_lm_score",
     "q_shard_pack",
     "q_resample",
+    "q_tfidf",
     "q_range_window",
     "q_rolling_distinct",
     "q_asof_forward",

@@ -451,3 +451,62 @@ def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6).alias("entropy"),
         F.round(F.count("*") / n, 6).alias("ttr"),
     )
+
+
+@register(
+    "q_tfidf",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      FROM documents),
+    filtered AS (SELECT doc_id, w FROM words WHERE w <> ''),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM filtered GROUP BY 1, 2),
+    df AS (SELECT w, count(DISTINCT doc_id) AS n_docs_with FROM filtered GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id, t.w, t.tf,
+             round(t.tf * (ln(((SELECT count(*) FROM documents) + 1.0)
+                              / (d.n_docs_with + 1.0)) + 1), 6) AS tfidf
+      FROM tf t JOIN df d USING (w))
+    SELECT doc_id, w, CAST(tf AS BIGINT) AS tf, tfidf, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, w) AS BIGINT) AS rk
+      FROM scored) WHERE rk <= 5
+    """,
+    doc="Smoothed TF-IDF keyword extraction: top-5 terms per document by "
+    "tf * (ln((N+1)/(df+1)) + 1). One (doc, term) count, one vocab-sized "
+    "document-frequency aggregate broadcast back onto it (vocabularies "
+    "are bounded; the corpus-scale side is touched once), N collected as "
+    "a literal (parquet metadata count — no data scan), and a per-doc "
+    "top-k window. Scores are ROUNDED BEFORE RANKING (the q_ann_cosine "
+    "pattern) so 1-ulp ln() differences can't flip cross-engine ranks.",
+    tags=("text", "quality", "window"),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    docs = tbl(spark, sf_dir, "documents")
+    n_docs = docs.count()  # parquet metadata count — bounded, no data scan
+    words = (
+        cpu_parallelize(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(F.split(normalized_text("text"), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfr = words.groupBy("w").agg(
+        F.count_distinct("doc_id").alias("n_docs_with")
+    )
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("n_docs_with") + 1.0)) + 1
+    w_rk = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "w")
+    return (
+        tf.join(F.broadcast(dfr), "w")
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+        .withColumn("rk", F.row_number().over(w_rk).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "w", F.col("tf").cast("long").alias("tf"), "tfidf", "rk")
+    )
