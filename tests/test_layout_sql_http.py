@@ -269,3 +269,15 @@ def test_global_shuffle_index_empty_input(spark):
     out = global_shuffle_index(empty, "doc_id")
     assert out.collect() == []
     assert dict(out.dtypes)["gidx"] == "bigint"
+
+
+def test_global_shuffle_index_string_ids(spark):
+    """The bucket derives from an md5 prefix, so non-numeric ids (UUID-ish
+    strings) must work — an id-mod bucket would cast them all to NULL."""
+    from endtoend_etl_openmeteo_spark.operators.layout import global_shuffle_index
+
+    ids = [(f"doc-{i:04d}-{'abcdef'[i % 6]}",) for i in range(97)]
+    df = spark.createDataFrame(ids, "doc_id string")
+    idx = global_shuffle_index(df, "doc_id", n_buckets=16)
+    got = sorted(r.gidx for r in idx.collect())
+    assert got == list(range(97))

@@ -35,3 +35,20 @@ def test_all_queries_execute_at_smoke_sf(spark, sf_dir):
     for name, spec in sorted(registry.items()):
         df = spec.fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_all_query_outputs_are_flat_scalars(spark, sf_dir):
+    """The driver's pandas canonicalizer sorts rows by value, which dies
+    on list/dict cells (round 1's only hard CORRECTNESS failure was an
+    array<float> output column). EVERY declared query — rows-only ones
+    included — must therefore emit atomic columns only; digest complex
+    values (md5(to_json(...))) before returning them."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    registry = plans.load_all()
+    for name, spec in sorted(registry.items()):
+        for f in spec.fn(spark, sf_dir).schema.fields:
+            assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+                f"{name}.{f.name} is {f.dataType.simpleString()} — "
+                "driver canonicalizer cannot sort complex cells"
+            )
