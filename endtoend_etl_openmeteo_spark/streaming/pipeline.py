@@ -128,6 +128,7 @@ def run_streaming_elt(
     available_now: bool = True,
     expectations: list | None = None,
     quarantine_path: str | None = None,
+    gold_path: str | None = None,
 ) -> StreamingQuery:
     """bronze stream → flatten → [DQ split/gate] → foreachBatch merge into
     silver.
@@ -142,7 +143,9 @@ def run_streaming_elt(
     violation fails the stream (the reference's hard-block behavior).
     ``available_now`` drains all pending files then stops — the
     test/backfill mode; production passes False and a processingTime
-    trigger.
+    trigger. With ``gold_path`` set, each micro-batch also refreshes the
+    gold daily mart incrementally for the cities it touched (streaming
+    bronze → silver → gold end-to-end).
     """
     import hashlib
 
@@ -183,6 +186,23 @@ def run_streaming_elt(
             order_col="_ingested_at",
             partition_cols=["city"],
         )
+        if gold_path is not None:
+            # bronze -> silver -> gold inside ONE micro-batch: the gold
+            # mart refresh is scoped to the cities this batch touched
+            # (partition-pruned silver re-read + dynamic overwrite of just
+            # those city partitions), so per-epoch cost tracks batch size,
+            # not mart history — T2's hourly dashboard refresh without the
+            # reference's full-mart dbt rebuild.
+            from endtoend_etl_openmeteo_spark.pipeline import (
+                refresh_gold_incremental,
+            )
+
+            refresh_gold_incremental(
+                batch.sparkSession,
+                batch,
+                batch.sparkSession.read.parquet(silver_path),
+                gold_path,
+            )
 
     writer = (
         hourly.writeStream.foreachBatch(merge_batch)

@@ -295,3 +295,48 @@ def test_streaming_dq_quarantine_diverts_bad_rows(spark, workdir):
     with _pytest.raises(StreamingQueryException, match="data-quality gate"):
         q2.awaitTermination(120)
         raise AssertionError("stream should have failed")  # pragma: no cover
+
+
+def test_streaming_elt_refreshes_gold_incrementally(spark, workdir):
+    """bronze -> silver -> gold inside one micro-batch: the gold mart must
+    equal the batch fct_city_day over the final silver, and a later batch
+    touching one city must not disturb other cities' gold rows."""
+    from endtoend_etl_openmeteo_spark.pipeline import fct_city_day
+
+    bronze = str(workdir / "bronze")
+    silver = str(workdir / "silver")
+    gold = str(workdir / "gold")
+    ckpt = str(workdir / "ckpt")
+
+    write_bronze(_bronze_df(spark, GOOD_ROWS), bronze)
+    q = run_streaming_elt(spark, bronze, silver, ckpt, gold_path=gold)
+    q.awaitTermination(120)
+
+    cols = ["city", "cast(day as date) day", "temperature_2m",
+            "precipitation", "wind_speed_10m"]
+
+    def as_map(df):
+        return {
+            (r.city, r.day.isoformat()): (
+                r.temperature_2m, r.precipitation, r.wind_speed_10m
+            )
+            for r in df.selectExpr(*cols).collect()
+        }
+
+    def mart(path):
+        return as_map(spark.read.parquet(path))
+
+    assert mart(gold) == as_map(fct_city_day(spark.read.parquet(silver)))
+
+    # second batch: one Warsaw hour -> Warsaw's gold day updates, others keep
+    before = mart(gold)
+    late = _payload(
+        "Warsaw", "2025-10-31", "13", ["2025-10-31T13:00"], [20.0], [0.0], [4.0]
+    )
+    write_bronze(_bronze_df(spark, [late]), bronze)
+    q2 = run_streaming_elt(spark, bronze, silver, ckpt, gold_path=gold)
+    q2.awaitTermination(120)
+    after = mart(gold)
+    changed = {k for k in after if after[k] != before.get(k)}
+    assert all(k[0] == "Warsaw" for k in changed) and changed
+    assert after == as_map(fct_city_day(spark.read.parquet(silver)))
