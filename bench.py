@@ -42,6 +42,16 @@ def main() -> None:
     warm.mapInPandas(lambda it: it, schema="id long").write.format("noop").mode(
         "overwrite"
     ).save()
+    # Higher-order-function warmup: the first aggregate/transform/zip_with
+    # expression pays Janino class-loading for the lambda-eval paths
+    # (~4s), which would land on whichever HOF query sorts first.
+    run_query(
+        spark.range(1000).selectExpr(
+            "aggregate(sequence(1, 20), cast(0 as bigint), (a, x) -> a + x) s",
+            "transform(sequence(1, 20), x -> x * 2) t",
+            "zip_with(sequence(1, 5), sequence(1, 5), (a, b) -> a + b) z",
+        )
+    )
 
     timings: dict[str, float] = {}
     for name, spec in sorted(registry.items()):
