@@ -18,7 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -74,11 +74,34 @@ def minhash_signature(shingle_col: Column, n_hashes: int = 32) -> Column:
     (Measured: n_hashes codegen'd transform+array_min passes beat a
     single-pass aggregate() with an array accumulator — the accumulator
     allocates a fresh 32-wide array per shingle.)
+
+    The seed must be closed over via a def, NOT a `lambda s, i=i:` default
+    argument: F.transform dispatches on the lambda's PARAMETER COUNT, so a
+    two-parameter lambda receives (element, array_index) and the seed
+    default is silently overridden by the element position — collapsing
+    all n_hashes families into one.
     """
+
+    def family(i: int) -> Column:
+        return F.array_min(F.transform(shingle_col, lambda s: F.hash(s, F.lit(i))))
+
+    return F.array(*[family(i) for i in range(n_hashes)])
+
+
+def minhash_bands(sig_col: Column, n_hashes: int, bands: int) -> Column:
+    """(band, bucket) structs for a signature: hash each of ``bands``
+    contiguous signature slices. Shared by the batch pair-finder and the
+    incremental index so buckets stay compatible across both paths."""
+    rows_per_band = n_hashes // bands
     return F.array(
         *[
-            F.array_min(F.transform(shingle_col, lambda s, i=i: F.hash(s, F.lit(i))))
-            for i in range(n_hashes)
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(
+                    *[sig_col[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
         ]
     )
 
@@ -98,21 +121,13 @@ def minhash_lsh_pairs(
     over distinct shingle sets. Candidates come only from shared LSH band
     buckets; the verification join touches candidates, not all pairs.
     """
-    rows_per_band = n_hashes // bands
     base = cpu_parallelize(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
     ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
 
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
-                "bucket"
-            ),
-        )
-        for b in range(bands)
-    ]
-    banded = base.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+    banded = base.select(
+        "id", F.explode(minhash_bands(F.col("sig"), n_hashes, bands)).alias("bb")
+    ).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -209,3 +224,95 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .filter(F.size("__toks") > 0)
         .select("id", fp.alias("simhash"))
     )
+
+
+def incremental_neardup(
+    spark: SparkSession,
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup screen a NEW batch against a persistent MinHash signature
+    index — continuous-ingestion dedup without recomputing the corpus.
+
+    The index stores (id, sig) only: n_hashes ints per document (~128
+    bytes), ~0.1% of corpus size, so it stays cheap to scan forever.
+    Per batch: signatures for the NEW docs only, band buckets re-derived
+    map-only on both sides (minhash_bands — identical buckets to
+    minhash_lsh_pairs), the stored side pruned to buckets the batch
+    touches (broadcast semi-join on the batch's distinct buckets) before
+    the candidate join. Verification is the unbiased MinHash estimate
+    (matching-position fraction) — exact Jaccard would require storing
+    shingle sets, i.e. a corpus-scale index. Work per batch is
+    O(batch + touched buckets), never O(corpus).
+
+    Returns pairs (new_id, match_id, est_jaccard, match_is_new) covering
+    batch-vs-index AND intra-batch duplicates, then appends the batch's
+    signatures for ids not already indexed (rerunning the same batch is
+    a no-op on the index and returns the same pairs).
+    """
+    from endtoend_etl_openmeteo_spark.operators.merge import _path_exists
+
+    new_sigs = (
+        cpu_parallelize(new_df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
+        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+        .select("id", "sig")
+        .localCheckpoint(eager=True)  # consumed 3x: band, verify, append
+    )
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "id", "sig", F.explode(minhash_bands(F.col("sig"), n_hashes, bands)).alias("bb")
+        ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    new_banded = banded(new_sigs)
+    if _path_exists(spark, index_path):
+        old_sigs = spark.read.parquet(index_path)
+        touched = new_banded.select("band", "bucket").distinct()
+        old_side = banded(old_sigs).join(F.broadcast(touched), ["band", "bucket"])
+    else:
+        old_sigs = None
+        old_side = banded(new_sigs).limit(0)
+
+    right = old_side.withColumn("is_new", F.lit(False)).unionByName(
+        new_banded.withColumn("is_new", F.lit(True))
+    )
+    a, b = new_banded.alias("a"), right.alias("b")
+    est = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"), F.col("b.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(n_hashes))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        # new-new pairs once (id_a < id_b); new-old pairs always (new, old)
+        .filter(
+            (~F.col("b.is_new") & (F.col("a.id") != F.col("b.id")))
+            | (F.col("b.is_new") & (F.col("a.id") < F.col("b.id")))
+        )
+        .select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("match_id"),
+            F.round(est, 6).alias("est_jaccard"),
+            F.col("b.is_new").alias("match_is_new"),
+        )
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .distinct()
+        .localCheckpoint(eager=True)  # materialize BEFORE the index append
+    )
+    novel = (
+        new_sigs
+        if old_sigs is None
+        else new_sigs.join(old_sigs.select("id"), "id", "left_anti")
+    )
+    novel.write.mode("append").parquet(index_path)
+    return pairs
