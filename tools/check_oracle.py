@@ -150,7 +150,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
-        if name in ("q_ann_cosine", "q_ann_ivf", "q_ann_lsh"):
+        if name in ("q_ann_cosine", "q_ann_ivf", "q_ann_lsh", "q_minhash_neardup"):
             ann_results[name] = [dict(zip(spark_cols, r)) for r in spark_rows]
         if spec.oracle is None:
             rows_only.append(name)
@@ -188,6 +188,49 @@ def main() -> int:
             print(f"{status} recall[{approx_name}] = {recall:.3f} (floor {RECALL_FLOOR})")
             if recall < RECALL_FLOOR:
                 failures.append(f"recall:{approx_name}")
+    # MinHash banding recall vs EXACT shingle-Jaccard ground truth
+    # (O(n^2) but bounded: runs only when the query was checked). The
+    # round-1 seed-collapse bug (all signature families identical) kept
+    # row counts plausible while gutting candidate recall — a floor on
+    # true pair recovery is the only check that catches that class.
+    if "q_minhash_neardup" in ann_results:
+        from pyspark.sql import functions as F
+
+        from endtoend_etl_openmeteo_spark.operators.dedup import (
+            cpu_parallelize,
+            shingles,
+        )
+        from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+        d = cpu_parallelize(
+            tbl(spark, sf_dir, "documents").select("doc_id", "text")
+        ).select(F.col("doc_id").alias("id"), shingles("text", 3).alias("sh"))
+        a, b = d.alias("a"), d.alias("b")
+        jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
+            F.array_union("a.sh", "b.sh")
+        )
+        truth = {
+            (r["id_a"], r["id_b"])
+            for r in a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                jac.alias("j"),
+            )
+            .filter(F.col("j") >= 0.5)
+            .collect()
+        }
+        found = {
+            (r["id_a"], r["id_b"]) for r in ann_results["q_minhash_neardup"]
+        }
+        recall = len(found & truth) / max(len(truth), 1)
+        status = "ok   " if recall >= RECALL_FLOOR else "FAIL "
+        print(
+            f"{status} recall[q_minhash_neardup] = {recall:.3f} "
+            f"(floor {RECALL_FLOOR}, {len(truth)} true pairs)"
+        )
+        if recall < RECALL_FLOOR:
+            failures.append("recall:q_minhash_neardup")
     print(
         f"\n{len(registry) - len(failures) - len(rows_only)} ok, "
         f"{len(rows_only)} rows-only, {len(failures)} FAILED"
