@@ -27,33 +27,48 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 
 
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize `events.ts` to TimestampType across parquet encodings.
+
+    The testdata generator has shipped three physical encodings over time:
+    TIMESTAMP(NANOS) (read as long via `nanosAsLong`), µs TIMESTAMP_NTZ
+    (isAdjustedToUTC=false), and µs TIMESTAMP_LTZ. Downstream operators call
+    `F.unix_micros`, which requires TIMESTAMP_LTZ, so all three converge here.
+    The ns→µs narrowing uses exact integer division (`div 1000`, never
+    `/ 1000.0` — ns epoch values exceed double's 2^53 exact range), matching
+    DuckDB's truncation-toward-zero. The NTZ→LTZ cast is instant-preserving
+    because the session timezone is pinned UTC (session.py).
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table at the given scale-factor directory.
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects; we read it as a long (`nanosAsLong`) and convert to a proper
-    TimestampType via exact integer division (ns epoch values exceed
-    double's 2^53 exact-integer range, so `div 1000`, never `/ 1000.0`).
-    Truncation toward zero matches DuckDB's ns→µs narrowing.
+    `events` goes through :func:`_normalize_events_ts` so `ts` is always
+    TimestampType regardless of the file's physical encoding.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        return _normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def events_between(spark: SparkSession, sf_dir: str, start_iso: str, end_iso: str) -> DataFrame:
     """Half-open time-range scan of events with REAL parquet pushdown.
 
-    ``ts`` is derived (timestamp_micros over the raw ns long), so a filter
-    on it cannot reach the parquet reader — at 100 TB that's a full scan.
-    This helper filters the RAW long column with ns epoch literals (pushed
-    into row-group stats) and converts afterwards.
+    When ``ts`` is derived (timestamp_micros over a raw ns long, or a cast
+    from TIMESTAMP_NTZ), a filter on the derived column cannot reach the
+    parquet reader — at 100 TB that's a full scan. This helper filters the
+    RAW column with literals of the column's own physical type (pushed into
+    row-group stats) and converts afterwards.
     """
     import datetime as dt
 
@@ -63,11 +78,20 @@ def events_between(spark: SparkSession, sf_dir: str, start_iso: str, end_iso: st
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if not isinstance(raw.schema["ts"].dataType, T.LongType):
+    raw_type = raw.schema["ts"].dataType
+    if isinstance(raw_type, T.LongType):
         return raw.filter(
-            (F.col("ts") >= F.lit(start_iso).cast("timestamp"))
-            & (F.col("ts") < F.lit(end_iso).cast("timestamp"))
-        )
+            (F.col("ts") >= F.lit(ns(start_iso))) & (F.col("ts") < F.lit(ns(end_iso)))
+        ).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(raw_type, T.TimestampNTZType):
+        # Filter the NTZ column against NTZ literals (session tz pinned UTC
+        # makes the wall-clock literal the right instant) so the predicate
+        # pushes into the parquet scan, THEN cast to LTZ.
+        return raw.filter(
+            (F.col("ts") >= F.lit(start_iso).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(end_iso).cast("timestamp_ntz"))
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
     return raw.filter(
-        (F.col("ts") >= F.lit(ns(start_iso))) & (F.col("ts") < F.lit(ns(end_iso)))
-    ).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        (F.col("ts") >= F.lit(start_iso).cast("timestamp"))
+        & (F.col("ts") < F.lit(end_iso).cast("timestamp"))
+    )
