@@ -159,6 +159,7 @@ PRIORITY: list[str] = [
     "q_range_window",
     "q_rolling_distinct",
     "q_asof_forward",
+    "q_multimodal_audio",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",
@@ -169,7 +170,7 @@ PRIORITY: list[str] = [
     "q_bpe_train",
     "q_ann_ivf",
     "q_ann_lsh",
-    "q_multimodal_audio",
+    "q_multimodal_embedding",
 ]
 
 

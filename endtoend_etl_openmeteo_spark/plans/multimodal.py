@@ -46,13 +46,23 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_features",
-    oracle=None,  # stubbed codec — rows-only check
+    # The fake codec is deterministic (sha256 of the payload bytes), so the
+    # scalar feature columns ARE oracle-checkable: DuckDB's sha256()/strlen()
+    # hash/measure the same UTF-8 bytes Spark's encode() produces.
+    oracle="""
+        SELECT doc_id AS media_id,
+               strlen(text)::BIGINT AS n_bytes,
+               sha256(text) AS sha256,
+               (n_chars % 1024)::BIGINT AS width,
+               (n_chars % 768)::BIGINT AS height
+        FROM documents
+        WHERE doc_id % 4 NOT IN (0, 1)
+    """,
     doc="Binary-column feature extraction via Arrow-batched mapInPandas "
-    "(SURVEY §7 step 7 multimodal): opaque payload → per-item digest + "
-    "deterministic fake embedding. The decode seam is stubbed; schema, "
-    "batching and partitioning are the real 100 TB plumbing. The declared "
-    "query digests the embedding array (md5 of its JSON form) so the output "
-    "is flat scalars — the harness canonicalizer can't sort list columns.",
+    "(SURVEY §7 step 7 multimodal): opaque payload → per-item digest. The "
+    "decode seam is stubbed; schema, batching and partitioning are the real "
+    "100 TB plumbing. Scalar outputs only, so the driver hash-checks it; "
+    "the embedding-array variant is q_multimodal_embedding (rows-only).",
     tags=("multimodal", "pandas-udf"),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,32 +71,105 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "n_bytes",
         "sha256",
-        "width",
-        "height",
-        F.md5(F.to_json("embedding")).alias("embedding_md5"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+@register(
+    "q_multimodal_embedding",
+    oracle=None,  # fake-encoder output; no SQL analog — rows-only check
+    doc="Deterministic fake-encoder embedding digest (md5 of the JSON form "
+    "so the output is flat scalars — the harness canonicalizer can't sort "
+    "list columns). Exercises the full mapInPandas feature path including "
+    "the array column.",
+    tags=("multimodal", "pandas-udf"),
+)
+def q_multimodal_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = decode_images(_media_from_documents(spark, sf_dir))
+    return feats.select(
+        "media_id", F.md5(F.to_json("embedding")).alias("embedding_md5")
     )
 
 
 @register(
     "q_multimodal_frames",
-    oracle=None,  # metadata-only plan; exercised rows-only
+    # Pure metadata arithmetic — fully SQL-expressible: one row per sampled
+    # frame at 1 fps, at least one frame per video.
+    oracle="""
+        WITH v AS (
+            SELECT doc_id AS media_id,
+                   greatest(floor((n_chars / CAST(100.0 AS DOUBLE))
+                                  * CAST(1.0 AS DOUBLE))::INT, 1) AS n_frames
+            FROM documents
+            WHERE doc_id % 4 = 0
+        ), e AS (
+            SELECT media_id,
+                   unnest(generate_series(0, n_frames - 1)) AS i
+            FROM v
+        )
+        SELECT media_id,
+               i::BIGINT AS frame_idx,
+               i / CAST(1.0 AS DOUBLE) AS frame_ts_s
+        FROM e
+    """,
     doc="Video frame-sampling plan (1 fps) from typed metadata — JVM-side "
     "sequence arithmetic, payload bytes never touched.",
     tags=("multimodal",),
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sample_video_frames(_media_from_documents(spark, sf_dir), fps=1.0)
+    frames = sample_video_frames(_media_from_documents(spark, sf_dir), fps=1.0)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_ts_s",
+    )
 
 
 @register(
     "q_multimodal_audio",
-    oracle=None,  # metadata-only plan; exercised rows-only
+    # Window/hop arithmetic over (duration_s, sample_rate) metadata; windows
+    # tile at 2.5 s stride, final window truncates at the media end.
+    oracle="""
+        WITH a AS (
+            SELECT doc_id AS media_id,
+                   n_chars / CAST(100.0 AS DOUBLE) AS duration_s,
+                   16000 AS sample_rate
+            FROM documents
+            WHERE doc_id % 4 = 1
+        ), e AS (
+            SELECT media_id, duration_s, sample_rate,
+                   unnest(generate_series(
+                       0,
+                       greatest(ceil((duration_s - CAST(5.0 AS DOUBLE))
+                                     / CAST(2.5 AS DOUBLE))::INT, 0)
+                   )) AS i
+            FROM a
+        )
+        SELECT media_id,
+               i::BIGINT AS win_idx,
+               i * CAST(2.5 AS DOUBLE) AS start_s,
+               least(i * CAST(2.5 AS DOUBLE) + CAST(5.0 AS DOUBLE),
+                     duration_s) AS end_s,
+               round((least(i * CAST(2.5 AS DOUBLE) + CAST(5.0 AS DOUBLE),
+                            duration_s)
+                      - i * CAST(2.5 AS DOUBLE)) * sample_rate)::BIGINT
+                   AS n_samples
+        FROM e
+    """,
     doc="Audio analysis-window plan (5 s window, 2.5 s hop) from typed "
     "metadata — the STFT/encoder front-end shape; JVM-side window "
     "arithmetic, payload bytes never touched.",
     tags=("multimodal",),
 )
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return plan_audio_windows(
+    wins = plan_audio_windows(
         _media_from_documents(spark, sf_dir), window_s=5.0, hop_s=2.5
+    )
+    return wins.select(
+        "media_id",
+        F.col("win_idx").cast("long").alias("win_idx"),
+        "start_s",
+        "end_s",
+        "n_samples",
     )

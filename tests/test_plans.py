@@ -63,15 +63,31 @@ def test_whole_stage_codegen_covers_hot_path(spark, registry):
     assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
 
 
+#: The complete Python-on-executor allowlist. Policy: NO row-at-a-time
+#: Python UDFs anywhere (BatchEvalPython/ArrowEvalPython); vectorized
+#: Arrow-batch operators (MapInPandas/FlatMapGroupsInPandas) ONLY in the
+#: queries below, where JVM built-ins genuinely can't express the op:
+#: the multimodal codec seam and the LSH bucketed-matmul candidate path.
+VECTORIZED_PYTHON_ALLOWED = frozenset(
+    {
+        "q_multimodal_features",  # codec seam (operators/multimodal.py)
+        "q_multimodal_embedding",
+        "q_ann_lsh",  # hyperplane-projection matmul (operators/similarity.py)
+    }
+)
+
+
 def test_no_python_udfs_in_reference_parity_queries(spark, registry):
     """SURVEY §2.10: reference parity needs zero Python UDFs — everything
-    stays in Tungsten. Only the multimodal extension uses Arrow batches."""
+    stays in Tungsten. Row-at-a-time Python is banned everywhere; Arrow
+    vectorized operators are allowed only in VECTORIZED_PYTHON_ALLOWED."""
     for name, spec in registry.items():
-        if name.startswith("q_multimodal"):
-            continue
         plan = _physical(spec.fn(spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+        if name not in VECTORIZED_PYTHON_ALLOWED:
+            assert "MapInPandas" not in plan, name
+            assert "FlatMapGroupsInPandas" not in plan, name
 
 
 def test_gap_detect_broadcasts_expected_side(spark, registry):
