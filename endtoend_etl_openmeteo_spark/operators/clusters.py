@@ -94,28 +94,47 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
 def _assign_literal(
     v: DataFrame, cent_lits: list[tuple[int, list[float]]]
 ) -> DataFrame:
-    """Shuffle-free assignment of v(id, vec) against literal centroids:
+    """Shuffle-free assignment of v(id, vec) against driver-held centroids:
     argmin over (d2, cluster) structs — struct ordering gives the
-    lower-cluster tie-break; everything stays in codegen, no shuffle.
-    ONE transform over a 2-D centroid literal (not k unrolled distance
-    expressions) keeps the generated code small enough to JIT fast."""
+    lower-cluster tie-break.
+
+    The centroids ride as DATA (a one-row broadcast of the k·dim array),
+    NOT as literal expressions: embedding k·dim doubles in the plan makes
+    Janino recompile ~2 s of generated code for every distinct centroid
+    set (each k-means iteration, each query), whereas a constant-shape
+    expression over a broadcast column compiles once per session and is
+    reused by all iterations and all callers. ``v`` itself never shuffles
+    — the broadcast side is one row."""
+    spark = v.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(cl), [float(x) for x in c]) for cl, c in cent_lits],
+        "cluster int, centroid array<double>",
+    )
+    return _assign_centroids(v, cent_df)
+
+
+def _assign_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assignment core: cross-join ``v`` with a ONE-ROW broadcast holding
+    all (cluster, centroid) structs, argmin squared distance in codegen."""
     dist2 = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for _, c in cent_lits]
+    cents_row = centroids.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "centroid"))).alias("cents")
     )
-    ids = F.array(*[F.lit(cl) for cl, _ in cent_lits])
     choices = F.transform(
-        cents,
-        lambda c, i: F.struct(
-            dist2(F.col("vec"), c).alias("d2"),
-            F.element_at(ids, i + 1).alias("cluster"),
+        F.col("cents"),
+        lambda s: F.struct(
+            dist2(F.col("vec"), s["centroid"]).alias("d2"),
+            s["cluster"].alias("cluster"),
         ),
     )
-    return v.select("id", "vec", F.array_min(choices)["cluster"].alias("cluster"))
+    return (
+        v.crossJoin(F.broadcast(cents_row))
+        .select("id", "vec", F.array_min(choices)["cluster"].alias("cluster"))
+    )
 
 
 def kmeans_assign(
@@ -125,24 +144,76 @@ def kmeans_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest trained centroid — the search-time
-    half of the sample-trained quantizer pattern (train ``kmeans`` on a
-    sample, assign the full corpus). Collects the k centroids (bounded
-    driver state, k·dim doubles) and reuses the literal-argmin plan, so
-    assignment is a narrow codegen pass over ``vectors`` — no join and no
-    key-based shuffle regardless of corpus size (small single-file inputs
-    get a round-robin ``cpu_parallelize`` so the argmin uses every core).
-    Returns assignments(id, cluster).
+    half of the sample-trained quantizer pattern (train ``kmeans`` /
+    ``kmeans_train_sampled`` on a sample, assign the full corpus). The k
+    centroids ride as a one-row broadcast into a codegen argmin, so
+    assignment never key-shuffles ``vectors`` regardless of corpus size
+    (small single-file inputs get a round-robin ``cpu_parallelize`` so the
+    argmin uses every core). Returns assignments(id, cluster).
     """
     from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
 
-    cent = sorted(
-        (r["cluster"], list(r["centroid"])) for r in centroids.collect()
-    )
     v = cpu_parallelize(vectors).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    return _assign_literal(v, cent).select("id", "cluster")
+    cent = centroids.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("centroid").cast("array<double>").alias("centroid"),
+    )
+    return _assign_centroids(v, cent).select("id", "cluster")
+
+
+def kmeans_train_sampled(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample: int = 100_000,
+) -> DataFrame:
+    """Train k-means centroids on a bounded driver-side sample (numpy
+    Lloyd's) — the standard IVF-quantizer pattern (FAISS trains its coarse
+    quantizer on an in-memory sample; MLlib collects centroids per round).
+
+    Collects at most ``max_sample`` vectors (smallest ids — deterministic,
+    and the full corpus whenever it fits, so small scale factors lose no
+    recall vs distributed training), then iterates in-process: each Lloyd's
+    round on the sample costs microseconds instead of a Spark job, which is
+    what makes inline quantizer training affordable. At 100 TB the sample
+    cap is the point: training state stays k·dim + sample·dim doubles on
+    the driver while assignment (``kmeans_assign``) remains a distributed
+    shuffle-free pass over the full corpus.
+
+    Same algorithm as :func:`kmeans` (k smallest-id seeds, squared-euclidean
+    assignment, tie → lower cluster id, mean update); returns
+    centroids(cluster int, centroid array<double>).
+    """
+    import numpy as np
+
+    rows = (
+        vectors.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+        )
+        .orderBy("id")
+        .limit(max_sample)
+        .collect()
+    )
+    x = np.asarray([r["vec"] for r in rows], dtype=np.float64)  # (n, dim)
+    cent = x[:k].copy()  # smallest-id seeds, same as kmeans()
+    for _ in range(iterations):
+        # (n, k) squared distances; argmin ties break to the lower cluster
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(c, [float(v) for v in cent[c]]) for c in range(k)],
+        "cluster int, centroid array<double>",
+    )
 
 
 def kmeans(

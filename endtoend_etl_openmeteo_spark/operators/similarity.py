@@ -120,12 +120,14 @@ def ivf_topk(
     cell_col: str = "label",
     k: int = 10,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse cells + probe the nearest nprobe
     cells per query.
 
-    The coarse quantizer here is the per-``cell_col`` centroid (at scale:
-    k-means centroids refreshed offline; the search path is identical).
+    The coarse quantizer is either ``centroids`` (cluster/cell, centroid
+    array — e.g. k-means-trained, the offline-refresh pattern at scale) or,
+    when omitted, the per-``cell_col`` mean computed from the corpus itself.
     Plan shape: centroids are tiny → broadcast twice (assignment + probe);
     the corpus is scored only against queries probing its cell — the
     fraction of work vs brute force is nprobe/n_cells.
@@ -136,15 +138,21 @@ def ivf_topk(
     corpus_v = corpus.select(
         F.col(id_col).alias("n_id"), vec.alias("n_vec"), F.col(cell_col).alias("cell")
     )
-    # centroid per cell: posexplode + avg, reassembled with array_agg by pos
-    cent = (
-        corpus_v.select("cell", F.posexplode("n_vec"))
-        .groupBy("cell", "pos")
-        .agg(F.avg("col").alias("c"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("cell", F.transform("pc", lambda s: s["c"]).alias("centroid"))
-    )
+    if centroids is not None:
+        cent = centroids.select(
+            F.col(centroids.columns[0]).alias("cell"),
+            F.col(centroids.columns[1]).cast("array<double>").alias("centroid"),
+        )
+    else:
+        # centroid per cell: posexplode + avg, reassembled with array_agg by pos
+        cent = (
+            corpus_v.select("cell", F.posexplode("n_vec"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("c"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cell", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+        )
     q = queries.select(F.col(id_col).alias("q_id"), vec.alias("q_vec"))
     # probe assignment: top-nprobe cells by query→centroid cosine
     qc = q.join(F.broadcast(cent))

@@ -144,36 +144,34 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ann_ivf",
     oracle=None,  # approximate recall by design — rows-only check
     doc="IVF ANN with a k-means-trained coarse quantizer (operators/"
-    "clusters.kmeans -> operators/similarity.ivf_topk), nprobe=2 of 10 "
-    "cells per query — 20% of brute-force work at ~0.85+ recall "
-    "(tools/check_oracle.py enforces a 0.5 floor). Geometry-aware cells "
-    "beat the synthetic label column as quantizer (0.88 vs 0.30 recall "
-    "at the same nprobe). At 100 TB the quantizer trains offline on a "
-    "sample; the search path is identical.",
+    "clusters.kmeans_train_sampled -> kmeans_assign -> operators/"
+    "similarity.ivf_topk), nprobe=2 of 10 cells per query — 20% of "
+    "brute-force work (tools/check_oracle.py enforces a 0.5 recall "
+    "floor). The quantizer trains driver-side on a bounded sample (the "
+    "FAISS pattern — the cap covers the whole corpus at test SFs, so no "
+    "recall loss vs distributed training, measured 0.88); assignment and "
+    "probing stay distributed and shuffle-free, the exact 100 TB split.",
     tags=("similarity", "approx"),
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from endtoend_etl_openmeteo_spark.operators.clusters import (
-        kmeans,
         kmeans_assign,
+        kmeans_train_sampled,
     )
 
     emb = tbl(spark, sf_dir, "embeddings")
-    # Full-corpus quantizer training: this table's cluster structure is weak
-    # enough that sample-trained centroids cost real recall (0.86 -> 0.64
-    # on a 50% slice, measured) for no local win — training cost here is
-    # job overhead, not data. The trained centroids go through
-    # kmeans_assign — the same shuffle-free apply path a 100 TB corpus
-    # would use after offline sample training — so the correctness gate
-    # exercises train AND apply (identical output to kmeans's own final
-    # assignment, pinned by tests/test_clusters.py).
-    _, centroids = kmeans(emb, k=10, iterations=2)  # recall >= 0.86 at 2
+    centroids = kmeans_train_sampled(emb, k=10, iterations=2)
     assignments = kmeans_assign(emb, centroids)
     cells = emb.join(
         assignments.withColumnRenamed("id", "vec_id"), "vec_id"
     )
     return ivf_topk(
-        cells, emb.filter(F.col("vec_id") < 5), cell_col="cluster", k=10, nprobe=2
+        cells,
+        emb.filter(F.col("vec_id") < 5),
+        cell_col="cluster",
+        k=10,
+        nprobe=2,
+        centroids=centroids.withColumnRenamed("cluster", "cell"),
     )
 
 
