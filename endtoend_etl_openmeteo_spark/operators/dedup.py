@@ -236,6 +236,7 @@ def incremental_neardup(
     bands: int = 8,
     shingle_n: int = 3,
     est_threshold: float = 0.5,
+    batch_id: str | None = None,
 ) -> DataFrame:
     """Near-dup screen a NEW batch against a persistent MinHash signature
     index — continuous-ingestion dedup without recomputing the corpus.
@@ -252,9 +253,18 @@ def incremental_neardup(
     O(batch + touched buckets), never O(corpus).
 
     Returns pairs (new_id, match_id, est_jaccard, match_is_new) covering
-    batch-vs-index AND intra-batch duplicates, then appends the batch's
-    signatures for ids not already indexed (rerunning the same batch is
-    a no-op on the index and returns the same pairs).
+    batch-vs-index AND intra-batch duplicates, then persists the batch's
+    signatures.
+
+    Index layout and write safety: with ``batch_id`` set (recommended),
+    each batch OVERWRITES its own ``batch=<id>`` subdirectory — reruns
+    after a mid-write crash are idempotent (the partial subdir is replaced
+    whole, and its contents are excluded from the "already indexed" view
+    while recomputing), and concurrent batches with distinct ids never
+    touch each other's files. Without ``batch_id`` the legacy flat append
+    is used, which assumes a SINGLE WRITER: a crash mid-append can leave a
+    partially-visible batch whose ids are then skipped (not re-verified)
+    by the rerun's left-anti novelty check.
     """
     from endtoend_etl_openmeteo_spark.operators.merge import _path_exists
 
@@ -272,12 +282,20 @@ def incremental_neardup(
         ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     new_banded = banded(new_sigs)
-    if _path_exists(spark, index_path):
-        old_sigs = spark.read.parquet(index_path)
+    old_sigs = None
+    if batch_id is not None:
+        # Batch-stamped layout: the stored view is every sibling batch's
+        # subdir — NEVER this batch's own (a partial subdir from a crashed
+        # earlier attempt must not count as "already indexed").
+        sibling_paths = _sibling_batch_paths(spark, index_path, batch_id)
+        if sibling_paths:
+            old_sigs = spark.read.parquet(*sibling_paths).select("id", "sig")
+    elif _path_exists(spark, index_path):
+        old_sigs = spark.read.parquet(index_path).select("id", "sig")
+    if old_sigs is not None:
         touched = new_banded.select("band", "bucket").distinct()
         old_side = banded(old_sigs).join(F.broadcast(touched), ["band", "bucket"])
     else:
-        old_sigs = None
         old_side = banded(new_sigs).limit(0)
 
     right = old_side.withColumn("is_new", F.lit(False)).unionByName(
@@ -314,5 +332,24 @@ def incremental_neardup(
         if old_sigs is None
         else new_sigs.join(old_sigs.select("id"), "id", "left_anti")
     )
-    novel.write.mode("append").parquet(index_path)
+    if batch_id is not None:
+        # Whole-subdir overwrite: replaces any partial earlier attempt.
+        novel.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+    else:
+        novel.write.mode("append").parquet(index_path)
     return pairs
+
+
+def _sibling_batch_paths(spark: SparkSession, index_path: str, batch_id: str) -> list[str]:
+    """List ``batch=*`` subdirectories of the index EXCEPT this batch's own."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    out = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("batch=") and name != f"batch={batch_id}":
+            out.append(str(status.getPath().toString()))
+    return sorted(out)

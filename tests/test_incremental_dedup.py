@@ -74,6 +74,54 @@ def test_incremental_neardup_across_batches(spark, index_path):
     assert spark.read.parquet(index_path).count() == 5
 
 
+def test_incremental_neardup_batch_stamped_layout(spark, index_path):
+    """batch_id mode: each batch owns a batch=<id> subdir; reruns and
+    sibling batches never clobber each other."""
+    b1 = _docs(spark, [(1, BASE), (2, "totally unrelated words about jdbc sinks")])
+    assert incremental_neardup(
+        spark, b1, index_path, "doc_id", "text", batch_id="b1"
+    ).collect() == []
+    near = BASE.replace("quiet sleeping town", "quiet sleepy village")
+    b2 = _docs(spark, [(10, near)])
+    pairs = incremental_neardup(
+        spark, b2, index_path, "doc_id", "text", batch_id="b2"
+    ).collect()
+    assert {(r.new_id, r.match_id) for r in pairs} == {(10, 1)}
+    assert sorted(
+        p.name for p in Path(index_path).iterdir() if p.name.startswith("batch=")
+    ) == ["batch=b1", "batch=b2"]
+    assert spark.read.parquet(index_path).count() == 3
+
+
+def test_incremental_neardup_rerun_after_partial_write(spark, index_path):
+    """Crash-recovery: a batch whose index write died mid-append leaves a
+    partial batch=<id> subdir. Rerunning the SAME batch_id must return the
+    full correct pair set (partial contents don't count as 'already
+    indexed') and leave the index with exactly one signature per doc."""
+    b1 = _docs(spark, [(1, BASE), (2, "totally unrelated words about jdbc sinks")])
+    incremental_neardup(spark, b1, index_path, "doc_id", "text", batch_id="b1")
+
+    near = BASE.replace("quiet sleeping town", "quiet sleepy village")
+    other = "unrelated text on streaming watermarks and stateful operators"
+    b2 = _docs(spark, [(10, near), (11, other), (12, other + " with a small suffix")])
+
+    # Simulate the crashed first attempt: only doc 11's signature landed.
+    partial = _docs(spark, [(11, other)])
+    incremental_neardup(spark, partial, index_path, "doc_id", "text", batch_id="b2")
+
+    # Rerun of the full batch under the same batch_id.
+    pairs = incremental_neardup(
+        spark, b2, index_path, "doc_id", "text", batch_id="b2"
+    ).collect()
+    got = {(r.new_id, r.match_id): r.match_is_new for r in pairs}
+    assert (10, 1) in got and got[(10, 1)] is False  # cross-batch hit survives
+    assert (11, 12) in got and got[(11, 12)] is True  # intra-batch hit NOT lost
+    # to the partial write: doc 11's stale sig was excluded and replaced
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == 5
+    assert idx.select("id").distinct().count() == 5
+
+
 def test_incremental_neardup_identical_text_estimates_one(spark, index_path):
     incremental_neardup(
         spark, _docs(spark, [(1, BASE)]), index_path, "doc_id", "text"

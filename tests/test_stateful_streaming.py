@@ -68,3 +68,65 @@ def test_running_stats_across_micro_batches(spark, workdir):
     user1_emissions = sorted(r.n_events for r in rows if r.user_id == 1)
     assert len(user1_emissions) == 2
     assert user1_emissions[0] in (1, 2) and user1_emissions[1] == 3
+
+
+def test_running_stats_kill_and_resume(spark, workdir):
+    """Cross-RESTART state recovery (the T3 proof for the custom stateful
+    operator): a terminated query's per-key state must be rebuilt from the
+    checkpointed state store by a brand-new query instance, so totals keep
+    accumulating instead of restarting from zero. Sink is foreachBatch →
+    parquet (restartable — the memory sink refuses recovery by design)."""
+    src = workdir / "events"
+    src.mkdir()
+    out = workdir / "out"
+    ckpt = str(workdir / "ckpt")
+
+    def sink(batch_df, epoch_id):
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            str(out)
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            running_user_stats(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # Run 1 sees only file a, then terminates — state survives ONLY in the
+    # checkpointed state store.
+    pq.write_table(
+        pa.table({"user_id": [1, 1, 2], "value": [1.0, 2.0, 10.0]}), src / "a.parquet"
+    )
+    run_once()
+    first = {
+        r.user_id: (r.n_events, r.sum_value, r.max_value)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert first[1] == (2, 3.0, 2.0) and first[2] == (1, 10.0, 10.0)
+
+    # New data lands; a brand-new query resumes from the same checkpoint.
+    pq.write_table(pa.table({"user_id": [1, 3], "value": [4.0, 7.0]}), src / "b.parquet")
+    run_once()
+
+    rows = spark.read.parquet(str(out)).collect()
+    final = {}
+    for r in rows:
+        prev = final.get(r.user_id)
+        if prev is None or r.n_events > prev[0]:
+            final[r.user_id] = (r.n_events, r.sum_value, r.max_value)
+    # user 1's run-2 emission folds run-1 state (2, 3.0, 2.0) + file b's row
+    assert final[1] == (3, 7.0, 4.0)
+    assert final[2] == (1, 10.0, 10.0)  # untouched by run 2
+    assert final[3] == (1, 7.0, 7.0)
+    # run 2 processed ONLY file b: exactly one new emission for user 1
+    assert sorted(r.n_events for r in rows if r.user_id == 1) == [2, 3]
