@@ -170,6 +170,7 @@ PRIORITY: list[str] = [
     "q_bpe_train",
     "q_ann_ivf",
     "q_ann_lsh",
+    "q_ann_pq",
     "q_multimodal_embedding",
 ]
 

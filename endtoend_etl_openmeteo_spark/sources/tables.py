@@ -47,17 +47,37 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Timestamp-typed columns per table — the columns a testdata regeneration
+#: has historically re-encoded (NANOS in r1, µs-NTZ in r3). `events.ts` is
+#: fully normalized to TIMESTAMP_LTZ because downstream operators need
+#: `unix_micros`; orders/lineitem dates only repair the NANOS-as-long case
+#: and otherwise keep the file's type so date-range predicates still push
+#: into the scan un-cast (every call site is NTZ-safe date arithmetic).
+_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table at the given scale-factor directory.
 
     `events` goes through :func:`_normalize_events_ts` so `ts` is always
-    TimestampType regardless of the file's physical encoding.
+    TimestampType regardless of the file's physical encoding; other tables'
+    timestamp columns repair the NANOS-as-long encoding if it ever appears.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
+    if name in _TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return _normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            return _normalize_events_ts(df)
+        for col in _TS_COLS[name]:
+            if isinstance(df.schema[col].dataType, T.LongType):
+                df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -80,6 +80,28 @@ def test_unix_micros_works_on_every_encoding(spark, encoded_dirs, encoding):
     assert micros == want, encoding
 
 
+def test_orders_nanos_encoding_repaired(spark, tmp_path):
+    """orders/lineitem timestamp columns repair NANOS-as-long too (the r1
+    failure mode) — other encodings pass through untouched."""
+    base = dt.datetime(2024, 3, 1, 12, 0, 0, tzinfo=UTC)
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([7, 8], pa.int64()),
+            "o_orderstatus": pa.array(["O", "F"], pa.string()),
+            "o_totalprice": pa.array([10.0, 20.0], pa.float64()),
+            "o_orderdate": pa.array(
+                [int(base.timestamp() * 1e6) * 1_000] * 2, pa.timestamp("ns")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "orders.parquet"))
+    df = tbl(spark, str(tmp_path), "orders")
+    assert df.schema["o_orderdate"].dataType.typeName() == "timestamp"
+    assert [r["o_orderdate"] for r in df.collect()] == [base.replace(tzinfo=None)] * 2
+
+
 @pytest.mark.parametrize("encoding", ENCODINGS)
 def test_events_between_filters_and_pushes_down(spark, encoded_dirs, encoding):
     df = events_between(

@@ -9,6 +9,10 @@ from endtoend_etl_openmeteo_spark.operators.similarity import (
     embedding_neardup_pairs,
     ivf_topk,
     lsh_bucketed_topk,
+    pq_encode,
+    pq_topk,
+    pq_topk_rerank,
+    pq_train,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -59,6 +63,39 @@ def test_lsh_recall_vs_brute_force(spark, emb):
     r8, r16 = recall(8), recall(16)
     assert r8 >= 0.4, f"LSH mean recall@10 too low at 8 tables: {r8}"
     assert r16 > r8, f"recall not improved by more tables: {r8} -> {r16}"
+
+
+def test_pq_codes_shape_and_determinism(spark, emb):
+    cb = pq_train(emb, m=8, k=16, iterations=2)
+    assert cb.count() == 8 * 16
+    assert cb.select(F.size("centroid")).distinct().collect()[0][0] == 8  # dim/m
+    codes = pq_encode(emb, cb)
+    rows = {r["id"]: r["codes"] for r in codes.collect()}
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in rows.values())
+    # deterministic: retrain + re-encode gives identical codes
+    rows2 = {
+        r["id"]: r["codes"]
+        for r in pq_encode(emb, pq_train(emb, m=8, k=16, iterations=2)).collect()
+    }
+    assert rows == rows2
+
+
+def test_pq_rerank_recall_vs_brute_force(spark, emb):
+    """ADC alone eats quantization error on this diffuse data; the exact
+    re-rank stage must lift top-10 recall to the candidate-pool level."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(cosine_topk(emb, queries, k=10))
+    cb = pq_train(emb, m=8, k=32, iterations=4)
+    codes = pq_encode(emb, cb)
+
+    def mean_recall(df):
+        approx = _topk_sets(df)
+        return sum(len(exact[q] & approx.get(q, set())) / 10 for q in exact) / len(exact)
+
+    r_adc = mean_recall(pq_topk(codes, cb, queries, k=10))
+    r_rerank = mean_recall(pq_topk_rerank(codes, cb, emb, queries, k=10, n_candidates=50))
+    assert r_rerank >= 0.5, f"PQ+rerank recall too low: {r_rerank}"
+    assert r_rerank >= r_adc, f"re-rank must not lose recall: {r_adc} -> {r_rerank}"
 
 
 def test_neardup_pairs_symmetric_and_thresholded(spark, emb):

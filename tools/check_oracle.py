@@ -150,7 +150,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
-        if name in ("q_ann_cosine", "q_ann_ivf", "q_ann_lsh", "q_minhash_neardup"):
+        if name in ("q_ann_cosine", "q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_minhash_neardup"):
             ann_results[name] = [dict(zip(spark_cols, r)) for r in spark_rows]
         if spec.oracle is None:
             rows_only.append(name)
@@ -179,7 +179,7 @@ def main() -> int:
     RECALL_FLOOR = 0.5
     if "q_ann_cosine" in ann_results:
         exact = {(r["q_id"], r["n_id"]) for r in ann_results["q_ann_cosine"]}
-        for approx_name in ("q_ann_ivf", "q_ann_lsh"):
+        for approx_name in ("q_ann_ivf", "q_ann_lsh", "q_ann_pq"):
             if approx_name not in ann_results:
                 continue
             approx = {(r["q_id"], r["n_id"]) for r in ann_results[approx_name]}
