@@ -160,6 +160,8 @@ PRIORITY: list[str] = [
     "q_rolling_distinct",
     "q_asof_forward",
     "q_multimodal_audio",
+    "q_sentence_stats",
+    "q_readability",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

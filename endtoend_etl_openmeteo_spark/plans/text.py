@@ -510,3 +510,78 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("doc_id", "w", F.col("tf").cast("long").alias("tf"), "tfidf", "rk")
     )
+
+
+@register(
+    "q_sentence_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '[.!?]+'),
+                             s -> trim(s) != '')) AS n_sentences,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           round(n_tokens / greatest(n_sentences, 1), 6) AS tokens_per_sentence
+    FROM t
+    """,
+    doc="Sentence segmentation stats: terminal-punctuation split, blank "
+    "fragments dropped, tokens-per-sentence ratio — the sentence-length "
+    "feature of a fluency/quality pass. Map-only regexp work.",
+    tags=("text",),
+)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sentences = F.filter(
+        F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s) != ""
+    )
+    n_sent = F.size(sentences).cast("long")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        F.round(n_tokens / F.greatest(n_sent, F.lit(1)), 6).alias(
+            "tokens_per_sentence"
+        ),
+    )
+
+
+@register(
+    "q_readability",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                      s -> trim(s) != '')), 1) AS n_sentences,
+             greatest(len(string_split(text, ' ')), 1) AS n_words,
+             greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           round(206.835 - 1.015 * (n_words / n_sentences)
+                         - 84.6 * (n_syllables / n_words), 6) AS flesch
+    FROM t
+    """,
+    doc="Flesch reading-ease estimate: words/sentence and vowel-group "
+    "syllable proxy (the standard cheap readability filter for corpus "
+    "quality binning). One map-only pass, three regexp aggregates.",
+    tags=("text",),
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_sent = F.greatest(
+        F.size(F.filter(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s) != "")),
+        F.lit(1),
+    )
+    n_words = F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(1))
+    n_syll = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)),
+        F.lit(1),
+    )
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * (n_words / n_sent) - F.lit(84.6) * (n_syll / n_words)
+    )
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.round(flesch, 6).alias("flesch")
+    )

@@ -90,6 +90,23 @@ def test_no_python_udfs_in_reference_parity_queries(spark, registry):
             assert "FlatMapGroupsInPandas" not in plan, name
 
 
+def test_pq_encode_is_map_only_with_broadcast_codebook(spark):
+    """PQ encoding must scan the corpus exactly once with no key-based
+    shuffle: codebooks ride a one-row broadcast (the 100 TB claim — codes
+    are produced by a narrow pass, raw vectors never shuffle)."""
+    from endtoend_etl_openmeteo_spark.operators.similarity import pq_encode, pq_train
+    from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+    emb = tbl(spark, SF, "embeddings")
+    cb = pq_train(emb, m=8, k=16, iterations=1)
+    plan = _physical(pq_encode(emb, cb))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # Any hash exchange may only touch the m*k-row codebook aggregation
+    # (keyed on `block`); the corpus side is round-robin spread only.
+    assert plan.count("hashpartitioning") == plan.count("hashpartitioning(block")
+    assert "RoundRobinPartitioning" in plan
+
+
 def test_gap_detect_broadcasts_expected_side(spark, registry):
     """The tiny (keys x hours) expected series must broadcast — the fact
     scan never shuffles for the anti-join."""
