@@ -162,6 +162,9 @@ PRIORITY: list[str] = [
     "q_multimodal_audio",
     "q_sentence_stats",
     "q_readability",
+    "q_ohlc",
+    "q_twap",
+    "q_json_extract",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

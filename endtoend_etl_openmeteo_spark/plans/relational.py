@@ -380,3 +380,35 @@ def q_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(b.subtract(a).select("o_custkey", F.lit("only_1995").alias("tag")))
         .unionAll(a.intersect(b).select("o_custkey", F.lit("both").alias("tag")))
     )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+           round(avg(json_extract(props, '$.k')::BIGINT), 6) AS avg_k,
+           max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured path extraction: pull a typed field out of the "
+    "events.props JSON string (get_json_object — Jackson-backed, "
+    "JVM-side, no Python) and aggregate per event type. The parse is "
+    "map-side, so only (event_type, partial aggregates) ever shuffle — "
+    "the schema-on-read pattern for raw JSON payloads at scale.",
+    tags=("relational", "json"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+    )

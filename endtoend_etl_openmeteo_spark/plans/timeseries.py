@@ -585,3 +585,91 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.isNull().alias("is_current"),
         "n_events",
     )
+
+
+@register(
+    "q_ohlc",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             ts, event_id, value
+      FROM events
+    ), r AS (
+      SELECT bucket, value,
+             row_number() OVER (PARTITION BY bucket ORDER BY ts, event_id)
+               AS rn_a,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*)::BIGINT AS volume
+    FROM r GROUP BY bucket
+    """,
+    doc="Hourly OHLC candlesticks over the event stream (the TimescaleDB/"
+    "kdb resample staple): open/close via min_by/max_by on the (ts, "
+    "event_id) order key — one hash aggregate, no window over the fact "
+    "stream, so the plan is a single map-side-combined exchange at any "
+    "scale. Ties broken by event_id for cross-engine determinism.",
+    tags=("timeseries",),
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ordkey = F.struct("ts", "event_id")
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.min_by("value", ordkey).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.max_by("value", ordkey).alias("close"),
+            F.count("*").alias("volume"),
+        )
+    )
+
+
+@register(
+    "q_twap",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             value, epoch_us(ts) AS um,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+               ORDER BY ts, event_id
+             ) AS next_um
+      FROM events
+    )
+    SELECT event_type, day,
+           round(sum(value * (next_um - um)) / sum(next_um - um), 6) AS twap
+    FROM e WHERE next_um IS NOT NULL
+    GROUP BY event_type, day
+    """,
+    doc="Time-weighted average price/value per (event_type, day) — the "
+    "irregular-sampling average a plain AVG gets wrong (TimescaleDB "
+    "time_weight analog): each observation weighted by its holding time "
+    "to the next one, exact integer microsecond weights. One window sort "
+    "per key group, then a hash aggregate on the same key — the sort "
+    "partitioning is reused, no second shuffle.",
+    tags=("timeseries",),
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.date_trunc("day", "ts")
+    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    um = F.unix_micros(F.col("ts"))
+    events = tbl(spark, sf_dir, "events").withColumn(
+        "dt_us", (F.lead(um).over(w) - um).cast("double")
+    )
+    return (
+        events.filter(F.col("dt_us").isNotNull())
+        .groupBy("event_type", day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            ).alias("twap")
+        )
+    )
