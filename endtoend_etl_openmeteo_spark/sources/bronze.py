@@ -45,3 +45,34 @@ def read_bronze(spark: SparkSession, path: str) -> DataFrame:
     """Read the bronze table with the explicit payload schema (never
     inferred, SURVEY §1.4) + automatic partition discovery."""
     return spark.read.schema(BRONZE_READ_SCHEMA).json(path)
+
+
+def read_bronze_tolerant(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Corrupt-tolerant bronze read: (good_rows, bad_rows).
+
+    A 100 TB raw-JSON landing zone always contains some malformed lines
+    (truncated uploads, encoding damage); FAILFAST would kill the job on
+    the first one and silent DROPMALFORMED hides data loss. PERMISSIVE
+    mode captures each unparseable line verbatim in ``_corrupt_record``;
+    the caller quarantines ``bad`` (same pattern as the streaming DQ
+    quarantine) while ``good`` flows on with the declared schema.
+    """
+    schema = T.StructType(
+        BRONZE_READ_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # PERMISSIVE corrupt-capture requires materializing the raw column
+        # before it can be filtered (SPARK-38431: referencing only the
+        # corrupt column in a filter over an unmaterialized scan throws) —
+        # cache() keeps the double consumption to one parse.
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad

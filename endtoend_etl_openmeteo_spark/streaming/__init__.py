@@ -5,6 +5,7 @@ from endtoend_etl_openmeteo_spark.streaming.pipeline import (
     streaming_daily_agg,
     streaming_dedup,
     streaming_hourly,
+    streaming_sessionize,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "streaming_daily_agg",
     "streaming_dedup",
     "streaming_hourly",
+    "streaming_sessionize",
 ]

@@ -119,6 +119,41 @@ def streaming_daily_agg(hourly: DataFrame) -> DataFrame:
     )
 
 
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-key session aggregation with the BUILT-IN session_window — the
+    streaming form of q_sessionize. Sessions extend while events arrive
+    within ``gap`` of the current session end; the watermark closes a
+    session (emits in append mode) once event time passes session end +
+    ``watermark``, which also bounds state: one open session row per
+    active key, never the event history.
+
+    Late data inside the watermark merges into (or extends) its session;
+    later than that it is dropped — the streaming-exactness trade the
+    batch sessionizer doesn't have to make.
+    """
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_streaming_elt(
     spark: SparkSession,
     bronze_path: str,

@@ -340,3 +340,58 @@ def test_streaming_elt_refreshes_gold_incrementally(spark, workdir):
     changed = {k for k in after if after[k] != before.get(k)}
     assert all(k[0] == "Warsaw" for k in changed) and changed
     assert after == as_map(fct_city_day(spark.read.parquet(silver)))
+
+
+def test_streaming_session_window_merges_and_closes(spark, workdir):
+    """Built-in session_window: events within the gap merge into one
+    session per key; a gap larger than 30 min starts a new session; append
+    mode emits a session only after the watermark passes its close."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from endtoend_etl_openmeteo_spark.streaming import streaming_sessionize
+
+    src = workdir / "events_src"
+    src.mkdir()
+
+    def us(minute):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 10, 0, tzinfo=dt.timezone.utc)
+        return base + dt.timedelta(minutes=minute)
+
+    # user 1: events at 10:00, 10:10, 10:20 (one session), then 11:30
+    # (new session). user 2: one event. The 12:00 row advances the
+    # watermark far enough to close and emit everything earlier.
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 1, 9], pa.int64()),
+            "ts": pa.array(
+                [us(0), us(10), us(20), us(5), us(90), us(170)],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "value": pa.array([1.0, 2.0, 3.0, 10.0, 5.0, 0.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, src / "a.parquet")
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(
+        str(src)
+    )
+    name = f"sess_{uuid.uuid4().hex[:6]}"
+    q = (
+        streaming_sessionize(stream, gap="30 minutes", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    sessions = {
+        (r.user_id, r.session_start.minute): (r.n_events, r.sum_value) for r in rows
+    }
+    assert sessions[(1, 0)] == (3, 6.0)  # 10:00-10:20 merged (gap 10 min)
+    assert sessions[(1, 30)] == (1, 5.0)  # 11:30 is its own session
+    assert sessions[(2, 5)] == (1, 10.0)

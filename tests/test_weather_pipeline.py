@@ -260,3 +260,26 @@ def test_gap_detection_with_unaligned_bounds(spark):
         ("Warsaw", base + dt.timedelta(hours=6)),
         ("Warsaw", base + dt.timedelta(hours=30)),
     }
+
+
+def test_read_bronze_tolerant_quarantines_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE bronze read: malformed JSON lines land in the bad side
+    verbatim; good rows keep the declared schema and full fidelity."""
+    import json
+
+    from endtoend_etl_openmeteo_spark.sources.bronze import read_bronze_tolerant
+
+    p = tmp_path / "bronze" / "city=warsaw" / "ds=2024-01-01" / "hour=00"
+    p.mkdir(parents=True)
+    good_obj = {"latitude": 52.2, "longitude": 21.0}
+    broken = '{"latitude": 52.2, "longitu'  # truncated upload
+    (p / "part-0.json").write_text(json.dumps(good_obj) + "\n" + broken + "\n")
+
+    good, bad = read_bronze_tolerant(spark, str(tmp_path / "bronze"))
+    good_rows = good.collect()
+    assert len(good_rows) == 1
+    assert good_rows[0]["latitude"] == 52.2
+    assert good_rows[0]["city"] == "warsaw"  # partition discovery intact
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert bad_rows[0]["_corrupt_record"] == broken
