@@ -230,7 +230,8 @@ def kmeans(
     executor as LITERALS (k·dim doubles — the MLlib pattern: centroids are
     driver-side state, data never shuffles for assignment), assign by
     squared euclidean distance (tie → lower centroid id) with a narrow
-    codegen argmin, recompute centroids via posexplode + avg. Returns
+    codegen argmin, recompute centroids via one per-dimension avg
+    aggregate keyed on cluster. Returns
     (assignments(id, cluster), centroids(cluster, centroid array)).
 
     Scale shape: assignment is shuffle-FREE (argmin over literal centroids
@@ -251,18 +252,21 @@ def kmeans(
         (i, list(r["vec"])) for i, r in enumerate(seed)
     ]
 
+    # Centroid update: ONE map-side-combined exchange of (cluster, dim
+    # avgs) — k·partitions rows of dim+1 columns — instead of the
+    # posexplode shape's n·dim-row shuffle plus a second collect_list
+    # exchange. The dim-wide aggregate expression is identical every
+    # iteration, so its generated code compiles once per session.
+    dim = len(cent[0][1])
+    avgs = [
+        F.avg(F.element_at("vec", i + 1)).alias(f"c{i}") for i in range(dim)
+    ]
     for _ in range(iterations):
         assignments = _assign_literal(v, cent)
-        updated = (
-            assignments.select("cluster", F.posexplode("vec"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("col").alias("c"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-            .select("cluster", F.transform("pc", lambda s: s["c"]).alias("centroid"))
-            .collect()  # k rows — the driver-side state handoff
+        updated = assignments.groupBy("cluster").agg(*avgs).collect()
+        cent = sorted(
+            (r["cluster"], [r[f"c{i}"] for i in range(dim)]) for r in updated
         )
-        cent = sorted((r["cluster"], list(r["centroid"])) for r in updated)
     # Final assignment AGAINST the returned centroids, so the two halves of
     # the result are consistent (the in-loop assignment predates the last
     # centroid update) — and so kmeans_assign(v, centroids) reproduces it.

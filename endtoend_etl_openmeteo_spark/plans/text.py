@@ -360,9 +360,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_kmeans",
     oracle=None,  # iterative algorithm — rows-only check
     doc="Deterministic Lloyd's k-means (k=8, 3 iterations) over the "
-    "embedding column: broadcast-centroid assignment + posexplode/avg "
-    "update per round (operators/clusters.py) — the offline coarse-"
-    "quantizer trainer for q_ann_ivf.",
+    "embedding column: broadcast-centroid assignment + one per-dimension "
+    "avg aggregate per round (operators/clusters.py) — the corpus-resident "
+    "distributed trainer (the sampled variant backs q_ann_ivf).",
     tags=("similarity", "iterative"),
 )
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
