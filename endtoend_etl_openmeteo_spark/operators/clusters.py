@@ -19,9 +19,13 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     (id, cluster_id) with cluster_id = min id reachable. Works for any
     id type (long doc ids, string URIs/digests).
 
-    Min-label propagation: every node repeatedly adopts the smallest label
-    among itself and its neighbors; converges in O(diameter) rounds —
-    near-dup clusters are tiny and dense, so a handful of rounds suffices.
+    Min-label propagation with POINTER JUMPING: each round every node
+    adopts the smallest label among itself and its neighbors, then labels
+    chase their own label's label (label[x] = min(label[x],
+    label[label[x]]) — the path-halving step of classic parallel
+    connectivity). Neighbor-min alone converges in O(diameter) rounds,
+    which a chain-shaped component turns into O(n); the jump step
+    collapses chains geometrically, so rounds are O(log diameter).
     Raises RuntimeError if the cap is hit before the fixed point: a
     silently-split component would make downstream keep-one-per-cluster
     dedup keep extra duplicate copies with no signal.
@@ -56,12 +60,27 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # Pointer jump: label[x] <- min(label[x], label[label[x]]). Labels
+        # are always reachable node ids, so the self-join resolves; a
+        # chain's label chain halves every round.
+        parent = stepped.select(
+            F.col("id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
+        )
         labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            stepped.join(parent, stepped.cluster_id == parent.p_id, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("p_cluster"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
             # Lazy: the signature agg below is the first action, so ONE job

@@ -20,12 +20,14 @@ def test_dedup_clusters_known_graph(spark):
 
 
 def test_dedup_clusters_long_chain_converges(spark):
-    # worst case for label propagation: a 12-node path graph
-    n = 12
+    # Worst case for plain label propagation: a path graph. 60 nodes would
+    # need ~60 neighbor-min rounds; pointer jumping must finish within 10
+    # (O(log diameter) + 1 fixed-point-detection round).
+    n = 60
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
-    got = {r.id: r.cluster_id for r in dedup_clusters(pairs, max_iterations=20).collect()}
+    got = {r.id: r.cluster_id for r in dedup_clusters(pairs, max_iterations=10).collect()}
     assert set(got.values()) == {0}
     assert len(got) == n + 1
 
