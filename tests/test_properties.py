@@ -210,3 +210,133 @@ def test_merge_adjacent_matches_reference_fold(spark, toks, left, right):
         0
     ].m
     assert got == _fuse_reference(toks, left, right)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # type bucket
+            st.integers(0, 72 * 3600 - 1),  # second offset inside 3 days
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda e: (e[0], e[1]),
+    )
+)
+def test_twap_bounded_by_group_extremes(spark, events):
+    """A time-weighted average is a convex combination of the group's
+    observed values (minus each group's last observation, which carries no
+    holding time) — it must lie within [min, max] of the contributing
+    values."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(seconds=sec), f"t{ty}", val)
+            for i, (ty, sec, val) in enumerate(events)
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    day = F.date_trunc("day", "ts")
+    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    um = F.unix_micros(F.col("ts"))
+    contributed = (
+        df.withColumn("dt_us", (F.lead(um).over(w) - um).cast("double"))
+        .filter(F.col("dt_us").isNotNull())
+    )
+    got = (
+        contributed.groupBy("event_type", day.alias("day"))
+        .agg(
+            (F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us")).alias("twap"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r.lo - 1e-9 <= r.twap <= r.hi + 1e-9, r
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 48 * 3600 - 1),
+            st.floats(-1000, 1000, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda e: e[0],
+    )
+)
+def test_ohlc_internal_consistency(spark, rows):
+    """low <= open, close <= high; volume counts every event; open/close
+    pick the values at the bucket's earliest/latest (ts, event_id)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(seconds=sec), val)
+            for i, (sec, val) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, value double",
+    )
+    ordkey = F.struct("ts", "event_id")
+    got = (
+        df.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.min_by("value", ordkey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordkey).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .collect()
+    )
+    assert sum(r.volume for r in got) == len(rows)
+    for r in got:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-1, 1, allow_nan=False), min_size=8, max_size=8),
+        min_size=4,
+        max_size=20,
+    )
+)
+def test_pq_codes_valid_and_rerank_exact_on_selected(spark, vecs):
+    """PQ codes stay in [0, k) for every block; the re-rank stage's
+    cos_sim equals the plain exact cosine for every (query, neighbor) pair
+    it returns (re-rank never reports quantized similarities)."""
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk_rerank,
+        pq_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    k_sub = 4
+    cb = pq_train(df, m=4, k=k_sub, iterations=2)
+    codes = pq_encode(df, cb)
+    for r in codes.collect():
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < k_sub for c in r["codes"])
+    queries = df.filter(F.col("vec_id") < 2)
+    got = pq_topk_rerank(codes, cb, df, queries, k=5, n_candidates=8).collect()
+    exact = {
+        (r.q_id, r.n_id): r.cos_sim for r in cosine_topk(df, queries, k=100).collect()
+    }
+    for r in got:
+        assert r.cos_sim == exact[(r.q_id, r.n_id)], (r, exact.get((r.q_id, r.n_id)))
