@@ -658,15 +658,20 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    day = F.date_trunc("day", "ts")
-    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    # `day` must be a materialized column BEFORE the window so the
+    # follow-up aggregate's (event_type, day) grouping provably matches the
+    # window's hash partitioning — keyed on the raw expression, Catalyst
+    # plans a second exchange (verified by the plan-shape test).
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
     um = F.unix_micros(F.col("ts"))
-    events = tbl(spark, sf_dir, "events").withColumn(
-        "dt_us", (F.lead(um).over(w) - um).cast("double")
+    events = (
+        tbl(spark, sf_dir, "events")
+        .withColumn("day", F.date_trunc("day", "ts"))
+        .withColumn("dt_us", (F.lead(um).over(w) - um).cast("double"))
     )
     return (
         events.filter(F.col("dt_us").isNotNull())
-        .groupBy("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
         .agg(
             F.round(
                 F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6

@@ -107,6 +107,17 @@ def test_pq_encode_is_map_only_with_broadcast_codebook(spark):
     assert "RoundRobinPartitioning" in plan
 
 
+def test_single_exchange_aggregate_shapes(spark, registry):
+    """q_ohlc (min_by/max_by keyed candlesticks), q_twap (lead window +
+    aggregate sharing one (event_type, day) partitioning), and
+    q_json_extract (map-side JSON parse) must each move the fact stream
+    through exactly ONE exchange, with map-side partial aggregation."""
+    for q in ("q_ohlc", "q_twap", "q_json_extract"):
+        plan = _physical(registry[q].fn(spark, SF))
+        assert plan.count("Exchange") == 1, (q, plan.count("Exchange"))
+        assert "partial_" in plan, q
+
+
 def test_gap_detect_broadcasts_expected_side(spark, registry):
     """The tiny (keys x hours) expected series must broadcast — the fact
     scan never shuffles for the anti-join."""
