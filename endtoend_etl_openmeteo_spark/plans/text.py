@@ -429,27 +429,66 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Per-document word-distribution entropy + type-token ratio — the "
     "lexical-diversity quality signals (low entropy = keyword stuffing / "
-    "generated spam). Uses the closed form H = ln(N) - (1/N)*sum(c*ln c) "
-    "so ONE aggregation over (doc, word) counts yields entropy, distinct "
-    "count and TTR together; map-side partial agg absorbs the word "
-    "explosion before the (doc_id, word) shuffle.",
+    "generated spam). Entropy is a WITHIN-row quantity, so no shuffle is "
+    "needed at all: sort the token array and fold run-lengths with one "
+    "higher-order aggregate (H = ln(N) - (1/N)*sum(c*ln c) accumulated at "
+    "each run boundary) — a map-only pass where the previous explode + "
+    "two-aggregate shape shuffled every (doc_id, word) pair twice.",
     tags=("text", "quality"),
 )
 def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
 
-    words = cpu_parallelize(
-        tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    ).select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
-        F.col("word") != ""
+    toks = F.array_sort(
+        F.filter(F.split("text", " "), lambda w: w != "")
     )
-    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
-    n = F.sum("c")
-    return wc.groupBy("doc_id").agg(
-        n.cast("long").alias("n_words"),
-        F.count("*").alias("n_distinct"),
-        F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6).alias("entropy"),
-        F.round(F.count("*") / n, 6).alias("ttr"),
+    run_term = lambda st: F.when(  # noqa: E731 — closes the open run's c*ln(c)
+        st["run"] > 0, st["run"].cast("double") * F.log(st["run"].cast("double"))
+    ).otherwise(0.0)
+    fold = F.aggregate(
+        F.col("toks"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("acc"),
+            F.lit(0).cast("long").alias("distinct"),
+        ),
+        lambda st, w: F.when(
+            st["prev"].isNull() | (st["prev"] != w),
+            F.struct(
+                w.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                (st["acc"] + run_term(st)).alias("acc"),
+                (st["distinct"] + 1).alias("distinct"),
+            ),
+        ).otherwise(
+            F.struct(
+                st["prev"].alias("prev"),
+                (st["run"] + 1).alias("run"),
+                st["acc"].alias("acc"),
+                st["distinct"].alias("distinct"),
+            )
+        ),
+        lambda st: F.struct(
+            (st["acc"] + run_term(st)).alias("acc"),
+            st["distinct"].alias("distinct"),
+        ),
+    )
+    n = F.size("toks").cast("long")
+    return (
+        cpu_parallelize(tbl(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", n.alias("n_words"), fold.alias("f"))
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("f.distinct").alias("n_distinct"),
+            F.round(
+                F.log(F.col("n_words")) - F.col("f.acc") / F.col("n_words"), 6
+            ).alias("entropy"),
+            F.round(F.col("f.distinct") / F.col("n_words"), 6).alias("ttr"),
+        )
     )
 
 
