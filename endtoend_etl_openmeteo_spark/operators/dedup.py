@@ -40,6 +40,44 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def token_counts(s: Column) -> Column:
+    """Map-side term frequencies: array<struct<w string, tf long>> — the
+    run-length counts of an ALREADY-SORTED token array, built with linear
+    higher-order passes (run starts → next-start deltas), no shuffle.
+
+    ``s`` MUST be a materialized column holding `array_sort`ed tokens (a
+    prior .select projection), NOT an inline array_sort expression: the
+    sort is referenced once per element inside the lambdas below, and
+    Catalyst does not common-subexpression-eliminate inside higher-order
+    functions — an inline sort re-executes O(n log n) per element.
+
+    This is the load-bearing trick for corpus stats at scale: downstream
+    aggregates (document frequency, LM counts, TF-IDF) can explode ONE row
+    per distinct word per document instead of one per occurrence, so the
+    exchange carries |vocab ∩ doc| rows, not |doc| tokens.
+    """
+    n = F.size(s)
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1) | (F.element_at(s, i) != F.element_at(s, i - 1)),
+    )
+    nexts = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n + 1),
+    )
+    counts = F.zip_with(
+        starts,
+        nexts,
+        lambda a, b: F.struct(
+            F.element_at(s, a).alias("w"), (b - a).cast("long").alias("tf")
+        ),
+    )
+    # sequence(1, 0) would count DOWN — empty inputs short-circuit instead
+    return F.when(n == 0, F.expr("CAST(array() AS array<struct<w:string,tf:bigint>>)")).otherwise(
+        counts
+    )
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text (array<string>)."""
     toks = F.split(normalized_text(col), " ")

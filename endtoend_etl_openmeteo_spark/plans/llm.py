@@ -566,26 +566,35 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm", "quality"),
 )
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
-
-    words = (
-        cpu_parallelize(tbl(spark, sf_dir, "documents").select("doc_id", "text"))
-        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        cpu_parallelize,
+        token_counts,
     )
-    wc = words.groupBy("w").agg(F.count("*").alias("c"))
+
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    # One row per DISTINCT word per doc with its map-side tf — both the LM
+    # count aggregate and the scoring join shuffle |vocab ∩ doc| rows, not
+    # |doc| token occurrences.
+    wt = (
+        cpu_parallelize(tbl(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select("doc_id", F.array_sort(toks).alias("s"))
+        .select("doc_id", F.explode(token_counts(F.col("s"))).alias("wt"))
+        .select("doc_id", F.col("wt.w").alias("w"), F.col("wt.tf").alias("tf"))
+    )
+    wc = wt.groupBy("w").agg(F.sum("tf").alias("c"))
     tot = wc.agg(
         F.sum("c").cast("long").alias("t"), F.count("*").alias("v")
     )
     nll_term = -F.log((F.col("c") + 1.0) / (F.col("t") + F.col("v")))
+    mean_nll = F.sum(F.col("tf") * nll_term) / F.sum("tf")
     return (
-        words.join(F.broadcast(wc), "w")
+        wt.join(F.broadcast(wc), "w")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg(nll_term), 6).alias("nll"),
-            F.round(F.exp(F.avg(nll_term)), 6).alias("ppl"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(mean_nll, 6).alias("nll"),
+            F.round(F.exp(mean_nll), 6).alias("ppl"),
         )
     )
 

@@ -513,33 +513,35 @@ def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored) WHERE rk <= 5
     """,
     doc="Smoothed TF-IDF keyword extraction: top-5 terms per document by "
-    "tf * (ln((N+1)/(df+1)) + 1). One (doc, term) count, one vocab-sized "
-    "document-frequency aggregate broadcast back onto it (vocabularies "
-    "are bounded; the corpus-scale side is touched once), N collected as "
-    "a literal (parquet metadata count — no data scan), and a per-doc "
-    "top-k window. Scores are ROUNDED BEFORE RANKING (the q_ann_cosine "
-    "pattern) so 1-ulp ln() differences can't flip cross-engine ranks.",
+    "tf * (ln((N+1)/(df+1)) + 1). Term frequencies are computed MAP-SIDE "
+    "(token_counts run-length fold), so only one row per distinct word "
+    "per doc ever shuffles — document frequency is then a plain count, "
+    "vocab-sized, broadcast back (the corpus-scale side is touched once); "
+    "N collected as a literal (parquet metadata count — no data scan), "
+    "and a per-doc top-k window. Scores are ROUNDED BEFORE RANKING (the "
+    "q_ann_cosine pattern) so 1-ulp ln() differences can't flip "
+    "cross-engine ranks.",
     tags=("text", "quality", "window"),
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        cpu_parallelize,
+        token_counts,
+    )
 
     docs = tbl(spark, sf_dir, "documents")
     n_docs = docs.count()  # parquet metadata count — bounded, no data scan
-    words = (
+    toks = F.filter(F.split(normalized_text("text"), " "), lambda w: w != "")
+    tf = (
         cpu_parallelize(docs.select("doc_id", "text"))
-        .select(
-            "doc_id",
-            F.explode(F.split(normalized_text("text"), " ")).alias("w"),
-        )
-        .filter(F.col("w") != "")
+        .select("doc_id", F.array_sort(toks).alias("s"))
+        .select("doc_id", F.explode(token_counts(F.col("s"))).alias("wt"))
+        .select("doc_id", F.col("wt.w").alias("w"), F.col("wt.tf").alias("tf"))
     )
-    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dfr = words.groupBy("w").agg(
-        F.count_distinct("doc_id").alias("n_docs_with")
-    )
+    # each (doc, w) appears exactly once -> df is a plain count
+    dfr = tf.groupBy("w").agg(F.count("*").alias("n_docs_with"))
     idf = F.log((F.lit(n_docs) + 1.0) / (F.col("n_docs_with") + 1.0)) + 1
     w_rk = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "w")
     return (

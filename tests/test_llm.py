@@ -188,3 +188,23 @@ def test_resample_preserves_total_mass_and_reweights(spark, registry):
         F.count("*").alias("n"), F.max("copy_idx").alias("mx")
     )
     assert per_doc.filter(F.col("n") != F.col("mx")).count() == 0
+
+
+def test_token_counts_runlengths(spark):
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.dedup import token_counts
+
+    df = spark.createDataFrame(
+        [(1, ["b", "a", "b", "b"]), (2, ["x"]), (3, [])],
+        "id long, toks array<string>",
+    )
+    got = {
+        r["id"]: [(s["w"], s["tf"]) for s in r["wt"]]
+        for r in df.select(
+            "id", F.array_sort("toks").alias("s")
+        ).select("id", token_counts(F.col("s")).alias("wt")).collect()
+    }
+    assert got[1] == [("a", 1), ("b", 3)]
+    assert got[2] == [("x", 1)]
+    assert got[3] == []
