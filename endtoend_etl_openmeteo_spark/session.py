@@ -49,7 +49,10 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
-    # testdata events.parquet carries TIMESTAMP(NANOS); see sources.tables.tbl
+    # A vanilla external session (the verification driver's) keeps Spark's
+    # default 200 shuffle partitions — 6x task overhead at local scale.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # testdata events.parquet has shipped TIMESTAMP(NANOS); see sources.tables.tbl
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
