@@ -165,6 +165,8 @@ PRIORITY: list[str] = [
     "q_ohlc",
     "q_twap",
     "q_json_extract",
+    "q_mad_outliers",
+    "q_correlation",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

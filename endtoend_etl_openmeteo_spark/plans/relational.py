@@ -412,3 +412,97 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(k).alias("max_k"),
         )
     )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type,
+             any_value(med) AS med,
+             quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(m.med, 6) AS med,
+           round(m.mad, 6) AS mad,
+           sum(CASE WHEN abs(d.value - m.med) > 3 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+    doc="Robust outlier counting via median absolute deviation: per-type "
+    "median, MAD (median of |x - med|), and the count beyond 3 robust "
+    "sigmas (1.4826*MAD ≈ sigma under normality) — the outlier gate that, "
+    "unlike z-scores (q_anomaly_zscore), isn't dragged by the outliers "
+    "themselves. Two exact-percentile aggregates; the per-type stats are "
+    "|types| rows, broadcast back onto the scan for the count pass.",
+    tags=("aggregate", "quality"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events").select("event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"),
+    )
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "q_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+           round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Per-group Pearson correlation + sample covariance between fact "
+    "measures — the feature-relationship scan of an EDA/feature-selection "
+    "pass. Single map-side-combined aggregate: corr/covar partials "
+    "(n, means, co-moments) merge associatively, so the shuffle carries "
+    "|groups| rows of constant-size state.",
+    tags=("aggregate",),
+)
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "cov_qty_price"
+            ),
+            F.round(F.corr("l_discount", "l_extendedprice"), 6).alias(
+                "corr_disc_price"
+            ),
+        )
+    )
