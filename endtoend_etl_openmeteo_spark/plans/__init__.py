@@ -167,6 +167,7 @@ PRIORITY: list[str] = [
     "q_json_extract",
     "q_mad_outliers",
     "q_correlation",
+    "q_full_outer",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

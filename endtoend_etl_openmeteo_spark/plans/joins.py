@@ -120,3 +120,57 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
     )
+
+
+@register(
+    "q_full_outer",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*)::BIGINT AS n_purchases,
+             round(sum(value), 4) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), e AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*)::BIGINT AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT coalesce(p.day, e.day) AS day,
+           coalesce(p.n_purchases, 0)::BIGINT AS n_purchases,
+           coalesce(p.purchase_value, 0.0) AS purchase_value,
+           coalesce(e.n_errors, 0)::BIGINT AS n_errors
+    FROM p FULL OUTER JOIN e ON p.day = e.day
+    """,
+    doc="FULL OUTER join of two daily metric streams (purchases x errors) "
+    "with coalesced gap days — completes the join-type family (inner/"
+    "broadcast J3, semi F3, anti F5/J2, as-of, range, salted). Both "
+    "sides pre-aggregate to |days| rows before the join, so the outer "
+    "join itself moves bounded data regardless of event volume.",
+    tags=("join",),
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("purchase_value"),
+        )
+    )
+    e = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(day)
+        .agg(F.count("*").alias("n_errors"))
+    )
+    return (
+        p.alias("p")
+        .join(e.alias("e"), F.col("p.day") == F.col("e.day"), "full_outer")
+        .select(
+            F.coalesce(F.col("p.day"), F.col("e.day")).alias("day"),
+            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+            F.coalesce(F.col("purchase_value"), F.lit(0.0)).alias("purchase_value"),
+            F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors"),
+        )
+    )
