@@ -303,6 +303,11 @@ def incremental_neardup(
     is used, which assumes a SINGLE WRITER: a crash mid-append can leave a
     partially-visible batch whose ids are then skipped (not re-verified)
     by the rerun's left-anti novelty check.
+
+    An index that mixes both layouts (flat-era files + batch dirs) stays
+    fully visible to THIS operator (explicit path listing), but a bare
+    ``spark.read.parquet(index_path)`` on it drops the root-level files —
+    Spark's partition discovery can't mix leaf files with partition dirs.
     """
     from endtoend_etl_openmeteo_spark.operators.merge import _path_exists
 
@@ -379,7 +384,11 @@ def incremental_neardup(
 
 
 def _sibling_batch_paths(spark: SparkSession, index_path: str, batch_id: str) -> list[str]:
-    """List ``batch=*`` subdirectories of the index EXCEPT this batch's own."""
+    """Index contents EXCEPT this batch's own ``batch=<id>`` subdirectory:
+    every sibling batch dir PLUS any root-level parquet files from the
+    legacy flat-append layout — an index that started life un-stamped and
+    later switched to batch ids must not silently forget its early
+    signatures."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(index_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -389,5 +398,7 @@ def _sibling_batch_paths(spark: SparkSession, index_path: str, batch_id: str) ->
     for status in fs.listStatus(root):
         name = status.getPath().getName()
         if status.isDirectory() and name.startswith("batch=") and name != f"batch={batch_id}":
+            out.append(str(status.getPath().toString()))
+        elif status.isFile() and name.endswith(".parquet"):
             out.append(str(status.getPath().toString()))
     return sorted(out)

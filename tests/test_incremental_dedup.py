@@ -93,6 +93,26 @@ def test_incremental_neardup_batch_stamped_layout(spark, index_path):
     assert spark.read.parquet(index_path).count() == 3
 
 
+def test_incremental_neardup_flat_index_visible_from_batch_mode(spark, index_path):
+    """An index that started with legacy flat appends and later switched to
+    batch_id mode must still match against the flat-era signatures."""
+    incremental_neardup(  # legacy write — no batch_id
+        spark, _docs(spark, [(1, BASE)]), index_path, "doc_id", "text"
+    )
+    near = BASE.replace("quiet sleeping town", "quiet sleepy village")
+    pairs = incremental_neardup(
+        spark, _docs(spark, [(10, near)]), index_path, "doc_id", "text", batch_id="b2"
+    ).collect()
+    assert {(r.new_id, r.match_id) for r in pairs} == {(10, 1)}
+    # NOTE a mixed (flat files + batch dirs) index is NOT readable with a
+    # bare read.parquet(root) — Spark's partition discovery drops the root
+    # files. The operator's explicit path listing is the read path.
+    from endtoend_etl_openmeteo_spark.operators.dedup import _sibling_batch_paths
+
+    all_paths = _sibling_batch_paths(spark, index_path, batch_id="__none__")
+    assert spark.read.parquet(*all_paths).select("id").distinct().count() == 2
+
+
 def test_incremental_neardup_rerun_after_partial_write(spark, index_path):
     """Crash-recovery: a batch whose index write died mid-append leaves a
     partial batch=<id> subdir. Rerunning the SAME batch_id must return the
