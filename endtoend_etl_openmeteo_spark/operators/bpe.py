@@ -137,3 +137,30 @@ def bpe_train(
             "toks", merge_adjacent(F.col("toks"), left, right)
         ).localCheckpoint(eager=True)
     return merges, toked
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    out_col: str = "toks",
+) -> DataFrame:
+    """Apply a trained merge table to new text — the tokenizer's INFERENCE
+    half. Rules compose in training order as nested ``merge_adjacent``
+    folds inside one projection: a map-only pass, no shuffle, no driver
+    round-trips, O(n_merges · tokens) work per row.
+
+    Applying the rules in order over the training corpus reproduces the
+    trainer's own final tokenization exactly (pinned by
+    tests/test_bpe.py) — the BPE property that makes offline-trained
+    vocabularies portable to the scoring/packing pipeline.
+
+    Expression depth grows with the rule count; for vocabulary-scale merge
+    tables (10k+) chunk the application every few hundred rules with a
+    ``localCheckpoint`` to bound codegen size — the fold algebra is
+    unchanged.
+    """
+    expr: Column = F.split(normalized_text(text_col), " ")
+    for _, left, right, _ in sorted(merges):
+        expr = merge_adjacent(expr, left, right)
+    return cpu_parallelize(df).withColumn(out_col, expr)

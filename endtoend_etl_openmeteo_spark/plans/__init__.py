@@ -176,6 +176,7 @@ PRIORITY: list[str] = [
     "q_dedup_clusters",
     "q_kmeans",
     "q_bpe_train",
+    "q_bpe_encode",
     "q_ann_ivf",
     "q_ann_lsh",
     "q_ann_pq",

@@ -740,3 +740,28 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_copies", n_copies)
         .select("doc_id", "lang", F.explode(copies).alias("copy_idx"))
     )
+
+
+@register(
+    "q_bpe_encode",
+    oracle=None,  # iterative-trained vocabulary application — rows-only
+    doc="Tokenizer inference: apply a merge table trained on a bounded "
+    "document sample (operators/bpe.bpe_train) to the full corpus as "
+    "nested merge_adjacent folds — one map-only projection, no shuffle, "
+    "no driver round-trips (operators/bpe.bpe_encode). Emits per-doc "
+    "token counts before/after merging; encode-reproduces-training is "
+    "pinned by tests/test_bpe.py.",
+    tags=("llm", "text"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = tbl(spark, sf_dir, "documents")
+    sample = docs.orderBy("doc_id").limit(200)
+    merges, _ = bpe_train(sample, n_merges=3, min_count=2)
+    encoded = bpe_encode(docs, merges)
+    return encoded.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_raw_tokens"),
+        F.size("toks").cast("long").alias("n_bpe_tokens"),
+    )

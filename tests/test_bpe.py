@@ -78,3 +78,31 @@ def test_bpe_train_real_corpus_runs(spark):
     ).collect()[0].n
     after = toked.select(F.sum(F.size("toks")).alias("n")).collect()[0].n
     assert after < base
+
+
+def test_bpe_encode_reproduces_training_tokenization(spark):
+    """Applying the trained merge table in order must reproduce the
+    trainer's own final corpus tokenization — the portability property
+    that lets an offline-trained vocabulary encode new shards."""
+    from endtoend_etl_openmeteo_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat sat"),
+            (2, "the cat ran and the cat sat down"),
+            (3, "a dog sat on the mat with the cat"),
+        ],
+        "doc_id long, text string",
+    )
+    merges, tokenized = bpe_train(docs, n_merges=4, min_count=2)
+    assert merges, "expected at least one merge on this corpus"
+    want = {r["doc_id"]: r["toks"] for r in tokenized.collect()}
+    got = {
+        r["doc_id"]: r["toks"] for r in bpe_encode(docs, merges).collect()
+    }
+    assert got == want
+    # and it applies cleanly to UNSEEN text containing a trained pair
+    l, r = merges[0][1], merges[0][2]
+    unseen = spark.createDataFrame([(9, f"{l} {r} x")], "doc_id long, text string")
+    out = bpe_encode(unseen, merges).collect()[0]["toks"]
+    assert out[0].count("\x1e") >= 1  # first pair fused
