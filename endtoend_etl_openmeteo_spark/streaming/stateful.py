@@ -48,6 +48,79 @@ def _update_running(
     )
 
 
+EVICT_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, sum_value double, max_value double, evicted boolean"
+)
+
+
+def _make_evicting_update(timeout_ms: int):
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # Idle key: emit the final row flagged as evicted, free the state.
+            n, s, m = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "max_value": [m],
+                    "evicted": [True],
+                }
+            )
+            return
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in batches:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            if len(pdf):
+                m = max(m, float(pdf["value"].max()))
+        state.update((n, s, m))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "max_value": [m],
+                "evicted": [False],
+            }
+        )
+
+    return update
+
+
+def running_user_stats_with_eviction(
+    events_stream: DataFrame, idle_timeout_ms: int = 60_000
+) -> DataFrame:
+    """running_user_stats with PROCESSING-TIME idle-key eviction — the
+    state-store-bounding half the NoTimeout variant leaves out. A key that
+    receives no events for ``idle_timeout_ms`` of processing time gets one
+    final emission (``evicted=true``) and its state removed, so state size
+    tracks ACTIVE keys, not all keys ever seen — at 100 TB-scale
+    cardinality (user ids, session ids) an unevicted state store is the
+    thing that eventually OOMs every executor.
+
+    Timeouts fire at the end of any later micro-batch, so eviction rows
+    ride the normal output stream (no side channel to reconcile).
+    """
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_evicting_update(idle_timeout_ms),
+            outputStructType=EVICT_OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def running_user_stats(events_stream: DataFrame) -> DataFrame:
     """Per-user running (count, sum, max) over a stream of events rows
     (user_id long, value double, ...). Update-mode output: one row per key

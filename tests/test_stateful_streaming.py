@@ -130,3 +130,78 @@ def test_running_stats_kill_and_resume(spark, workdir):
     assert final[3] == (1, 7.0, 7.0)
     # run 2 processed ONLY file b: exactly one new emission for user 1
     assert sorted(r.n_events for r in rows if r.user_id == 1) == [2, 3]
+
+
+def test_idle_key_eviction_emits_final_row_and_frees_state(spark, workdir):
+    """ProcessingTimeTimeout: a key idle past the timeout gets one
+    evicted=true emission when a later micro-batch advances processing
+    time, and its state is removed — the state-bounding behavior that
+    keeps per-key state tracking ACTIVE keys only."""
+    import time as _time
+
+    from endtoend_etl_openmeteo_spark.streaming.stateful import (
+        running_user_stats_with_eviction,
+    )
+
+    src = workdir / "events"
+    src.mkdir()
+    out = workdir / "out"
+    ckpt = str(workdir / "ckpt")
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(str(out))
+
+    def rows():
+        try:
+            return spark.read.parquet(str(out)).collect()
+        except Exception:
+            return []
+
+    # A continuous micro-batch trigger, NOT availableNow: expired timers
+    # need a later micro-batch to fire in, and availableNow stops
+    # scheduling batches once the data is drained (the query then idles
+    # un-terminated with the timer pending).
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        running_user_stats_with_eviction(stream, idle_timeout_ms=1)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        def wait_for(pred, what, timeout=90):
+            deadline = _time.time() + timeout
+            while _time.time() < deadline:
+                if pred(rows()):
+                    return
+                _time.sleep(0.5)
+            raise AssertionError(f"timed out waiting for {what}")
+
+        pq.write_table(
+            pa.table({"user_id": [1, 1], "value": [1.0, 2.0]}), src / "a.parquet"
+        )
+        wait_for(lambda rs: any(r.user_id == 1 and not r.evicted for r in rs),
+                 "key 1 accumulation")
+        # key 2 arrives; key 1's expired idle timer fires in a later batch
+        # emitting its final totals with evicted=true
+        pq.write_table(pa.table({"user_id": [2], "value": [9.0]}), src / "b.parquet")
+        wait_for(lambda rs: any(
+            r.evicted and (r.user_id, r.n_events, r.sum_value) == (1, 2, 3.0)
+            for r in rs), "key 1 eviction row")
+        # key 1 reappears AFTER eviction — state must restart from zero
+        pq.write_table(pa.table({"user_id": [1], "value": [5.0]}), src / "c.parquet")
+        wait_for(lambda rs: any(
+            not r.evicted and (r.user_id, r.n_events, r.sum_value) == (1, 1, 5.0)
+            for r in rs), "key 1 fresh state after eviction")
+        assert not any(
+            not r.evicted and r.user_id == 1 and r.n_events == 3 for r in rows()
+        ), "evicted state leaked into the key's new incarnation"
+    finally:
+        q.stop()
+        q.awaitTermination(30)
