@@ -172,6 +172,7 @@ PRIORITY: list[str] = [
     # signal, so they spend the tail slots.
     "q_approx_stats",
     "q_minhash_neardup",
+    "q_neardup_incremental",
     "q_simhash",
     "q_dedup_clusters",
     "q_kmeans",

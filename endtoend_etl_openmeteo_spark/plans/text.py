@@ -626,3 +626,40 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl(spark, sf_dir, "documents").select(
         "doc_id", F.round(flesch, 6).alias("flesch")
     )
+
+
+@register(
+    "q_neardup_incremental",
+    oracle=None,  # MinHash-estimate verify — hash-specific, rows-only
+    doc="Continuous-ingestion near-dup screen (operators/dedup."
+    "incremental_neardup): batch 1 seeds a persistent (id, signature) "
+    "index, batch 2 screens against it — returns batch 2's pairs "
+    "(cross-batch AND intra-batch) from the batch-stamped index layout. "
+    "Work per batch is O(batch + touched buckets), never O(corpus); the "
+    "index is ~128 B/doc. Deterministic: same corpus split -> same "
+    "signatures -> same pairs (also covered by "
+    "tests/test_incremental_dedup.py).",
+    tags=("dedup", "incremental"),
+)
+def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from endtoend_etl_openmeteo_spark.operators.dedup import incremental_neardup
+
+    docs = tbl(spark, sf_dir, "documents")
+    half = docs.agg((F.max("doc_id") / 2).cast("long")).collect()[0][0]
+    index_dir = tempfile.mkdtemp(prefix="neardup_idx_")
+    try:
+        incremental_neardup(
+            spark, docs.filter(F.col("doc_id") <= half), index_dir,
+            "doc_id", "text", batch_id="b1",
+        )
+        # pairs are checkpointed eagerly inside the operator, so the index
+        # directory can be reclaimed as soon as the call returns
+        return incremental_neardup(
+            spark, docs.filter(F.col("doc_id") > half), index_dir,
+            "doc_id", "text", batch_id="b2",
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
