@@ -11,6 +11,7 @@ Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -133,7 +134,20 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     registry = plans.load_all()
-    spark = get_spark("check-oracle")
+    if os.environ.get("CHECK_ORACLE_VANILLA"):
+        # Driver-identical conditions: a bare session with none of the
+        # engine's creation-time confs — only what the registry wrapper
+        # applies at runtime. Catches results that depend on session
+        # defaults (partition counts change float-sum orders).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check-oracle")
     con = duck_con(sf_dir)
     failures, rows_only = [], []
     ann_results: dict[str, list] = {}
