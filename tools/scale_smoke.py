@@ -43,6 +43,9 @@ WATCHED = {
     "q_span_dedup": 3.0,
     "q_tfidf": 3.0,
     "q_lm_score": 3.0,
+    "q_neardup_incremental": 4.0,  # banded index probe + bucket prune
+    "q_bpe_encode": 3.0,  # sample-trained; encode is map-only
+    "q_word_entropy": 3.0,  # map-only fold — must stay embarrassingly linear
 }
 
 
