@@ -281,3 +281,98 @@ def test_global_shuffle_index_string_ids(spark):
     idx = global_shuffle_index(df, "doc_id", n_buckets=16)
     got = sorted(r.gidx for r in idx.collect())
     assert got == list(range(97))
+
+
+def test_register_weather_views_exposes_dbt_model_names(spark, tmp_path):
+    """The dbt-facing SQL facade: weather_hourly (silver), typed
+    stg_weather_hourly staging view, and fct_city_day when gold exists."""
+    from endtoend_etl_openmeteo_spark.sql import register_weather_views
+
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+    spark.createDataFrame(
+        [("warsaw", "2024-01-01 00:00:00", "3.5", "0.0", "12.0")],
+        "city string, timestamp string, temperature_2m string, "
+        "precipitation string, wind_speed_10m string",
+    ).write.parquet(silver)
+    spark.createDataFrame(
+        [("warsaw", "2024-01-01", 3.5)], "city string, day string, temperature_2m double"
+    ).write.parquet(gold)
+
+    register_weather_views(spark, silver, gold)
+    staged = spark.sql(
+        "SELECT city, temperature_2m FROM stg_weather_hourly"
+    ).collect()
+    assert staged == [("warsaw", 3.5)]  # string -> typed DOUBLE in staging
+    assert spark.sql("SELECT count(*) n FROM fct_city_day").collect()[0].n == 1
+
+
+def test_renest_hourly_roundtrips_through_unzip(spark):
+    """P4 re-nesting: flat rows -> singleton-array payloads that unzip back
+    to the identical flat rows (the bronze writer's inverse proof)."""
+    from endtoend_etl_openmeteo_spark.operators.explode import (
+        renest_hourly,
+        unzip_hourly,
+    )
+    from tests.test_weather_pipeline import GOOD_ROWS, _bronze_df
+
+    flat = (
+        unzip_hourly(_bronze_df(spark, GOOD_ROWS))
+        .withColumn("latitude", F.lit(52.23))
+        .withColumn("longitude", F.lit(21.01))
+        .withColumn("timezone", F.lit("UTC"))
+    )
+    nested = renest_hourly(flat)
+    # payload shape: one (city, ds, hour) per row with singleton arrays
+    r0 = nested.first()
+    assert len(r0["hourly"]["time"]) == 1
+    back = unzip_hourly(nested.drop("ds", "hour"))
+    cols = ["city", "timestamp", "temperature_2m", "precipitation", "wind_speed_10m"]
+    assert sorted(map(tuple, flat.select(*cols).collect())) == sorted(
+        map(tuple, back.select(*cols).collect())
+    )
+
+
+def test_ingest_log_append_and_skip(spark, tmp_path):
+    """S10/T3 batch form: log_ingested appends processed-file records;
+    filter_new_files skips exactly the logged keys on the next run."""
+    from endtoend_etl_openmeteo_spark.operators.gaps import (
+        filter_new_files,
+        log_ingested,
+    )
+
+    log_path = str(tmp_path / "ingest_log")
+    batch1 = spark.createDataFrame(
+        [("b", "k1", "e1", 10), ("b", "k2", "e2", 20)],
+        "bucket string, key string, etag string, rows_inserted long",
+    )
+    log_ingested(spark, batch1, log_path)
+    log_ingested(  # second batch appends, never overwrites
+        spark,
+        spark.createDataFrame(
+            [("b", "k3", "e3", 5)],
+            "bucket string, key string, etag string, rows_inserted long",
+        ),
+        log_path,
+    )
+    log = spark.read.parquet(log_path)
+    assert log.count() == 3
+    candidates = spark.createDataFrame(
+        [("k2",), ("k3",), ("k4",)], "key string"
+    )
+    fresh = sorted(r.key for r in filter_new_files(candidates, log).collect())
+    assert fresh == ["k4"]
+    assert sorted(
+        r.key for r in filter_new_files(candidates, None).collect()
+    ) == ["k2", "k3", "k4"]
+
+
+def test_fetch_payload_offline_raises_connection_error():
+    """S1/S2 driver-side fetch: offline environments get a typed error at
+    the call site, not an import-time or executor surprise."""
+    import pytest as _pytest
+
+    from endtoend_etl_openmeteo_spark.sources.http import fetch_payload
+
+    with _pytest.raises(ConnectionError, match="fetch failed"):
+        fetch_payload("http://127.0.0.1:9/nope", timeout_s=0.5)
