@@ -168,6 +168,7 @@ PRIORITY: list[str] = [
     "q_mad_outliers",
     "q_correlation",
     "q_full_outer",
+    "q_string_agg",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_approx_stats",

@@ -506,3 +506,34 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+    SELECT event_type,
+           string_agg(DISTINCT strftime(ts, '%Y-%m-%d'), ','
+                      ORDER BY strftime(ts, '%Y-%m-%d')) AS active_days,
+           count(DISTINCT strftime(ts, '%Y-%m-%d'))::BIGINT AS n_days
+    FROM events
+    WHERE value > 90
+    GROUP BY event_type
+    """,
+    doc="LISTAGG / string_agg parity: per-type sorted distinct active-day "
+    "roster as one delimited string — collect_set + array_sort + "
+    "array_join on the Spark side (collect_set's arrival order is "
+    "nondeterministic, so the sort IS the semantics; warehouses make the "
+    "same ORDER BY mandatory for determinism).",
+    tags=("aggregate",),
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.date_format("ts", "yyyy-MM-dd")
+    return (
+        tbl(spark, sf_dir, "events")
+        .filter(F.col("value") > 90)
+        .groupBy("event_type")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set(day)), ",").alias("active_days"),
+            F.count_distinct(day).alias("n_days"),
+        )
+    )
