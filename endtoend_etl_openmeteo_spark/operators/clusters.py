@@ -265,6 +265,19 @@ def kmeans(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     ).localCheckpoint(eager=True)
 
+    # Uniform dimensionality is a hard precondition: the per-dimension avg
+    # below subscripts every vector up to the seed dimension, which under
+    # ANSI mode raises INVALID_ARRAY_INDEX mid-job on a ragged vector.
+    # Fail fast with a clear message instead (one 1-row aggregate).
+    sizes = v.agg(
+        F.min(F.size("vec")).alias("lo"), F.max(F.size("vec")).alias("hi")
+    ).collect()[0]
+    if sizes["lo"] != sizes["hi"]:
+        raise ValueError(
+            "kmeans requires uniform vector dimensionality; got sizes "
+            f"{sizes['lo']}..{sizes['hi']} in column {vec_col!r}"
+        )
+
     # k seed rows → driver: [(cluster, [dim doubles]), ...]
     seed = v.orderBy("id").limit(k).select("vec").collect()
     cent: list[tuple[int, list[float]]] = [

@@ -59,7 +59,11 @@ def token_counts(s: Column) -> Column:
     n = F.size(s)
     starts = F.filter(
         F.sequence(F.lit(1), n),
-        lambda i: (i == 1) | (F.element_at(s, i) != F.element_at(s, i - 1)),
+        # i-1 is clamped to 1 so the subscript is well-defined for i == 1
+        # even under ANSI mode — the `i == 1` disjunct wins there anyway,
+        # without relying on OR short-circuit evaluation order.
+        lambda i: (i == 1)
+        | (F.element_at(s, i) != F.element_at(s, F.greatest(i - 1, F.lit(1)))),
     )
     nexts = F.concat(
         F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),

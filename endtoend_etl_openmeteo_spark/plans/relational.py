@@ -418,7 +418,11 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_mad_outliers",
     oracle="""
     WITH med AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS med
+      -- med/mad are rounded AT THE SOURCE (not just on output) so the
+      -- outlier threshold compares identical values in both engines:
+      -- unrounded linear-interpolated percentiles can differ by 1 ulp
+      -- between DuckDB and Spark, flipping boundary rows.
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
       FROM events GROUP BY event_type
     ), dev AS (
       SELECT e.event_type, e.value, m.med,
@@ -427,12 +431,12 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), mad AS (
       SELECT event_type,
              any_value(med) AS med,
-             quantile_cont(adev, 0.5) AS mad
+             round(quantile_cont(adev, 0.5), 6) AS mad
       FROM dev GROUP BY event_type
     )
     SELECT d.event_type,
-           round(m.med, 6) AS med,
-           round(m.mad, 6) AS mad,
+           m.med AS med,
+           m.mad AS mad,
            sum(CASE WHEN abs(d.value - m.med) > 3 * 1.4826 * m.mad
                     THEN 1 ELSE 0 END)::BIGINT AS n_outliers
     FROM dev d JOIN mad m USING (event_type)
@@ -448,20 +452,24 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = tbl(spark, sf_dir, "events").select("event_type", "value")
+    # med/mad rounded at the source (matching the oracle) so the threshold
+    # comparison below is deterministic across engines — see oracle comment.
     med = events.groupBy("event_type").agg(
-        F.percentile("value", 0.5).alias("med")
+        F.round(F.percentile("value", 0.5), 6).alias("med")
     )
     dev = events.join(F.broadcast(med), "event_type")
     mad = dev.groupBy("event_type").agg(
         F.first("med").alias("med"),
-        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"),
+        F.round(
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5), 6
+        ).alias("mad"),
     )
     return (
         events.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.first("med"), 6).alias("med"),
-            F.round(F.first("mad"), 6).alias("mad"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
             F.sum(
                 F.when(
                     F.abs(F.col("value") - F.col("med"))

@@ -643,13 +643,16 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from endtoend_etl_openmeteo_spark.operators.dedup import incremental_neardup
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
 
     docs = tbl(spark, sf_dir, "documents")
     half = docs.agg((F.max("doc_id") / 2).cast("long")).collect()[0][0]
-    index_dir = tempfile.mkdtemp(prefix="neardup_idx_")
+    # scratch_dir honors SPARK_GRAFT_SCRATCH so off-box deployments can
+    # point the index at a shared filesystem (driver-local temp is only
+    # valid in local[*] mode, where driver and executors share a disk).
+    index_dir = scratch_dir(prefix="neardup_idx_")
     try:
         incremental_neardup(
             spark, docs.filter(F.col("doc_id") <= half), index_dir,

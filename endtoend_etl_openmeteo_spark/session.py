@@ -77,6 +77,25 @@ def get_spark(
     return spark
 
 
+def scratch_dir(prefix: str = "scratch_") -> str:
+    """A fresh scratch directory for plan-internal side outputs (e.g. the
+    incremental near-dup signature index built inside q_neardup_incremental).
+
+    Honors ``SPARK_GRAFT_SCRATCH`` so a multi-node deployment can point
+    scratch at a SHARED filesystem (HDFS/S3/NFS) that executors can read —
+    a driver-local tempdir is only valid in local[*] mode, where driver and
+    executors share one machine. Falls back to ``tempfile.mkdtemp`` (the
+    local-mode default). Callers own cleanup (``shutil.rmtree``).
+    """
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if root:
+        os.makedirs(root, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=root)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an existing session."""
     for key, value in RUNTIME_CONF.items():

@@ -71,7 +71,13 @@ def scale_tables(spark, src: str, dst: str, replicas: int) -> None:
     )
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events"):
-        shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+        # testdata has shipped single-file parquet so far, but survive a
+        # directory-style regeneration too
+        src_path = Path(f"{src}/{t}.parquet")
+        if src_path.is_dir():
+            shutil.copytree(src_path, f"{dst}/{t}.parquet", dirs_exist_ok=True)
+        else:
+            shutil.copy(src_path, f"{dst}/{t}.parquet")
 
 
 def time_queries(spark, registry, sf_dir: str) -> dict[str, float]:
