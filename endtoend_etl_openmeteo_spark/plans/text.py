@@ -666,3 +666,50 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+
+
+@register(
+    "q_corpus_ingest",
+    oracle=None,  # MinHash-estimate screening — hash-specific, rows-only
+    doc="End-to-end continuous corpus ingest "
+    "(streaming.run_streaming_corpus_ingest): the documents table lands in "
+    "two micro-batch waves on a file stream; each epoch is screened "
+    "against the persistent MinHash index (batch_id = run-epoch, "
+    "crash-idempotent whole-subdir writes), duplicates quarantined, clean "
+    "docs committed to the corpus under replay-safe (run, epoch) "
+    "partitions. Returns one row per ingested doc with its kept/dup "
+    "verdict. Work per epoch is O(batch + touched buckets), never "
+    "O(corpus) — ingest cost tracks arrival rate as the corpus grows. "
+    "Crash/kill-resume semantics pinned by tests/test_corpus_ingest.py.",
+    tags=("dedup", "streaming"),
+)
+def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+    from endtoend_etl_openmeteo_spark.streaming import (
+        run_streaming_corpus_ingest,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    half = docs.agg((F.max("doc_id") / 2).cast("long")).collect()[0][0]
+    work = scratch_dir(prefix="corpus_ingest_")
+    corpus, quarantine = f"{work}/corpus", f"{work}/quarantine"
+    try:
+        for wave in (docs.filter(F.col("doc_id") <= half),
+                     docs.filter(F.col("doc_id") > half)):
+            wave.write.mode("append").parquet(f"{work}/landing")
+            q = run_streaming_corpus_ingest(
+                spark, f"{work}/landing", corpus, f"{work}/index",
+                f"{work}/ckpt", "doc_id bigint, text string",
+                quarantine_path=quarantine,
+            )
+            q.awaitTermination(600)
+        kept = spark.read.parquet(corpus).select("doc_id", F.lit(True).alias("kept"))
+        dupd = spark.read.parquet(quarantine).select(
+            "doc_id", F.lit(False).alias("kept")
+        )
+        # eager checkpoint: the result must outlive the scratch cleanup
+        return kept.unionByName(dupd).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,4 +1,5 @@
 from endtoend_etl_openmeteo_spark.streaming.pipeline import (
+    run_streaming_corpus_ingest,
     run_streaming_elt,
     stream_bronze,
     stream_stream_join,
@@ -9,6 +10,7 @@ from endtoend_etl_openmeteo_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "run_streaming_corpus_ingest",
     "run_streaming_elt",
     "stream_bronze",
     "stream_stream_join",

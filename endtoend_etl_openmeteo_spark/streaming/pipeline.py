@@ -154,6 +154,131 @@ def streaming_sessionize(
     )
 
 
+def run_streaming_corpus_ingest(
+    spark: SparkSession,
+    landing_path: str,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    schema: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quarantine_path: str | None = None,
+    est_threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous corpus ingest: landing docs stream → near-dup screen
+    against the persistent MinHash index → clean docs to the corpus,
+    duplicates quarantined — the 100-TB training-data pipeline shape that
+    composes the streaming ELT's exactly-once machinery with
+    ``operators.dedup.incremental_neardup``.
+
+    Per micro-batch (epoch):
+
+    - the batch is screened with ``batch_id = f"{run_id}-{epoch}"``, so the
+      index write is the operator's whole-subdir overwrite — a RETRIED
+      epoch (crash after the index write, before the sink commit) replaces
+      its own partial subdir and recomputes pairs with that subdir excluded
+      from the "already indexed" view: screen-then-index is idempotent
+      under Structured Streaming's replay contract, no batch is ever
+      double-screened against itself;
+    - a new doc is a duplicate iff it matches the index (est_jaccard >=
+      ``est_threshold`` vs any PRIOR batch) or a smaller-id doc in its OWN
+      batch (intra-batch cluster keeps its smallest id — the
+      ``exact_dedup`` keep-rule lifted to near-dups);
+    - clean and quarantined rows land under ``(_run_id, _epoch_id)``
+      partitions with dynamic overwrite, the same replay-safe sink layout
+      as ``run_streaming_elt``'s quarantine: an epoch retry REPLACES its
+      own output instead of appending duplicates.
+
+    Exactly-once file consumption comes from the streaming checkpoint
+    (T3); the analog in the reference is the ``_ingest_log`` skip of
+    ``ingestion/loader/load_to_postgres.py:150-185``, here lifted from
+    file-level to content-level dedup. Work per epoch is
+    O(batch + touched buckets) — never O(corpus) — so ingest cost tracks
+    arrival rate even as the corpus grows unboundedly.
+    """
+    import hashlib
+
+    run_id = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(landing_path)
+
+    def screen_batch(batch: DataFrame, epoch_id: int) -> None:
+        from endtoend_etl_openmeteo_spark.operators.dedup import (
+            incremental_neardup,
+        )
+
+        sess = batch.sparkSession
+        pairs = incremental_neardup(
+            sess,
+            batch,
+            index_path,
+            id_col,
+            text_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            est_threshold=est_threshold,
+            batch_id=f"{run_id}-{int(epoch_id)}",
+        )
+        # pairs is eagerly checkpointed inside the operator (it must
+        # materialize BEFORE the index append), so reusing it twice below
+        # re-reads checkpoint blocks, not the landing files.
+        dup_ids = (
+            pairs.filter(~F.col("match_is_new"))
+            .select(F.col("new_id").alias("__dup_id"))
+            .unionByName(
+                pairs.filter(F.col("match_is_new")).select(
+                    F.col("match_id").alias("__dup_id")
+                )
+            )
+            .distinct()
+        )
+        annotated = batch.join(
+            F.broadcast(dup_ids), batch[id_col] == dup_ids["__dup_id"], "left"
+        )
+        stamped = (
+            annotated.withColumn("_run_id", F.lit(run_id))
+            .withColumn("_epoch_id", F.lit(int(epoch_id)))
+        )
+
+        def sink(df: DataFrame, path: str) -> None:
+            (
+                df.drop("__dup_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_run_id", "_epoch_id")
+                .parquet(path)
+            )
+
+        sink(stamped.filter(F.col("__dup_id").isNull()), corpus_path)
+        if quarantine_path is not None:
+            sink(
+                stamped.filter(F.col("__dup_id").isNotNull()).withColumn(
+                    "_quarantined_at", F.current_timestamp()
+                ),
+                quarantine_path,
+            )
+
+    writer = (
+        docs.writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 hour")
+    return writer.start()
+
+
 def run_streaming_elt(
     spark: SparkSession,
     bronze_path: str,
