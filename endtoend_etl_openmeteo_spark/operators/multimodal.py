@@ -2,13 +2,17 @@
 (training-data-pipeline extension surface).
 
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
-batch shape, mapInPandas signatures; the codec step is STUBBED because no
-image/audio libraries exist in this container:
+batch shape, mapInPandas signatures. The codec step has two modes:
 
 - ``decode=\"fake\"`` (default) derives deterministic pseudo-features from
   the bytes themselves, so pipelines are testable end-to-end;
-- ``decode=\"real\"`` raises NotImplementedError at the exact seam where
-  Pillow/ffmpeg/torchaudio would plug in.
+- ``decode=\"real\"`` parses what stdlib ``struct`` can parse — PNG IHDR
+  geometry (width/height) and WAV fmt/data headers (sample rate, channels,
+  duration) — and raises NotImplementedError only for formats that
+  genuinely need a codec library (JPEG pixel decode, MP4), at the exact
+  seam where Pillow/ffmpeg/torchaudio would plug in. Learned embeddings
+  stay NULL in real mode: header decode is real, the encoder model is not
+  in this container.
 
 Scale notes: binary payloads ride Arrow batches into pandas workers —
 ``maxRecordsPerBatch`` bounds executor memory per batch; media tables
@@ -55,6 +59,59 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_ts_s double"
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_size(payload: bytes | None) -> tuple[int, int] | None:
+    """(width, height) from a PNG IHDR, or None if not a PNG.
+
+    The PNG spec fixes the layout: 8-byte signature, then the IHDR chunk
+    first — length(4, BE) + b"IHDR" + width(4, BE) + height(4, BE) — so
+    geometry sits at bytes 16..24 of every valid file. Pure stdlib.
+    """
+    import struct
+
+    if payload is None or len(payload) < 24 or not payload.startswith(PNG_SIGNATURE):
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", payload[16:24])
+    return width, height
+
+
+def parse_wav_header(
+    payload: bytes | None,
+) -> tuple[int, int, float] | None:
+    """(sample_rate, n_channels, duration_s) from a RIFF/WAVE header, or
+    None if not a WAV. Walks the chunk list (id(4) + size(4, LE) + body)
+    for ``fmt `` (sample rate, channels, byte rate) and ``data`` (payload
+    size → duration = data_size / byte_rate). Pure stdlib.
+    """
+    import struct
+
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[0:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    pos, rate, channels, byte_rate, data_size = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        (chunk_size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if chunk_id == b"fmt " and pos + 24 <= len(payload):
+            channels, rate, byte_rate = struct.unpack(
+                "<HII", payload[pos + 10 : pos + 20]
+            )
+        elif chunk_id == b"data":
+            data_size = chunk_size
+        pos += 8 + chunk_size + (chunk_size % 2)  # chunks are word-aligned
+    if rate is None or data_size is None or not byte_rate:
+        return None
+    return rate, channels, data_size / byte_rate
 
 
 def _fake_embedding(digest: bytes, dim: int = 8) -> list[float]:
