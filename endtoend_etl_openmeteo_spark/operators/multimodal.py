@@ -60,6 +60,11 @@ IMAGE_FEATURES_SCHEMA = (
 
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_ts_s double"
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, sha256 string, sample_rate int, "
+    "n_channels int, duration_s double, embedding array<float>"
+)
+
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
@@ -127,32 +132,52 @@ def _fake_embedding(digest: bytes, dim: int = 8) -> list[float]:
 def decode_images(df: DataFrame, decode: str = "fake") -> DataFrame:
     """Image decode + feature extraction over Arrow batches (mapInPandas).
 
-    Real implementation would decode payload → pixels → encoder embedding;
-    the fake path hashes the payload into deterministic features so the
-    pipeline shape (schema, batching, nullability) is fully exercised.
+    ``fake`` hashes the payload into deterministic features so the pipeline
+    shape (schema, batching, nullability) is fully exercised; ``real``
+    parses geometry from PNG IHDR bytes (stdlib) and raises
+    NotImplementedError for formats that need a pixel codec (JPEG/WebP) —
+    the exact seam where Pillow/opencv would plug in. Embeddings are NULL
+    in real mode: the encoder model is not in this container.
     """
     if decode not in ("fake", "real"):
         raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if decode == "real":  # pragma: no cover - codec seam
-                raise NotImplementedError(
-                    "real image decode requires an imaging library "
-                    "(Pillow/opencv); not available in this environment"
-                )
             payloads = pdf["payload"]
             digests = payloads.map(
                 lambda b: hashlib.sha256(b if b is not None else b"").digest()
             )
+            if decode == "real":
+
+                def geom(b: bytes | None) -> tuple[int | None, int | None]:
+                    if b is None:
+                        return (None, None)
+                    size = parse_png_size(b)
+                    if size is None:
+                        raise NotImplementedError(
+                            "real pixel decode beyond PNG headers requires an "
+                            "imaging library (Pillow/opencv); not available "
+                            "in this environment"
+                        )
+                    return size
+
+                sizes = payloads.map(geom)
+                width = sizes.map(lambda s: s[0])
+                height = sizes.map(lambda s: s[1])
+                embedding = pd.Series([None] * len(pdf), index=pdf.index)
+            else:
+                width = pdf["meta"].map(lambda m: m["width"] if m else None)
+                height = pdf["meta"].map(lambda m: m["height"] if m else None)
+                embedding = digests.map(_fake_embedding)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
                     "sha256": digests.map(bytes.hex),
-                    "width": pdf["meta"].map(lambda m: m["width"] if m else None),
-                    "height": pdf["meta"].map(lambda m: m["height"] if m else None),
-                    "embedding": digests.map(_fake_embedding),
+                    "width": width,
+                    "height": height,
+                    "embedding": embedding,
                 }
             )
 
@@ -160,6 +185,67 @@ def decode_images(df: DataFrame, decode: str = "fake") -> DataFrame:
 
     images = cpu_parallelize(df.filter(F.col("kind") == "image"))
     return images.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def decode_audio(df: DataFrame, decode: str = "fake") -> DataFrame:
+    """Audio decode + feature extraction over Arrow batches (mapInPandas).
+
+    ``fake`` passes typed metadata through and derives a deterministic
+    pseudo-embedding from the payload digest; ``real`` parses the RIFF/WAVE
+    header with stdlib ``struct`` (sample rate, channel count, duration)
+    and raises NotImplementedError for compressed formats (MP3/FLAC/OGG)
+    that need a waveform codec — the torchaudio/ffmpeg seam. Embeddings
+    are NULL in real mode.
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            digests = payloads.map(
+                lambda b: hashlib.sha256(b if b is not None else b"").digest()
+            )
+            if decode == "real":
+
+                def hdr(b: bytes | None) -> tuple:
+                    if b is None:
+                        return (None, None, None)
+                    parsed = parse_wav_header(b)
+                    if parsed is None:
+                        raise NotImplementedError(
+                            "real audio decode beyond WAV headers requires a "
+                            "codec library (torchaudio/ffmpeg); not available "
+                            "in this environment"
+                        )
+                    return parsed
+
+                headers = payloads.map(hdr)
+                rate = headers.map(lambda h: h[0])
+                channels = headers.map(lambda h: h[1])
+                duration = headers.map(lambda h: h[2])
+                embedding = pd.Series([None] * len(pdf), index=pdf.index)
+            else:
+                rate = pdf["meta"].map(lambda m: m["sample_rate"] if m else None)
+                channels = pd.Series([1] * len(pdf), index=pdf.index)
+                duration = pdf["meta"].map(lambda m: m["duration_s"] if m else None)
+                embedding = digests.map(_fake_embedding)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "sha256": digests.map(bytes.hex),
+                    "sample_rate": rate,
+                    "n_channels": channels,
+                    "duration_s": duration,
+                    "embedding": embedding,
+                }
+            )
+
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    audio = cpu_parallelize(df.filter(F.col("kind") == "audio"))
+    return audio.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(df: DataFrame, fps: float = 1.0) -> DataFrame:

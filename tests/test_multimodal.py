@@ -40,9 +40,111 @@ def test_decode_images_fake_features_deterministic(spark):
     assert feats[2].n_bytes == 0
 
 
+def _png_bytes(width, height):
+    """Minimal PNG prefix: 8-byte signature + IHDR chunk header + geometry.
+
+    Only the header is synthesized — parse_png_size reads bytes 0..24 and
+    the spec pins IHDR first, so this is exactly what a real file presents.
+    """
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", width, height)
+        + b"\x08\x06\x00\x00\x00"
+    )
+
+
+def _wav_bytes(rate, channels, n_frames, bits=16):
+    """Complete (silent) RIFF/WAVE file via stdlib struct."""
+    import struct
+
+    block_align = channels * bits // 8
+    byte_rate = rate * block_align
+    data = b"\x00" * (n_frames * block_align)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_real_parses_png_headers(spark):
+    rows = [
+        Row(media_id=1, kind="image", payload=_png_bytes(640, 480),
+            meta=Row(mime="image/png", width=None, height=None, duration_s=None, sample_rate=None)),
+        Row(media_id=2, kind="image", payload=_png_bytes(32, 1080),
+            meta=Row(mime="image/png", width=None, height=None, duration_s=None, sample_rate=None)),
+        Row(media_id=3, kind="image", payload=None,
+            meta=Row(mime="image/png", width=9, height=9, duration_s=None, sample_rate=None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {f.media_id: f for f in decode_images(media, decode="real").collect()}
+    # geometry comes from the BYTES, not the (absent) metadata
+    assert (feats[1].width, feats[1].height) == (640, 480)
+    assert (feats[2].width, feats[2].height) == (32, 1080)
+    assert feats[3].width is None and feats[3].height is None
+    # encoder model isn't in the container: embeddings stay NULL in real mode
+    assert all(f.embedding is None for f in feats.values())
+    assert feats[1].n_bytes == len(_png_bytes(640, 480))
+
+
+def test_decode_real_parses_wav_headers(spark):
+    from endtoend_etl_openmeteo_spark.operators.multimodal import decode_audio
+
+    rows = [
+        Row(media_id=1, kind="audio", payload=_wav_bytes(16000, 1, 16000 * 2),
+            meta=Row(mime="audio/wav", width=None, height=None, duration_s=None, sample_rate=None)),
+        Row(media_id=2, kind="audio", payload=_wav_bytes(44100, 2, 44100 // 2),
+            meta=Row(mime="audio/wav", width=None, height=None, duration_s=None, sample_rate=None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {f.media_id: f for f in decode_audio(media, decode="real").collect()}
+    assert feats[1].sample_rate == 16000 and feats[1].n_channels == 1
+    assert feats[1].duration_s == pytest.approx(2.0)
+    assert feats[2].sample_rate == 44100 and feats[2].n_channels == 2
+    assert feats[2].duration_s == pytest.approx(0.5)
+    assert all(f.embedding is None for f in feats.values())
+
+
+def test_decode_audio_fake_passes_metadata_through(spark):
+    from endtoend_etl_openmeteo_spark.operators.multimodal import decode_audio
+
+    rows = [
+        Row(media_id=1, kind="audio", payload=b"opaque-ogg-bytes",
+            meta=Row(mime="audio/ogg", width=None, height=None, duration_s=7.5, sample_rate=48000)),
+        Row(media_id=2, kind="image", payload=b"not audio",
+            meta=Row(mime="image/png", width=4, height=4, duration_s=None, sample_rate=None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = decode_audio(media).collect()
+    assert [f.media_id for f in feats] == [1]  # image filtered out
+    assert feats[0].sample_rate == 48000
+    assert feats[0].duration_s == pytest.approx(7.5)
+    assert len(feats[0].embedding) == 8
+
+
 def test_decode_real_raises_at_codec_seam(spark):
+    # non-PNG image bytes (the _media_df payloads fake the magic but not the
+    # full signature) still need a pixel codec -> NotImplementedError
     with pytest.raises(Exception) as exc:
         decode_images(_media_df(spark), decode="real").collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_decode_audio_real_raises_on_compressed_formats(spark):
+    from endtoend_etl_openmeteo_spark.operators.multimodal import decode_audio
+
+    rows = [
+        Row(media_id=1, kind="audio", payload=b"ID3\x04mp3 frames...",
+            meta=Row(mime="audio/mpeg", width=None, height=None, duration_s=None, sample_rate=None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with pytest.raises(Exception) as exc:
+        decode_audio(media, decode="real").collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
