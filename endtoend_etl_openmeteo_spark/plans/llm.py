@@ -742,15 +742,81 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB replication of one BPE training iteration over the sample: count
+# adjacent token pairs, take the top (count desc, then lexicographic — the
+# trainer's tie-break), fuse every leftmost-nonoverlapping occurrence. The
+# token stream rides a delimited-string form (each token wrapped in
+# chr(31)) where plain replace() IS the leftmost-nonoverlapping fold:
+# per-token wrapping keeps adjacent matches from consuming each other's
+# delimiter. chr(30) is the fused-token joiner (operators/bpe.JOINER);
+# chr(0) is the never-matching sentinel when no pair clears min_count=2
+# (early-stop parity: the unchanged sample re-derives the same sub-floor
+# top pair, so later iterations no-op exactly like the trainer's break).
+_BPE_SQL_ITER = """
+p{i} AS (
+  SELECT l, r FROM (
+    SELECT p[1] AS l, p[2] AS r, count(*) AS n
+    FROM samp{j}, unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS t(p)
+    GROUP BY 1, 2
+  ) WHERE n >= 2
+  ORDER BY n DESC, l, r LIMIT 1
+),
+r{i} AS (
+  SELECT COALESCE((SELECT chr(31)||l||chr(31)||chr(31)||r||chr(31) FROM p{i}),
+                  chr(0)) AS pat,
+         COALESCE((SELECT chr(31)||l||chr(30)||r||chr(31) FROM p{i}),
+                  chr(0)) AS rep
+),
+samp{i} AS (
+  SELECT w, string_split(substr(w, 2, length(w)-2), chr(31)||chr(31)) AS toks
+  FROM (SELECT replace(samp{j}.w, r{i}.pat, r{i}.rep) AS w FROM samp{j}, r{i})
+)"""
+
+_BPE_ENCODE_ORACLE = (
+    """
+WITH wrapped AS (
+  SELECT doc_id, text,
+         chr(31) || replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ', chr(31)||chr(31)) || chr(31) AS w
+  FROM documents
+),
+samp0 AS (
+  SELECT w, string_split(substr(w, 2, length(w)-2), chr(31)||chr(31)) AS toks
+  FROM (SELECT w FROM wrapped ORDER BY doc_id LIMIT 200)
+),"""
+    + _BPE_SQL_ITER.format(i=1, j=0)
+    + ","
+    + _BPE_SQL_ITER.format(i=2, j=1)
+    + ","
+    + _BPE_SQL_ITER.format(i=3, j=2)
+    + """,
+enc AS (
+  SELECT doc_id, text,
+         replace(replace(replace(wrapped.w, r1.pat, r1.rep),
+                         r2.pat, r2.rep), r3.pat, r3.rep) AS w3
+  FROM wrapped, r1, r2, r3
+)
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_raw_tokens,
+       len(string_split(substr(w3, 2, length(w3)-2),
+                        chr(31)||chr(31)))::BIGINT AS n_bpe_tokens
+FROM enc
+"""
+)
+
+
 @register(
     "q_bpe_encode",
-    oracle=None,  # iterative-trained vocabulary application — rows-only
+    oracle=_BPE_ENCODE_ORACLE,
     doc="Tokenizer inference: apply a merge table trained on a bounded "
     "document sample (operators/bpe.bpe_train) to the full corpus as "
     "nested merge_adjacent folds — one map-only projection, no shuffle, "
     "no driver round-trips (operators/bpe.bpe_encode). Emits per-doc "
-    "token counts before/after merging; encode-reproduces-training is "
-    "pinned by tests/test_bpe.py.",
+    "token counts before/after merging. The oracle replicates the FULL "
+    "train+encode cycle in DuckDB SQL (wrapped-token string form where "
+    "replace() is the leftmost-nonoverlapping fold), so the driver "
+    "hash-checks trained-vocabulary application end-to-end; "
+    "encode-reproduces-training is additionally pinned by tests/test_bpe.py.",
     tags=("llm", "text"),
 )
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

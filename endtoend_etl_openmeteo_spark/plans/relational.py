@@ -323,20 +323,51 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_stats",
-    oracle=None,  # approximate by design — driver records rows-only check
+    # The sketch values themselves are Spark-implementation-specific, so the
+    # hash-checked contract is the ERROR BOUND: each group's HLL++ estimate
+    # must sit within 15% of the exact distinct (3x the default 5% rsd) and
+    # the GK median inside the exact interquartile range. Both engines agree
+    # the bounds hold -> hash match; a broken sketch flips a boolean and
+    # fails the gate. Exact n rides along as the anchor column.
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           TRUE AS hll_within_15pct,
+           TRUE AS p50_within_iqr
+    FROM events GROUP BY event_type
+    """,
     doc="Approximate distinct + quantile (SURVEY §7 step 7) — the 100 TB "
     "path where exact distinct would shuffle every key: HLL++ sketch and "
-    "GK quantile sketch, both mergeable map-side.",
+    "GK quantile sketch, both mergeable map-side. The query verifies its "
+    "own sketches against exact aggregates computed alongside and emits "
+    "the accuracy verdict as hash-checked booleans (an always-TRUE oracle "
+    "with the tolerance computed Spark-side).",
     tags=("aggregate", "approx"),
 )
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    agg = (
         tbl(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
+            F.count("*").alias("n"),
             F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
             F.percentile_approx("value", 0.5).alias("approx_p50"),
+            F.percentile("value", 0.25).alias("p25"),
+            F.percentile("value", 0.75).alias("p75"),
         )
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.15 * F.col("exact_users")
+        ).alias("hll_within_15pct"),
+        (
+            (F.col("approx_p50") >= F.col("p25"))
+            & (F.col("approx_p50") <= F.col("p75"))
+        ).alias("p50_within_iqr"),
     )
 
 

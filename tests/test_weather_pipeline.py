@@ -182,6 +182,83 @@ def test_merge_upsert_last_write_wins_and_idempotent(spark, workdir):
     assert final == {("Warsaw", 99.0), ("Berlin", 7.0)}
 
 
+def _partition_files(path):
+    """{partition dir name: {file name: (size, mtime_ns)}} for a partitioned
+    parquet table — the filesystem evidence of what a write touched."""
+    import os
+
+    out = {}
+    for part in os.listdir(path):
+        pdir = os.path.join(path, part)
+        if not os.path.isdir(pdir):
+            continue
+        out[part] = {
+            f: (os.path.getsize(os.path.join(pdir, f)),
+                os.stat(os.path.join(pdir, f)).st_mtime_ns)
+            for f in os.listdir(pdir)
+            if not f.startswith(("_", "."))
+        }
+    return out
+
+
+def test_merge_rewrites_only_touched_partitions(spark, workdir):
+    """The 100 TB survival property of merge_upsert: an upsert touching 1 of
+    N partitions must leave the other N-1 partitions' files byte-for-byte
+    untouched (same names, sizes, mtimes) — a merge that rewrites the whole
+    table works at sf0.001 and dies at scale."""
+    path = str(workdir / "silver_scoped")
+    t0 = dt.datetime(2025, 10, 1, 12, 0)
+    ing = dt.datetime(2025, 10, 1, 13, 0)
+    cities = ["Warsaw", "Berlin", "Paris", "Madrid", "Rome"]
+    initial = spark.createDataFrame(
+        [(c, t0, float(i), 0.0, 1.0, ing) for i, c in enumerate(cities)],
+        WEATHER_HOURLY_SCHEMA,
+    )
+    merge_upsert(spark, initial, path, ["city", "timestamp"], "_ingested_at", ["city"])
+    before = _partition_files(path)
+    assert len(before) == 5
+
+    batch = spark.createDataFrame(
+        [("Warsaw", t0, 99.0, 0.0, 1.0, dt.datetime(2025, 10, 1, 14, 0))],
+        WEATHER_HOURLY_SCHEMA,
+    )
+    merge_upsert(spark, batch, path, ["city", "timestamp"], "_ingested_at", ["city"])
+    after = _partition_files(path)
+
+    touched = {p for p in before if before[p] != after.get(p)}
+    assert touched == {"city=Warsaw"}, (
+        f"merge touching 1 partition rewrote {touched or 'none'}"
+    )
+    # and the rewrite actually applied the upsert
+    got = {
+        (r.city, r.temperature_2m) for r in spark.read.parquet(path).collect()
+    }
+    assert ("Warsaw", 99.0) in got and len(got) == 5
+
+
+def test_merge_readback_prunes_to_batch_partitions(spark, workdir):
+    """The read-back side of the scope claim: the merge's union plan filters
+    the target on the batch's partition values, so partition pruning limits
+    the scan to touched partitions (IN-filter pushed to the parquet source)."""
+    path = str(workdir / "silver_pruned")
+    t0 = dt.datetime(2025, 10, 1, 12, 0)
+    ing = dt.datetime(2025, 10, 1, 13, 0)
+    cities = ["Warsaw", "Berlin", "Paris", "Madrid", "Rome"]
+    initial = spark.createDataFrame(
+        [(c, t0, float(i), 0.0, 1.0, ing) for i, c in enumerate(cities)],
+        WEATHER_HOURLY_SCHEMA,
+    )
+    merge_upsert(spark, initial, path, ["city", "timestamp"], "_ingested_at", ["city"])
+
+    # replicate the operator's read-back predicate shape and check pruning
+    target = spark.read.parquet(path)
+    affected = target.filter(F.col("city") == F.lit("Warsaw"))
+    plan = affected._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "city" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], plan
+
+
 def test_gap_detection_and_chunking(spark):
     silver = spark.createDataFrame(_silver_rows(), WEATHER_HOURLY_SCHEMA)
     start = dt.datetime(2025, 10, 1, 0, 0)

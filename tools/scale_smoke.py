@@ -89,6 +89,211 @@ def time_queries(spark, registry, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def merge_smoke(spark, src: str, scratch: Path, replicas: int) -> list[str]:
+    """Partition-scoped merge at Nx table size: merge_upsert's cost must
+    track the TOUCHED partition, not the table — a 1-partition upsert into
+    an Nx-partition table (same rows per partition) should cost roughly the
+    same as into a 1x table. Budget is a flat 4x of the 1x time (listing Nx
+    partition dirs + Nx batch-partition planning is allowed to cost
+    something; rewriting Nx data is not)."""
+    from endtoend_etl_openmeteo_spark.operators.merge import merge_upsert
+    from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+    ev = tbl(spark, src, "events").select("event_id", "ts", "user_id", "value")
+    parts_base = 20
+
+    def run(scale: int) -> float:
+        n_parts = parts_base * scale
+        table = scratch / f"merge_{scale}x"
+        df = ev
+        if scale > 1:
+            n = ev.count()
+            r = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("r")
+            df = (
+                ev.select("*", r)
+                .withColumn("event_id", F.col("event_id") + F.col("r") * n)
+                .drop("r")
+            )
+        df = df.withColumn("p", (F.col("event_id") % n_parts).cast("int"))
+        df.write.mode("overwrite").partitionBy("p").parquet(str(table))
+
+        batch = (
+            df.filter(F.col("p") == 0)
+            .limit(100)
+            .withColumn("value", F.col("value") + 1.0)
+        ).localCheckpoint()  # pre-materialize: time the MERGE, not the batch scan
+        t0 = time.perf_counter()
+        merge_upsert(
+            spark, batch, str(table), ["event_id"], "ts", partition_cols=["p"]
+        )
+        return time.perf_counter() - t0
+
+    run(1)  # warm the code path
+    t1 = run(1)
+    tn = run(replicas)
+    ratio = tn / max(t1, 1e-9)
+    budget = 4.0
+    status = "ok  " if ratio <= budget else "FAIL"
+    print(
+        f"{status} merge_upsert[1 of {parts_base * replicas} partitions]: "
+        f"1x={t1:.2f}s {replicas}x={tn:.2f}s ratio={ratio:.1f} "
+        f"(budget {budget:.0f}x — cost must track touched partition, not table)"
+    )
+    return [] if ratio <= budget else ["merge_upsert"]
+
+
+def streaming_smoke(spark, scratch: Path, replicas: int) -> list[str]:
+    """Streaming state bounds at Nx cardinality:
+
+    - sessionize: state rows = open sessions, one per ACTIVE key — Nx more
+      events over the same keys must not grow state;
+    - stateful eviction: after idle timeout fires, state rows <= active
+      cohort regardless of how many keys were ever seen (Nx cold keys).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    failures: list[str] = []
+
+    # --- sessionize: same 200 keys, 1x vs Nx events per key ---------------
+    def run_sessionize(events_per_key: int, tag: str) -> tuple[float, int]:
+        from endtoend_etl_openmeteo_spark.streaming.pipeline import (
+            streaming_sessionize,
+        )
+
+        d = scratch / f"sess_{tag}"
+        (d / "in").mkdir(parents=True)
+        keys, base = 200, 1_700_000_000
+        n = keys * events_per_key
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": [i % keys for i in range(n)],
+                    "ts": pa.array(
+                        [base + (i // keys) * 10 for i in range(n)],
+                        type=pa.timestamp("us"),
+                    ),
+                    "value": [float(i % 7) for i in range(n)],
+                }
+            ),
+            d / "in" / "events.parquet",
+        )
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(str(d / "in"))
+        q = (
+            streaming_sessionize(stream, gap="5 minutes", watermark="1 minute")
+            .writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", str(d / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        t0 = time.perf_counter()
+        q.awaitTermination(300)
+        elapsed = time.perf_counter() - t0
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        return elapsed, state_rows
+
+    t1, rows1 = run_sessionize(50, "1x")
+    tn, rowsn = run_sessionize(50 * replicas, f"{replicas}x")
+    ratio = tn / max(t1, 1e-9)
+    budget = replicas * 3.0
+    ok_time = ratio <= budget
+    # one open session per key (all events within the gap), at BOTH scales
+    ok_state = rows1 <= 200 and rowsn <= 200
+    status = "ok  " if (ok_time and ok_state) else "FAIL"
+    print(
+        f"{status} streaming_sessionize: 1x={t1:.2f}s {replicas}x={tn:.2f}s "
+        f"ratio={ratio:.1f} (budget {budget:.0f}x); state rows 1x={rows1} "
+        f"{replicas}x={rowsn} (bound: 200 active keys)"
+    )
+    if not (ok_time and ok_state):
+        failures.append("streaming_sessionize")
+
+    # --- eviction: Nx cold keys must all leave the state store ------------
+    def run_eviction(cold_keys: int, tag: str) -> tuple[int, int]:
+        from endtoend_etl_openmeteo_spark.streaming.stateful import (
+            running_user_stats_with_eviction,
+        )
+
+        d = scratch / f"evict_{tag}"
+        (d / "in").mkdir(parents=True)
+        out = d / "out"
+        active = 50
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(str(out))
+
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": list(range(cold_keys)),
+                    "value": [1.0] * cold_keys,
+                }
+            ),
+            d / "in" / "cold.parquet",
+        )
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "in"))
+        )
+        q = (
+            running_user_stats_with_eviction(stream, idle_timeout_ms=500)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(d / "ckpt"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 180
+            evicted, hb = 0, 0
+            while time.time() < deadline and evicted < cold_keys:
+                time.sleep(1.0)
+                # heartbeat files keep micro-batches coming so expired
+                # timers fire; active cohort stays hot
+                pq.write_table(
+                    pa.table(
+                        {
+                            "user_id": [10_000_000 + i for i in range(active)],
+                            "value": [1.0] * active,
+                        }
+                    ),
+                    d / "in" / f"hb_{hb}.parquet",
+                )
+                hb += 1
+                try:
+                    evicted = (
+                        spark.read.parquet(str(out))
+                        .filter(f"evicted AND user_id < {cold_keys}")
+                        .count()
+                    )
+                except Exception:
+                    pass
+            state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        return evicted, state_rows
+
+    active = 50
+    for scale, tag in ((1, "1x"), (replicas, f"{replicas}x")):
+        cold = 200 * scale
+        evicted, state_rows = run_eviction(cold, tag)
+        ok = evicted == cold and state_rows <= active
+        status = "ok  " if ok else "FAIL"
+        print(
+            f"{status} stateful_eviction[{tag}]: {evicted}/{cold} cold keys "
+            f"evicted, final state rows={state_rows} "
+            f"(bound: {active} active keys)"
+        )
+        if not ok:
+            failures.append(f"stateful_eviction_{tag}")
+    return failures
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -118,11 +323,24 @@ def main() -> None:
         )
         if ratio > budget:
             failures.append(name)
+
+    n_checks = len(WATCHED)
+    scratch = Path(dst) / "side"
+    shutil.rmtree(scratch, ignore_errors=True)
+    scratch.mkdir(parents=True)
+    failures += merge_smoke(spark, src, scratch, replicas)
+    n_checks += 1
+    import os
+
+    if os.environ.get("SCALE_SMOKE_SKIP_STREAMING") != "1":
+        failures += streaming_smoke(spark, scratch, replicas)
+        n_checks += 3
+
     if failures:
-        print(f"SUPERLINEAR: {failures}")
+        print(f"SCALE REGRESSIONS: {failures}")
         sys.exit(1)
     shutil.rmtree(dst, ignore_errors=True)
-    print(f"all {len(WATCHED)} watched operators within {replicas}x linear budget")
+    print(f"all {n_checks} watched operators within {replicas}x scale budgets")
 
 
 if __name__ == "__main__":
