@@ -169,16 +169,18 @@ PRIORITY: list[str] = [
     "q_correlation",
     "q_full_outer",
     "q_string_agg",
+    # Oracle-backed in round 5 (error-bound contract / SQL BPE replication)
+    "q_approx_stats",
+    "q_bpe_encode",
+    "q_jdbc_roundtrip",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
-    "q_approx_stats",
     "q_minhash_neardup",
     "q_neardup_incremental",
     "q_simhash",
     "q_dedup_clusters",
     "q_kmeans",
     "q_bpe_train",
-    "q_bpe_encode",
     "q_ann_ivf",
     "q_ann_lsh",
     "q_ann_pq",

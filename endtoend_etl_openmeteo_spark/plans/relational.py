@@ -372,6 +372,46 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_jdbc_roundtrip",
+    # oracle = the source parquet itself: a lossless sink+source round-trip
+    # must hand back exactly what went in.
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="S11 JDBC sink + source round-trip against embedded Derby (the "
+    "reference's Postgres staging analog, "
+    "ingestion/loader/load_to_postgres.py:34-42): batched append via "
+    "DataFrameWriter.jdbc, partitioned read-back (4 bound-split executor "
+    "connections — the anti-single-connection default sources/jdbc.py "
+    "enforces). Each invocation writes to a fresh in-memory Derby DB "
+    "(25 dimension rows — bounded leak for the JVM's lifetime).",
+    tags=("jdbc", "source", "sink"),
+)
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from endtoend_etl_openmeteo_spark.sources.jdbc import (
+        read_jdbc,
+        write_jdbc_append,
+    )
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    url = f"jdbc:derby:memory:rt{uuid.uuid4().hex[:8]};create=true"
+    nation = tbl(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_jdbc_append(nation, url, "nation_rt", driver=driver)
+    return read_jdbc(
+        spark,
+        url,
+        "nation_rt",
+        partition_col="n_nationkey",
+        lower_bound=0,
+        upper_bound=25,
+        num_partitions=4,
+        driver=driver,
+    ).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
     "q_except_intersect",
     oracle="""
     WITH a AS (SELECT DISTINCT o_custkey FROM orders

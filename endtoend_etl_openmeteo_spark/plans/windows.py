@@ -148,6 +148,63 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_skew_window",
+    # Same contract as q_moving_avg — the point IS the identical oracle:
+    # a hash-match proves the chunked execution is semantically the plain
+    # window, while computing every hot key across many tasks.
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ), 6) AS mov_avg,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           ), 4) AS running_sum
+    FROM events
+    """,
+    doc="Skew-resilient window execution (operators/skew.py): the "
+    "q_moving_avg semantics computed WITHOUT Window.partitionBy's "
+    "one-task-per-key serialization — running sum via two-phase chunk "
+    "decomposition (within-chunk sums + cumulative chunk totals), "
+    "ROWS-frame moving average via distributed row numbering + "
+    "fixed-size blocks with halo rows. The one window shape AQE and "
+    "salting can't fix at 100 TB (a hot user / 5-value event_type key "
+    "serializes its whole history through one core); here the serial "
+    "unit is a (key, time-bin) cell.",
+    tags=("window", "skew"),
+)
+def q_skew_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.skew import (
+        chunked_moving_agg,
+        chunked_running_sum,
+    )
+
+    ev = tbl(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    keys, order = ["user_id"], ["ts", "event_id"]
+    run = chunked_running_sum(
+        ev, keys, order, "value", chunk_seconds=6 * 3600, out_col="running_sum"
+    )
+    mov = chunked_moving_agg(
+        run,
+        keys,
+        order,
+        "value",
+        frame_rows=3,
+        agg="avg",
+        chunk_seconds=6 * 3600,
+        out_col="mov_avg",
+    )
+    return mov.select(
+        "user_id",
+        "event_id",
+        F.round("mov_avg", 6).alias("mov_avg"),
+        F.round("running_sum", 4).alias("running_sum"),
+    )
+
+
+@register(
     "q_anomaly_zscore",
     oracle="""
     WITH rolled AS (

@@ -232,6 +232,73 @@ def test_compact_shrinks_file_count_preserving_rows(spark, tmp_path):
     assert ids == sorted(ids)
 
 
+def _row_groups_matching(path, col, lo, hi):
+    """(matching, total) row groups whose parquet min/max stats intersect
+    [lo, hi] — exactly the footer check Spark's reader prunes on."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    match = total = 0
+    for f in Path(path).glob("*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            total += 1
+            if st is None or (st.min <= hi and st.max >= lo):
+                match += 1
+    return match, total
+
+
+def test_compact_zorder_end_to_end_prunes_row_groups(spark, tmp_path):
+    """The maintenance-path proof (bronze→silver at 100 TB): incremental
+    ingest leaves many files whose per-file stats span the full domain —
+    every range scan reads everything. Compaction+Z-order must (a) shrink
+    the file count and (b) leave row-group stats tight on BOTH dimensions,
+    so a range predicate on either column prunes most row groups at the
+    footer. Measured from the actual parquet metadata, not the plan."""
+    from endtoend_etl_openmeteo_spark.operators.layout import zorder_layout
+    from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+    # two independent 10-bit dimensions an analyst would range-filter on
+    df = tbl(spark, SF, "events").select(
+        "event_id",
+        (F.abs(F.xxhash64("user_id")) % 1024).cast("long").alias("x"),
+        (F.abs(F.xxhash64("value")) % 1024).cast("long").alias("y"),
+    )
+
+    # simulate micro-batch ingest: 24 random-ordered appends
+    frag = str(tmp_path / "silver_frag")
+    df.orderBy(F.xxhash64("event_id")).repartition(24).write.parquet(frag)
+    m_x0, t0 = _row_groups_matching(frag, "x", 100, 163)  # 1/16 of domain
+    m_y0, _ = _row_groups_matching(frag, "y", 500, 563)
+    assert t0 >= 24
+    # fragmented layout: stats are useless — (almost) every group matches
+    assert m_x0 >= 0.9 * t0 and m_y0 >= 0.9 * t0
+
+    # the compaction job: one read, z-order re-layout, rewrite
+    laid = str(tmp_path / "silver_zorder")
+    zorder_layout(spark.read.parquet(frag), ["x", "y"], 16, bits=10).write.parquet(
+        laid
+    )
+    files_after = len(list((tmp_path / "silver_zorder").glob("*.parquet")))
+    assert files_after <= 16 < 24  # compacted
+    m_x1, t1 = _row_groups_matching(laid, "x", 100, 163)
+    m_y1, _ = _row_groups_matching(laid, "y", 500, 563)
+    # a 1/16-domain predicate on EITHER dimension now prunes most groups
+    assert m_x1 / t1 <= 0.5, (m_x1, t1)
+    assert m_y1 / t1 <= 0.5, (m_y1, t1)
+
+    # and Spark's scan actually exploits it: pushed filter + fewer rows out
+    scan = spark.read.parquet(laid).filter(
+        (F.col("x") >= 100) & (F.col("x") <= 163)
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(x,100)" in plan, plan
+    assert scan.count() == df.filter((F.col("x") >= 100) & (F.col("x") <= 163)).count()
+
+
 def test_global_shuffle_index_dense_and_deterministic(spark):
     from endtoend_etl_openmeteo_spark.operators.layout import (
         global_shuffle_index,

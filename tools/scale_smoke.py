@@ -142,6 +142,73 @@ def merge_smoke(spark, src: str, scratch: Path, replicas: int) -> list[str]:
     return [] if ratio <= budget else ["merge_upsert"]
 
 
+def skew_window_smoke(spark, scratch: Path, replicas: int) -> list[str]:
+    """Hot-key window stress: HALF of all events on ONE user (the Zipfian
+    head). The plain window serializes that key through one task — its
+    time is reported for contrast — while the chunked execution
+    (operators/skew.py) must stay within the linear budget at Nx volume,
+    because its serial unit is a (key, time-bin) cell, not the key."""
+    from endtoend_etl_openmeteo_spark.operators.skew import (
+        chunked_moving_agg,
+        chunked_running_sum,
+    )
+    from pyspark.sql import Window
+
+    def make(n: int, path: Path):
+        df = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .cast("long")
+            .alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 7).alias("ts"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        )
+        df.write.mode("overwrite").parquet(str(path))
+        return spark.read.parquet(str(path))
+
+    def run_chunked(df) -> float:
+        t0 = time.perf_counter()
+        out = chunked_moving_agg(
+            chunked_running_sum(
+                df, ["user_id"], ["ts", "event_id"], "value",
+                chunk_seconds=6 * 3600,
+            ),
+            ["user_id"], ["ts", "event_id"], "value",
+            frame_rows=3, agg="avg", chunk_seconds=6 * 3600,
+        )
+        out.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def run_plain(df) -> float:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t0 = time.perf_counter()
+        df.select(
+            "user_id", "event_id",
+            F.avg("value").over(w.rowsBetween(-3, 0)).alias("mov_avg"),
+            F.sum("value")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("running_sum"),
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    n1 = 200_000
+    d1 = make(n1, scratch / "skew_1x")
+    dn = make(n1 * replicas, scratch / f"skew_{replicas}x")
+    run_chunked(d1)  # warm
+    c1, cn = run_chunked(d1), run_chunked(dn)
+    p1, pn = run_plain(d1), run_plain(dn)
+    ratio = cn / max(c1, 1e-9)
+    budget = replicas * 3.0
+    status = "ok  " if ratio <= budget else "FAIL"
+    print(
+        f"{status} skew_window[50% one key]: chunked 1x={c1:.2f}s "
+        f"{replicas}x={cn:.2f}s ratio={ratio:.1f} (budget {budget:.0f}x); "
+        f"plain-window contrast 1x={p1:.2f}s {replicas}x={pn:.2f}s"
+    )
+    return [] if ratio <= budget else ["skew_window"]
+
+
 def streaming_smoke(spark, scratch: Path, replicas: int) -> list[str]:
     """Streaming state bounds at Nx cardinality:
 
@@ -329,7 +396,8 @@ def main() -> None:
     shutil.rmtree(scratch, ignore_errors=True)
     scratch.mkdir(parents=True)
     failures += merge_smoke(spark, src, scratch, replicas)
-    n_checks += 1
+    failures += skew_window_smoke(spark, scratch, replicas)
+    n_checks += 2
     import os
 
     if os.environ.get("SCALE_SMOKE_SKIP_STREAMING") != "1":
