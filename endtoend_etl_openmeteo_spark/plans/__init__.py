@@ -173,6 +173,8 @@ PRIORITY: list[str] = [
     "q_approx_stats",
     "q_bpe_encode",
     "q_jdbc_roundtrip",
+    "q_skew_window",
+    "q_time_travel",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

@@ -412,6 +412,68 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_time_travel",
+    # Three snapshots over arithmetically-disjoint event slices; the oracle
+    # recomputes each version's expected contents straight from the source
+    # table. count/sum casts + 4dp rounding per repo convention.
+    oracle="""
+    SELECT 1::BIGINT AS version, count(*)::BIGINT AS n_rows,
+           round(sum(value), 4) AS sum_value
+    FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT 2::BIGINT, count(*)::BIGINT, round(sum(value), 4)
+    FROM events WHERE event_id % 3 IN (0, 1)
+    UNION ALL
+    SELECT 3::BIGINT, count(*)::BIGINT, round(sum(value), 4)
+    FROM events WHERE event_id % 3 = 2
+    """,
+    doc="Snapshot isolation + time travel over the manifest-committed "
+    "table format (operators/versioned.py): append, append, overwrite — "
+    "then read ALL THREE versions back concurrently and aggregate each. "
+    "The hash-checked invariant is the format's core promise: every "
+    "historical version remains exactly the data it committed, "
+    "independent of later writes. CAS manifests, immutable data files, "
+    "vacuum-based reclamation are pinned by tests/test_versioned.py.",
+    tags=("versioned", "snapshot"),
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_append,
+        vt_init,
+        vt_overwrite,
+        vt_read,
+    )
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+
+    ev = tbl(spark, sf_dir, "events").select("event_id", "value")
+    table = scratch_dir(prefix="vt_tt_")
+    try:
+        vt_init(spark, table)
+        vt_append(spark, ev.filter(F.col("event_id") % 3 == 0), table)
+        vt_append(spark, ev.filter(F.col("event_id") % 3 == 1), table)
+        vt_overwrite(spark, ev.filter(F.col("event_id") % 3 == 2), table)
+        per_version = [
+            vt_read(spark, table, version=v)
+            .agg(
+                F.lit(v).cast("long").alias("version"),
+                F.count("*").alias("n_rows"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select("version", "n_rows", "sum_value")
+            for v in (1, 2, 3)
+        ]
+        out = per_version[0].unionByName(per_version[1]).unionByName(
+            per_version[2]
+        )
+        # 3 rows — checkpoint eagerly so the scratch table can be reclaimed
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@register(
     "q_except_intersect",
     oracle="""
     WITH a AS (SELECT DISTINCT o_custkey FROM orders
