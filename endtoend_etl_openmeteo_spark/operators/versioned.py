@@ -116,7 +116,7 @@ def _commit(
             "version": attempt,
             "parent": attempt - 1,
             "op": op,
-            "files": sorted(files),
+            "files": sorted(files, key=lambda e: e["path"]),
         }
         tmp = f"{table}/{_MANIFEST_DIR}/_tmp_{uuid.uuid4().hex}.json"
         _write_file(spark, tmp, json.dumps(manifest).encode())
@@ -129,18 +129,54 @@ def _commit(
     raise RuntimeError(f"commit contention: 100 failed CAS attempts on {table}")
 
 
-def _write_data(spark: SparkSession, df: DataFrame, table: str) -> list[str]:
+def _write_data(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    stats_cols: list[str] | None = None,
+) -> list[dict]:
     """Materialize ``df`` as immutable files under data/<uuid>/ and return
-    their table-relative paths."""
+    manifest entries [{"path": ..., "stats": {col: [min, max]}}].
+
+    ``stats_cols`` opts columns into manifest-level min/max (one extra
+    aggregate scan of the batch at commit time, grouped by file) — the
+    Iceberg-style scan-planning statistics that let a reader skip whole
+    files before Spark ever lists them. Values must be JSON-stable
+    (numbers / strings)."""
+    from pyspark.sql import functions as F
+
     table = table.rstrip("/")
     subdir = f"{_DATA_DIR}/{uuid.uuid4().hex[:12]}"
     df.write.mode("overwrite").parquet(f"{table}/{subdir}")
     fs, jvm = _fs(spark, table)
     listed = fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{table}/{subdir}"))
-    return [
-        f"{subdir}/{s.getPath().getName()}"
+    names = [
+        s.getPath().getName()
         for s in listed
         if s.getPath().getName().endswith(".parquet")
+    ]
+    stats_by_file: dict[str, dict] = {}
+    if stats_cols:
+        aggs = []
+        for c in stats_cols:
+            aggs += [
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+            ]
+        rows = (
+            spark.read.parquet(f"{table}/{subdir}")
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        )  # bounded: one row per written file
+        for r in rows:
+            fname = r["__f"].rsplit("/", 1)[-1]
+            stats_by_file[fname] = {
+                c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in stats_cols
+            }
+    return [
+        {"path": f"{subdir}/{n}", "stats": stats_by_file.get(n, {})}
+        for n in names
     ]
 
 
@@ -151,33 +187,80 @@ def vt_init(spark: SparkSession, table: str) -> int:
     return _commit(spark, table, [], "init", parent_hint=-1)
 
 
-def vt_append(spark: SparkSession, df: DataFrame, table: str) -> int:
-    """Append ``df`` as a new snapshot: parent's files + the new files."""
-    files = _write_data(spark, df, table)
+def vt_append(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Append ``df`` as a new snapshot: parent's files + the new files.
+    ``stats_cols`` records per-file min/max in the manifest for
+    :func:`vt_files` pruning."""
+    files = _write_data(spark, df, table, stats_cols=stats_cols)
     parent = latest_version(spark, table)
     existing = read_manifest(spark, table, parent)["files"]
     return _commit(spark, table, existing + files, "append", parent)
 
 
-def vt_overwrite(spark: SparkSession, df: DataFrame, table: str) -> int:
+def vt_overwrite(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Replace the table contents in one snapshot (the atomic form of
     ``mode('overwrite')`` — readers of older versions are untouched)."""
-    files = _write_data(spark, df, table)
+    files = _write_data(spark, df, table, stats_cols=stats_cols)
     parent = latest_version(spark, table)
     return _commit(spark, table, files, "overwrite", parent)
 
 
+def vt_files(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
+) -> list[str]:
+    """The scan plan: absolute file paths for a version, optionally pruned
+    by manifest stats. ``prune=(col, lo, hi)`` keeps a file iff its
+    recorded [min, max] for ``col`` intersects [lo, hi]; files with no
+    recorded stats for the column are conservatively kept. This skipping
+    happens BEFORE Spark lists or opens anything — at 100k-file scale the
+    footer-stats pass row-group pruning replaces is itself the bottleneck."""
+    table = table.rstrip("/")
+    v = latest_version(spark, table) if version is None else version
+    entries = read_manifest(spark, table, v)["files"]
+    if prune is not None:
+        col, lo, hi = prune
+        kept = []
+        for e in entries:
+            mm = e.get("stats", {}).get(col)
+            if mm is None or mm[0] is None or mm[1] is None:
+                kept.append(e)  # unknown -> cannot skip
+            elif mm[0] <= hi and mm[1] >= lo:
+                kept.append(e)
+        entries = kept
+    return [f"{table}/{e['path']}" for e in entries]
+
+
 def vt_read(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Snapshot read: resolve ONE manifest, scan exactly its files.
     ``version=None`` -> latest. The returned plan never re-lists the
-    directory, so concurrent commits/compactions cannot tear it."""
-    table = table.rstrip("/")
+    directory, so concurrent commits/compactions cannot tear it. ``prune``
+    applies manifest-stats file skipping (see :func:`vt_files`); callers
+    still apply the row-level filter — pruning is a superset guarantee."""
     v = latest_version(spark, table) if version is None else version
-    manifest = read_manifest(spark, table, v)
-    files = [f"{table}/{f}" for f in manifest["files"]]
+    files = vt_files(spark, table, v, prune=prune)
     if not files:
+        if read_manifest(spark, table.rstrip("/"), v)["files"]:
+            # pruned to nothing: empty frame with the table's schema
+            all_files = vt_files(spark, table, v)
+            return spark.read.parquet(*all_files).limit(0)
         raise ValueError(f"version {v} of {table} is empty — nothing to scan")
     return spark.read.parquet(*files)
 
@@ -201,12 +284,18 @@ def vt_compact(
         return parent, 0, 0
     fs, jvm = _fs(spark, table)
     total = sum(
-        fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f"{table}/{f}")).getLen()
-        for f in manifest["files"]
+        fs.getFileStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{table}/{e['path']}")
+        ).getLen()
+        for e in manifest["files"]
     )
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-    df = spark.read.parquet(*[f"{table}/{f}" for f in manifest["files"]])
-    files = _write_data(spark, df.repartition(n), table)
+    df = spark.read.parquet(*[f"{table}/{e['path']}" for e in manifest["files"]])
+    # carry forward whichever stats columns the parent recorded
+    stats_cols = sorted({c for e in manifest["files"] for c in e.get("stats", {})})
+    files = _write_data(
+        spark, df.repartition(n), table, stats_cols=stats_cols or None
+    )
     new_v = _commit(spark, table, files, "compact", parent)
     return new_v, len(manifest["files"]), len(files)
 
@@ -235,10 +324,12 @@ def vt_vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> int:
     keep, drop = versions[-keep_last:], versions[:-keep_last]
     referenced = set()
     for v in keep:
-        referenced.update(read_manifest(spark, table, v)["files"])
+        referenced.update(
+            e["path"] for e in read_manifest(spark, table, v)["files"]
+        )
     doomed = set()
     for v in drop:
-        doomed.update(read_manifest(spark, table, v)["files"])
+        doomed.update(e["path"] for e in read_manifest(spark, table, v)["files"])
     doomed -= referenced
     fs, jvm = _fs(spark, table)
     for f in sorted(doomed):

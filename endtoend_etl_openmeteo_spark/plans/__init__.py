@@ -24,6 +24,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         similarity,
+        sketches,
         text,
         timeseries,
         windows,
@@ -175,6 +176,8 @@ PRIORITY: list[str] = [
     "q_jdbc_roundtrip",
     "q_skew_window",
     "q_time_travel",
+    "q_sketch_rollup",
+    "q_sketch_intersection",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

@@ -1,0 +1,164 @@
+"""Mergeable-sketch rollups (Apache DataSketches built into Spark 3.5+).
+
+THE 100 TB pre-aggregation pattern: distinct counts and quantiles don't
+decompose over partial aggregates, so a dashboard asking "unique users for
+any date range" either rescans raw events per query or stores per-day
+SKETCHES and merges the requested days — constant work per query,
+sketch-sized storage. HLL (distinct), KLL (quantiles) and Theta (set
+algebra: intersection/difference of distinct sets — the one HLL can't do)
+are all built-in JVM aggregates with binary, mergeable state.
+
+Verification uses the repo's error-bound contract (same as q_approx_stats):
+sketch estimates are implementation-specific, so the hash-checked columns
+are exact anchors plus booleans asserting each estimate sits inside its
+published tolerance, with an always-TRUE oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.plans.registry import register
+from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+
+def _daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-rollup stage: one sketch row per (event_type, day).
+    In production this materializes once per day; every later range query
+    merges sketch rows instead of rescanning events."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("hll"),
+            F.kll_sketch_agg_double("value").alias("kll"),
+            F.theta_sketch_agg("user_id").alias("theta"),
+        )
+    )
+
+
+@register(
+    "q_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           count(DISTINCT user_id)::BIGINT AS exact_users,
+           TRUE AS hll_within_15pct,
+           TRUE AS p50_within_iqr
+    FROM events GROUP BY event_type
+    """,
+    doc="Daily HLL/KLL sketches merged across the full range "
+    "(hll_union_agg / kll_merge_agg): the pre-aggregated rollup answering "
+    "distinct-user and quantile questions for ANY date range without "
+    "rescanning raw events. Hash-checked contract: merged-HLL estimate "
+    "within 15% of exact distinct, merged-KLL median inside the exact "
+    "IQR; exact count + distinct ride along as anchors.",
+    tags=("aggregate", "approx", "sketch"),
+)
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged = _daily_sketches(spark, sf_dir).groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("hll_users"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double("kll"), F.lit(0.5)
+        ).alias("kll_p50"),
+    )
+    exact = (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.percentile("value", 0.25).alias("p25"),
+            F.percentile("value", 0.75).alias("p75"),
+        )
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n",
+        "exact_users",
+        (
+            F.abs(F.col("hll_users") - F.col("exact_users"))
+            <= 0.15 * F.col("exact_users")
+        ).alias("hll_within_15pct"),
+        (
+            (F.col("kll_p50") >= F.col("p25")) & (F.col("kll_p50") <= F.col("p75"))
+        ).alias("p50_within_iqr"),
+    )
+
+
+@register(
+    "q_sketch_intersection",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT count(*) FROM c)::BIGINT AS click_users,
+           (SELECT count(*) FROM p)::BIGINT AS purchase_users,
+           (SELECT count(*) FROM c WHERE user_id IN (SELECT user_id FROM p)
+           )::BIGINT AS exact_both,
+           TRUE AS theta_inter_within_15pct,
+           TRUE AS theta_diff_within_15pct
+    """,
+    doc="Theta-sketch set algebra: |click ∩ purchase| and |click \\\\ "
+    "purchase| estimated by intersecting/differencing per-type sketches — "
+    "the distinct-set question HLL cannot answer and exact computation "
+    "needs a full dedup-join for. Sketches merge from the same daily "
+    "rollup rows as q_sketch_rollup. Hash-checked contract: both "
+    "estimates within 15% of exact, exact cardinalities as anchors.",
+    tags=("aggregate", "approx", "sketch"),
+)
+def q_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_sketches(spark, sf_dir)
+    per_type = (
+        daily.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.theta_union_agg("theta").alias("sk"))
+    )
+    # two one-row frames -> broadcast cross join, then sketch algebra
+    click = per_type.filter(F.col("event_type") == "click").select(
+        F.col("sk").alias("sk_click")
+    )
+    purchase = per_type.filter(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("sk_purchase")
+    )
+    est = (
+        click.crossJoin(F.broadcast(purchase))
+        .select(
+            F.theta_sketch_estimate(
+                F.theta_intersection("sk_click", "sk_purchase")
+            ).alias("est_both"),
+            F.theta_sketch_estimate(
+                F.theta_difference("sk_click", "sk_purchase")
+            ).alias("est_only_click"),
+        )
+    )
+    ev = tbl(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        c.withColumn("__in_p", F.lit(1))
+        .join(p.withColumn("__p", F.lit(1)).select("user_id", "__p"), "user_id", "left")
+        .agg(
+            F.count("*").alias("click_users"),
+            F.sum(F.when(F.col("__p").isNotNull(), 1).otherwise(0)).alias(
+                "exact_both"
+            ),
+        )
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("purchase_users"))))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "click_users",
+        "purchase_users",
+        F.col("exact_both").cast("long").alias("exact_both"),
+        (
+            F.abs(F.col("est_both") - F.col("exact_both"))
+            <= 0.15 * F.greatest(F.col("exact_both"), F.lit(1))
+        ).alias("theta_inter_within_15pct"),
+        (
+            F.abs(
+                F.col("est_only_click")
+                - (F.col("click_users") - F.col("exact_both"))
+            )
+            <= 0.15 * F.greatest(F.col("click_users") - F.col("exact_both"), F.lit(1))
+        ).alias("theta_diff_within_15pct"),
+    )

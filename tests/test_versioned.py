@@ -119,3 +119,56 @@ def test_vacuum_reclaims_only_unreferenced_files(spark, table):
 def test_read_empty_version_raises_clearly(spark, table):
     with pytest.raises(ValueError, match="empty"):
         vt_read(spark, table, version=0)
+
+
+def test_manifest_stats_prune_files(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_files
+
+    # four appends over disjoint id ranges, two files each, stats on id
+    for lo in (0, 100, 200, 300):
+        vt_append(
+            spark, _df(spark, lo, lo + 100).repartition(2), table,
+            stats_cols=["id"],
+        )
+    all_files = vt_files(spark, table)
+    assert len(all_files) == 8
+
+    # a range inside one append's ids must skip every other append's files
+    pruned = vt_files(spark, table, prune=("id", 150, 160))
+    assert 1 <= len(pruned) <= 2
+    assert set(pruned) < set(all_files)
+    got = vt_read(spark, table, prune=("id", 150, 160)).filter(
+        "id BETWEEN 150 AND 160"
+    )
+    assert sorted(r.id for r in got.collect()) == list(range(150, 161))
+
+    # pruned-to-nothing keeps the schema, returns no rows
+    none = vt_read(spark, table, prune=("id", 10_000, 20_000))
+    assert none.count() == 0 and none.columns == ["id", "v"]
+
+    # compaction carries the recorded stats columns forward
+    vt_compact(spark, table)
+    latest = read_manifest(spark, table, latest_version(spark, table))
+    assert all("id" in e["stats"] for e in latest["files"])
+    # equality under pruning survives the rewrite
+    again = vt_read(spark, table, prune=("id", 150, 160)).filter(
+        "id BETWEEN 150 AND 160"
+    )
+    assert sorted(r.id for r in again.collect()) == list(range(150, 161))
+
+
+def test_files_without_stats_are_conservatively_kept(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_files
+
+    vt_append(spark, _df(spark, 0, 50).repartition(1), table)  # no stats
+    vt_append(
+        spark, _df(spark, 50, 100).repartition(1), table, stats_cols=["id"]
+    )
+    pruned = vt_files(spark, table, prune=("id", 60, 70))
+    # stats-less files can't be skipped; the stats-bearing out-of-range
+    # file could only be the in-range one here, so: 1 unknown + 1 match
+    assert len(pruned) == 2
+    got = vt_read(spark, table, prune=("id", 60, 70)).filter(
+        "id BETWEEN 60 AND 70"
+    )
+    assert got.count() == 11
