@@ -178,6 +178,8 @@ PRIORITY: list[str] = [
     "q_time_travel",
     "q_sketch_rollup",
     "q_sketch_intersection",
+    "q_bpe_train",
+    "q_cc_exact",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",
@@ -185,7 +187,6 @@ PRIORITY: list[str] = [
     "q_simhash",
     "q_dedup_clusters",
     "q_kmeans",
-    "q_bpe_train",
     "q_ann_ivf",
     "q_ann_lsh",
     "q_ann_pq",

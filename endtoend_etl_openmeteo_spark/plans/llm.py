@@ -651,9 +651,64 @@ def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Training-oracle variant of the encode-oracle iteration (see
+# _BPE_SQL_ITER below): identical pair-count/fuse cycle, but keeps the
+# winning pair's count so the merge TABLE itself is hash-checkable. The
+# corpus here is ALL documents (bpe_train's input), not the encode
+# sample, and 4 iterations match n_merges=4.
+_BPE_TRAIN_ITER = """
+p{i} AS (
+  SELECT l, r, n FROM (
+    SELECT p[1] AS l, p[2] AS r, count(*) AS n
+    FROM full{j}, unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS t(p)
+    GROUP BY 1, 2
+  ) WHERE n >= 2
+  ORDER BY n DESC, l, r LIMIT 1
+),
+r{i} AS (
+  SELECT COALESCE((SELECT chr(31)||l||chr(31)||chr(31)||r||chr(31) FROM p{i}),
+                  chr(0)) AS pat,
+         COALESCE((SELECT chr(31)||l||chr(30)||r||chr(31) FROM p{i}),
+                  chr(0)) AS rep
+),
+full{i} AS (
+  SELECT w, string_split(substr(w, 2, length(w)-2), chr(31)||chr(31)) AS toks
+  FROM (SELECT replace(full{j}.w, r{i}.pat, r{i}.rep) AS w FROM full{j}, r{i})
+)"""
+
+_BPE_TRAIN_ORACLE = (
+    """
+WITH full0 AS (
+  SELECT chr(31) || replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ', chr(31)||chr(31)) || chr(31) AS w,
+         string_split(
+           replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   ' ', chr(31)||chr(31)),
+           chr(31)||chr(31)) AS toks
+  FROM documents
+),"""
+    + _BPE_TRAIN_ITER.format(i=1, j=0)
+    + ","
+    + _BPE_TRAIN_ITER.format(i=2, j=1)
+    + ","
+    + _BPE_TRAIN_ITER.format(i=3, j=2)
+    + ","
+    + _BPE_TRAIN_ITER.format(i=4, j=3)
+    + """
+SELECT 0::INT AS step, l AS "left", r AS "right", n::BIGINT AS pair_count FROM p1
+UNION ALL
+SELECT 1::INT, l, r, n::BIGINT FROM p2
+UNION ALL
+SELECT 2::INT, l, r, n::BIGINT FROM p3
+UNION ALL
+SELECT 3::INT, l, r, n::BIGINT FROM p4
+"""
+)
+
+
 @register(
     "q_bpe_train",
-    oracle=None,  # iterative driver-state loop — rows-only check
+    oracle=_BPE_TRAIN_ORACLE,
     doc="Iterative BPE merge training (operators/bpe.bpe_train): per "
     "iteration one map-side-combined pair-count aggregate hands its top-1 "
     "row to the driver, then a map-only higher-order-aggregate fold fuses "

@@ -338,6 +338,56 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cc_exact",
+    # The clustering operator itself, hash-checked: same exact-Jaccard
+    # edges as q_ngram_jaccard, components recomputed in DuckDB as a
+    # RECURSIVE transitive closure + min-reachable-label (tractable
+    # because near-dup components are small; the Spark side is the
+    # log-round pointer-jumping loop that scales).
+    oracle=rf"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents WHERE doc_id < {JACCARD_VERIFY_MAX_DOC_ID}
+    ),
+    e AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.2
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a::BIGINT AS id, least(a, min(b))::BIGINT AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    doc="Connected components over EXACT Jaccard near-dup edges "
+    "(operators/clusters.dedup_clusters): min-label propagation with "
+    "pointer jumping, hash-matched against a DuckDB recursive-closure "
+    "oracle. This driver-checks the clustering operator itself; "
+    "q_dedup_clusters runs the same operator over the MinHash-LSH "
+    "candidate edges (hash-specific, rows-only).",
+    tags=("dedup", "iterative"),
+)
+def q_cc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.clusters import dedup_clusters
+
+    docs = tbl(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < JACCARD_VERIFY_MAX_DOC_ID
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.2)
+    return dedup_clusters(pairs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+@register(
     "q_dedup_clusters",
     oracle=None,  # iterative label propagation — rows-only check
     doc="Near-duplicate clustering: connected components over MinHash-LSH "
