@@ -105,10 +105,17 @@ def latest_version(spark: SparkSession, table: str) -> int:
 
 
 def _commit(
-    spark: SparkSession, table: str, files: list[str], op: str, parent_hint: int
+    spark: SparkSession,
+    table: str,
+    files: list[str],
+    op: str,
+    parent_hint: int,
+    extra: dict | None = None,
 ) -> int:
     """CAS-commit a manifest: try version = latest+1; on rename refusal
-    (another writer won that slot) re-read latest and retry."""
+    (another writer won that slot) re-read latest and retry. ``extra``
+    merges additional metadata into the manifest (e.g. the streaming
+    epoch tag)."""
     table = table.rstrip("/")
     attempt = parent_hint + 1
     for _ in range(100):
@@ -117,6 +124,7 @@ def _commit(
             "parent": attempt - 1,
             "op": op,
             "files": sorted(files, key=lambda e: e["path"]),
+            **(extra or {}),
         }
         tmp = f"{table}/{_MANIFEST_DIR}/_tmp_{uuid.uuid4().hex}.json"
         _write_file(spark, tmp, json.dumps(manifest).encode())
@@ -298,6 +306,110 @@ def vt_compact(
     )
     new_v = _commit(spark, table, files, "compact", parent)
     return new_v, len(manifest["files"]), len(files)
+
+
+def vt_merge(
+    spark: SparkSession,
+    new: DataFrame,
+    table: str,
+    keys: list[str],
+    order_col: str,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Copy-on-write last-write-wins MERGE as a snapshot commit: only the
+    files whose recorded [min, max] of ``keys[0]`` overlaps the batch's
+    key range are read back and rewritten; every other file is carried
+    forward into the new manifest untouched. Iceberg-style COW at file
+    granularity — the file-level analog of ``merge.merge_upsert``'s
+    partition scope, plus atomic visibility and history.
+
+    Files without recorded stats are conservatively treated as touched
+    (correctness first). ``stats_cols`` defaults to ``[keys[0]]`` so every
+    merge leaves the stats the NEXT merge needs to prune.
+    """
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.merge import (
+        dedup_last_write_wins,
+    )
+
+    table = table.rstrip("/")
+    stats_cols = stats_cols or [keys[0]]
+    k0 = keys[0]
+    parent = latest_version(spark, table)
+    entries = read_manifest(spark, table, parent)["files"]
+
+    bounds = new.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    touched, carried = [], []
+    for e in entries:
+        mm = e.get("stats", {}).get(k0)
+        if (
+            lo is None  # empty batch: nothing can touch
+            or (
+                mm is not None
+                and mm[0] is not None
+                and mm[1] is not None
+                and (mm[0] > hi or mm[1] < lo)
+            )
+        ):
+            carried.append(e)
+        else:
+            touched.append(e)
+
+    if touched:
+        affected = spark.read.parquet(*[f"{table}/{e['path']}" for e in touched])
+        merged = dedup_last_write_wins(
+            affected.unionByName(new.select(*affected.columns)), keys, order_col
+        )
+    else:
+        merged = dedup_last_write_wins(new, keys, order_col)
+    new_files = (
+        _write_data(spark, merged, table, stats_cols=stats_cols)
+        if lo is not None or touched
+        else []
+    )
+    return _commit(spark, table, carried + new_files, "merge", parent)
+
+
+def vt_append_epoch(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    run_id: str,
+    epoch_id: int,
+    stats_cols: list[str] | None = None,
+) -> int | None:
+    """Exactly-once streaming append: the foreachBatch sink for a
+    versioned table. Each micro-batch commits a manifest tagged with
+    (run_id, epoch_id); a REPLAYED epoch (crash after commit, before the
+    checkpoint advanced) finds its tag in a retained manifest and becomes
+    a no-op — the snapshot-summary idempotence trick table formats use,
+    and the manifest analog of the reference's ``_ingest_log`` skip
+    (`/root/reference/ingestion/loader/load_to_postgres.py:150-185`).
+
+    Returns the committed version, or None if the epoch was already
+    committed. Retention caveat: :func:`vt_vacuum` must keep at least the
+    manifests of the restart window, or a very late replay loses its
+    dedup marker.
+    """
+    table_s = table.rstrip("/")
+    for v in reversed(_list_versions(spark, table_s)):
+        m = read_manifest(spark, table_s, v)
+        tag = m.get("epoch")
+        if tag and tag["run"] == run_id and tag["epoch"] == epoch_id:
+            return None  # replayed epoch — already durable
+    files = _write_data(spark, df, table_s, stats_cols=stats_cols)
+    parent = latest_version(spark, table_s)
+    existing = read_manifest(spark, table_s, parent)["files"]
+    return _commit(
+        spark,
+        table_s,
+        existing + files,
+        "stream-append",
+        parent,
+        extra={"epoch": {"run": run_id, "epoch": int(epoch_id)}},
+    )
 
 
 def vt_history(spark: SparkSession, table: str) -> list[dict]:

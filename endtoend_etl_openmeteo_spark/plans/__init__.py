@@ -180,6 +180,7 @@ PRIORITY: list[str] = [
     "q_sketch_intersection",
     "q_bpe_train",
     "q_cc_exact",
+    "q_snapshot_merge",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

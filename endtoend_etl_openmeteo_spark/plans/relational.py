@@ -474,6 +474,71 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_snapshot_merge",
+    # LWW merge semantics recomputed directly from the source: every 10th
+    # event gets a newer (ord=2) row with value+1000; the rest keep their
+    # seeded values. One stale (ord=0) batch must leave no trace.
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,
+           CASE WHEN event_id % 10 = 0 THEN 2 ELSE 1 END::BIGINT AS ord
+    FROM events
+    """,
+    doc="Copy-on-write MERGE on the manifest table format "
+    "(operators/versioned.vt_merge): last-write-wins keyed upsert where "
+    "only files whose recorded key range overlaps the batch are "
+    "rewritten — carried files appear verbatim in the new manifest "
+    "(file-granular analog of merge_upsert's partition scope, plus "
+    "atomic visibility and history). The query seeds two range-sliced "
+    "appends, applies a newer batch and then a STALE batch, and returns "
+    "the final snapshot; rewrite scope and idempotency are pinned by "
+    "tests/test_versioned.py.",
+    tags=("versioned", "merge"),
+)
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_append,
+        vt_init,
+        vt_merge,
+        vt_read,
+    )
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", "value", F.lit(1).cast("long").alias("ord")
+    )
+    mid = ev.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
+    table = scratch_dir(prefix="vt_merge_")
+    try:
+        vt_init(spark, table)
+        vt_append(
+            spark, ev.filter(F.col("event_id") <= mid), table,
+            stats_cols=["event_id"],
+        )
+        vt_append(
+            spark, ev.filter(F.col("event_id") > mid), table,
+            stats_cols=["event_id"],
+        )
+        newer = ev.filter(F.col("event_id") % 10 == 0).select(
+            "event_id",
+            (F.col("value") + 1000).alias("value"),
+            F.lit(2).cast("long").alias("ord"),
+        )
+        vt_merge(spark, newer, table, keys=["event_id"], order_col="ord")
+        stale = ev.filter(F.col("event_id") % 10 == 0).select(
+            "event_id",
+            F.lit(-1.0).alias("value"),
+            F.lit(0).cast("long").alias("ord"),
+        )
+        vt_merge(spark, stale, table, keys=["event_id"], order_col="ord")
+        return vt_read(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@register(
     "q_except_intersect",
     oracle="""
     WITH a AS (SELECT DISTINCT o_custkey FROM orders

@@ -121,6 +121,72 @@ def test_read_empty_version_raises_clearly(spark, table):
         vt_read(spark, table, version=0)
 
 
+def test_streaming_epoch_commits_exactly_once(spark, table):
+    """foreachBatch → vt_append_epoch: kill-and-resume never re-commits a
+    checkpointed epoch, and a REPLAYED epoch (crash between commit and
+    checkpoint) is a no-op because its (run, epoch) tag is already in a
+    retained manifest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_append_epoch,
+    )
+
+    src = Path(table) / "_landing"
+    src.mkdir()
+    ckpt = str(Path(table) / "_ckpt")
+
+    def sink(batch_df, epoch_id):
+        vt_append_epoch(
+            batch_df.sparkSession, batch_df, table, "run1", epoch_id,
+            stats_cols=["user_id"],
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    pq.write_table(
+        pa.table({"user_id": [1, 2], "value": [1.0, 2.0]}), src / "a.parquet"
+    )
+    run_once()
+    assert vt_read(spark, table).count() == 2
+    v_after_first = latest_version(spark, table)
+
+    # resume: ONLY the new file's epoch commits
+    pq.write_table(pa.table({"user_id": [3], "value": [3.0]}), src / "b.parquet")
+    run_once()
+    assert vt_read(spark, table).count() == 3
+    assert latest_version(spark, table) == v_after_first + 1
+
+    # replay the last epoch (same run + epoch id): must be a no-op
+    last_epoch = read_manifest(spark, table, latest_version(spark, table))[
+        "epoch"
+    ]["epoch"]
+    replay = spark.createDataFrame([(3, 3.0)], "user_id long, value double")
+    out = vt_append_epoch(spark, replay, table, "run1", last_epoch)
+    assert out is None
+    assert vt_read(spark, table).count() == 3
+    assert latest_version(spark, table) == v_after_first + 1
+    # a NEW epoch id from the same run still commits
+    assert (
+        vt_append_epoch(spark, replay, table, "run1", last_epoch + 100)
+        is not None
+    )
+    assert vt_read(spark, table).count() == 4
+
+
 def test_manifest_stats_prune_files(spark, table):
     from endtoend_etl_openmeteo_spark.operators.versioned import vt_files
 
@@ -155,6 +221,74 @@ def test_manifest_stats_prune_files(spark, table):
         "id BETWEEN 150 AND 160"
     )
     assert sorted(r.id for r in again.collect()) == list(range(150, 161))
+
+
+def _keyed(spark, lo, hi, ord_val, v_expr="id * 2"):
+    return spark.range(lo, hi).selectExpr(
+        "id", f"{v_expr} AS v", f"CAST({ord_val} AS BIGINT) AS ord"
+    )
+
+
+def test_cow_merge_rewrites_only_overlapping_files(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_merge
+
+    for lo in (0, 100, 200, 300):
+        vt_append(
+            spark, _keyed(spark, lo, lo + 100, 1).repartition(1), table,
+            stats_cols=["id"],
+        )
+    seed_paths = {
+        e["path"]
+        for e in read_manifest(spark, table, latest_version(spark, table))["files"]
+    }
+    assert len(seed_paths) == 4
+
+    # batch overlaps ONLY the 100..199 file
+    batch = _keyed(spark, 150, 160, 2, v_expr="999")
+    v = vt_merge(spark, batch, table, keys=["id"], order_col="ord")
+    after = read_manifest(spark, table, v)["files"]
+    carried = {e["path"] for e in after} & seed_paths
+    # three seed files carried forward byte-identically; the overlapping
+    # one was rewritten (its path is gone from the new manifest)
+    assert len(carried) == 3
+    assert len([e for e in after if e["path"] not in seed_paths]) >= 1
+
+    got = {r.id: (r.v, r.ord) for r in vt_read(spark, table).collect()}
+    assert len(got) == 400
+    assert got[155] == (999, 2)  # newer wins
+    assert got[55] == (110, 1)  # untouched range intact
+    assert got[145] == (290, 1)  # same file, un-merged key intact
+
+    # an OLDER batch must not overwrite
+    stale = _keyed(spark, 150, 160, 0, v_expr="-1")
+    vt_merge(spark, stale, table, keys=["id"], order_col="ord")
+    got = {r.id: r.v for r in vt_read(spark, table).collect()}
+    assert got[155] == 999
+
+    # pre-merge snapshot still shows the original values
+    pre = {r.id: r.v for r in vt_read(spark, table, version=4).collect()}
+    assert pre[155] == 310
+
+    # idempotency: re-merging the same batch changes nothing visible
+    vt_merge(spark, batch, table, keys=["id"], order_col="ord")
+    again = {r.id: (r.v, r.ord) for r in vt_read(spark, table).collect()}
+    assert again == {
+        i: ((999, 2) if 150 <= i < 160 else (i * 2, 1)) for i in range(400)
+    }
+
+
+def test_cow_merge_empty_batch_is_a_noop_version(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_merge
+
+    vt_append(
+        spark, _keyed(spark, 0, 50, 1).repartition(1), table, stats_cols=["id"]
+    )
+    before = read_manifest(spark, table, latest_version(spark, table))["files"]
+    v = vt_merge(
+        spark, _keyed(spark, 0, 0, 1), table, keys=["id"], order_col="ord"
+    )
+    assert read_manifest(spark, table, v)["files"] == before
+    assert vt_read(spark, table).count() == 50
 
 
 def test_files_without_stats_are_conservatively_kept(spark, table):
