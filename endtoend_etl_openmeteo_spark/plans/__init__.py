@@ -181,6 +181,7 @@ PRIORITY: list[str] = [
     "q_bpe_train",
     "q_cc_exact",
     "q_snapshot_merge",
+    "q_multimodal_embedding",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",
@@ -191,7 +192,6 @@ PRIORITY: list[str] = [
     "q_ann_ivf",
     "q_ann_lsh",
     "q_ann_pq",
-    "q_multimodal_embedding",
 ]
 
 

@@ -78,17 +78,36 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_embedding",
-    oracle=None,  # fake-encoder output; no SQL analog — rows-only check
-    doc="Deterministic fake-encoder embedding digest (md5 of the JSON form "
-    "so the output is flat scalars — the harness canonicalizer can't sort "
-    "list columns). Exercises the full mapInPandas feature path including "
-    "the array column.",
+    # The fake encoder is pure integer arithmetic on sha256 chunks:
+    # element i = digest[4i..4i+4] as a big-endian uint32, scaled to
+    # [-0.5, 0.5). Every step is exact in IEEE double and the final
+    # float32 narrowing is replicated with ::REAL, so the oracle matches
+    # BIT-FOR-BIT — no rounding slack hiding a broken pipeline.
+    oracle="""
+    SELECT doc_id AS media_id,
+           """
+    + ",\n           ".join(
+        f"((('0x' || substr(sha256(text), {i * 8 + 1}, 8))::BIGINT"
+        f" / 4294967296.0 - 0.5)::REAL) AS e{i}"
+        for i in range(8)
+    )
+    + """
+    FROM documents
+    WHERE doc_id % 4 NOT IN (0, 1)
+    """,
+    doc="Deterministic fake-encoder embedding, element-wise hash-checked: "
+    "the mapInPandas Arrow path produces the array column, and each "
+    "element is compared exactly against DuckDB's recomputation from the "
+    "same sha256 bytes (uint32 chunk / 2^32 - 0.5, float32-narrowed on "
+    "both engines). Exercises the full vectorized feature path including "
+    "array construction and per-element extraction.",
     tags=("multimodal", "pandas-udf"),
 )
 def q_multimodal_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = decode_images(_media_from_documents(spark, sf_dir))
     return feats.select(
-        "media_id", F.md5(F.to_json("embedding")).alias("embedding_md5")
+        "media_id",
+        *[F.element_at("embedding", i + 1).alias(f"e{i}") for i in range(8)],
     )
 
 
