@@ -182,6 +182,7 @@ PRIORITY: list[str] = [
     "q_cc_exact",
     "q_snapshot_merge",
     "q_multimodal_embedding",
+    "q_bloom_decontaminate",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

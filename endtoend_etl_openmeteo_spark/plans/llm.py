@@ -886,3 +886,66 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_raw_tokens"),
         F.size("toks").cast("long").alias("n_bpe_tokens"),
     )
+
+
+@register(
+    "q_bloom_decontaminate",
+    # Same contamination semantics as q_contamination's overlap core, but
+    # reporting only contaminated docs — the Bloom pre-filter is invisible
+    # to the oracle (no false negatives + exact verify join), visible only
+    # to the shuffle row count.
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source, array_to_string(toks[i:i+4], ' ') AS sh
+      FROM norm, unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+    cand AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0')
+    SELECT c.doc_id, count(*)::BIGINT AS n_contaminated
+    FROM cand c JOIN bench b USING (sh)
+    GROUP BY c.doc_id
+    """,
+    doc="Bloom-pruned decontamination (operators/bloom.py): the benchmark "
+    "shingle set is folded into a ~128 KiB bitmap broadcast as ONE row; "
+    "every candidate shingle is probed map-side (xxhash64 family + "
+    "bitwise AND in codegen) and only Bloom survivors reach the exact "
+    "verification join. No false negatives by construction, so results "
+    "are EXACT — at 100 TB the corpus-side shuffle carries the ~p*n "
+    "false-positive residue plus true hits instead of every shingle, "
+    "while q_contamination's broadcast join still streams all candidate "
+    "shingles through the probe. This is the blocklist shape: the same "
+    "operator screens URLs or seen-document digests.",
+    tags=("llm", "text", "dedup"),
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.bloom import (
+        bloom_build,
+        bloom_collect,
+        bloom_might_contain,
+    )
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    docs = tbl(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(shingles("text", 5)).alias("sh"))
+        .distinct()
+        # consumed twice (bloom build + exact verify join) — materialize
+        # the small reference set once instead of re-shingling src0
+        .localCheckpoint(eager=True)
+    )
+    bits = bloom_collect(bloom_build(bench, "sh"))
+    cand = cpu_parallelize(docs.filter(F.col("source") != "src0")).select(
+        "doc_id", F.explode(shingles("text", 5)).alias("sh")
+    )
+    survivors = cand.filter(bloom_might_contain("sh", bits))
+    return (
+        survivors.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
