@@ -308,3 +308,64 @@ def kmeans(
         [(cl, c) for cl, c in cent], "cluster int, centroid array<double>"
     )
     return assignments.select("id", "cluster"), centroids
+
+
+def pagerank(
+    pairs: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 6,
+    iter_dp: int = 10,
+) -> DataFrame:
+    """PageRank over an undirected pair graph (id_a, id_b) → (id, rank).
+
+    The canonical-document selector for dedup clusters: on a similarity
+    graph, rank concentrates on the most-connected member, so "keep the
+    highest-rank doc per cluster" picks the best-attested copy instead of
+    dedup_clusters' arbitrary min-id. Same shape ranks hosts on a
+    hyperlink/citation graph for crawl-quality weighting.
+
+    Power iteration as a DataFrame loop: edges (with source degree
+    attached) are checkpointed ONCE and re-joined with the current ranks
+    each round — one shuffle per iteration, the join reuses the edge
+    partitioning. Per-iteration ranks round to ``iter_dp`` decimals so
+    the float-sum order (Spark partial aggregation vs any reference
+    recomputation) cannot drift across rounds — the round-before-rank
+    pattern applied to an iterative fixpoint. Nodes are the graph's
+    nodes: every one has degree ≥ 1 (no dangling-mass term; isolated
+    docs simply aren't in the graph). The only driver scalar is the node
+    count. At 100-TB scale, bucket edges by src so the per-iteration
+    join co-locates without reshuffling the edge table.
+    """
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = deg.select(F.col("src").alias("id")).localCheckpoint(eager=True)
+    n = nodes.count()  # bounded: one scalar
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    teleport = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n))
+    ranks = nodes.select(
+        "id", F.round(F.lit(1.0) / F.lit(float(n)), iter_dp).alias("rank")
+    )
+    for i in range(iterations):
+        sums = (
+            edges_deg.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(sums, "id", "left").select(
+            "id",
+            F.round(
+                teleport + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                iter_dp,
+            ).alias("rank"),
+        )
+        if (i + 1) % 3 == 0 and i + 1 < iterations:
+            # cut lineage so the plan doesn't deepen linearly in rounds
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

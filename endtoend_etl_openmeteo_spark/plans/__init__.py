@@ -183,6 +183,7 @@ PRIORITY: list[str] = [
     "q_snapshot_merge",
     "q_multimodal_embedding",
     "q_bloom_decontaminate",
+    "q_pagerank",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

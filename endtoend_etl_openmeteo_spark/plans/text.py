@@ -763,3 +763,86 @@ def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return kept.unionByName(dupd).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _pagerank_oracle(iters: int, d: float, dp: int) -> str:
+    """Unrolled power iteration in DuckDB SQL — one CTE pair per round.
+
+    Generated, not hand-written, so the oracle's round count / damping /
+    per-iteration rounding are the SAME constants the Spark operator
+    receives; both sides compute (1-d)/n and d*sum from identical
+    literals at runtime, and round every iteration to ``dp`` decimals so
+    float-sum order cannot drift across rounds (DuckDB has recursive
+    CTEs, but aggregation inside the recursive term is restricted —
+    unrolling keeps the per-round GROUP BY and stays deterministic).
+    """
+    head = rf"""
+    WITH d0 AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents WHERE doc_id < {JACCARD_VERIFY_MAX_DOC_ID}
+    ),
+    e AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM d0 a JOIN d0 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.2
+    ),
+    sym AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+    degt AS (SELECT src, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+    nodes AS (SELECT src AS id, deg FROM degt),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    pr0 AS (SELECT id, deg, round(1.0 / nn.n, {dp}) AS rank FROM nodes, nn)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    c{i} AS (SELECT s.dst AS id, sum(p.rank / p.deg) AS s
+             FROM pr{i - 1} p JOIN sym s ON p.id = s.src GROUP BY s.dst),
+    pr{i} AS (SELECT n.id, n.deg,
+                     round((1.0 - {d!r}) / nn.n + {d!r} * coalesce(c.s, 0.0), {dp}) AS rank
+              FROM nodes n CROSS JOIN nn LEFT JOIN c{i} c ON c.id = n.id)""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT id::BIGINT AS id, round(rank, 6) AS pagerank FROM pr{iters}
+    """
+    )
+
+
+_PAGERANK_ITERS, _PAGERANK_DAMPING, _PAGERANK_DP = 6, 0.85, 10
+
+
+@register(
+    "q_pagerank",
+    oracle=_pagerank_oracle(_PAGERANK_ITERS, _PAGERANK_DAMPING, _PAGERANK_DP),
+    doc="PageRank over the exact-Jaccard similarity graph "
+    "(operators/clusters.pagerank): the canonical-document selector — "
+    "rank concentrates on the best-connected member of each near-dup "
+    "cluster, so keep-highest-rank beats keep-min-id when copies differ "
+    "in quality; the same operator ranks hosts on a hyperlink graph for "
+    "crawl-quality weighting. Power iteration as a DataFrame loop (one "
+    "checkpointed edge table, one shuffle per round, per-round rounding "
+    "to 10dp) hash-checked against a GENERATED unrolled-CTE DuckDB "
+    "oracle running the same rounds with the same constants.",
+    tags=("dedup", "iterative", "graph"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.clusters import pagerank
+
+    docs = tbl(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < JACCARD_VERIFY_MAX_DOC_ID
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.2)
+    pr = pagerank(
+        pairs,
+        damping=_PAGERANK_DAMPING,
+        iterations=_PAGERANK_ITERS,
+        iter_dp=_PAGERANK_DP,
+    )
+    return pr.select(
+        F.col("id").cast("long").alias("id"),
+        F.round("rank", 6).alias("pagerank"),
+    )
