@@ -449,3 +449,136 @@ def vt_vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> int:
     for v in drop:
         fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(table, v)), False)
     return len(doomed)
+
+
+def vt_delete(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    stats_cols: list[str] | None = None,
+) -> tuple[int, int, int]:
+    """Copy-on-write DELETE as a snapshot commit: rewrite ONLY the files
+    that actually contain matching rows; carry every other file forward
+    untouched. Returns (version, files_rewritten, rows_deleted) — when no
+    file matches, no commit happens and the current version is returned.
+
+    One counting scan finds the touched files (per-file match counts via
+    ``input_file_name`` — bounded: one row per file WITH matches), then
+    only those files are re-read and rewritten predicate-negated. NULL
+    predicate results keep the row (SQL DELETE semantics: only rows where
+    the predicate is TRUE are deleted) — the negation is
+    ``NOT coalesce(pred, false)``, not ``NOT pred``, which would silently
+    drop NULL-predicate rows.
+
+    Reference analog: hard deletes the reference delegates to Postgres
+    ``DELETE`` (dbt full-refresh path); here it is the file-scoped COW
+    form a 100-TB table needs — delete cost ∝ files containing matches,
+    plus snapshot isolation for free.
+    """
+    from pyspark.sql import functions as F
+
+    table = table.rstrip("/")
+    parent = latest_version(spark, table)
+    entries = read_manifest(spark, table, parent)["files"]
+    if not entries:
+        return parent, 0, 0
+    pred = F.coalesce(predicate, F.lit(False))
+    paths = [f"{table}/{e['path']}" for e in entries]
+    per_file = (
+        spark.read.parquet(*paths)
+        .withColumn("__f", F.input_file_name())
+        .filter(pred)
+        .groupBy("__f")
+        .agg(F.count("*").alias("__n"))
+        .collect()
+    )
+    if not per_file:
+        return parent, 0, 0
+    hit_uris = {r["__f"] for r in per_file}
+    rows_deleted = sum(r["__n"] for r in per_file)
+    touched = [
+        e for e in entries if any(u.endswith("/" + e["path"]) for u in hit_uris)
+    ]
+    carried = [e for e in entries if e not in touched]
+    kept = spark.read.parquet(
+        *[f"{table}/{e['path']}" for e in touched]
+    ).filter(~pred)
+    stats_cols = stats_cols or sorted(
+        {c for e in touched for c in e.get("stats", {})}
+    )
+    new_files = (
+        _write_data(spark, kept, table, stats_cols=stats_cols or None)
+        if not kept.rdd.isEmpty()
+        else []
+    )
+    version = _commit(spark, table, carried + new_files, "delete", parent)
+    return version, len(touched), rows_deleted
+
+
+def vt_diff(
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change-data-feed between two snapshots — (keys..., change_type,
+    post-image columns), ``change_type`` ∈ insert/update/delete (update
+    carries the post-image; delete's non-key columns are NULL).
+
+    Manifest-scoped: only files REMOVED since ``v_from`` and files ADDED
+    by ``v_to`` are read — every carried (unchanged) file participates in
+    neither side, so diff cost ∝ churned files, not table size. Rows a
+    rewrite carried verbatim (compaction, merge rewriting a file where
+    only neighbors changed) land on both sides with equal values and are
+    filtered by the null-safe column comparison — compaction produces an
+    EMPTY diff, as CDC semantics require.
+
+    The key set must be unique per side (the table format's merge keeps
+    keys unique; appends of duplicate keys would fan out the full outer
+    join).
+    """
+    from pyspark.sql import functions as F
+
+    table = table.rstrip("/")
+    from_entries = {e["path"] for e in read_manifest(spark, table, v_from)["files"]}
+    to_entries = {e["path"] for e in read_manifest(spark, table, v_to)["files"]}
+    removed = sorted(from_entries - to_entries)
+    added = sorted(to_entries - from_entries)
+    if not from_entries and not to_entries:
+        raise ValueError(f"both versions of {table} are empty — no schema to diff")
+    schema_files = [
+        f"{table}/{p}" for p in (sorted(to_entries) or sorted(from_entries))
+    ]
+    empty = spark.read.parquet(*schema_files).limit(0)
+    old = (
+        spark.read.parquet(*[f"{table}/{p}" for p in removed]) if removed else empty
+    )
+    new = (
+        spark.read.parquet(*[f"{table}/{p}" for p in added]) if added else empty
+    )
+    non_keys = [c for c in old.columns if c not in keys]
+    # presence markers, not key-null checks — a NULL key value must not
+    # read as "row absent" in the full outer join
+    o = old.withColumn("__in_old", F.lit(True)).alias("o")
+    n = new.withColumn("__in_new", F.lit(True)).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col("o.__in_old").isNotNull()
+    in_new = F.col("n.__in_new").isNotNull()
+    changed = F.lit(False)
+    for c in non_keys:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change_type = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        joined.select(
+            *[F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys],
+            change_type.alias("change_type"),
+            *[F.col(f"n.{c}").alias(c) for c in non_keys],
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -184,6 +184,7 @@ PRIORITY: list[str] = [
     "q_multimodal_embedding",
     "q_bloom_decontaminate",
     "q_pagerank",
+    "q_snapshot_diff",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

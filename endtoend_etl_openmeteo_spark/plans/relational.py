@@ -743,3 +743,102 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(day).alias("n_days"),
         )
     )
+
+
+@register(
+    "q_snapshot_diff",
+    # The full CDC lifecycle recomputed arithmetically from the source:
+    # updates (%10: value+1000, ord 2), inserts (new ids mx+1+e for e%13),
+    # COW deletes (%7 but not %10 — applied AFTER the insert, so it also
+    # screens inserted ids), then the v_base->latest diff.
+    oracle="""
+    WITH mx AS (SELECT max(event_id) AS m FROM events),
+    v_base AS (SELECT event_id, value, 1::BIGINT AS ord FROM events),
+    updated AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,
+             CASE WHEN event_id % 10 = 0 THEN 2 ELSE 1 END::BIGINT AS ord
+      FROM events),
+    inserted AS (
+      SELECT m + 1 + event_id AS event_id, value * 2 AS value, 1::BIGINT AS ord
+      FROM events, mx WHERE event_id % 13 = 0),
+    vfinal AS (
+      SELECT * FROM updated WHERE NOT (event_id % 7 = 0 AND event_id % 10 <> 0)
+      UNION ALL
+      SELECT * FROM inserted WHERE NOT (event_id % 7 = 0 AND event_id % 10 <> 0))
+    SELECT coalesce(n.event_id, o.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'insert'
+                WHEN n.event_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           n.value AS value, n.ord AS ord
+    FROM v_base o FULL OUTER JOIN vfinal n ON o.event_id = n.event_id
+    WHERE o.event_id IS NULL OR n.event_id IS NULL
+       OR o.value <> n.value OR o.ord <> n.ord
+    """,
+    doc="Change data feed on the manifest table format "
+    "(operators/versioned.vt_diff): seed two range-sliced appends, apply "
+    "a MERGE of updates, a MERGE of brand-new keys, and a copy-on-write "
+    "DELETE (operators/versioned.vt_delete — predicate-negated rewrite "
+    "of ONLY the files containing matches), then emit the row-level "
+    "insert/update/delete feed between the seed snapshot and the latest. "
+    "Manifest-scoped: only files removed or added between the two "
+    "manifests are read (carried files participate in neither side), so "
+    "diff cost ∝ churned files, not table size; rows a rewrite carried "
+    "verbatim self-cancel via null-safe column comparison — a pure "
+    "compaction diffs EMPTY. The Delta/Iceberg CDF analog over the "
+    "reference ON CONFLICT upsert lifecycle "
+    "(/root/reference/ingestion/loader/load_to_postgres.py:89-102).",
+    tags=("versioned", "cdc"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_append,
+        vt_delete,
+        vt_diff,
+        vt_init,
+        vt_merge,
+    )
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", "value", F.lit(1).cast("long").alias("ord")
+    )
+    bounds = ev.agg(
+        (F.max("event_id") / 2).cast("long").alias("mid"),
+        F.max("event_id").alias("mx"),
+    ).collect()[0]
+    mid, mx = bounds["mid"], bounds["mx"]
+    table = scratch_dir(prefix="vt_cdc_")
+    try:
+        vt_init(spark, table)
+        vt_append(
+            spark, ev.filter(F.col("event_id") <= mid), table,
+            stats_cols=["event_id"],
+        )
+        v_base = vt_append(
+            spark, ev.filter(F.col("event_id") > mid), table,
+            stats_cols=["event_id"],
+        )
+        updates = ev.filter(F.col("event_id") % 10 == 0).select(
+            "event_id",
+            (F.col("value") + 1000).alias("value"),
+            F.lit(2).cast("long").alias("ord"),
+        )
+        vt_merge(spark, updates, table, keys=["event_id"], order_col="ord")
+        inserts = ev.filter(F.col("event_id") % 13 == 0).select(
+            (F.col("event_id") + F.lit(mx) + 1).alias("event_id"),
+            (F.col("value") * 2).alias("value"),
+            F.lit(1).cast("long").alias("ord"),
+        )
+        vt_merge(spark, inserts, table, keys=["event_id"], order_col="ord")
+        v_final, _, _ = vt_delete(
+            spark,
+            table,
+            (F.col("event_id") % 7 == 0) & (F.col("event_id") % 10 != 0),
+        )
+        out = vt_diff(spark, table, v_base, v_final, keys=["event_id"])
+        return out.localCheckpoint(eager=True)  # scratch table is reclaimed
+    finally:
+        shutil.rmtree(table, ignore_errors=True)

@@ -306,3 +306,128 @@ def test_files_without_stats_are_conservatively_kept(spark, table):
         "id BETWEEN 60 AND 70"
     )
     assert got.count() == 11
+
+
+def test_cow_delete_rewrites_only_matching_files(spark, table):
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_delete
+
+    for lo in (0, 100, 200, 300):
+        vt_append(
+            spark, _keyed(spark, lo, lo + 100, 1).repartition(1), table,
+            stats_cols=["id"],
+        )
+    before = {
+        e["path"]: (Path(table) / e["path"]).read_bytes()
+        for e in read_manifest(spark, table, latest_version(spark, table))["files"]
+    }
+    # matches live only in the [100, 200) file
+    v, n_rewritten, n_deleted = vt_delete(
+        spark, table, (F.col("id") >= 150) & (F.col("id") < 160)
+    )
+    assert (n_rewritten, n_deleted) == (1, 10)
+    after = read_manifest(spark, table, v)["files"]
+    carried = [e["path"] for e in after if e["path"] in before]
+    assert len(carried) == 3  # three untouched files carried by reference
+    for p in carried:  # ...and byte-for-byte identical on disk
+        assert (Path(table) / p).read_bytes() == before[p]
+    df = vt_read(spark, table)
+    assert df.count() == 390
+    assert df.filter((F.col("id") >= 150) & (F.col("id") < 160)).count() == 0
+
+
+def test_delete_null_predicate_rows_survive(spark, table):
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_delete
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "id long, v double"
+    )
+    vt_append(spark, df, table)
+    # v > 10 is NULL for id=2 — SQL DELETE must keep it
+    v, _, n_deleted = vt_delete(spark, table, F.col("v") > 10)
+    assert n_deleted == 1
+    assert sorted(r["id"] for r in vt_read(spark, table, v).collect()) == [1, 2]
+
+
+def test_delete_without_matches_commits_nothing(spark, table):
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_delete
+
+    vt_append(spark, _df(spark, 0, 10), table)
+    v0 = latest_version(spark, table)
+    v, n_rewritten, n_deleted = vt_delete(spark, table, F.col("id") > 999)
+    assert (v, n_rewritten, n_deleted) == (v0, 0, 0)
+    assert latest_version(spark, table) == v0
+
+
+def test_diff_classifies_insert_update_delete(spark, table):
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_delete,
+        vt_diff,
+        vt_merge,
+    )
+
+    v_base = vt_append(spark, _keyed(spark, 0, 100, 1), table, stats_cols=["id"])
+    vt_merge(  # update ids 0..9
+        spark, _keyed(spark, 0, 10, 2, v_expr="id * 2 + 7"), table,
+        keys=["id"], order_col="ord",
+    )
+    vt_merge(  # insert ids 100..104
+        spark, _keyed(spark, 100, 105, 1), table, keys=["id"], order_col="ord"
+    )
+    v_final, _, _ = vt_delete(spark, table, F.col("id").between(90, 94))
+    diff = vt_diff(spark, table, v_base, v_final, keys=["id"]).collect()
+    by_type = {}
+    for r in diff:
+        by_type.setdefault(r["change_type"], []).append(r)
+    assert sorted(r["id"] for r in by_type["insert"]) == [100, 101, 102, 103, 104]
+    assert sorted(r["id"] for r in by_type["update"]) == list(range(10))
+    assert sorted(r["id"] for r in by_type["delete"]) == [90, 91, 92, 93, 94]
+    assert all(r["v"] == r["id"] * 2 + 7 for r in by_type["update"])  # post-image
+    assert all(r["v"] is None for r in by_type["delete"])
+    assert len(diff) == 20
+
+
+def test_compaction_diffs_empty(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_diff
+
+    for lo in (0, 50):
+        vt_append(spark, _df(spark, lo, lo + 50).repartition(4), table)
+    v_before = latest_version(spark, table)
+    v_after, n_before, n_after = vt_compact(spark, table, target_mb=128)
+    assert n_after < n_before
+    # every row was rewritten, none changed — CDC must be empty
+    assert vt_diff(spark, table, v_before, v_after, keys=["id"]).count() == 0
+
+
+def test_diff_reads_only_churned_files(spark, table):
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_diff, vt_merge
+
+    for lo in (0, 100, 200, 300):
+        vt_append(
+            spark, _keyed(spark, lo, lo + 100, 1).repartition(1), table,
+            stats_cols=["id"],
+        )
+    v_base = latest_version(spark, table)
+    vt_merge(  # touches only the [100, 200) file
+        spark, _keyed(spark, 150, 160, 2, v_expr="0"), table,
+        keys=["id"], order_col="ord",
+    )
+    v_final = latest_version(spark, table)
+    # scan scope ∝ churn: exactly 1 removed + 1 added file between the
+    # manifests (vt_diff reads only these two sets), not the 4-file table
+    base_files = {e["path"] for e in read_manifest(spark, table, v_base)["files"]}
+    final_files = {e["path"] for e in read_manifest(spark, table, v_final)["files"]}
+    assert len(base_files - final_files) == 1
+    assert len(final_files - base_files) == 1
+    diff = vt_diff(spark, table, v_base, v_final, keys=["id"])
+    assert sorted(r["id"] for r in diff.collect()) == list(range(150, 160))
+    assert {r["change_type"] for r in diff.collect()} == {"update"}
