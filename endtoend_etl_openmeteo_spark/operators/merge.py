@@ -130,3 +130,54 @@ def merge_upsert(
     finally:
         if staging is not None:
             _delete_path(spark, staging)
+
+
+def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Partial-aggregate state for incremental materialized-view
+    maintenance: (keys..., __n, __sum, __min, __max) per group.
+
+    The algebraic-aggregate half of the mergeable-rollup family
+    (plans/sketches.py holds the sketch half): count/sum/min/max
+    decompose over any partition of the input, so a stored mart can be
+    maintained by aggregating ONLY each arriving batch and merging the
+    batch state in — never rescanning history. avg/stddev derive from
+    the state at finalize time; non-decomposable stats (distinct,
+    quantiles) are the sketches' job.
+    """
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("__n"),
+        F.sum(value_col).alias("__sum"),
+        F.min(value_col).alias("__min"),
+        F.max(value_col).alias("__max"),
+    )
+
+
+def merge_agg_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge any number of agg_state frames: union + one re-aggregate
+    with each component's merge function (count→sum, sum→sum, min→min,
+    max→max). Associative and commutative — batches can arrive in any
+    order, states of states merge identically."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*keys).agg(
+        F.sum("__n").alias("__n"),
+        F.sum("__sum").alias("__sum"),
+        F.min("__min").alias("__min"),
+        F.max("__max").alias("__max"),
+    )
+
+
+def finalize_agg_state(state: DataFrame, keys: list[str]) -> DataFrame:
+    """The user-facing mart from a state frame. Rounding per repo oracle
+    convention (sum 4dp — cross-engine/merge-order summation differs at
+    ~1e-10 — avg/min/max 6dp); avg derives as sum/count so the formula
+    matches what any SQL engine recomputing from raw rows produces."""
+    return state.select(
+        *keys,
+        F.col("__n").alias("n_events"),
+        F.round(F.col("__sum"), 4).alias("sum_value"),
+        F.round(F.col("__sum") / F.col("__n"), 6).alias("avg_value"),
+        F.round(F.col("__min"), 6).alias("min_value"),
+        F.round(F.col("__max"), 6).alias("max_value"),
+    )

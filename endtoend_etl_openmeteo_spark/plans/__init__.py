@@ -185,6 +185,7 @@ PRIORITY: list[str] = [
     "q_bloom_decontaminate",
     "q_pagerank",
     "q_snapshot_diff",
+    "q_incremental_agg",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

@@ -162,3 +162,51 @@ def q_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15 * F.greatest(F.col("click_users") - F.col("exact_both"), F.lit(1))
         ).alias("theta_diff_within_15pct"),
     )
+
+
+@register(
+    "q_incremental_agg",
+    # Full recompute straight from raw events — if the state algebra is
+    # sound, three independently-aggregated batches merged together are
+    # indistinguishable from one pass over everything.
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS sum_value,
+           round(sum(value) / count(*), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Incremental materialized-view maintenance "
+    "(operators/merge.agg_state/merge_agg_states/finalize_agg_state): "
+    "the exact-aggregate half of the mergeable-rollup family. Three "
+    "disjoint event batches are aggregated INDEPENDENTLY (as daily "
+    "ingest would), their states merged associatively (count→sum, "
+    "sum→sum, min→min, max→max), and the mart finalized from the merged "
+    "state — hash-matched against one full recompute over raw events. "
+    "At 100 TB this is the difference between 'new batch = aggregate "
+    "batch + merge state' and 'new batch = rescan history'; the state "
+    "frame is what you'd persist (e.g. in the versioned table format) "
+    "between runs.",
+    tags=("aggregate", "incremental", "mart"),
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.merge import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+        "event_id",
+    )
+    keys = ["event_type", "day"]
+    batches = [
+        agg_state(ev.filter(F.col("event_id") % 3 == i), keys, "value")
+        for i in range(3)
+    ]
+    return finalize_agg_state(merge_agg_states(batches, keys), keys)
