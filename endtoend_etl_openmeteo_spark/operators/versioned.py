@@ -582,3 +582,38 @@ def vt_diff(
         )
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def vt_overwrite_epoch(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    run_id: str,
+    epoch_id: int,
+    stats_cols: list[str] | None = None,
+) -> int | None:
+    """Exactly-once streaming OVERWRITE: the sink for state that each
+    micro-batch REPLACES rather than appends (incremental mart
+    maintenance, model snapshots). Same replay contract as
+    :func:`vt_append_epoch`: a retried epoch finds its (run, epoch) tag
+    in a retained manifest and becomes a no-op, so the
+    read-merge-overwrite cycle cannot double-apply a batch. Returns the
+    committed version, or None for a replayed epoch. Same vacuum
+    retention caveat as vt_append_epoch.
+    """
+    table_s = table.rstrip("/")
+    for v in reversed(_list_versions(spark, table_s)):
+        m = read_manifest(spark, table_s, v)
+        tag = m.get("epoch")
+        if tag and tag["run"] == run_id and tag["epoch"] == int(epoch_id):
+            return None  # replayed epoch — already durable
+    files = _write_data(spark, df, table_s, stats_cols=stats_cols)
+    parent = latest_version(spark, table_s)
+    return _commit(
+        spark,
+        table_s,
+        files,
+        "stream-overwrite",
+        parent,
+        extra={"epoch": {"run": run_id, "epoch": int(epoch_id)}},
+    )

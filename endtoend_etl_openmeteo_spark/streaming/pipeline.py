@@ -374,3 +374,109 @@ def run_streaming_elt(
     else:
         writer = writer.trigger(processingTime="1 hour")
     return writer.start()
+
+
+def run_streaming_mart_maintenance(
+    spark: SparkSession,
+    landing_path: str,
+    mart_table: str,
+    checkpoint_path: str,
+    schema: str,
+    keys: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous incremental mart maintenance: event stream → per-batch
+    agg_state → merge into the versioned mart — the streaming form of
+    q_incremental_agg, composing three proven pieces (agg-state algebra,
+    the manifest table format, Structured Streaming's replay contract).
+
+    Per micro-batch (epoch):
+
+    - ONLY the batch is aggregated (``operators.merge.agg_state``) — work
+      per epoch is O(batch + mart), never O(event history); the mart is
+      keys-sized (dimension × days), orders of magnitude smaller than the
+      raw stream. A day-partitioned variant would vt_merge per-day state
+      files instead of overwriting the whole mart — same algebra, file
+      scope ∝ touched days;
+    - the batch state merges with the CURRENT mart snapshot
+      (``merge_agg_states`` — count→sum, sum→sum, min→min, max→max) and
+      commits via ``vt_overwrite_epoch`` tagged (run, epoch): a crash
+      between commit and checkpoint replays the epoch, the tag makes the
+      re-apply a NO-OP, so a batch can never double-count — the
+      ``_ingest_log`` exactly-once trick
+      (/root/reference/ingestion/loader/load_to_postgres.py:150-185)
+      lifted to read-merge-overwrite state maintenance;
+    - readers of the mart see atomic snapshots (manifest isolation): a
+      dashboard never observes a half-merged epoch, and
+      ``finalize_agg_state`` over ``vt_read(mart)`` is always a complete,
+      consistent mart.
+    """
+    import hashlib
+
+    from endtoend_etl_openmeteo_spark.operators.merge import (
+        agg_state,
+        merge_agg_states,
+    )
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        latest_version,
+        read_manifest,
+        vt_init,
+        vt_overwrite_epoch,
+        vt_read,
+    )
+
+    run_id = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
+    vt_init_needed = True
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(landing_path)
+
+    def maintain(batch: DataFrame, epoch_id: int) -> None:
+        nonlocal vt_init_needed
+        sess = batch.sparkSession
+        if vt_init_needed:
+            try:
+                latest_version(sess, mart_table)
+            except FileNotFoundError:
+                vt_init(sess, mart_table)
+            vt_init_needed = False
+        day = F.date_trunc("day", F.col(ts_col)).alias("day")
+        state_keys = [*keys, "day"]
+        batch_state = agg_state(
+            batch.select(*keys, day, F.col(value_col)), state_keys, value_col
+        )
+        current_v = latest_version(sess, mart_table)
+        has_rows = bool(read_manifest(sess, mart_table, current_v)["files"])
+        merged = (
+            merge_agg_states(
+                [vt_read(sess, mart_table, version=current_v), batch_state],
+                state_keys,
+            )
+            if has_rows
+            else batch_state
+        )
+        # localCheckpoint before the overwrite commit: `merged` reads the
+        # very files the new version supersedes — materialize first so the
+        # plan cannot observe its own write (the _stage_and_reread rule).
+        vt_overwrite_epoch(
+            sess,
+            merged.localCheckpoint(eager=True),
+            mart_table,
+            run_id,
+            int(epoch_id),
+        )
+
+    writer = (
+        events.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 hour")
+    return writer.start()
