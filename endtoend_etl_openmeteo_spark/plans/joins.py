@@ -174,3 +174,67 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors"),
         )
     )
+
+
+#: Literal event-type dimension shared by the Spark side and the DuckDB
+#: oracle of q_dpp_join. At real scale this is the date/category dim table
+#: of a star schema; here a 5-row literal keeps the oracle exact.
+_EVENT_DIM = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "revenue"),
+    ("signup", "revenue"),
+    ("error", "ops"),
+]
+
+
+@register(
+    "q_dpp_join",
+    oracle="""
+    WITH dim(event_type, category) AS (
+      VALUES ('click','engagement'), ('view','engagement'),
+             ('purchase','revenue'), ('signup','revenue'), ('error','ops')
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    WHERE d.category = 'revenue'
+    GROUP BY e.event_type
+    """,
+    doc="Star-schema fact scan pruned at RUNTIME by the dim filter "
+    "(dynamic partition pruning). The fact table is laid out partitioned "
+    "by event_type; the join key values surviving the dim's category "
+    "filter are only known at execution, so Catalyst attaches a "
+    "dynamicpruningexpression to the fact scan that reuses the broadcast "
+    "to skip whole partitions before reading them. At 100 TB this is the "
+    "difference between scanning 2/5 of a date-partitioned fact and all "
+    "of it — static pushdown can't do it because the pruning values come "
+    "from another table. Plan shape pinned by tests/test_plans.py.",
+    tags=("join", "dpp", "layout"),
+)
+def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    # Deterministic per-sf path (not a fresh mkdtemp): the returned frame
+    # scans these files LAZILY, so they must outlive this call — overwrite
+    # into a stable location bounds the footprint at one events copy.
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    part_dir = os.path.join(
+        root, f"dpp_events_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    tbl(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(part_dir)
+    fact = spark.read.parquet(part_dir)
+    dim = spark.createDataFrame(_EVENT_DIM, "event_type string, category string")
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .filter(F.col("category") == "revenue")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

@@ -118,6 +118,19 @@ def test_single_exchange_aggregate_shapes(spark, registry):
         assert "partial_" in plan, q
 
 
+def test_dpp_join_prunes_fact_partitions_at_runtime(spark, registry):
+    """q_dpp_join's fact scan must carry a dynamicpruningexpression fed by
+    the dim broadcast: the partition list is cut to the join-key values
+    surviving the dim filter AT EXECUTION TIME — the star-schema scan
+    reduction static pushdown cannot express (the pruning values live in
+    another table)."""
+    plan = _physical(registry["q_dpp_join"].fn(spark, SF))
+    scan = plan.split("PartitionFilters")[1]
+    assert "dynamicpruningexpression" in scan.split("]")[0]
+    # pruning reuses the dim broadcast, not a second dim scan
+    assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan
+
+
 def test_gap_detect_broadcasts_expected_side(spark, registry):
     """The tiny (keys x hours) expected series must broadcast — the fact
     scan never shuffles for the anti-join."""
