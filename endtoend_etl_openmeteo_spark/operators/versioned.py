@@ -188,6 +188,79 @@ def _write_data(
     ]
 
 
+def _merge_schema(parent_json: str | None, new_schema) -> str:
+    """Additive schema evolution: fields new to this snapshot are APPENDED
+    to the parent schema; existing fields must keep their exact type
+    (type widening/renames are rejected — at 100 TB an implicit type
+    change is a silent full-table rewrite obligation, so it must be an
+    explicit migration, not an append side effect). A batch may OMIT
+    parent columns: its files simply null-fill on read. Returns the merged
+    schema as JSON for the manifest."""
+    from pyspark.sql.types import StructType
+
+    if parent_json is None:
+        return new_schema.json()
+    parent = StructType.fromJson(json.loads(parent_json))
+    by_name = {f.name: f for f in parent.fields}
+    merged = list(parent.fields)
+    for f in new_schema.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            merged.append(f)
+        elif old.dataType != f.dataType and not _upcastable(
+            f.dataType, old.dataType
+        ):
+            raise ValueError(
+                f"schema evolution is additive-only: column {f.name!r} is "
+                f"{old.dataType.simpleString()} in the table but "
+                f"{f.dataType.simpleString()} in the batch — widen via an "
+                "explicit rewrite, not an append"
+            )
+    return StructType(merged).json()
+
+
+#: Lossless numeric widenings a batch column may take implicitly to match
+#: the table's type (the batch is CAST at write time — stored files always
+#: carry the table type, so readers never see mixed physical types).
+_WIDENING_CHAINS = (
+    ("byte", "short", "integer", "long"),
+    ("float", "double"),
+)
+
+
+def _upcastable(narrow, wide) -> bool:
+    n, w = narrow.typeName(), wide.typeName()
+    return any(
+        n in chain and w in chain and chain.index(n) < chain.index(w)
+        for chain in _WIDENING_CHAINS
+    )
+
+
+def _snapshot_schema(manifest: dict):
+    """The StructType a snapshot's manifest recorded, or None for
+    manifests written before schema tracking."""
+    from pyspark.sql.types import StructType
+
+    sj = manifest.get("schema")
+    return StructType.fromJson(json.loads(sj)) if sj else None
+
+
+def _align(df: DataFrame, schema) -> DataFrame:
+    """Project ``df`` to ``schema``'s column set/order, adding typed NULLs
+    for columns the frame lacks (the write-side half of additive
+    evolution)."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
 def vt_init(spark: SparkSession, table: str) -> int:
     """Create an empty versioned table (version 0, no files)."""
     fs, jvm = _fs(spark, table)
@@ -204,10 +277,23 @@ def vt_append(
     """Append ``df`` as a new snapshot: parent's files + the new files.
     ``stats_cols`` records per-file min/max in the manifest for
     :func:`vt_files` pruning."""
-    files = _write_data(spark, df, table, stats_cols=stats_cols)
+    from pyspark.sql.types import StructType
+
     parent = latest_version(spark, table)
-    existing = read_manifest(spark, table, parent)["files"]
-    return _commit(spark, table, existing + files, "append", parent)
+    manifest = read_manifest(spark, table, parent)
+    schema_json = _merge_schema(manifest.get("schema"), df.schema)
+    # align BEFORE writing: stored files always carry the table's types
+    # and column order, so no reader ever sees mixed physical types
+    aligned = _align(df, StructType.fromJson(json.loads(schema_json)))
+    files = _write_data(spark, aligned, table, stats_cols=stats_cols)
+    return _commit(
+        spark,
+        table,
+        manifest["files"] + files,
+        "append",
+        parent,
+        extra={"schema": schema_json},
+    )
 
 
 def vt_overwrite(
@@ -220,7 +306,14 @@ def vt_overwrite(
     ``mode('overwrite')`` — readers of older versions are untouched)."""
     files = _write_data(spark, df, table, stats_cols=stats_cols)
     parent = latest_version(spark, table)
-    return _commit(spark, table, files, "overwrite", parent)
+    return _commit(
+        spark,
+        table,
+        files,
+        "overwrite",
+        parent,
+        extra={"schema": df.schema.json()},
+    )
 
 
 def vt_files(
@@ -264,13 +357,21 @@ def vt_read(
     still apply the row-level filter — pruning is a superset guarantee."""
     v = latest_version(spark, table) if version is None else version
     files = vt_files(spark, table, v, prune=prune)
+    # the manifest's recorded schema (additive evolution): files written
+    # before a column existed null-fill it; time travel to an older
+    # version reads with THAT version's schema — the new column is absent,
+    # not null, exactly as the snapshot was committed
+    schema = _snapshot_schema(read_manifest(spark, table.rstrip("/"), v))
     if not files:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
         if read_manifest(spark, table.rstrip("/"), v)["files"]:
             # pruned to nothing: empty frame with the table's schema
             all_files = vt_files(spark, table, v)
             return spark.read.parquet(*all_files).limit(0)
         raise ValueError(f"version {v} of {table} is empty — nothing to scan")
-    return spark.read.parquet(*files)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(*files)
 
 
 def vt_compact(
@@ -298,13 +399,16 @@ def vt_compact(
         for e in manifest["files"]
     )
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-    df = spark.read.parquet(*[f"{table}/{e['path']}" for e in manifest["files"]])
+    schema = _snapshot_schema(manifest)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(*[f"{table}/{e['path']}" for e in manifest["files"]])
     # carry forward whichever stats columns the parent recorded
     stats_cols = sorted({c for e in manifest["files"] for c in e.get("stats", {})})
     files = _write_data(
         spark, df.repartition(n), table, stats_cols=stats_cols or None
     )
-    new_v = _commit(spark, table, files, "compact", parent)
+    extra = {"schema": manifest["schema"]} if "schema" in manifest else None
+    new_v = _commit(spark, table, files, "compact", parent, extra=extra)
     return new_v, len(manifest["files"]), len(files)
 
 
@@ -333,11 +437,22 @@ def vt_merge(
         dedup_last_write_wins,
     )
 
+    from pyspark.sql.types import StructType
+
     table = table.rstrip("/")
     stats_cols = stats_cols or [keys[0]]
     k0 = keys[0]
     parent = latest_version(spark, table)
-    entries = read_manifest(spark, table, parent)["files"]
+    manifest = read_manifest(spark, table, parent)
+    entries = manifest["files"]
+    # additive evolution during merge: the batch may carry NEW columns
+    parent_schema_json = manifest.get("schema")
+    if parent_schema_json is None and entries:
+        parent_schema_json = (
+            spark.read.parquet(f"{table}/{entries[0]['path']}").schema.json()
+        )
+    schema_json = _merge_schema(parent_schema_json, new.schema)
+    merged_schema = StructType.fromJson(json.loads(schema_json))
 
     bounds = new.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
@@ -358,18 +473,27 @@ def vt_merge(
             touched.append(e)
 
     if touched:
-        affected = spark.read.parquet(*[f"{table}/{e['path']}" for e in touched])
+        affected = spark.read.schema(merged_schema).parquet(
+            *[f"{table}/{e['path']}" for e in touched]
+        )
         merged = dedup_last_write_wins(
-            affected.unionByName(new.select(*affected.columns)), keys, order_col
+            affected.unionByName(_align(new, merged_schema)), keys, order_col
         )
     else:
-        merged = dedup_last_write_wins(new, keys, order_col)
+        merged = dedup_last_write_wins(_align(new, merged_schema), keys, order_col)
     new_files = (
         _write_data(spark, merged, table, stats_cols=stats_cols)
         if lo is not None or touched
         else []
     )
-    return _commit(spark, table, carried + new_files, "merge", parent)
+    return _commit(
+        spark,
+        table,
+        carried + new_files,
+        "merge",
+        parent,
+        extra={"schema": schema_json},
+    )
 
 
 def vt_append_epoch(
@@ -399,16 +523,23 @@ def vt_append_epoch(
         tag = m.get("epoch")
         if tag and tag["run"] == run_id and tag["epoch"] == epoch_id:
             return None  # replayed epoch — already durable
-    files = _write_data(spark, df, table_s, stats_cols=stats_cols)
+    from pyspark.sql.types import StructType
+
     parent = latest_version(spark, table_s)
-    existing = read_manifest(spark, table_s, parent)["files"]
+    manifest = read_manifest(spark, table_s, parent)
+    schema_json = _merge_schema(manifest.get("schema"), df.schema)
+    aligned = _align(df, StructType.fromJson(json.loads(schema_json)))
+    files = _write_data(spark, aligned, table_s, stats_cols=stats_cols)
     return _commit(
         spark,
         table_s,
-        existing + files,
+        manifest["files"] + files,
         "stream-append",
         parent,
-        extra={"epoch": {"run": run_id, "epoch": int(epoch_id)}},
+        extra={
+            "epoch": {"run": run_id, "epoch": int(epoch_id)},
+            "schema": schema_json,
+        },
     )
 
 
@@ -479,13 +610,16 @@ def vt_delete(
 
     table = table.rstrip("/")
     parent = latest_version(spark, table)
-    entries = read_manifest(spark, table, parent)["files"]
+    manifest = read_manifest(spark, table, parent)
+    entries = manifest["files"]
     if not entries:
         return parent, 0, 0
+    schema = _snapshot_schema(manifest)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
     pred = F.coalesce(predicate, F.lit(False))
     paths = [f"{table}/{e['path']}" for e in entries]
     per_file = (
-        spark.read.parquet(*paths)
+        reader.parquet(*paths)
         .withColumn("__f", F.input_file_name())
         .filter(pred)
         .groupBy("__f")
@@ -500,7 +634,7 @@ def vt_delete(
         e for e in entries if any(u.endswith("/" + e["path"]) for u in hit_uris)
     ]
     carried = [e for e in entries if e not in touched]
-    kept = spark.read.parquet(
+    kept = reader.parquet(
         *[f"{table}/{e['path']}" for e in touched]
     ).filter(~pred)
     stats_cols = stats_cols or sorted(
@@ -511,7 +645,14 @@ def vt_delete(
         if not kept.rdd.isEmpty()
         else []
     )
-    version = _commit(spark, table, carried + new_files, "delete", parent)
+    version = _commit(
+        spark,
+        table,
+        carried + new_files,
+        "delete",
+        parent,
+        extra={"schema": manifest["schema"]} if "schema" in manifest else None,
+    )
     return version, len(touched), rows_deleted
 
 
@@ -541,21 +682,33 @@ def vt_diff(
     from pyspark.sql import functions as F
 
     table = table.rstrip("/")
-    from_entries = {e["path"] for e in read_manifest(spark, table, v_from)["files"]}
-    to_entries = {e["path"] for e in read_manifest(spark, table, v_to)["files"]}
+    m_from = read_manifest(spark, table, v_from)
+    m_to = read_manifest(spark, table, v_to)
+    from_entries = {e["path"] for e in m_from["files"]}
+    to_entries = {e["path"] for e in m_to["files"]}
     removed = sorted(from_entries - to_entries)
     added = sorted(to_entries - from_entries)
     if not from_entries and not to_entries:
         raise ValueError(f"both versions of {table} are empty — no schema to diff")
-    schema_files = [
-        f"{table}/{p}" for p in (sorted(to_entries) or sorted(from_entries))
-    ]
-    empty = spark.read.parquet(*schema_files).limit(0)
+    # both sides read with the TARGET version's schema: a column added
+    # between the versions null-fills on the old side, so its population
+    # shows up as `update` rows — column addition alone (all-null) diffs
+    # empty, matching additive-evolution CDC semantics
+    schema = _snapshot_schema(m_to) or _snapshot_schema(m_from)
+    if schema is not None:
+        reader = spark.read.schema(schema)
+        empty = spark.createDataFrame([], schema)
+    else:
+        reader = spark.read
+        schema_files = [
+            f"{table}/{p}" for p in (sorted(to_entries) or sorted(from_entries))
+        ]
+        empty = spark.read.parquet(*schema_files).limit(0)
     old = (
-        spark.read.parquet(*[f"{table}/{p}" for p in removed]) if removed else empty
+        reader.parquet(*[f"{table}/{p}" for p in removed]) if removed else empty
     )
     new = (
-        spark.read.parquet(*[f"{table}/{p}" for p in added]) if added else empty
+        reader.parquet(*[f"{table}/{p}" for p in added]) if added else empty
     )
     non_keys = [c for c in old.columns if c not in keys]
     # presence markers, not key-null checks — a NULL key value must not
@@ -615,5 +768,8 @@ def vt_overwrite_epoch(
         files,
         "stream-overwrite",
         parent,
-        extra={"epoch": {"run": run_id, "epoch": int(epoch_id)}},
+        extra={
+            "epoch": {"run": run_id, "epoch": int(epoch_id)},
+            "schema": df.schema.json(),
+        },
     )

@@ -431,3 +431,54 @@ def test_diff_reads_only_churned_files(spark, table):
     diff = vt_diff(spark, table, v_base, v_final, keys=["id"])
     assert sorted(r["id"] for r in diff.collect()) == list(range(150, 160))
     assert {r["change_type"] for r in diff.collect()} == {"update"}
+
+
+def test_schema_evolution_append_adds_column(spark, table):
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_merge
+
+    v1 = vt_append(spark, _df(spark, 0, 10), table)
+    evolved = _df(spark, 10, 20).withColumn("lang", F.lit("en"))
+    v2 = vt_append(spark, evolved, table)
+
+    latest = vt_read(spark, table)
+    assert latest.columns == ["id", "v", "lang"]
+    rows = {r.id: r.lang for r in latest.collect()}
+    assert len(rows) == 20
+    assert rows[5] is None  # pre-evolution file null-fills
+    assert rows[15] == "en"
+    # time travel reads the OLD schema — the column does not exist there
+    assert vt_read(spark, table, version=v1).columns == ["id", "v"]
+
+    # merge over the evolved table: batch WITHOUT the new column aligns
+    v3 = vt_merge(
+        spark,
+        spark.range(8, 12).selectExpr("id", "id * 100 AS v"),
+        table,
+        keys=["id"],
+        order_col="v",
+    )
+    after = {r.id: (r.v, r.lang) for r in vt_read(spark, table, v3).collect()}
+    assert after[9] == (900, None)
+    assert after[11] == (1100, None)  # overwrote the evolved row
+    assert after[15] == (30, "en")
+
+
+def test_schema_evolution_rejects_type_change(spark, table):
+    from pyspark.sql import functions as F
+
+    vt_append(spark, _df(spark, 0, 5), table)
+    bad = spark.range(5, 10).selectExpr("id", "CAST(id AS STRING) AS v")
+    with pytest.raises(ValueError, match="additive-only"):
+        vt_append(spark, bad, table)
+    # failed append must not have committed a manifest
+    assert [h["op"] for h in vt_history(spark, table)] == ["init", "append"]
+
+
+def test_schema_evolution_batch_may_omit_columns(spark, table):
+    vt_append(spark, _df(spark, 0, 5), table)
+    narrow = spark.range(5, 8).selectExpr("id")
+    vt_append(spark, narrow, table)
+    rows = {r.id: r.v for r in vt_read(spark, table).collect()}
+    assert rows[2] == 4 and rows[6] is None
