@@ -210,3 +210,93 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3)
     ]
     return finalize_agg_state(merge_agg_states(batches, keys), keys)
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS ts
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS w
+      FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+    ),
+    sample_counts AS (
+      SELECT w, count(*) AS n FROM bigrams
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+      GROUP BY w
+    ),
+    candidates AS (
+      SELECT w FROM sample_counts
+      WHERE n >= 0.001 * (SELECT sum(n) FROM sample_counts)
+    ),
+    exact AS (
+      SELECT b.w, count(*) AS n
+      FROM bigrams b JOIN candidates c ON b.w = c.w
+      GROUP BY b.w
+    )
+    SELECT w, n FROM (
+      SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rnk FROM exact
+    ) WHERE rnk <= 20
+    """,
+    doc="Heavy hitters over the quadratic bigram space by sample-and-"
+    "verify candidate pruning — the Misra-Gries/Space-Saving role played "
+    "with deterministic, engine-portable parts. A 1/4 doc sample "
+    "(content-independent md5 bucket, the q_train_split staple) nominates "
+    "candidate bigrams above a relative frequency floor; only candidates "
+    "are exactly counted over the full corpus, top-20 emitted. The scale "
+    "property: the full-corpus exchange carries CANDIDATE keys only — "
+    "non-candidates die in the map-side broadcast semi join — so shuffle "
+    "volume is bounded by the (tiny) heavy-hitter set, not the key "
+    "cardinality that makes an exact groupBy over n-gram/URL/user spaces "
+    "infeasible at 100 TB. Guarantee (uniform sample): any key with true "
+    "frequency well above the floor appears in the sample above it whp; "
+    "borderline keys may be missed — the same one-sided contract "
+    "MG/CMS-based heavy hitters give. All hash-checked: the md5 sample "
+    "makes the pipeline exactly reproducible in DuckDB.",
+    tags=("aggregate", "approx", "text"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        cpu_parallelize,
+        normalized_text,
+    )
+
+    docs = cpu_parallelize(
+        tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    ts = F.split(normalized_text("text"), " ")
+    toks = docs.select("doc_id", ts.alias("ts"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ts", i), F.element_at("ts", i + 1)
+                ),
+            )
+        ).alias("w"),
+    )
+    in_sample = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1", "2", "3")
+    sample_counts = (
+        bigrams.filter(in_sample).groupBy("w").agg(F.count("*").alias("n"))
+    )
+    total = sample_counts.agg(F.sum("n").alias("t"))
+    candidates = (
+        sample_counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") >= 0.001 * F.col("t"))
+        .select("w")
+    )
+    exact = (
+        bigrams.join(F.broadcast(candidates), "w")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    return exact.orderBy(F.desc("n"), "w").limit(20).select("w", "n")
