@@ -104,6 +104,14 @@ def latest_version(spark: SparkSession, table: str) -> int:
     return versions[-1]
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this operation's snapshot read and
+    its commit attempt, and the operation's output depends on that
+    snapshot (merge/delete/compact). The caller must re-run the operation
+    against the new current version — retrying the stale commit would
+    silently erase the other writer's changes."""
+
+
 def _commit(
     spark: SparkSession,
     table: str,
@@ -111,11 +119,25 @@ def _commit(
     op: str,
     parent_hint: int,
     extra: dict | None = None,
+    on_conflict="fail",
 ) -> int:
-    """CAS-commit a manifest: try version = latest+1; on rename refusal
-    (another writer won that slot) re-read latest and retry. ``extra``
-    merges additional metadata into the manifest (e.g. the streaming
-    epoch tag)."""
+    """CAS-commit a manifest: try version = latest+1; rename refusal means
+    another writer won that slot. What happens next is the op's choice via
+    ``on_conflict``:
+
+    - ``"fail"`` (default): raise :class:`ConcurrentWriteError` — correct
+      for read-modify-write commits (merge/delete/compact) whose file list
+      was derived from the now-stale parent snapshot;
+    - ``"retry"``: re-attempt the SAME files at the new version — correct
+      only for overwrite, whose output is independent of the parent;
+    - a callable ``(latest_manifest) -> (files, extra)``: recompute against
+      the winner's manifest and retry — the append rebase (my new files +
+      THEIR files, schemas re-merged), which is what makes two racing
+      appends both land instead of the loser silently dropping the
+      winner's rows.
+
+    ``extra`` merges additional metadata into the manifest (the streaming
+    epoch tag, the snapshot schema)."""
     table = table.rstrip("/")
     attempt = parent_hint + 1
     for _ in range(100):
@@ -130,10 +152,19 @@ def _commit(
         _write_file(spark, tmp, json.dumps(manifest).encode())
         if _rename(spark, tmp, _manifest_path(table, attempt)):
             return attempt
-        # lost the race: drop the temp, rebase on the new latest
+        # lost the race: drop the temp, then fail / retry / rebase
         fs, jvm = _fs(spark, tmp)
         fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), False)
-        attempt = latest_version(spark, table) + 1
+        latest = latest_version(spark, table)
+        if on_conflict == "fail":
+            raise ConcurrentWriteError(
+                f"{table} advanced to v{latest} while committing {op!r} "
+                f"based on v{parent_hint} — re-run the operation against "
+                "the current version"
+            )
+        if callable(on_conflict):
+            files, extra = on_conflict(read_manifest(spark, table, latest))
+        attempt = latest + 1
     raise RuntimeError(f"commit contention: 100 failed CAS attempts on {table}")
 
 
@@ -286,6 +317,16 @@ def vt_append(
     # and column order, so no reader ever sees mixed physical types
     aligned = _align(df, StructType.fromJson(json.loads(schema_json)))
     files = _write_data(spark, aligned, table, stats_cols=stats_cols)
+
+    def rebase(winner: dict) -> tuple[list[dict], dict]:
+        # a rival append/commit won our version slot: our files are already
+        # durable, so just re-point the manifest at THEIR files + ours and
+        # re-merge schemas — both appends land, in either commit order
+        return (
+            winner["files"] + files,
+            {"schema": _merge_schema(winner.get("schema"), df.schema)},
+        )
+
     return _commit(
         spark,
         table,
@@ -293,6 +334,7 @@ def vt_append(
         "append",
         parent,
         extra={"schema": schema_json},
+        on_conflict=rebase,
     )
 
 
@@ -313,6 +355,7 @@ def vt_overwrite(
         "overwrite",
         parent,
         extra={"schema": df.schema.json()},
+        on_conflict="retry",  # output is independent of the parent snapshot
     )
 
 
@@ -530,6 +573,16 @@ def vt_append_epoch(
     schema_json = _merge_schema(manifest.get("schema"), df.schema)
     aligned = _align(df, StructType.fromJson(json.loads(schema_json)))
     files = _write_data(spark, aligned, table_s, stats_cols=stats_cols)
+
+    def rebase(winner: dict) -> tuple[list[dict], dict]:
+        return (
+            winner["files"] + files,
+            {
+                "epoch": {"run": run_id, "epoch": int(epoch_id)},
+                "schema": _merge_schema(winner.get("schema"), df.schema),
+            },
+        )
+
     return _commit(
         spark,
         table_s,
@@ -540,6 +593,7 @@ def vt_append_epoch(
             "epoch": {"run": run_id, "epoch": int(epoch_id)},
             "schema": schema_json,
         },
+        on_conflict=rebase,
     )
 
 
@@ -772,4 +826,5 @@ def vt_overwrite_epoch(
             "epoch": {"run": run_id, "epoch": int(epoch_id)},
             "schema": df.schema.json(),
         },
+        on_conflict="retry",  # output is independent of the parent snapshot
     )

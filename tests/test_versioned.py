@@ -78,20 +78,68 @@ def test_compaction_is_snapshot_isolated(spark, table):
 def test_cas_commit_survives_a_lost_race(spark, table):
     import json
 
+    from endtoend_etl_openmeteo_spark.operators.versioned import _write_data
+
     vt_append(spark, _df(spark, 0, 10), table)
-    # simulate a rival writer winning version 2: pre-create its manifest
+    # simulate a rival writer winning version 2 WITH NEW DATA: its files
+    # are real, so a dropped-rows regression is observable
+    rival_files = _write_data(spark, _df(spark, 100, 105), table)
     rival = {
         "version": 2,
         "parent": 1,
         "op": "append",
-        "files": read_manifest(spark, table, 1)["files"],
+        "files": read_manifest(spark, table, 1)["files"] + rival_files,
+        "schema": read_manifest(spark, table, 1)["schema"],
     }
     (Path(table) / "_manifests" / "v00000002.json").write_text(json.dumps(rival))
-    # our commit must NOT clobber v2 — rename refuses, we land on v3
+    # our commit must NOT clobber v2 — rename refuses, the append REBASES
+    # onto the rival's manifest and lands on v3 with BOTH appends' rows
     v = vt_append(spark, _df(spark, 10, 20), table)
     assert v == 3
-    assert read_manifest(spark, table, 2) == rival  # untouched
-    assert vt_read(spark, table).count() == 20
+    assert json.loads(
+        (Path(table) / "_manifests" / "v00000002.json").read_text()
+    ) == rival  # untouched
+    ids = sorted(r.id for r in vt_read(spark, table).collect())
+    assert ids == list(range(20)) + list(range(100, 105))
+
+
+def test_read_modify_write_conflict_raises(spark, table):
+    import json
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        ConcurrentWriteError,
+        vt_delete,
+        vt_merge,
+    )
+    from pyspark.sql import functions as F
+
+    import endtoend_etl_openmeteo_spark.operators.versioned as V
+
+    vt_append(spark, _df(spark, 0, 10), table, stats_cols=["id"])
+    # rival wins v2 AFTER our op reads its parent snapshot: pin the op to
+    # parent v1 while v2 already exists — the CAS race window made static
+    rival = dict(read_manifest(spark, table, 1), version=2, parent=1)
+    (Path(table) / "_manifests" / "v00000002.json").write_text(json.dumps(rival))
+    real = V.latest_version
+    monkey = lambda s, t: 1  # noqa: E731
+    V.latest_version = monkey
+    try:
+        # merge/delete derive their output from the parent snapshot: a
+        # rival commit in the window must surface, never be erased
+        with pytest.raises(ConcurrentWriteError):
+            vt_merge(
+                spark,
+                spark.range(0, 3).selectExpr("id", "id * 7 AS v"),
+                table,
+                keys=["id"],
+                order_col="v",
+            )
+        with pytest.raises(ConcurrentWriteError):
+            vt_delete(spark, table, F.col("id") < 2)
+    finally:
+        V.latest_version = real
+    # the rival's snapshot is still intact and readable
+    assert vt_read(spark, table).count() == 10
 
 
 def test_vacuum_reclaims_only_unreferenced_files(spark, table):
