@@ -177,11 +177,15 @@ def _write_data(
     """Materialize ``df`` as immutable files under data/<uuid>/ and return
     manifest entries [{"path": ..., "stats": {col: [min, max]}}].
 
-    ``stats_cols`` opts columns into manifest-level min/max (one extra
-    aggregate scan of the batch at commit time, grouped by file) — the
+    ``stats_cols`` opts columns into manifest-level min/max — the
     Iceberg-style scan-planning statistics that let a reader skip whole
-    files before Spark ever lists them. Values must be JSON-stable
-    (numbers / strings)."""
+    files before Spark ever lists them. On a local filesystem the stats
+    come from the freshly-written parquet FOOTERS (driver-side, one
+    footer read per new file — the Iceberg commit-time pattern; no
+    second scan of the batch); elsewhere a per-file aggregate scan is
+    the fallback. Values must be JSON-stable (numbers / strings)."""
+    from urllib.parse import urlparse
+
     from pyspark.sql import functions as F
 
     table = table.rstrip("/")
@@ -195,7 +199,14 @@ def _write_data(
         if s.getPath().getName().endswith(".parquet")
     ]
     stats_by_file: dict[str, dict] = {}
-    if stats_cols:
+    scheme = urlparse(table).scheme
+    if stats_cols and scheme in ("", "file"):
+        local_root = table[len("file:"):] if scheme == "file" else table
+        for n in names:
+            stats_by_file[n] = _footer_stats(
+                f"{local_root}/{subdir}/{n}", stats_cols
+            )
+    elif stats_cols:
         aggs = []
         for c in stats_cols:
             aggs += [
@@ -217,6 +228,54 @@ def _write_data(
         {"path": f"{subdir}/{n}", "stats": stats_by_file.get(n, {})}
         for n in names
     ]
+
+
+def _footer_stats(path: str, stats_cols: list[str]) -> dict:
+    """Per-column [min, max] from one parquet file's footer metadata.
+    A column missing statistics in ANY row group (or of a non-JSON-stable
+    type) records [None, None] — readers keep such files conservatively."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    broken: set[str] = set()
+    wanted = set(stats_cols)
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if name not in wanted:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                broken.add(name)
+                continue
+            lo, hi = _json_stat(st.min), _json_stat(st.max)
+            if lo is None or hi is None:
+                broken.add(name)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {
+        c: [None, None] if (c in broken or c not in mins) else [mins[c], maxs[c]]
+        for c in stats_cols
+    }
+
+
+def _json_stat(v):
+    """Footer stat → JSON-stable value, or None if not representable."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
 
 
 def _merge_schema(parent_json: str | None, new_schema) -> str:
@@ -696,7 +755,7 @@ def vt_delete(
     )
     new_files = (
         _write_data(spark, kept, table, stats_cols=stats_cols or None)
-        if not kept.rdd.isEmpty()
+        if not kept.isEmpty()
         else []
     )
     version = _commit(
@@ -827,4 +886,98 @@ def vt_overwrite_epoch(
             "schema": df.schema.json(),
         },
         on_conflict="retry",  # output is independent of the parent snapshot
+    )
+
+
+def vt_apply_cdc(
+    spark: SparkSession,
+    changes: DataFrame,
+    table: str,
+    keys: list[str],
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Apply a change feed (the :func:`vt_diff` shape — keys...,
+    ``change_type`` ∈ insert/update/delete, post-image non-keys) to a
+    versioned table in ONE copy-on-write commit: the replication /
+    downstream-sync half of CDC. Inserts and updates upsert their
+    post-image (feed wins over the existing row); deletes remove the key.
+
+    File scope is the same stats pruning as :func:`vt_merge`: only files
+    whose recorded ``keys[0]`` range overlaps the feed are rewritten, so
+    applying a small change feed to a 100-TB replica costs the churned
+    files, not the table. A single commit keeps the apply atomic —
+    readers never see the deletes landed but the upserts missing. Empty
+    feed returns the current version without committing. Read-modify-
+    write conflict semantics: raises :class:`ConcurrentWriteError` if the
+    replica advances mid-apply.
+
+    Applying ``vt_diff(src, v_from, v_to)`` onto a replica at ``v_from``
+    state makes it row-identical to ``v_to`` — the round-trip
+    q_cdc_apply hash-checks.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from endtoend_etl_openmeteo_spark.operators.merge import (
+        dedup_last_write_wins,
+    )
+
+    table = table.rstrip("/")
+    k0 = keys[0]
+    stats_cols = stats_cols or [k0]
+    parent = latest_version(spark, table)
+    manifest = read_manifest(spark, table, parent)
+    entries = manifest["files"]
+    schema = _snapshot_schema(manifest)
+    if schema is None and entries:
+        schema = spark.read.parquet(f"{table}/{entries[0]['path']}").schema
+    if schema is None:
+        schema = StructType(
+            [f for f in changes.schema.fields if f.name != "change_type"]
+        )
+
+    bounds = changes.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None and changes.isEmpty():
+        return parent  # empty feed: nothing to apply
+    touched, carried = [], []
+    for e in entries:
+        mm = e.get("stats", {}).get(k0)
+        if (
+            lo is not None
+            and mm is not None
+            and mm[0] is not None
+            and mm[1] is not None
+            and (mm[0] > hi or mm[1] < lo)
+        ):
+            carried.append(e)
+        else:
+            touched.append(e)
+
+    upserts = _align(
+        changes.filter(F.col("change_type").isin("insert", "update")), schema
+    ).withColumn("__prio", F.lit(1))
+    deletes = changes.filter(F.col("change_type") == "delete").select(*keys)
+    if touched:
+        affected = spark.read.schema(schema).parquet(
+            *[f"{table}/{e['path']}" for e in touched]
+        )
+        # deletes are feed-sized: the anti join broadcasts them, the
+        # affected files never shuffle for the delete
+        base = affected.join(F.broadcast(deletes), keys, "left_anti")
+        merged = dedup_last_write_wins(
+            base.withColumn("__prio", F.lit(0)).unionByName(upserts),
+            keys,
+            "__prio",
+        ).drop("__prio")
+    else:
+        merged = dedup_last_write_wins(upserts, keys, "__prio").drop("__prio")
+    new_files = _write_data(spark, merged, table, stats_cols=stats_cols)
+    return _commit(
+        spark,
+        table,
+        carried + new_files,
+        "cdc-apply",
+        parent,
+        extra={"schema": schema.json()},
     )

@@ -842,3 +842,66 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)  # scratch table is reclaimed
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+@register(
+    "q_cdc_apply",
+    # The replica's final state recomputed straight from raw events: the
+    # merge updates every 7th event (ord=2, value+500), the delete then
+    # removes every 11th — if diff extraction + apply are both sound, the
+    # replica is row-identical to this direct computation.
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 7 = 0 THEN value + 500 ELSE value END AS value,
+           CASE WHEN event_id % 7 = 0 THEN 2 ELSE 1 END::BIGINT AS ord
+    FROM events WHERE event_id % 11 <> 0
+    """,
+    doc="CDC replication round-trip on the table format "
+    "(operators/versioned.vt_diff + vt_apply_cdc): a source table takes "
+    "a COW merge and a COW delete; the manifest-scoped change feed "
+    "between base and head is applied to an independent replica seeded "
+    "at the base snapshot in ONE copy-on-write commit (upserts win over "
+    "existing rows, deletes anti-join broadcast, only key-range-"
+    "overlapping files rewritten). Hash-checked: the replica equals the "
+    "source head recomputed directly from raw events — the downstream-"
+    "sync contract a 100-TB lakehouse pair needs, at churned-file cost "
+    "on both the extract and apply sides.",
+    tags=("versioned", "cdc"),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_append,
+        vt_apply_cdc,
+        vt_delete,
+        vt_diff,
+        vt_init,
+        vt_merge,
+        vt_read,
+    )
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+    from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+    base = tbl(spark, sf_dir, "events").select(
+        "event_id", "value", F.lit(1).cast("long").alias("ord")
+    )
+    work = scratch_dir(prefix="vt_cdc_")
+    source, replica = f"{work}/source", f"{work}/replica"
+    try:
+        for t in (source, replica):
+            vt_init(spark, t)
+            vt_append(spark, base, t, stats_cols=["event_id"])
+        newer = base.filter(F.col("event_id") % 7 == 0).select(
+            "event_id",
+            (F.col("value") + 500).alias("value"),
+            F.lit(2).cast("long").alias("ord"),
+        )
+        vt_merge(spark, newer, source, keys=["event_id"], order_col="ord")
+        _, _, n_del = vt_delete(spark, source, F.col("event_id") % 11 == 0)
+        assert n_del > 0
+        changes = vt_diff(spark, source, 1, 3, keys=["event_id"])
+        vt_apply_cdc(spark, changes, replica, keys=["event_id"])
+        return vt_read(spark, replica).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

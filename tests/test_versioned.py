@@ -530,3 +530,64 @@ def test_schema_evolution_batch_may_omit_columns(spark, table):
     vt_append(spark, narrow, table)
     rows = {r.id: r.v for r in vt_read(spark, table).collect()}
     assert rows[2] == 4 and rows[6] is None
+
+
+def test_cdc_apply_round_trip_and_scope(spark, table):
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_apply_cdc,
+        vt_diff,
+        vt_merge,
+    )
+
+    # seed two DISJOINT key-range file sets so apply scope is observable
+    vt_append(spark, _df(spark, 0, 50), table, stats_cols=["id"])
+    vt_append(spark, _df(spark, 60, 100), table, stats_cols=["id"])
+    high_files = {
+        e["path"]
+        for e in read_manifest(spark, table, 2)["files"]
+        if e["stats"]["id"][0] >= 60
+    }
+    assert high_files
+    # feed spans [3, 55]: entirely below the high file set's [60, 99]
+    feed = spark.createDataFrame(
+        [(3, "update", 999), (55, "insert", 200), (7, "delete", None)],
+        "id long, change_type string, v long",
+    ).select("id", "change_type", "v")
+    v = vt_apply_cdc(spark, feed, table, keys=["id"])
+    rows = {r.id: r.v for r in vt_read(spark, table, v).collect()}
+    assert rows[3] == 999 and rows[55] == 200 and 7 not in rows
+    assert len(rows) == 90  # 90 seeded - 1 delete + 1 insert
+    after = {e["path"] for e in read_manifest(spark, table, v)["files"]}
+    assert high_files <= after, "files outside the feed range must carry"
+
+    # empty feed: no commit
+    empty = spark.createDataFrame([], "id long, change_type string, v long")
+    assert vt_apply_cdc(spark, empty, table, keys=["id"]) == v
+
+    # applying a real diff reproduces the source head (replication law)
+    src_head = vt_read(spark, table, v)
+    vt_merge(
+        spark,
+        spark.range(0, 5).selectExpr("id", "id + 5000 AS v"),
+        table,
+        keys=["id"],
+        order_col="v",
+    )
+    changes = vt_diff(spark, table, v, v + 1, keys=["id"])
+    # replay onto a fresh copy of the v2 state
+    import uuid as _uuid
+
+    replica = str(Path(table).parent / f"vt_replica_{_uuid.uuid4().hex[:8]}")
+    try:
+        vt_init(spark, replica)
+        vt_append(spark, src_head, replica, stats_cols=["id"])
+        vt_apply_cdc(spark, changes, replica, keys=["id"])
+        got = {(r.id, r.v) for r in vt_read(spark, replica).collect()}
+        want = {
+            (r.id, r.v) for r in vt_read(spark, table).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(replica, ignore_errors=True)
