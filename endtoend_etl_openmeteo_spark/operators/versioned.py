@@ -351,6 +351,91 @@ def _align(df: DataFrame, schema) -> DataFrame:
     )
 
 
+def _prune_entries(
+    entries: list[dict], prune: tuple[str, object, object] | None
+) -> list[dict]:
+    """Manifest-stats file skipping: keep an entry iff its recorded
+    [min, max] for ``col`` intersects [lo, hi]; entries with no recorded
+    stats are conservatively kept."""
+    if prune is None:
+        return entries
+    col, lo, hi = prune
+    kept = []
+    for e in entries:
+        mm = e.get("stats", {}).get(col)
+        if mm is None or mm[0] is None or mm[1] is None:
+            kept.append(e)  # unknown -> cannot skip
+        elif mm[0] <= hi and mm[1] >= lo:
+            kept.append(e)
+    return kept
+
+
+def _entries_df(
+    spark: SparkSession,
+    table: str,
+    entries: list[dict],
+    schema,
+    keep_meta: bool = False,
+):
+    """Scan manifest entries with their position deletes applied — the
+    read half of merge-on-read (:func:`vt_delete_mor`). Row identity is
+    Spark's parquet ``_metadata`` column: (manifest-relative file path,
+    ``row_index`` in-file ordinal) — the same identity Iceberg v2
+    position deletes and Delta deletion vectors key on, stable across
+    reads and file splits because the ordinal is computed from row-group
+    offsets, not task order.
+
+    Entries WITHOUT deletes take the plain columnar fast path (no
+    metadata projection, no join); entries with deletes anti-join the
+    broadcast delete set — delete files are KBs, so a 100-TB scan pays
+    one broadcast hash anti-join only on its delete-bearing files.
+
+    ``keep_meta=True`` returns every row with ``__file``/``__pos``
+    appended (the delete writers need row identity). Returns None for an
+    empty entry list.
+    """
+    from pyspark.sql import functions as F
+
+    if not entries:
+        return None
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    rel = F.concat_ws(
+        "/", F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3)
+    )
+    if keep_meta:
+        df = (
+            reader.parquet(*[f"{table}/{e['path']}" for e in entries])
+            .withColumn("__file", rel)
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        del_paths = sorted({p for e in entries for p in e.get("deletes", [])})
+        if del_paths:
+            dels = spark.read.parquet(
+                *[f"{table}/{p}" for p in del_paths]
+            ).select("__file", "__pos")
+            df = df.join(F.broadcast(dels), ["__file", "__pos"], "left_anti")
+        return df
+    clean = [e for e in entries if not e.get("deletes")]
+    dirty = [e for e in entries if e.get("deletes")]
+    parts = []
+    if clean:
+        parts.append(reader.parquet(*[f"{table}/{e['path']}" for e in clean]))
+    if dirty:
+        del_paths = sorted({p for e in dirty for p in e["deletes"]})
+        dels = spark.read.parquet(
+            *[f"{table}/{p}" for p in del_paths]
+        ).select("__file", "__pos")
+        ddf = (
+            reader.parquet(*[f"{table}/{e['path']}" for e in dirty])
+            .withColumn("__file", rel)
+            .withColumn("__pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(dels), ["__file", "__pos"], "left_anti")
+            .drop("__file", "__pos")
+        )
+        parts.append(ddf)
+    return parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
+
 def vt_init(spark: SparkSession, table: str) -> int:
     """Create an empty versioned table (version 0, no files)."""
     fs, jvm = _fs(spark, table)
@@ -429,20 +514,21 @@ def vt_files(
     recorded [min, max] for ``col`` intersects [lo, hi]; files with no
     recorded stats for the column are conservatively kept. This skipping
     happens BEFORE Spark lists or opens anything — at 100k-file scale the
-    footer-stats pass row-group pruning replaces is itself the bottleneck."""
+    footer-stats pass row-group pruning replaces is itself the bottleneck.
+
+    Raises on snapshots holding position deletes: a raw path list cannot
+    express merge-on-read, and silently returning the undeleted files
+    would resurrect deleted rows — use :func:`vt_read` (applies deletes)
+    or :func:`vt_compact` (materializes them) instead."""
     table = table.rstrip("/")
     v = latest_version(spark, table) if version is None else version
-    entries = read_manifest(spark, table, v)["files"]
-    if prune is not None:
-        col, lo, hi = prune
-        kept = []
-        for e in entries:
-            mm = e.get("stats", {}).get(col)
-            if mm is None or mm[0] is None or mm[1] is None:
-                kept.append(e)  # unknown -> cannot skip
-            elif mm[0] <= hi and mm[1] >= lo:
-                kept.append(e)
-        entries = kept
+    entries = _prune_entries(read_manifest(spark, table, v)["files"], prune)
+    if any(e.get("deletes") for e in entries):
+        raise ValueError(
+            f"version {v} of {table} carries merge-on-read position "
+            "deletes; a raw file list would resurrect deleted rows — "
+            "read via vt_read or materialize via vt_compact"
+        )
     return [f"{table}/{e['path']}" for e in entries]
 
 
@@ -457,23 +543,25 @@ def vt_read(
     directory, so concurrent commits/compactions cannot tear it. ``prune``
     applies manifest-stats file skipping (see :func:`vt_files`); callers
     still apply the row-level filter — pruning is a superset guarantee."""
+    table = table.rstrip("/")
     v = latest_version(spark, table) if version is None else version
-    files = vt_files(spark, table, v, prune=prune)
+    manifest = read_manifest(spark, table, v)
+    entries = _prune_entries(manifest["files"], prune)
     # the manifest's recorded schema (additive evolution): files written
     # before a column existed null-fill it; time travel to an older
     # version reads with THAT version's schema — the new column is absent,
     # not null, exactly as the snapshot was committed
-    schema = _snapshot_schema(read_manifest(spark, table.rstrip("/"), v))
-    if not files:
-        if schema is not None:
-            return spark.createDataFrame([], schema)
-        if read_manifest(spark, table.rstrip("/"), v)["files"]:
-            # pruned to nothing: empty frame with the table's schema
-            all_files = vt_files(spark, table, v)
-            return spark.read.parquet(*all_files).limit(0)
-        raise ValueError(f"version {v} of {table} is empty — nothing to scan")
-    reader = spark.read.schema(schema) if schema is not None else spark.read
-    return reader.parquet(*files)
+    schema = _snapshot_schema(manifest)
+    df = _entries_df(spark, table, entries, schema)
+    if df is not None:
+        return df
+    if schema is not None:
+        return spark.createDataFrame([], schema)
+    if manifest["files"]:
+        # pruned to nothing: empty frame with the table's schema
+        full = _entries_df(spark, table, manifest["files"], None)
+        return full.limit(0)
+    raise ValueError(f"version {v} of {table} is empty — nothing to scan")
 
 
 def vt_compact(
@@ -483,6 +571,11 @@ def vt_compact(
     rewrite into ceil(bytes/target) files, commit a new manifest. Old
     files stay on disk for older versions — open readers are isolated;
     space is reclaimed by :func:`vt_vacuum`, not by compaction.
+
+    Position deletes are MATERIALIZED: the scan applies them, so the
+    compacted files contain only live rows and the new manifest carries
+    no ``deletes`` — compaction is the merge-on-read → clean-files
+    transition, exactly Iceberg's rewrite-data-files maintenance action.
 
     Returns (new_version, files_before, files_after).
     """
@@ -502,8 +595,7 @@ def vt_compact(
     )
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     schema = _snapshot_schema(manifest)
-    reader = spark.read.schema(schema) if schema is not None else spark.read
-    df = reader.parquet(*[f"{table}/{e['path']}" for e in manifest["files"]])
+    df = _entries_df(spark, table, manifest["files"], schema)
     # carry forward whichever stats columns the parent recorded
     stats_cols = sorted({c for e in manifest["files"] for c in e.get("stats", {})})
     files = _write_data(
@@ -575,9 +667,7 @@ def vt_merge(
             touched.append(e)
 
     if touched:
-        affected = spark.read.schema(merged_schema).parquet(
-            *[f"{table}/{e['path']}" for e in touched]
-        )
+        affected = _entries_df(spark, table, touched, merged_schema)
         merged = dedup_last_write_wins(
             affected.unionByName(_align(new, merged_schema)), keys, order_col
         )
@@ -680,12 +770,14 @@ def vt_vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> int:
     keep, drop = versions[-keep_last:], versions[:-keep_last]
     referenced = set()
     for v in keep:
-        referenced.update(
-            e["path"] for e in read_manifest(spark, table, v)["files"]
-        )
+        for e in read_manifest(spark, table, v)["files"]:
+            referenced.add(e["path"])
+            referenced.update(e.get("deletes", []))
     doomed = set()
     for v in drop:
-        doomed.update(e["path"] for e in read_manifest(spark, table, v)["files"])
+        for e in read_manifest(spark, table, v)["files"]:
+            doomed.add(e["path"])
+            doomed.update(e.get("deletes", []))
     doomed -= referenced
     fs, jvm = _fs(spark, table)
     for f in sorted(doomed):
@@ -728,28 +820,24 @@ def vt_delete(
     if not entries:
         return parent, 0, 0
     schema = _snapshot_schema(manifest)
-    reader = spark.read.schema(schema) if schema is not None else spark.read
     pred = F.coalesce(predicate, F.lit(False))
-    paths = [f"{table}/{e['path']}" for e in entries]
+    # live rows only (existing position deletes applied), with row
+    # identity — grouping on the manifest-relative path exactly matches
+    # entry["path"], no URI-suffix guessing
     per_file = (
-        reader.parquet(*paths)
-        .withColumn("__f", F.input_file_name())
+        _entries_df(spark, table, entries, schema, keep_meta=True)
         .filter(pred)
-        .groupBy("__f")
+        .groupBy("__file")
         .agg(F.count("*").alias("__n"))
         .collect()
     )
     if not per_file:
         return parent, 0, 0
-    hit_uris = {r["__f"] for r in per_file}
+    hit = {r["__file"] for r in per_file}
     rows_deleted = sum(r["__n"] for r in per_file)
-    touched = [
-        e for e in entries if any(u.endswith("/" + e["path"]) for u in hit_uris)
-    ]
-    carried = [e for e in entries if e not in touched]
-    kept = reader.parquet(
-        *[f"{table}/{e['path']}" for e in touched]
-    ).filter(~pred)
+    touched = [e for e in entries if e["path"] in hit]
+    carried = [e for e in entries if e["path"] not in hit]
+    kept = _entries_df(spark, table, touched, schema).filter(~pred)
     stats_cols = stats_cols or sorted(
         {c for e in touched for c in e.get("stats", {})}
     )
@@ -767,6 +855,95 @@ def vt_delete(
         extra={"schema": manifest["schema"]} if "schema" in manifest else None,
     )
     return version, len(touched), rows_deleted
+
+
+def vt_delete_mor(
+    spark: SparkSession,
+    table: str,
+    predicate,
+) -> tuple[int, int, int]:
+    """Merge-on-read DELETE: commit POSITION DELETES instead of rewriting
+    data. One scan finds the matching live rows' identities
+    (manifest-relative file path, in-file row ordinal via
+    ``_metadata.row_index``); those (file, pos) pairs are written as a
+    tiny parquet delete file and ATTACHED to the touched entries in the
+    new manifest — no data file is read back or rewritten. Readers
+    (:func:`vt_read` and every operator that scans through
+    ``_entries_df``) anti-join the broadcast delete set;
+    :func:`vt_compact` materializes the deletes into clean files;
+    :func:`vt_vacuum` reclaims delete files with the manifests that
+    reference them.
+
+    This is the Iceberg-v2 position-delete / Delta deletion-vector
+    pattern re-derived on Spark's ``_metadata`` column: at 100 TB a
+    point delete (GDPR erasure, bad-record retraction) costs KBs of
+    delete-file write instead of rewriting every GB-sized file that
+    holds one matching row — the write-amplification fix
+    copy-on-write :func:`vt_delete` cannot provide. The read-side tax is
+    one broadcast hash anti-join on delete-bearing files only, paid
+    until the next compaction. NULL-predicate rows survive (SQL DELETE
+    semantics), matching :func:`vt_delete`.
+
+    Returns (version, files_touched, rows_deleted); no commit when
+    nothing matches.
+    """
+    from pyspark.sql import functions as F
+
+    table = table.rstrip("/")
+    parent = latest_version(spark, table)
+    manifest = read_manifest(spark, table, parent)
+    entries = manifest["files"]
+    if not entries:
+        return parent, 0, 0
+    schema = _snapshot_schema(manifest)
+    pred = F.coalesce(predicate, F.lit(False))
+    matches = (
+        _entries_df(spark, table, entries, schema, keep_meta=True)
+        .filter(pred)
+        .select("__file", "__pos")
+    )
+    # write-then-count: one scan of the data; the written delete file is
+    # its own census (per-file counts from KB-sized output, not a second
+    # pass over the table)
+    subdir = f"deletes/{uuid.uuid4().hex[:12]}"
+    matches.repartition(1).write.parquet(f"{table}/{subdir}")
+    fs, jvm = _fs(spark, table)
+    listed = fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{table}/{subdir}"))
+    names = [
+        s.getPath().getName()
+        for s in listed
+        if s.getPath().getName().endswith(".parquet")
+    ]
+    del_paths = [f"{subdir}/{n}" for n in names]
+    per_file = (
+        spark.read.parquet(*[f"{table}/{p}" for p in del_paths])
+        .groupBy("__file")
+        .agg(F.count("*").alias("__n"))
+        .collect()
+    )
+    if not per_file:
+        # nothing matched: drop the empty delete output, no commit
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table}/{subdir}"), True)
+        return parent, 0, 0
+    hit = {r["__file"] for r in per_file}
+    rows_deleted = sum(r["__n"] for r in per_file)
+    new_entries = []
+    for e in entries:
+        if e["path"] in hit:
+            e2 = dict(e)
+            e2["deletes"] = list(e.get("deletes", [])) + del_paths
+            new_entries.append(e2)
+        else:
+            new_entries.append(e)
+    version = _commit(
+        spark,
+        table,
+        new_entries,
+        "delete-mor",
+        parent,
+        extra={"schema": manifest["schema"]} if "schema" in manifest else None,
+    )
+    return version, len(hit), rows_deleted
 
 
 def vt_diff(
@@ -797,11 +974,18 @@ def vt_diff(
     table = table.rstrip("/")
     m_from = read_manifest(spark, table, v_from)
     m_to = read_manifest(spark, table, v_to)
-    from_entries = {e["path"] for e in m_from["files"]}
-    to_entries = {e["path"] for e in m_to["files"]}
-    removed = sorted(from_entries - to_entries)
-    added = sorted(to_entries - from_entries)
-    if not from_entries and not to_entries:
+    # entry identity = (path, delete set): a merge-on-read delete keeps
+    # the data file but changes its delete list, so the entry lands on
+    # BOTH sides — old side still has the row, new side doesn't, and the
+    # full outer join classifies it as `delete`
+    def sig(e):
+        return (e["path"], tuple(sorted(e.get("deletes", []))))
+
+    from_by_sig = {sig(e): e for e in m_from["files"]}
+    to_by_sig = {sig(e): e for e in m_to["files"]}
+    removed = [e for s, e in sorted(from_by_sig.items()) if s not in to_by_sig]
+    added = [e for s, e in sorted(to_by_sig.items()) if s not in from_by_sig]
+    if not m_from["files"] and not m_to["files"]:
         raise ValueError(f"both versions of {table} are empty — no schema to diff")
     # both sides read with the TARGET version's schema: a column added
     # between the versions null-fills on the old side, so its population
@@ -809,20 +993,14 @@ def vt_diff(
     # empty, matching additive-evolution CDC semantics
     schema = _snapshot_schema(m_to) or _snapshot_schema(m_from)
     if schema is not None:
-        reader = spark.read.schema(schema)
         empty = spark.createDataFrame([], schema)
     else:
-        reader = spark.read
-        schema_files = [
-            f"{table}/{p}" for p in (sorted(to_entries) or sorted(from_entries))
-        ]
-        empty = spark.read.parquet(*schema_files).limit(0)
-    old = (
-        reader.parquet(*[f"{table}/{p}" for p in removed]) if removed else empty
-    )
-    new = (
-        reader.parquet(*[f"{table}/{p}" for p in added]) if added else empty
-    )
+        schema_entries = m_to["files"] or m_from["files"]
+        empty = _entries_df(spark, table, schema_entries, None).limit(0)
+    old = _entries_df(spark, table, removed, schema)
+    old = empty if old is None else old
+    new = _entries_df(spark, table, added, schema)
+    new = empty if new is None else new
     non_keys = [c for c in old.columns if c not in keys]
     # presence markers, not key-null checks — a NULL key value must not
     # read as "row absent" in the full outer join
@@ -959,9 +1137,7 @@ def vt_apply_cdc(
     ).withColumn("__prio", F.lit(1))
     deletes = changes.filter(F.col("change_type") == "delete").select(*keys)
     if touched:
-        affected = spark.read.schema(schema).parquet(
-            *[f"{table}/{e['path']}" for e in touched]
-        )
+        affected = _entries_df(spark, table, touched, schema)
         # deletes are feed-sized: the anti join broadcasts them, the
         # affected files never shuffle for the delete
         base = affected.join(F.broadcast(deletes), keys, "left_anti")

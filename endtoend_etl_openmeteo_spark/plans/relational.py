@@ -539,6 +539,59 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mor_delete",
+    # two stacked deletes recomputed as one SQL filter; the second
+    # predicate only counts rows the first left live
+    oracle="""
+    SELECT event_id, value
+    FROM events
+    WHERE NOT (event_id % 7 = 0) AND NOT (value > 95.0)
+    """,
+    doc="Merge-on-read DELETE on the manifest table format "
+    "(operators/versioned.vt_delete_mor): position deletes via Spark's "
+    "parquet _metadata row ordinal, committed as KB-sized delete files "
+    "attached to manifest entries — data files are never rewritten "
+    "(Iceberg-v2 position-delete / Delta deletion-vector pattern; the "
+    "GDPR-erasure cost model at 100 TB). The query seeds two appends, "
+    "stacks TWO MOR deletes, and returns the final snapshot read "
+    "merge-on-read — the hash-check proves the broadcast anti-join "
+    "read path equals the plain SQL filter. No-rewrite, compaction "
+    "materialization, vacuum retention and CDC classification are "
+    "pinned by tests/test_versioned.py.",
+    tags=("versioned", "delete"),
+)
+def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_append,
+        vt_delete_mor,
+        vt_init,
+        vt_read,
+    )
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+
+    ev = tbl(spark, sf_dir, "events").select("event_id", "value")
+    mid = ev.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
+    table = scratch_dir(prefix="vt_mor_")
+    try:
+        vt_init(spark, table)
+        vt_append(
+            spark, ev.filter(F.col("event_id") <= mid), table,
+            stats_cols=["event_id"],
+        )
+        vt_append(
+            spark, ev.filter(F.col("event_id") > mid), table,
+            stats_cols=["event_id"],
+        )
+        vt_delete_mor(spark, table, F.col("event_id") % 7 == 0)
+        vt_delete_mor(spark, table, F.col("value") > 95.0)
+        return vt_read(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@register(
     "q_except_intersect",
     oracle="""
     WITH a AS (SELECT DISTINCT o_custkey FROM orders

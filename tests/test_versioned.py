@@ -591,3 +591,165 @@ def test_cdc_apply_round_trip_and_scope(spark, table):
         assert got == want
     finally:
         shutil.rmtree(replica, ignore_errors=True)
+
+
+def test_mor_delete_writes_no_data_files(spark, table):
+    """Merge-on-read delete: data files stay byte-for-byte untouched;
+    only a KB-sized position-delete file and a manifest are written."""
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_delete_mor
+
+    for lo in (0, 100, 200, 300):
+        vt_append(
+            spark, _keyed(spark, lo, lo + 100, 1).repartition(1), table,
+            stats_cols=["id"],
+        )
+    before = {
+        e["path"]: (Path(table) / e["path"]).read_bytes()
+        for e in read_manifest(spark, table, latest_version(spark, table))["files"]
+    }
+    v, n_touched, n_deleted = vt_delete_mor(
+        spark, table, (F.col("id") >= 150) & (F.col("id") < 160)
+    )
+    assert (n_touched, n_deleted) == (1, 10)
+    after = read_manifest(spark, table, v)["files"]
+    # every data file carried by reference, bytes untouched
+    assert {e["path"] for e in after} == set(before)
+    for p in before:
+        assert (Path(table) / p).read_bytes() == before[p]
+    # exactly one entry carries the delete file; it's tiny
+    dirty = [e for e in after if e.get("deletes")]
+    assert len(dirty) == 1
+    for dp in dirty[0]["deletes"]:
+        assert (Path(table) / dp).stat().st_size < 64 * 1024
+    df = vt_read(spark, table)
+    assert df.count() == 390
+    assert df.filter((F.col("id") >= 150) & (F.col("id") < 160)).count() == 0
+    # time travel to the pre-delete snapshot still sees the rows
+    assert vt_read(spark, table, version=v - 1).count() == 400
+
+
+def test_mor_delete_stacks_and_compaction_materializes(spark, table):
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_delete_mor,
+    )
+
+    vt_append(spark, _keyed(spark, 0, 100, 1).repartition(2), table)
+    v1, _, n1 = vt_delete_mor(spark, table, F.col("id") < 10)
+    v2, _, n2 = vt_delete_mor(spark, table, F.col("id") < 20)
+    # second delete counts only rows still live (10..19)
+    assert (n1, n2) == (10, 10)
+    assert vt_read(spark, table).count() == 80
+    # a re-delete of already-deleted rows is a no-op (no matches)
+    v3, t3, n3 = vt_delete_mor(spark, table, F.col("id") < 5)
+    assert (v3, t3, n3) == (v2, 0, 0)
+    # compaction materializes: clean manifest, same rows
+    v4, _, _ = vt_compact(spark, table)
+    after = read_manifest(spark, table, v4)["files"]
+    assert not any(e.get("deletes") for e in after)
+    assert sorted(r.id for r in vt_read(spark, table, v4).collect()) == list(
+        range(20, 100)
+    )
+
+
+def test_mor_delete_null_predicate_rows_survive(spark, table):
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_delete_mor
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "id long, v double"
+    )
+    vt_append(spark, df, table)
+    v, _, n_deleted = vt_delete_mor(spark, table, F.col("v") > 10)
+    assert n_deleted == 1
+    assert sorted(r["id"] for r in vt_read(spark, table, v).collect()) == [1, 2]
+
+
+def test_mor_delete_diffs_as_cdc_delete(spark, table):
+    """vt_diff across a MOR-delete commit yields exactly the deleted keys
+    as change_type='delete' — delete lists are part of entry identity."""
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_delete_mor,
+        vt_diff,
+    )
+
+    vt_append(spark, _keyed(spark, 0, 50, 1), table)
+    v_from = latest_version(spark, table)
+    v_to, _, _ = vt_delete_mor(spark, table, F.col("id").isin(7, 13))
+    changes = vt_diff(spark, table, v_from, v_to, keys=["id"]).collect()
+    assert sorted((r.id, r.change_type) for r in changes) == [
+        (7, "delete"),
+        (13, "delete"),
+    ]
+
+
+def test_mor_delete_vacuum_retains_then_reclaims_delete_files(spark, table):
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_delete_mor
+
+    vt_append(spark, _keyed(spark, 0, 100, 1).repartition(1), table)
+    v, _, _ = vt_delete_mor(spark, table, F.col("id") < 30)
+    dirty = read_manifest(spark, table, v)["files"]
+    del_paths = [dp for e in dirty for dp in e.get("deletes", [])]
+    assert del_paths
+    # compact (materialize) then vacuum down to the clean snapshot only
+    vt_compact(spark, table)
+    vt_vacuum(spark, table, keep_last=2)  # keeps delete-bearing v too
+    for dp in del_paths:
+        assert (Path(table) / dp).exists()
+    assert vt_read(spark, table, version=v).count() == 70  # still readable
+    vt_vacuum(spark, table, keep_last=1)  # drops the MOR snapshot
+    for dp in del_paths:
+        assert not (Path(table) / dp).exists()
+    assert vt_read(spark, table).count() == 70
+
+
+def test_vt_files_refuses_delete_bearing_snapshot(spark, table):
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_delete_mor,
+        vt_files,
+    )
+
+    vt_append(spark, _keyed(spark, 0, 50, 1), table)
+    assert vt_files(spark, table)  # clean snapshot: fine
+    vt_delete_mor(spark, table, F.col("id") < 5)
+    with pytest.raises(ValueError, match="merge-on-read"):
+        vt_files(spark, table)
+
+
+def test_mor_delete_then_cow_merge_does_not_resurrect(spark, table):
+    """A COW merge touching a delete-bearing file must apply its position
+    deletes while rewriting — deleted rows stay deleted."""
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_delete_mor,
+        vt_merge,
+    )
+
+    vt_append(
+        spark, _keyed(spark, 0, 100, 1).repartition(1), table, stats_cols=["id"]
+    )
+    vt_delete_mor(spark, table, F.col("id").isin(40, 41))
+    vt_merge(
+        spark,
+        _keyed(spark, 50, 55, 2, v_expr="777"),
+        table,
+        keys=["id"],
+        order_col="ord",
+    )
+    df = vt_read(spark, table)
+    assert df.filter(F.col("id").isin(40, 41)).count() == 0
+    assert df.filter((F.col("id") >= 50) & (F.col("id") < 55)).agg(
+        F.min("v"), F.max("v")
+    ).collect()[0][:] == (777, 777)
+    assert df.count() == 98
