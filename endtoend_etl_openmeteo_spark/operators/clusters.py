@@ -241,8 +241,18 @@ def kmeans(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    iter_dp: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic Lloyd's k-means over an array<double> column.
+
+    ``iter_dp`` rounds every centroid coordinate to that many decimals at
+    each update (the per-iteration rounding pattern :func:`pagerank`
+    uses): float-sum order inside ``avg`` is the ONLY cross-engine
+    nondeterminism in the algorithm — distances are computed in a fixed
+    fold order — so quantized centroids make the whole fixed point
+    reproducible against a SQL replication. At 6 decimals the quantization
+    is far below any real cluster separation; leave None for unquantized
+    centroids.
 
     Init: the k smallest-id vectors (deterministic, no RNG — reruns give
     identical clusters). Each iteration: ship the k centroids to every
@@ -290,9 +300,12 @@ def kmeans(
     # exchange. The dim-wide aggregate expression is identical every
     # iteration, so its generated code compiles once per session.
     dim = len(cent[0][1])
-    avgs = [
-        F.avg(F.element_at("vec", i + 1)).alias(f"c{i}") for i in range(dim)
-    ]
+
+    def _avg(i):
+        a = F.avg(F.element_at("vec", i + 1))
+        return a if iter_dp is None else F.round(a, iter_dp)
+
+    avgs = [_avg(i).alias(f"c{i}") for i in range(dim)]
     for _ in range(iterations):
         assignments = _assign_literal(v, cent)
         updated = assignments.groupBy("cluster").agg(*avgs).collect()

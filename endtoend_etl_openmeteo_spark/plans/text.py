@@ -406,20 +406,89 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def _kmeans_oracle(k: int, iters: int, dim: int, dp: int) -> str:
+    """Unrolled Lloyd's iterations in DuckDB SQL — assignment + centroid
+    CTE pair per round, generated with the SAME constants the Spark
+    operator receives (the :func:`_pagerank_oracle` pattern).
+
+    Cross-engine determinism: squared distance is generated as an
+    explicit left-associated term chain, the exact fold order of the
+    operator's ``F.aggregate(zip_with(...))`` — identical doubles in,
+    identical double out. The only order-sensitive arithmetic is the
+    centroid ``avg``, which BOTH sides round to ``dp`` decimals per
+    iteration (``kmeans(iter_dp=...)``), so the fixed point is
+    reproducible. Ties (equal d2) break to the lower cluster id on both
+    sides; clusters that lose all members drop out on both sides.
+    """
+    d2 = " + ".join(
+        f"(vec[{i}] - centroid[{i}]) * (vec[{i}] - centroid[{i}])"
+        for i in range(1, dim + 1)
+    )
+    cent = ", ".join(f"round(avg(vec[{i}]), {dp})" for i in range(1, dim + 1))
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT id, vec, cluster FROM (
+        SELECT id, vec, cluster,
+               row_number() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
+        FROM (SELECT v.id, v.vec, c.cluster, {d2} AS d2
+              FROM v CROSS JOIN {cents} c)
+      ) WHERE rn = 1)"""
+
+    parts = [
+        f"""
+    WITH v AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster,
+             vec AS centroid
+      FROM (SELECT id, vec FROM v ORDER BY id LIMIT {k}))"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign(f"a{i}", f"c{i - 1}"))
+        parts.append(f"""
+    c{i} AS (
+      SELECT cluster, list_value({cent}) AS centroid
+      FROM a{i} GROUP BY cluster)""")
+    parts.append(assign("afinal", f"c{iters}"))
+    return (
+        ",".join(parts)
+        + """
+    SELECT id::BIGINT AS id, cluster::BIGINT AS cluster FROM afinal
+    """
+    )
+
+
+_KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM, _KMEANS_DP = 8, 3, 64, 6
+
+
 @register(
     "q_kmeans",
-    oracle=None,  # iterative algorithm — rows-only check
+    oracle=_kmeans_oracle(_KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM, _KMEANS_DP),
     doc="Deterministic Lloyd's k-means (k=8, 3 iterations) over the "
     "embedding column: broadcast-centroid assignment + one per-dimension "
     "avg aggregate per round (operators/clusters.py) — the corpus-resident "
-    "distributed trainer (the sampled variant backs q_ann_ivf).",
+    "distributed trainer (the sampled variant backs q_ann_ivf). "
+    "Hash-checked against a GENERATED unrolled-CTE DuckDB oracle: "
+    "distances use an identical fold order, centroids round to 6dp per "
+    "iteration on both sides (kmeans(iter_dp=6)), so the full fixed "
+    "point — not just row counts — must match.",
     tags=("similarity", "iterative"),
 )
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from endtoend_etl_openmeteo_spark.operators.clusters import kmeans
 
-    assignments, _ = kmeans(tbl(spark, sf_dir, "embeddings"), k=8, iterations=3)
-    return assignments
+    assignments, _ = kmeans(
+        tbl(spark, sf_dir, "embeddings"),
+        k=_KMEANS_K,
+        iterations=_KMEANS_ITERS,
+        iter_dp=_KMEANS_DP,
+    )
+    return assignments.select(
+        "id", F.col("cluster").cast("long").alias("cluster")
+    )
 
 
 @register(
