@@ -140,9 +140,20 @@ def _assign_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cents_row = centroids.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("cluster", "centroid"))).alias("cents")
-    )
+    if centroids.isLocal():
+        # Driver-resident centroids (sampled training, literal seeds): pack
+        # the one-row broadcast frame directly instead of running a
+        # collect_list aggregate job just to reshape 10 local rows.
+        local = sorted(
+            ((r["cluster"], list(r["centroid"])) for r in centroids.collect())
+        )
+        cents_row = centroids.sparkSession.createDataFrame(
+            [(local,)], "cents array<struct<cluster:int,centroid:array<double>>>"
+        )
+    else:
+        cents_row = centroids.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cluster", "centroid"))).alias("cents")
+        )
     choices = F.transform(
         F.col("cents"),
         lambda s: F.struct(
@@ -161,6 +172,7 @@ def kmeans_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest trained centroid — the search-time
     half of the sample-trained quantizer pattern (train ``kmeans`` /
@@ -168,7 +180,11 @@ def kmeans_assign(
     centroids ride as a one-row broadcast into a codegen argmin, so
     assignment never key-shuffles ``vectors`` regardless of corpus size
     (small single-file inputs get a round-robin ``cpu_parallelize`` so the
-    argmin uses every core). Returns assignments(id, cluster).
+    argmin uses every core). Returns assignments(id, cluster); with
+    ``keep_vec`` the vector rides along as ``vec`` so downstream consumers
+    (e.g. IVF cell building) never re-join assignments back to the corpus
+    — the re-join is a full extra shuffle the map-side argmin makes
+    unnecessary.
     """
     from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
 
@@ -180,7 +196,9 @@ def kmeans_assign(
         F.col("cluster").cast("int").alias("cluster"),
         F.col("centroid").cast("array<double>").alias("centroid"),
     )
-    return _assign_centroids(v, cent).select("id", "cluster")
+    assigned = _assign_centroids(v, cent)
+    cols = ["id", "vec", "cluster"] if keep_vec else ["id", "cluster"]
+    return assigned.select(*cols)
 
 
 def kmeans_train_sampled(
@@ -210,14 +228,19 @@ def kmeans_train_sampled(
     """
     import numpy as np
 
-    rows = (
-        vectors.select(
-            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
-        )
-        .orderBy("id")
-        .limit(max_sample)
-        .collect()
+    ids = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
+    # Cheap path first: an unordered limit(max_sample + 1) collect needs no
+    # sort shuffle. Getting fewer rows back proves the table fits the
+    # sample, so the deterministic "smallest ids" order is a driver-side
+    # sort. Only a genuinely oversized corpus pays the distributed
+    # TakeOrdered.
+    rows = ids.limit(max_sample + 1).collect()
+    if len(rows) > max_sample:
+        rows = ids.orderBy("id").limit(max_sample).collect()
+    else:
+        rows.sort(key=lambda r: r["id"])
     x = np.asarray([r["vec"] for r in rows], dtype=np.float64)  # (n, dim)
     cent = x[:k].copy()  # smallest-id seeds, same as kmeans()
     for _ in range(iterations):

@@ -128,9 +128,11 @@ def ivf_topk(
     The coarse quantizer is either ``centroids`` (cluster/cell, centroid
     array — e.g. k-means-trained, the offline-refresh pattern at scale) or,
     when omitted, the per-``cell_col`` mean computed from the corpus itself.
-    Plan shape: centroids are tiny → broadcast twice (assignment + probe);
-    the corpus is scored only against queries probing its cell — the
-    fraction of work vs brute force is nprobe/n_cells.
+    Plan shape: the centroid set rides as ONE packed broadcast row, so probe
+    selection (top-nprobe cells per query) is a map-side array_sort+slice
+    inside codegen — no exchange, no per-query window sort; the corpus is
+    scored only against queries probing its cell — the fraction of work vs
+    brute force is nprobe/n_cells.
     """
     from pyspark.sql import Window
 
@@ -153,16 +155,38 @@ def ivf_topk(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
             .select("cell", F.transform("pc", lambda s: s["c"]).alias("centroid"))
         )
+    # Pack all (cell, centroid) pairs into one row. Driver-resident
+    # quantizers (the sampled-training path) skip the aggregate job.
+    if cent.isLocal():
+        local = sorted(((r["cell"], list(r["centroid"])) for r in cent.collect()))
+        cell_t = dict(cent.dtypes)["cell"]
+        cents_row = cent.sparkSession.createDataFrame(
+            [(local,)],
+            f"cents array<struct<cell:{cell_t},centroid:array<double>>>",
+        )
+    else:
+        cents_row = cent.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("cents")
+        )
     q = queries.select(F.col(id_col).alias("q_id"), vec.alias("q_vec"))
-    # probe assignment: top-nprobe cells by query→centroid cosine
-    qc = q.join(F.broadcast(cent))
-    wq = Window.partitionBy("q_id").orderBy(
-        F.desc(F.round(cosine(F.col("q_vec"), F.col("centroid")), 9)), F.col("cell")
+    # probe assignment: top-nprobe cells by query→centroid cosine, computed
+    # per query row against the packed centroid array. struct(neg_cos, cell)
+    # ascending == (cosine desc, cell asc) — same order the window gave.
+    ranked = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            (-F.round(cosine(F.col("q_vec"), s["centroid"]), 9)).alias("neg"),
+            s["cell"].alias("cell"),
+        ),
     )
     probes = (
-        qc.withColumn("cell_rank", F.row_number().over(wq))
-        .filter(F.col("cell_rank") <= nprobe)
-        .select("q_id", "q_vec", "cell")
+        q.crossJoin(F.broadcast(cents_row))
+        .select(
+            "q_id",
+            "q_vec",
+            F.explode(F.slice(F.array_sort(ranked), 1, nprobe)).alias("probe"),
+        )
+        .select("q_id", "q_vec", F.col("probe.cell").alias("cell"))
     )
     scored = corpus_v.join(F.broadcast(probes), "cell").filter(
         F.col("q_id") != F.col("n_id")

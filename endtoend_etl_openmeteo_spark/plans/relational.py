@@ -345,18 +345,30 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregate", "approx"),
 )
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sketches + the exact-percentile anchors in ONE single-pass aggregate
+    # (both quantiles share one percentile buffer via the array form), with
+    # the exact-distinct anchor as a SEPARATE two-column distinct — mixing
+    # countDistinct into the main agg would plan an Expand that doubles
+    # every scanned row (measured 5x slower at sf0.1).
+    ev = tbl(spark, sf_dir, "events")
     agg = (
-        tbl(spark, sf_dir, "events")
-        .groupBy("event_type")
+        ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
             F.approx_count_distinct("user_id").alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
             F.percentile_approx("value", 0.5).alias("approx_p50"),
-            F.percentile("value", 0.25).alias("p25"),
-            F.percentile("value", 0.75).alias("p75"),
+            F.percentile("value", F.array(F.lit(0.25), F.lit(0.75))).alias("pq"),
         )
+        .withColumn("p25", F.col("pq")[0])
+        .withColumn("p75", F.col("pq")[1])
     )
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("exact_users"))
+    )
+    agg = agg.join(F.broadcast(exact), "event_type")
     return agg.select(
         "event_type",
         "n",

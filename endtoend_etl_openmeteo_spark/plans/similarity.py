@@ -161,9 +161,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tbl(spark, sf_dir, "embeddings")
     centroids = kmeans_train_sampled(emb, k=10, iterations=2)
-    assignments = kmeans_assign(emb, centroids)
-    cells = emb.join(
-        assignments.withColumnRenamed("id", "vec_id"), "vec_id"
+    # keep_vec: the corpus arrives cell-tagged straight out of the map-side
+    # argmin — no assignments-back-to-corpus re-join shuffle.
+    cells = (
+        kmeans_assign(emb, centroids, keep_vec=True)
+        .withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("vec", "embedding")
     )
     return ivf_topk(
         cells,
