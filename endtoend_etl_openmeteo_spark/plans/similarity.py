@@ -219,3 +219,52 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_rerank(
         codes, codebooks, emb, emb.filter(F.col("vec_id") < 5), k=10, n_candidates=50
     )
+
+
+@register(
+    "q_ann_recall_contract",
+    # The ANN outputs themselves are hash-specific (rows-only queries);
+    # what IS cross-engine checkable is the RECALL CONTRACT: every method
+    # is deterministic (hash-derived hyperplanes, smallest-id k-means
+    # seeds, fixed fold orders), so recall@10 against the exact top-10 is
+    # a reproducible number — the query computes it in-plan and emits the
+    # floor verdicts as hash-checked booleans (the q_approx_stats
+    # error-bound pattern applied to the ANN family).
+    oracle="""
+    SELECT 'ivf' AS method, TRUE AS recall_ok
+    UNION ALL SELECT 'lsh', TRUE
+    UNION ALL SELECT 'pq', TRUE
+    """,
+    doc="ANN recall contract: IVF / LSH / PQ top-10 vs the exact cosine "
+    "top-10 for the same 5 queries, recall@10 >= 0.5 per method emitted "
+    "as a hash-checked boolean — driver-recorded evidence for the three "
+    "rows-only ANN paths (floors also enforced per-query by "
+    "tools/check_oracle.py at 0.86/0.62/0.78 measured recall).",
+    tags=("similarity", "approx"),
+)
+def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_ann_cosine(spark, sf_dir).select("q_id", "n_id")
+    methods = [
+        ("ivf", q_ann_ivf),
+        ("lsh", q_ann_lsh),
+        ("pq", q_ann_pq),
+    ]
+    approx = None
+    for name, fn in methods:
+        tagged = fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), "q_id", "n_id"
+        )
+        approx = tagged if approx is None else approx.unionByName(tagged)
+    n_exact = F.broadcast(exact.groupBy().agg(F.count("*").alias("n_exact")))
+    hits = (
+        approx.join(exact, ["q_id", "n_id"])  # exact set is tiny -> broadcast
+        .groupBy("method")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        hits.crossJoin(n_exact)
+        .select(
+            "method",
+            (F.col("n_hits") / F.col("n_exact") >= 0.5).alias("recall_ok"),
+        )
+    )
