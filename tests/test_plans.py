@@ -73,6 +73,7 @@ VECTORIZED_PYTHON_ALLOWED = frozenset(
         "q_multimodal_features",  # codec seam (operators/multimodal.py)
         "q_multimodal_embedding",
         "q_ann_lsh",  # hyperplane-projection matmul (operators/similarity.py)
+        "q_ann_recall_contract",  # composes q_ann_lsh, inherits its seam
     }
 )
 
