@@ -18,13 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from endtoend_etl_openmeteo_spark.operators.curate import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+)
 from endtoend_etl_openmeteo_spark.operators.dedup import normalized_text, shingles
 from endtoend_etl_openmeteo_spark.plans.registry import register
 from endtoend_etl_openmeteo_spark.sources.tables import tbl
-
-EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
-IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
 @register(

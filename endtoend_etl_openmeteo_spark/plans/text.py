@@ -10,6 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from endtoend_etl_openmeteo_spark.operators.curate import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+)
 from endtoend_etl_openmeteo_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -914,4 +919,127 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("id").cast("long").alias("id"),
         F.round("rank", 6).alias("pagerank"),
+    )
+
+
+@register(
+    "q_curate_corpus",
+    # The full pipeline stitched as one oracle: each CTE is the proven
+    # oracle of its standalone stage (q_quality_score, q_lang_id,
+    # q_dedup_exact, q_cc_exact, q_pii_scrub) applied to the previous
+    # stage's survivors — so the composition itself is what this query
+    # hash-checks. Recursive closure replicates the clustering; quality /
+    # en_score round BEFORE their threshold compares on both sides.
+    oracle=rf"""
+    WITH RECURSIVE scored AS (
+      SELECT doc_id, lang, source, text,
+             round(least(len(string_split(text, ' ')) / 64.0, 1.0)
+                   * (1.0 - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                            / greatest(length(text), 1)), 6) AS quality,
+             round(len(list_filter(string_split(lower(text), ' '),
+                                   t -> t IN ({_stopword_hits('en')})))
+                   / len(string_split(lower(text), ' ')), 6) AS en_score
+      FROM documents WHERE doc_id < {JACCARD_VERIFY_MAX_DOC_ID}
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE quality >= 0.5 AND lang IN ('en', 'de', 'fr', 'es')
+    ),
+    uniq AS (
+      SELECT * FROM (
+        SELECT *,
+               row_number() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM gated)
+      WHERE rn = 1
+    ),
+    d AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+      FROM uniq
+    ),
+    e AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.2
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (SELECT a AS id, least(a, min(b)) AS cid FROM reach GROUP BY a),
+    drops AS (SELECT id FROM comp WHERE id <> cid),
+    body AS (
+      SELECT *,
+             concat_ws(' ', text, 'contact',
+                       source || '.' || CAST(doc_id AS VARCHAR) || '@example.com',
+                       'tel', '+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                       'from', '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7') AS b
+      FROM uniq WHERE doc_id NOT IN (SELECT id FROM drops)
+    )
+    SELECT doc_id::BIGINT AS doc_id, lang,
+           CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           quality,
+           CAST(len(regexp_extract_all(b, '{EMAIL_RE}'))
+                + len(regexp_extract_all(b, '{PHONE_RE}'))
+                + len(regexp_extract_all(b, '{IPV4_RE}')) AS BIGINT) AS n_pii,
+           md5(regexp_replace(regexp_replace(regexp_replace(b,
+             '{EMAIL_RE}', '[EMAIL]', 'g'),
+             '{PHONE_RE}', '[PHONE]', 'g'),
+             '{IPV4_RE}', '[IP]', 'g')) AS clean_fp
+    FROM body
+    """,
+    doc="The COMPOSED end-to-end curation pipeline (operators/curate.py): "
+    "quality gate -> language allowlist -> exact dedup -> near-dup "
+    "clustering with canonical selection -> PII scrub, as ONE hash-checked "
+    "query — a user's raw-crawl-to-clean-corpus path in a single call. "
+    "Stage semantics match the standalone plans; filters run first so "
+    "every exchange carries survivors only. The PII stage scrubs a "
+    "deterministic synthetic enrichment (the q_pii_scrub pattern — the "
+    "corpus carries no real PII), injected AFTER dedup so digests and "
+    "Jaccard sets are unperturbed; clean_fp proves the redaction fired.",
+    tags=("text", "dedup", "llm", "pipeline"),
+)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.curate import curate_corpus
+
+    docs = tbl(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < JACCARD_VERIFY_MAX_DOC_ID
+    )
+    enrich = F.concat_ws(
+        " ",
+        F.lit("contact"),
+        F.concat(
+            F.col("source"), F.lit("."), F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+        F.lit("tel"),
+        F.concat(
+            F.lit("+1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+        F.lit("from"),
+        F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+    )
+    out = curate_corpus(
+        docs,
+        keep_langs=("en", "de", "fr", "es"),
+        quality_min=0.5,
+        jaccard_threshold=0.2,
+        pii_enrich=enrich,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "lang_guess",
+        "n_tokens",
+        "quality",
+        "n_pii",
+        F.md5("clean").alias("clean_fp"),
     )
