@@ -34,6 +34,7 @@ import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -173,9 +174,15 @@ def _write_data(
     df: DataFrame,
     table: str,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> list[dict]:
     """Materialize ``df`` as immutable files under data/<uuid>/ and return
     manifest entries [{"path": ..., "stats": {col: [min, max]}}].
+
+    ``bloom_cols`` additionally records a per-file bloom sidecar
+    (:func:`_bloom_sidecars`) under ``entry["bloom"]`` — point-lookup
+    file skipping for high-cardinality keys whose [min, max] ranges
+    overlap across files (where min/max pruning keeps everything).
 
     ``stats_cols`` opts columns into manifest-level min/max — the
     Iceberg-style scan-planning statistics that let a reader skip whole
@@ -224,10 +231,29 @@ def _write_data(
             stats_by_file[fname] = {
                 c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in stats_cols
             }
-    return [
-        {"path": f"{subdir}/{n}", "stats": stats_by_file.get(n, {})}
-        for n in names
-    ]
+    bloom_by_file: dict[str, dict] = {}
+    if bloom_cols:
+        import base64
+
+        bloom_by_file = _bloom_sidecars(spark, f"{table}/{subdir}", bloom_cols)
+        # files with no rows (or only NULLs in the column) get an all-zero
+        # bitmap: every probe skips them, which is exactly right — a NULL
+        # never equals the probed value
+        empty = {
+            "m": _BLOOM_M,
+            "k": _BLOOM_K,
+            "b64": base64.b64encode(bytes(_BLOOM_M // 8)).decode("ascii"),
+        }
+        for n in names:
+            for c in bloom_cols:
+                bloom_by_file.setdefault(n, {}).setdefault(c, empty)
+    entries = []
+    for n in names:
+        e: dict = {"path": f"{subdir}/{n}", "stats": stats_by_file.get(n, {})}
+        if bloom_by_file.get(n):
+            e["bloom"] = bloom_by_file[n]
+        entries.append(e)
+    return entries
 
 
 def _footer_stats(path: str, stats_cols: list[str]) -> dict:
@@ -276,6 +302,126 @@ def _json_stat(v):
         except UnicodeDecodeError:
             return None
     return None
+
+
+#: Default bloom sidecar geometry: m bits / k probes per file+column.
+#: 2048 bits = 256 B per (file, column) in the manifest; at ~500 distinct
+#: keys per file that is ~2.6 bits/key -> high but useful selectivity, and
+#: the geometry is per-entry metadata so later commits can change it.
+_BLOOM_M, _BLOOM_K = 2048, 5
+
+
+def _bloom_canon_col(dtype, col):
+    """Canonical hash input for a bloom column: integral types widen to
+    long, strings pass through — so a probe literal hashes identically to
+    the stored column regardless of the frame's physical integer width
+    (Spark's xxhash64 is type-sensitive: int 5 and long 5 hash apart)."""
+    name = dtype.typeName()
+    if name in ("byte", "short", "integer", "long"):
+        return col.cast("long")
+    if name == "string":
+        return col
+    raise ValueError(f"bloom index unsupported for column type {name}")
+
+
+def _bloom_canon_lit(value):
+    if isinstance(value, bool):
+        raise ValueError("bloom index unsupported for boolean probes")
+    if isinstance(value, int):
+        return F.lit(value).cast("long")
+    if isinstance(value, str):
+        return F.lit(value)
+    raise ValueError(f"bloom probe unsupported for {type(value).__name__}")
+
+
+def _bloom_sidecars(
+    spark: SparkSession,
+    subdir_path: str,
+    bloom_cols: list[str],
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> dict[str, dict]:
+    """Per-file bloom bitsets for ``bloom_cols`` over a freshly-written
+    subdir: {file_name: {col: {"m", "k", "b64"}}}.
+
+    One distributed pass per column: k seeded xxhash64 positions per
+    value, DISTINCT per file via collect_set — the shuffle carries at
+    most m ints per (file, column), never values, so sidecar
+    construction is bounded by scan throughput at any corpus size. The
+    driver packs positions into an m-bit bitmap (m/8 bytes, base64 in
+    the manifest entry)."""
+    import base64
+    from collections import defaultdict
+
+    reader = spark.read.parquet(subdir_path)
+    out: dict[str, dict] = defaultdict(dict)
+    for c in bloom_cols:
+        canon = _bloom_canon_col(reader.schema[c].dataType, F.col(c))
+        positions = F.array(
+            *[F.pmod(F.xxhash64(canon, F.lit(i)), F.lit(m)) for i in range(k)]
+        )
+        rows = (
+            reader.filter(F.col(c).isNotNull())
+            .select(F.input_file_name().alias("__f"), F.explode(positions).alias("p"))
+            .groupBy("__f")
+            .agg(F.collect_set("p").alias("ps"))
+            .collect()
+        )  # bounded: one row per file, <= m positions each
+        for r in rows:
+            bits = bytearray(m // 8)
+            for p in r["ps"]:
+                bits[p >> 3] |= 1 << (p & 7)
+            out[r["__f"].rsplit("/", 1)[-1]][c] = {
+                "m": m,
+                "k": k,
+                "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+            }
+    return dict(out)
+
+
+def _prune_entries_eq(
+    spark: SparkSession,
+    entries: list[dict],
+    prune_eq: tuple[str, object] | None,
+) -> list[dict]:
+    """Bloom-sidecar point-lookup skipping: drop an entry iff its bloom
+    for ``col`` proves ``value`` absent (some probe bit unset). Entries
+    without a bloom for the column are conservatively kept. Probe
+    positions come from a one-row local Spark projection so the probe
+    uses the exact xxhash64 the writer used; cached per (m, k) geometry."""
+    import base64
+
+    if prune_eq is None:
+        return entries
+    col, value = prune_eq
+    pos_cache: dict[tuple[int, int], list[int]] = {}
+
+    def probe(m: int, k: int) -> list[int]:
+        if (m, k) not in pos_cache:
+            lit = _bloom_canon_lit(value)
+            row = (
+                spark.range(1)
+                .select(
+                    *[
+                        F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(m)).alias(f"p{i}")
+                        for i in range(k)
+                    ]
+                )
+                .collect()[0]
+            )
+            pos_cache[(m, k)] = [row[f"p{i}"] for i in range(k)]
+        return pos_cache[(m, k)]
+
+    kept = []
+    for e in entries:
+        side = e.get("bloom", {}).get(col)
+        if side is None:
+            kept.append(e)  # unknown -> cannot skip
+            continue
+        bits = base64.b64decode(side["b64"])
+        if all(bits[p >> 3] & (1 << (p & 7)) for p in probe(side["m"], side["k"])):
+            kept.append(e)
+    return kept
 
 
 def _merge_schema(parent_json: str | None, new_schema) -> str:
@@ -448,10 +594,12 @@ def vt_append(
     df: DataFrame,
     table: str,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot: parent's files + the new files.
     ``stats_cols`` records per-file min/max in the manifest for
-    :func:`vt_files` pruning."""
+    :func:`vt_files` range pruning; ``bloom_cols`` records per-file
+    bloom sidecars for ``prune_eq`` point-lookup skipping."""
     from pyspark.sql.types import StructType
 
     parent = latest_version(spark, table)
@@ -460,7 +608,9 @@ def vt_append(
     # align BEFORE writing: stored files always carry the table's types
     # and column order, so no reader ever sees mixed physical types
     aligned = _align(df, StructType.fromJson(json.loads(schema_json)))
-    files = _write_data(spark, aligned, table, stats_cols=stats_cols)
+    files = _write_data(
+        spark, aligned, table, stats_cols=stats_cols, bloom_cols=bloom_cols
+    )
 
     def rebase(winner: dict) -> tuple[list[dict], dict]:
         # a rival append/commit won our version slot: our files are already
@@ -487,10 +637,13 @@ def vt_overwrite(
     df: DataFrame,
     table: str,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Replace the table contents in one snapshot (the atomic form of
     ``mode('overwrite')`` — readers of older versions are untouched)."""
-    files = _write_data(spark, df, table, stats_cols=stats_cols)
+    files = _write_data(
+        spark, df, table, stats_cols=stats_cols, bloom_cols=bloom_cols
+    )
     parent = latest_version(spark, table)
     return _commit(
         spark,
@@ -508,6 +661,7 @@ def vt_files(
     table: str,
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
+    prune_eq: tuple[str, object] | None = None,
 ) -> list[str]:
     """The scan plan: absolute file paths for a version, optionally pruned
     by manifest stats. ``prune=(col, lo, hi)`` keeps a file iff its
@@ -522,7 +676,11 @@ def vt_files(
     or :func:`vt_compact` (materializes them) instead."""
     table = table.rstrip("/")
     v = latest_version(spark, table) if version is None else version
-    entries = _prune_entries(read_manifest(spark, table, v)["files"], prune)
+    entries = _prune_entries_eq(
+        spark,
+        _prune_entries(read_manifest(spark, table, v)["files"], prune),
+        prune_eq,
+    )
     if any(e.get("deletes") for e in entries):
         raise ValueError(
             f"version {v} of {table} carries merge-on-read position "
@@ -537,16 +695,20 @@ def vt_read(
     table: str,
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
+    prune_eq: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Snapshot read: resolve ONE manifest, scan exactly its files.
     ``version=None`` -> latest. The returned plan never re-lists the
     directory, so concurrent commits/compactions cannot tear it. ``prune``
-    applies manifest-stats file skipping (see :func:`vt_files`); callers
+    applies manifest-stats range skipping and ``prune_eq=(col, value)``
+    bloom-sidecar point-lookup skipping (see :func:`vt_files`); callers
     still apply the row-level filter — pruning is a superset guarantee."""
     table = table.rstrip("/")
     v = latest_version(spark, table) if version is None else version
     manifest = read_manifest(spark, table, v)
-    entries = _prune_entries(manifest["files"], prune)
+    entries = _prune_entries_eq(
+        spark, _prune_entries(manifest["files"], prune), prune_eq
+    )
     # the manifest's recorded schema (additive evolution): files written
     # before a column existed null-fill it; time travel to an older
     # version reads with THAT version's schema — the new column is absent,
@@ -596,10 +758,17 @@ def vt_compact(
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     schema = _snapshot_schema(manifest)
     df = _entries_df(spark, table, manifest["files"], schema)
-    # carry forward whichever stats columns the parent recorded
+    # carry forward whichever stats/bloom columns the parent recorded —
+    # compaction rewrites files, so sidecars must be rebuilt for the new
+    # file boundaries or point-lookup pruning silently degrades to keep-all
     stats_cols = sorted({c for e in manifest["files"] for c in e.get("stats", {})})
+    bloom_cols = sorted({c for e in manifest["files"] for c in e.get("bloom", {})})
     files = _write_data(
-        spark, df.repartition(n), table, stats_cols=stats_cols or None
+        spark,
+        df.repartition(n),
+        table,
+        stats_cols=stats_cols or None,
+        bloom_cols=bloom_cols or None,
     )
     extra = {"schema": manifest["schema"]} if "schema" in manifest else None
     new_v = _commit(spark, table, files, "compact", parent, extra=extra)

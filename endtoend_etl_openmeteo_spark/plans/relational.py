@@ -970,3 +970,64 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return vt_read(spark, replica).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_bloom_lookup",
+    # Point lookups through bloom-sidecar file skipping. The oracle is the
+    # plain filter over the source slice: if a bloom ever wrongly skipped
+    # the owning file, rows would vanish and the hash would catch it —
+    # the superset guarantee is exactly what this row checks.
+    oracle="""
+    SELECT event_id::BIGINT AS event_id, event_type,
+           round(value, 6) AS value
+    FROM events
+    WHERE event_id < 3000 AND event_id IN (7, 1234, 2500)
+    """,
+    doc="Bloom-sidecar point lookups over the versioned table format "
+    "(operators/versioned.py): three interleaved appends (event_id % 3) "
+    "give every file a near-full [min, max] range — range stats keep "
+    "everything, the per-file bloom (prune_eq) skips to the owning "
+    "file(s) before Spark lists anything. The at-scale needle-in-100-TB "
+    "id lookup; skip counts are pinned by tests/test_versioned.py.",
+    tags=("table-format", "lookup"),
+)
+def q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_append,
+        vt_init,
+        vt_read,
+    )
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).filter(F.col("event_id") < 3000)
+    table = scratch_dir(prefix="vt_bloom_")
+    try:
+        vt_init(spark, table)
+        for wave in range(3):
+            vt_append(
+                spark,
+                ev.filter(F.col("event_id") % 3 == wave).repartition(2),
+                table,
+                stats_cols=["event_id"],
+                bloom_cols=["event_id"],
+            )
+        parts = [
+            vt_read(spark, table, prune_eq=("event_id", p)).filter(
+                F.col("event_id") == p
+            )
+            for p in (7, 1234, 2500)
+        ]
+        out = parts[0].unionByName(parts[1]).unionByName(parts[2]).select(
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+            F.round("value", 6).alias("value"),
+        )
+        # tiny result — checkpoint eagerly so scratch can be reclaimed
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)

@@ -753,3 +753,70 @@ def test_mor_delete_then_cow_merge_does_not_resurrect(spark, table):
         F.min("v"), F.max("v")
     ).collect()[0][:] == (777, 777)
     assert df.count() == 98
+
+
+def test_bloom_sidecar_point_lookup_skips_interleaved_files(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_files
+
+    # four appends with INTERLEAVED ids (id % 4 == wave): every file's
+    # [min, max] spans nearly the whole domain, so range pruning keeps
+    # everything — exactly the clustering-free layout bloom sidecars exist
+    # for. One file per append keeps wave -> file attribution exact.
+    for wave in range(4):
+        df = (
+            spark.range(0, 400)
+            .filter(f"id % 4 = {wave}")
+            .selectExpr("id", "id * 2 AS v")
+            .coalesce(1)
+        )
+        vt_append(spark, df, table, stats_cols=["id"], bloom_cols=["id"])
+    all_files = vt_files(spark, table)
+    assert len(all_files) == 4
+    # min/max can't help: every file's range covers the probe
+    assert len(vt_files(spark, table, prune=("id", 150, 150))) == 4
+
+    # bloom skips to (almost certainly) just the owning file; superset
+    # guarantee: the owning file is ALWAYS kept
+    probed = vt_files(spark, table, prune_eq=("id", 150))
+    assert len(probed) < 4
+    got = vt_read(spark, table, prune_eq=("id", 150)).filter("id = 150")
+    assert [(r.id, r.v) for r in got.collect()] == [(150, 300)]
+
+    # absent key: typically every file skipped; the read stays correct
+    miss = vt_read(spark, table, prune_eq=("id", 100_000)).filter("id = 100000")
+    assert miss.count() == 0
+
+    # compaction rebuilds sidecars for the new file boundaries
+    vt_compact(spark, table)
+    latest = read_manifest(spark, table, latest_version(spark, table))
+    assert all("id" in e.get("bloom", {}) for e in latest["files"])
+    again = vt_read(spark, table, prune_eq=("id", 150)).filter("id = 150")
+    assert [(r.id, r.v) for r in again.collect()] == [(150, 300)]
+
+
+def test_bloom_sidecar_string_keys_and_unindexed_entries(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_files
+
+    # wave 0 indexed, wave 1 not: un-bloomed entries must be kept for any
+    # probe (unknown -> cannot skip), indexed ones may be skipped
+    vt_append(
+        spark,
+        spark.createDataFrame([("alpha", 1), ("beta", 2)], "k string, v int"),
+        table,
+        bloom_cols=["k"],
+    )
+    vt_append(
+        spark,
+        spark.createDataFrame([("gamma", 3)], "k string, v int"),
+        table,
+    )
+    all_files = vt_files(spark, table)
+    files = vt_files(spark, table, prune_eq=("k", "gamma"))
+    # every bloom-indexed (first-append) file is skipped; every un-bloomed
+    # (second-append) file is conservatively kept
+    gamma_subdirs = {f.rsplit("/", 2)[1] for f in set(all_files) - set(files)}
+    kept_subdirs = {f.rsplit("/", 2)[1] for f in files}
+    assert files and kept_subdirs.isdisjoint(gamma_subdirs)
+    assert len(files) < len(all_files)
+    got = vt_read(spark, table, prune_eq=("k", "gamma")).filter("k = 'gamma'")
+    assert [(r.k, r.v) for r in got.collect()] == [("gamma", 3)]
