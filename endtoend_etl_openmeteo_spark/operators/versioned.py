@@ -1326,3 +1326,202 @@ def vt_apply_cdc(
         parent,
         extra={"schema": schema.json()},
     )
+
+
+def vt_merge_mor(
+    spark: SparkSession,
+    new: DataFrame,
+    table: str,
+    keys: list[str],
+    order_col: str | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> tuple[int, int, int]:
+    """Merge-on-read UPSERT: append the batch and POSITION-DELETE the
+    superseded rows in one commit — no data file is rewritten.
+
+    :func:`vt_merge` is copy-on-write: every file whose key range
+    overlaps the batch is read back and rewritten, so a 1000-row upsert
+    scattered across a 100-TB table rewrites every touched GB-file. This
+    is the Iceberg-v2 MOR alternative: superseded row identities
+    ((file, pos) via ``_metadata.row_index``) go into a KB-sized delete
+    file attached to the touched entries; the batch lands as new data
+    files; readers anti-join the broadcast delete set until
+    :func:`vt_compact` materializes. Write amplification drops from
+    O(touched file bytes) to O(batch + delete KBs); the discovery scan
+    still reads only stats-overlapping files.
+
+    Last-write-wins on ``order_col`` against BOTH the batch and the
+    table (vt_merge parity): within-batch duplicates keep the newest;
+    a batch row supersedes an existing row only when its order is >= the
+    existing one (batch wins ties), and a batch row older than the
+    table's copy is dropped without trace. ``order_col=None`` skips
+    ordering — the batch unconditionally replaces matching keys. Returns
+    (version, files_touched, rows_superseded).
+    """
+    from pyspark.sql.types import StructType
+
+    from endtoend_etl_openmeteo_spark.operators.merge import (
+        dedup_last_write_wins,
+    )
+
+    table = table.rstrip("/")
+    k0 = keys[0]
+    parent = latest_version(spark, table)
+    manifest = read_manifest(spark, table, parent)
+    entries = manifest["files"]
+    parent_schema_json = manifest.get("schema")
+    if parent_schema_json is None and entries:
+        parent_schema_json = (
+            spark.read.parquet(f"{table}/{entries[0]['path']}").schema.json()
+        )
+    schema_json = _merge_schema(parent_schema_json, new.schema)
+    merged_schema = StructType.fromJson(json.loads(schema_json))
+    if order_col is not None:
+        new = dedup_last_write_wins(new, keys, order_col)
+
+    bounds = new.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return parent, 0, 0  # empty batch: nothing to commit
+
+    # discovery scope: stats-pruned candidates only (conservative on
+    # missing stats, same rule as vt_merge)
+    candidates = [
+        e
+        for e in entries
+        if not (
+            (mm := e.get("stats", {}).get(k0)) is not None
+            and mm[0] is not None
+            and mm[1] is not None
+            and (mm[0] > hi or mm[1] < lo)
+        )
+    ]
+    superseded = None
+    to_insert = new
+    if candidates:
+        scan = _entries_df(spark, table, candidates, merged_schema, keep_meta=True)
+        if order_col is not None:
+            probe = new.select(*keys, F.col(order_col).alias("__new_ord"))
+            joined = scan.join(F.broadcast(probe), keys)
+            superseded = joined.filter(
+                F.col(order_col) <= F.col("__new_ord")
+            ).select("__file", "__pos")
+            # batch rows older than the table's copy lose outright
+            losers = (
+                joined.filter(F.col(order_col) > F.col("__new_ord"))
+                .select(*keys)
+                .distinct()
+            )
+            to_insert = new.join(losers, keys, "left_anti")
+        else:
+            superseded = scan.join(
+                F.broadcast(new.select(keys).distinct()), keys, "semi"
+            ).select("__file", "__pos")
+
+    hit: set = set()
+    rows_superseded = 0
+    del_paths: list[str] = []
+    if superseded is not None:
+        subdir = f"deletes/{uuid.uuid4().hex[:12]}"
+        superseded.repartition(1).write.parquet(f"{table}/{subdir}")
+        fs, jvm = _fs(spark, table)
+        listed = fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{table}/{subdir}"))
+        del_paths = [
+            f"{subdir}/{s.getPath().getName()}"
+            for s in listed
+            if s.getPath().getName().endswith(".parquet")
+        ]
+        per_file = (
+            spark.read.parquet(*[f"{table}/{p}" for p in del_paths])
+            .groupBy("__file")
+            .agg(F.count("*").alias("__n"))
+            .collect()
+        )
+        if per_file:
+            hit = {r["__file"] for r in per_file}
+            rows_superseded = sum(r["__n"] for r in per_file)
+        else:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table}/{subdir}"), True)
+            del_paths = []
+
+    new_files = (
+        []
+        if to_insert.isEmpty()
+        else _write_data(
+            spark,
+            _align(to_insert, merged_schema),
+            table,
+            stats_cols=stats_cols or [k0],
+            bloom_cols=bloom_cols,
+        )
+    )
+    if not new_files and not hit:
+        return parent, 0, 0  # fully-stale batch: nothing to commit
+    new_entries = []
+    for e in entries:
+        if e["path"] in hit:
+            e2 = dict(e)
+            e2["deletes"] = list(e.get("deletes", [])) + del_paths
+            new_entries.append(e2)
+        else:
+            new_entries.append(e)
+    version = _commit(
+        spark,
+        table,
+        new_entries + new_files,
+        "merge-mor",
+        parent,
+        extra={"schema": schema_json},
+    )
+    return version, len(hit), rows_superseded
+
+
+def vt_optimize(
+    spark: SparkSession,
+    table: str,
+    sort_cols: list[str],
+    target_mb: int = 128,
+    n_files: int | None = None,
+) -> tuple[int, int, int]:
+    """Range-clustering rewrite (OPTIMIZE ... ZORDER's 1-D sibling):
+    repartitionByRange + in-file sort on ``sort_cols``, committed as a
+    snapshot. After it, each file owns a DISJOINT sort-key range, so
+    manifest min/max pruning (and parquet row-group pruning inside a
+    file) answers range scans with O(result) files — the clustered
+    complement of bloom sidecars (which serve point lookups on layouts
+    range clustering can't fix, e.g. a second independent key).
+
+    Like :func:`vt_compact` it materializes position deletes, carries
+    recorded stats/bloom columns forward (adding ``sort_cols`` to stats —
+    clustering exists to make those stats selective), and isolates open
+    readers via the manifest. ``n_files`` overrides the byte-targeted
+    file count. Returns (version, files_before, files_after)."""
+    import math
+
+    table = table.rstrip("/")
+    parent = latest_version(spark, table)
+    manifest = read_manifest(spark, table, parent)
+    if not manifest["files"]:
+        return parent, 0, 0
+    fs, jvm = _fs(spark, table)
+    total = sum(
+        fs.getFileStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{table}/{e['path']}")
+        ).getLen()
+        for e in manifest["files"]
+    )
+    n = n_files or max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    schema = _snapshot_schema(manifest)
+    df = _entries_df(spark, table, manifest["files"], schema)
+    stats_cols = sorted(
+        {c for e in manifest["files"] for c in e.get("stats", {})} | set(sort_cols)
+    )
+    bloom_cols = sorted({c for e in manifest["files"] for c in e.get("bloom", {})})
+    clustered = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+    files = _write_data(
+        spark, clustered, table, stats_cols=stats_cols, bloom_cols=bloom_cols or None
+    )
+    extra = {"schema": manifest["schema"]} if "schema" in manifest else None
+    new_v = _commit(spark, table, files, "optimize", parent, extra=extra)
+    return new_v, len(manifest["files"]), len(files)

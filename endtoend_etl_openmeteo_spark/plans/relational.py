@@ -1031,3 +1031,122 @@ def q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+@register(
+    "q_merge_mor",
+    # Same LWW truth as q_snapshot_merge, including the stale batch that
+    # must leave no trace — but executed merge-on-read: the oracle proves
+    # position-delete + append composes to the same table as the COW
+    # rewrite path.
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,
+           CASE WHEN event_id % 10 = 0 THEN 2 ELSE 1 END::BIGINT AS ord
+    FROM events
+    """,
+    doc="Merge-on-read UPSERT on the manifest table format "
+    "(operators/versioned.vt_merge_mor): superseded rows become KB-sized "
+    "position-delete attachments, the batch appends as new files — no "
+    "data file is rewritten (the write-amplification fix for scattered "
+    "upserts vt_merge's COW can't give at 100 TB). LWW parity with "
+    "vt_merge: a newer batch replaces, a stale batch commits nothing. "
+    "Rewrite-free scope and LWW edges pinned by tests/test_versioned.py.",
+    tags=("versioned", "merge"),
+)
+def q_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_append,
+        vt_init,
+        vt_merge_mor,
+        vt_read,
+    )
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", "value", F.lit(1).cast("long").alias("ord")
+    )
+    mid = ev.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
+    table = scratch_dir(prefix="vt_mor_merge_")
+    try:
+        vt_init(spark, table)
+        vt_append(
+            spark, ev.filter(F.col("event_id") <= mid), table,
+            stats_cols=["event_id"],
+        )
+        vt_append(
+            spark, ev.filter(F.col("event_id") > mid), table,
+            stats_cols=["event_id"],
+        )
+        newer = ev.filter(F.col("event_id") % 10 == 0).select(
+            "event_id",
+            (F.col("value") + 1000).alias("value"),
+            F.lit(2).cast("long").alias("ord"),
+        )
+        vt_merge_mor(spark, newer, table, keys=["event_id"], order_col="ord")
+        stale = ev.filter(F.col("event_id") % 10 == 0).select(
+            "event_id",
+            F.lit(-1.0).alias("value"),
+            F.lit(0).cast("long").alias("ord"),
+        )
+        vt_merge_mor(spark, stale, table, keys=["event_id"], order_col="ord")
+        return vt_read(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@register(
+    "q_optimize_cluster",
+    # Range scan after a clustering rewrite: plain-filter oracle — if the
+    # optimize rewrite lost or duplicated rows, or pruning skipped a file
+    # it needed, the hash catches it.
+    oracle="""
+    SELECT event_id::BIGINT AS event_id, round(value, 6) AS value
+    FROM events
+    WHERE event_id < 3000 AND event_id BETWEEN 600 AND 660
+    """,
+    doc="OPTIMIZE (range clustering) on the manifest table format "
+    "(operators/versioned.vt_optimize): interleaved appends leave every "
+    "file spanning the key domain; repartitionByRange + in-file sort "
+    "rewrites to disjoint-range files so manifest min/max pruning "
+    "answers range scans with O(result) files — the clustered "
+    "complement of q_bloom_lookup's point path. Selectivity is pinned "
+    "by tests/test_versioned.py.",
+    tags=("table-format", "layout"),
+)
+def q_optimize_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_append,
+        vt_init,
+        vt_optimize,
+        vt_read,
+    )
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+
+    ev = tbl(spark, sf_dir, "events").select("event_id", "value").filter(
+        F.col("event_id") < 3000
+    )
+    table = scratch_dir(prefix="vt_opt_")
+    try:
+        vt_init(spark, table)
+        for wave in range(2):
+            vt_append(
+                spark,
+                ev.filter(F.col("event_id") % 2 == wave),
+                table,
+                stats_cols=["event_id"],
+            )
+        vt_optimize(spark, table, ["event_id"], n_files=4)
+        out = vt_read(
+            spark, table, prune=("event_id", 600, 660)
+        ).filter(F.col("event_id").between(600, 660)).select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.round("value", 6).alias("value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)

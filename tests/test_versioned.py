@@ -820,3 +820,102 @@ def test_bloom_sidecar_string_keys_and_unindexed_entries(spark, table):
     assert len(files) < len(all_files)
     got = vt_read(spark, table, prune_eq=("k", "gamma")).filter("k = 'gamma'")
     assert [(r.k, r.v) for r in got.collect()] == [("gamma", 3)]
+
+
+def test_mor_merge_appends_and_position_deletes(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_merge_mor
+
+    vt_append(
+        spark, _keyed(spark, 0, 100, 1).repartition(2), table, stats_cols=["id"]
+    )
+    base = read_manifest(spark, table, latest_version(spark, table))
+    base_paths = {e["path"] for e in base["files"]}
+
+    batch = spark.createDataFrame(
+        [(10, 9999, 2), (20, 8888, 2), (1000, 7777, 2)], "id long, v long, ord long"
+    )
+    v, touched, superseded = vt_merge_mor(
+        spark, batch, table, keys=["id"], order_col="ord"
+    )
+    assert superseded == 2 and touched >= 1
+    latest = read_manifest(spark, table, v)
+    # MOR: every base data file is still listed (none rewritten); the
+    # touched ones carry delete attachments, and the batch landed as new files
+    paths = {e["path"] for e in latest["files"]}
+    assert base_paths <= paths and len(paths) > len(base_paths)
+    assert any(e.get("deletes") for e in latest["files"])
+
+    got = vt_read(spark, table)
+    assert got.count() == 101  # 100 base + 1 insert, updates replaced in place
+    by_id = {r.id: r.v for r in got.filter("id IN (10, 20, 1000, 30)").collect()}
+    assert by_id == {10: 9999, 20: 8888, 1000: 7777, 30: 60}
+
+    # compaction materializes the deletes; contents survive
+    vt_compact(spark, table)
+    again = vt_read(spark, table)
+    assert again.count() == 101
+    assert {r.id: r.v for r in again.filter("id IN (10, 1000)").collect()} == {
+        10: 9999, 1000: 7777,
+    }
+
+
+def test_mor_merge_within_batch_lww_and_empty_batch(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_merge_mor
+
+    vt_append(spark, _keyed(spark, 0, 10, 1), table, stats_cols=["id"])
+    # two rows for id=5 in one batch: ord=3 must win
+    batch = spark.createDataFrame(
+        [(5, 111, 2), (5, 222, 3)], "id long, v long, ord long"
+    )
+    v, _, superseded = vt_merge_mor(spark, batch, table, keys=["id"], order_col="ord")
+    assert superseded == 1
+    assert vt_read(spark, table).filter("id = 5").collect()[0].v == 222
+
+    empty = spark.createDataFrame([], "id long, v long, ord long")
+    v2, touched, superseded = vt_merge_mor(
+        spark, empty, table, keys=["id"], order_col="ord"
+    )
+    assert (v2, touched, superseded) == (v, 0, 0)  # no commit for nothing
+
+
+def test_optimize_makes_range_pruning_selective(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_files,
+        vt_optimize,
+    )
+
+    # interleaved ids: every file spans nearly the whole domain
+    for wave in range(4):
+        df = (
+            spark.range(0, 400)
+            .filter(f"id % 4 = {wave}")
+            .selectExpr("id", "id * 2 AS v")
+            .coalesce(1)
+        )
+        vt_append(spark, df, table, stats_cols=["id"])
+    assert len(vt_files(spark, table, prune=("id", 150, 160))) == 4
+
+    v, before, after = vt_optimize(spark, table, ["id"], n_files=4)
+    assert (before, after) == (4, 4)
+    # disjoint ranges now: the probe window lives in 1 (at most 2) file(s)
+    pruned = vt_files(spark, table, prune=("id", 150, 160))
+    assert len(pruned) <= 2
+    got = vt_read(spark, table, prune=("id", 150, 160)).filter(
+        "id BETWEEN 150 AND 160"
+    )
+    assert sorted(r.id for r in got.collect()) == list(range(150, 161))
+    # full contents survive the rewrite
+    assert vt_read(spark, table).count() == 400
+
+
+def test_mor_merge_stale_batch_leaves_no_trace(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_merge_mor
+
+    vt_append(spark, _keyed(spark, 0, 10, 5), table, stats_cols=["id"])  # ord=5
+    v1 = latest_version(spark, table)
+    stale = spark.createDataFrame([(3, -1, 2)], "id long, v long, ord long")
+    v2, touched, superseded = vt_merge_mor(
+        spark, stale, table, keys=["id"], order_col="ord"
+    )
+    assert (v2, touched, superseded) == (v1, 0, 0)  # no commit at all
+    assert vt_read(spark, table).filter("id = 3").collect()[0].v == 6
