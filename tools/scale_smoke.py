@@ -142,6 +142,97 @@ def merge_smoke(spark, src: str, scratch: Path, replicas: int) -> list[str]:
     return [] if ratio <= budget else ["merge_upsert"]
 
 
+def mor_smoke(spark, src: str, scratch: Path, replicas: int) -> list[str]:
+    """Versioned-table write paths at Nx table size:
+
+    - vt_merge_mor: a fixed batch upserted into an Nx-file table must cost
+      roughly the 1x time (flat budget) — discovery reads only
+      stats-overlapping files, the rewrite is zero by construction;
+    - bloom sidecar build (vt_append bloom_cols=...): one extra
+      distributed pass over the batch — linear budget in batch size.
+    """
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_append,
+        vt_init,
+        vt_merge_mor,
+    )
+    from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+    failures: list[str] = []
+    ev = (
+        tbl(spark, src, "events")
+        .select("event_id", "value")
+        .filter(F.col("event_id") < 20_000)
+        .withColumn("ord", F.lit(1).cast("long"))
+        .localCheckpoint()
+    )
+    n = ev.count()
+
+    def run_merge(scale: int, tag: str = "") -> float:
+        table = str(scratch / f"mor_{scale}x{tag}")
+        Path(table).mkdir(parents=True, exist_ok=True)
+        vt_init(spark, table)
+        for w in range(2 * scale):  # disjoint id ranges, stats recorded
+            vt_append(
+                spark,
+                ev.withColumn("event_id", F.col("event_id") + F.lit(w * n)),
+                table,
+                stats_cols=["event_id"],
+            )
+        batch = (
+            ev.limit(100).withColumn("value", F.col("value") + 1.0)
+            .withColumn("ord", F.lit(2).cast("long"))
+            .localCheckpoint()
+        )
+        t0 = time.perf_counter()
+        vt_merge_mor(spark, batch, table, keys=["event_id"], order_col="ord")
+        return time.perf_counter() - t0
+
+    run_merge(1, "warm")  # warm the code path
+    t1 = run_merge(1)
+    tn = run_merge(replicas)
+    ratio = tn / max(t1, 1e-9)
+    budget = 4.0
+    status = "ok  " if ratio <= budget else "FAIL"
+    print(
+        f"{status} vt_merge_mor[100-row batch, {2 * replicas}-file table]: "
+        f"1x={t1:.2f}s {replicas}x={tn:.2f}s ratio={ratio:.1f} "
+        f"(budget {budget:.0f}x — cost must track batch + touched files)"
+    )
+    if ratio > budget:
+        failures.append("vt_merge_mor")
+
+    def run_bloom(scale: int, tag: str = "") -> float:
+        table = str(scratch / f"bloom_{scale}x{tag}")
+        Path(table).mkdir(parents=True, exist_ok=True)
+        vt_init(spark, table)
+        df = ev
+        if scale > 1:
+            r = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("r")
+            df = (
+                ev.select("*", r)
+                .withColumn("event_id", F.col("event_id") + F.col("r") * n)
+                .drop("r")
+            )
+        t0 = time.perf_counter()
+        vt_append(spark, df, table, bloom_cols=["event_id"])
+        return time.perf_counter() - t0
+
+    run_bloom(1, "warm")
+    b1 = run_bloom(1)
+    bn = run_bloom(replicas)
+    ratio = bn / max(b1, 1e-9)
+    budget = replicas * 2.0
+    status = "ok  " if ratio <= budget else "FAIL"
+    print(
+        f"{status} bloom_sidecar_build: 1x={b1:.2f}s {replicas}x={bn:.2f}s "
+        f"ratio={ratio:.1f} (budget {budget:.0f}x)"
+    )
+    if ratio > budget:
+        failures.append("bloom_sidecar_build")
+    return failures
+
+
 def skew_window_smoke(spark, scratch: Path, replicas: int) -> list[str]:
     """Hot-key window stress: HALF of all events on ONE user (the Zipfian
     head). The plain window serializes that key through one task — its
@@ -397,7 +488,8 @@ def main() -> None:
     scratch.mkdir(parents=True)
     failures += merge_smoke(spark, src, scratch, replicas)
     failures += skew_window_smoke(spark, scratch, replicas)
-    n_checks += 2
+    failures += mor_smoke(spark, src, scratch, replicas)
+    n_checks += 4
     import os
 
     if os.environ.get("SCALE_SMOKE_SKIP_STREAMING") != "1":
