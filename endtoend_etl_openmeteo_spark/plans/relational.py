@@ -985,8 +985,9 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE event_id < 3000 AND event_id IN (7, 1234, 2500)
     """,
     doc="Bloom-sidecar point lookups over the versioned table format "
-    "(operators/versioned.py): three interleaved appends (event_id % 3) "
-    "give every file a near-full [min, max] range — range stats keep "
+    "(operators/versioned.py): interleaved appends (event_id % 2, 2 "
+    "files each) give every file a near-full [min, max] range — range "
+    "stats keep "
     "everything, the per-file bloom (prune_eq) skips to the owning "
     "file(s) before Spark lists anything. The at-scale needle-in-100-TB "
     "id lookup; skip counts are pinned by tests/test_versioned.py.",
@@ -1008,10 +1009,10 @@ def q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = scratch_dir(prefix="vt_bloom_")
     try:
         vt_init(spark, table)
-        for wave in range(3):
+        for wave in range(2):
             vt_append(
                 spark,
-                ev.filter(F.col("event_id") % 3 == wave).repartition(2),
+                ev.filter(F.col("event_id") % 2 == wave).repartition(2),
                 table,
                 stats_cols=["event_id"],
                 bloom_cols=["event_id"],
