@@ -1336,6 +1336,7 @@ def vt_merge_mor(
     order_col: str | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    extra_meta: dict | None = None,
 ) -> tuple[int, int, int]:
     """Merge-on-read UPSERT: append the batch and POSITION-DELETE the
     superseded rows in one commit — no data file is rewritten.
@@ -1472,7 +1473,7 @@ def vt_merge_mor(
         new_entries + new_files,
         "merge-mor",
         parent,
-        extra={"schema": schema_json},
+        extra={"schema": schema_json, **(extra_meta or {})},
     )
     return version, len(hit), rows_superseded
 
@@ -1483,6 +1484,7 @@ def vt_optimize(
     sort_cols: list[str],
     target_mb: int = 128,
     n_files: int | None = None,
+    strategy: str = "range",
 ) -> tuple[int, int, int]:
     """Range-clustering rewrite (OPTIMIZE ... ZORDER's 1-D sibling):
     repartitionByRange + in-file sort on ``sort_cols``, committed as a
@@ -1496,7 +1498,12 @@ def vt_optimize(
     recorded stats/bloom columns forward (adding ``sort_cols`` to stats —
     clustering exists to make those stats selective), and isolates open
     readers via the manifest. ``n_files`` overrides the byte-targeted
-    file count. Returns (version, files_before, files_after)."""
+    file count. ``strategy="zorder"`` clusters on the Morton key of
+    ``sort_cols`` instead (operators/layout.zorder_layout): lexicographic
+    range clustering makes only the LEADING key selective; the Z-curve
+    keeps every dimension's per-file min/max tight, so predicates on any
+    of the columns prune — OPTIMIZE ZORDER BY for the manifest format.
+    Returns (version, files_before, files_after)."""
     import math
 
     table = table.rstrip("/")
@@ -1518,10 +1525,79 @@ def vt_optimize(
         {c for e in manifest["files"] for c in e.get("stats", {})} | set(sort_cols)
     )
     bloom_cols = sorted({c for e in manifest["files"] for c in e.get("bloom", {})})
-    clustered = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+    if strategy == "zorder":
+        from endtoend_etl_openmeteo_spark.operators.layout import zorder_layout
+
+        clustered = zorder_layout(df, sort_cols, n)
+    elif strategy == "range":
+        clustered = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        raise ValueError(f"unknown optimize strategy {strategy!r}")
     files = _write_data(
         spark, clustered, table, stats_cols=stats_cols, bloom_cols=bloom_cols or None
     )
     extra = {"schema": manifest["schema"]} if "schema" in manifest else None
     new_v = _commit(spark, table, files, "optimize", parent, extra=extra)
     return new_v, len(manifest["files"]), len(files)
+
+
+def vt_merge_mor_epoch(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    run_id: str,
+    epoch_id: int,
+    keys: list[str],
+    order_col: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> int | None:
+    """Exactly-once streaming UPSERT: :func:`vt_merge_mor` as a
+    foreachBatch sink. The epoch tag gives micro-batch idempotence the
+    same way :func:`vt_append_epoch` does — a replayed epoch finds its
+    (run, epoch) marker in a retained manifest and no-ops, so a crash
+    between commit and checkpoint cannot double-apply an upsert (which,
+    unlike a dedup-keyed append, would position-delete rows the replay
+    itself just wrote). MOR semantics make this the streaming CDC-apply
+    shape: each micro-batch of keyed changes costs batch + KB-sized
+    delete files, never a rewrite of the accumulating table.
+
+    Returns the committed version (a no-change batch commits an empty
+    ``stream-merge-noop`` manifest so its replay still short-circuits),
+    or None for a replayed epoch. Unlike the append sink this is
+    read-modify-write: a concurrent writer raises
+    :class:`ConcurrentWriteError` (re-run the batch) rather than
+    rebasing, because the delete positions were derived from the parent
+    snapshot.
+    """
+    table_s = table.rstrip("/")
+    for v in reversed(_list_versions(spark, table_s)):
+        m = read_manifest(spark, table_s, v)
+        tag = m.get("epoch")
+        if tag and tag["run"] == run_id and tag["epoch"] == epoch_id:
+            return None  # replayed epoch — already durable
+    # the tag rides the merge's OWN manifest — one atomic commit, so
+    # there is no window where the upsert is durable but unmarked
+    tag_meta = {"epoch": {"run": run_id, "epoch": int(epoch_id)}}
+    before = latest_version(spark, table_s)
+    version, touched, superseded = vt_merge_mor(
+        spark,
+        df,
+        table_s,
+        keys=keys,
+        order_col=order_col,
+        stats_cols=stats_cols,
+        extra_meta=tag_meta,
+    )
+    if version == before and touched == 0 and superseded == 0:
+        # empty/stale batch committed nothing; still record the epoch so a
+        # replay of THIS epoch short-circuits instead of re-deriving
+        m = read_manifest(spark, table_s, version)
+        extra = dict(tag_meta)
+        if "schema" in m:
+            extra["schema"] = m["schema"]
+        return _commit(
+            spark, table_s, m["files"], "stream-merge-noop", version, extra=extra
+        )
+    return version

@@ -919,3 +919,104 @@ def test_mor_merge_stale_batch_leaves_no_trace(spark, table):
     )
     assert (v2, touched, superseded) == (v1, 0, 0)  # no commit at all
     assert vt_read(spark, table).filter("id = 3").collect()[0].v == 6
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_files,
+        vt_optimize,
+    )
+
+    # y reverses x: single-key range clustering on x leaves every file's
+    # y-range spanning the domain; the Z-curve keeps both tight
+    df = spark.range(0, 1024).selectExpr("id AS x", "1023 - id AS y")
+    vt_append(spark, df, table, stats_cols=["x", "y"])
+
+    v, _, after = vt_optimize(
+        spark, table, ["x", "y"], n_files=4, strategy="zorder"
+    )
+    assert after == 4
+    kept_x = vt_files(spark, table, prune=("x", 10, 20))
+    kept_y = vt_files(spark, table, prune=("y", 10, 20))
+    assert len(kept_x) <= 2 and len(kept_y) <= 2  # both dims selective
+    got = vt_read(spark, table, prune=("x", 10, 20)).filter(
+        "x BETWEEN 10 AND 20"
+    )
+    assert sorted(r.x for r in got.collect()) == list(range(10, 21))
+    assert vt_read(spark, table).count() == 1024
+
+
+def test_streaming_mor_upsert_exactly_once(spark, table):
+    """foreachBatch → vt_merge_mor_epoch: kill-and-resume applies each
+    micro-batch of keyed changes exactly once; a replayed epoch no-ops —
+    crucial here because re-applying an upsert would position-delete the
+    rows the replay itself just appended."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_merge_mor_epoch,
+    )
+
+    vt_append(spark, _keyed(spark, 0, 10, 1), table, stats_cols=["id"])
+
+    src = Path(table) / "_landing"
+    src.mkdir()
+    ckpt = str(Path(table) / "_ckpt")
+
+    def sink(batch_df, epoch_id):
+        vt_merge_mor_epoch(
+            batch_df.sparkSession, batch_df, table, "run1", epoch_id,
+            keys=["id"], order_col="ord",
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id long, v long, ord long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # epoch 0: update id=3, insert id=100
+    pq.write_table(
+        pa.table({"id": [3, 100], "v": [333, 111], "ord": [2, 2]}),
+        src / "a.parquet",
+    )
+    run_once()
+    got = {r.id: r.v for r in vt_read(spark, table).collect()}
+    assert len(got) == 11 and got[3] == 333 and got[100] == 111
+
+    # resume with a second change file: only the new epoch applies
+    pq.write_table(
+        pa.table({"id": [3], "v": [444], "ord": [3]}), src / "b.parquet"
+    )
+    run_once()
+    got = {r.id: r.v for r in vt_read(spark, table).collect()}
+    assert len(got) == 11 and got[3] == 444
+
+    # replay the committed epoch manually: must be a no-op
+    last = read_manifest(spark, table, latest_version(spark, table))
+    assert last["epoch"]["run"] == "run1"
+    replay = spark.createDataFrame([(3, 999, 3)], "id long, v long, ord long")
+    out = vt_merge_mor_epoch(
+        spark, replay, table, "run1", last["epoch"]["epoch"],
+        keys=["id"], order_col="ord",
+    )
+    assert out is None
+    assert {r.id: r.v for r in vt_read(spark, table).collect()}[3] == 444
+
+    # a stale batch under a NEW epoch commits only a no-op marker
+    stale = spark.createDataFrame([(3, -1, 0)], "id long, v long, ord long")
+    v = vt_merge_mor_epoch(
+        spark, stale, table, "run1", 999, keys=["id"], order_col="ord"
+    )
+    assert v is not None
+    assert read_manifest(spark, table, v)["op"] == "stream-merge-noop"
+    assert {r.id: r.v for r in vt_read(spark, table).collect()}[3] == 444
