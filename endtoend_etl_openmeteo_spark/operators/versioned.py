@@ -1601,3 +1601,68 @@ def vt_merge_mor_epoch(
             spark, table_s, m["files"], "stream-merge-noop", version, extra=extra
         )
     return version
+
+
+def vt_maintain(
+    spark: SparkSession,
+    table: str,
+    small_file_mb: int = 8,
+    max_files: int = 16,
+    sort_cols: list[str] | None = None,
+    strategy: str = "range",
+    keep_last: int = 3,
+    target_mb: int = 128,
+) -> dict:
+    """One tick of the autonomous maintenance loop — the policy layer a
+    100-TB deployment runs on a schedule so humans never hand-pick
+    compactions:
+
+    1. pending position deletes → materialize them (compact, or optimize
+       when ``sort_cols`` is given — the rewrite is happening anyway, so
+       cluster while at it);
+    2. else fragmentation (more than ``max_files`` files AND mean file
+       size under ``small_file_mb``) → same rewrite choice;
+    3. finally vacuum to ``keep_last`` retained versions.
+
+    Each step is the existing snapshot-committed operation, so readers
+    stay isolated throughout and a crash between steps leaves a valid
+    table. Returns {"action", "version", "files_before", "files_after",
+    "vacuumed"} (action None when the table is already tidy).
+    """
+    table = table.rstrip("/")
+    parent = latest_version(spark, table)
+    manifest = read_manifest(spark, table, parent)
+    entries = manifest["files"]
+    action, version, before, after = None, parent, len(entries), len(entries)
+    needs_rewrite = False
+    if entries:
+        has_deletes = any(e.get("deletes") for e in entries)
+        fs, jvm = _fs(spark, table)
+        total = sum(
+            fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(f"{table}/{e['path']}")
+            ).getLen()
+            for e in entries
+        )
+        fragmented = (
+            len(entries) > max_files
+            and total / len(entries) < small_file_mb * 1024 * 1024
+        )
+        needs_rewrite = has_deletes or fragmented
+    if needs_rewrite:
+        if sort_cols:
+            action = "optimize"
+            version, before, after = vt_optimize(
+                spark, table, sort_cols, target_mb=target_mb, strategy=strategy
+            )
+        else:
+            action = "compact"
+            version, before, after = vt_compact(spark, table, target_mb=target_mb)
+    vacuumed = vt_vacuum(spark, table, keep_last=keep_last)
+    return {
+        "action": action,
+        "version": version,
+        "files_before": before,
+        "files_after": after,
+        "vacuumed": vacuumed,
+    }

@@ -1020,3 +1020,52 @@ def test_streaming_mor_upsert_exactly_once(spark, table):
     assert v is not None
     assert read_manifest(spark, table, v)["op"] == "stream-merge-noop"
     assert {r.id: r.v for r in vt_read(spark, table).collect()}[3] == 444
+
+
+def test_maintain_policy_compacts_materializes_and_vacuums(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_delete_mor,
+        vt_maintain,
+    )
+    from pyspark.sql import functions as F
+
+    # fragmented (17 files) + pending MOR deletes
+    for lo in range(0, 170, 10):
+        vt_append(spark, _df(spark, lo, lo + 10).coalesce(1), table)
+    vt_delete_mor(spark, table, F.col("id") % 17 == 0)
+
+    report = vt_maintain(spark, table, keep_last=2)
+    assert report["action"] == "compact"
+    assert report["files_after"] < report["files_before"] == 17
+    latest = read_manifest(spark, table, latest_version(spark, table))
+    assert not any(e.get("deletes") for e in latest["files"])  # materialized
+    assert report["vacuumed"] >= 0
+    assert vt_read(spark, table).count() == 170 - 10  # 10 multiples of 17 gone
+
+    # second tick: tidy table -> no rewrite, only retention
+    report2 = vt_maintain(spark, table, keep_last=2)
+    assert report2["action"] is None
+    assert vt_read(spark, table).count() == 160
+
+
+def test_maintain_with_sort_cols_optimizes(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_files,
+        vt_maintain,
+    )
+
+    for wave in range(20):
+        vt_append(
+            spark,
+            spark.range(0, 400).filter(f"id % 20 = {wave}")
+            .selectExpr("id", "id * 2 AS v").coalesce(1),
+            table,
+            stats_cols=["id"],
+        )
+    report = vt_maintain(spark, table, sort_cols=["id"], keep_last=2)
+    assert report["action"] == "optimize"
+    # clustered now: a narrow range hits few files
+    assert len(vt_files(spark, table, prune=("id", 10, 20))) <= max(
+        1, report["files_after"] // 2
+    )
+    assert vt_read(spark, table).count() == 400
