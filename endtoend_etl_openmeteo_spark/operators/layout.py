@@ -285,3 +285,74 @@ def shard_assign(
     return idx.withColumn(
         "shard", F.floor(F.col("gidx") / F.lit(shard_size)).cast("long")
     )
+
+
+def weighted_mixture_index(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    n_buckets: int = 64,
+    pos_col: str = "mix_pos",
+) -> DataFrame:
+    """Deterministic weighted interleave — the mixture schedule that turns
+    per-source sampling weights into ONE global training order.
+
+    Ranking key per row: ``-ln(u) / w`` (the Efraimidis-Spirakis
+    exponential race): ``u`` is a Knuth-multiplicative-hash uniform of the
+    id (reproducible on any engine — the q_resample pattern), ``w`` the
+    source's weight. Sorting ascending yields a weighted shuffle whose
+    long-run source proportions match the weights — heavier sources
+    surface earlier and more densely — with no RNG state, so reruns and
+    engines agree bit-for-bit (keys round to 9dp before ranking, the
+    round-before-rank rule). Rows whose source has no weight are
+    EXCLUDED (mixture = selection + weighting).
+
+    The global rank avoids the single-partition ``row_number() OVER
+    (ORDER BY key)`` funnel: bucket by deterministic approx-quantile cut
+    points of the key (strictly-less comparison keeps equal keys in one
+    bucket), count buckets (bounded collect), cumulative offsets on the
+    driver, then a per-bucket window — the global_shuffle_index technique
+    applied to a computed sort key. Ties break on (source, id).
+    """
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    w = wmap[F.col(source_col)]
+    # Knuth hash -> uniform in (0, 1]: +1 keeps ln() off -inf at hash 0;
+    # pre-mod to 2^31 so the product never overflows a signed long
+    unif = (
+        (F.col(id_col) % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    u = (unif + 1) / F.lit(4294967296.0)
+    base = df.filter(w.isNotNull()).withColumn(
+        "__mkey", F.round(-F.log(u) / w, 9)
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = base.select(
+        F.percentile_approx("__mkey", qs, 10_000).alias("c")
+    ).collect()[0]["c"]
+    if cuts_row is None:
+        return base.withColumn(pos_col, F.lit(None).cast("long")).drop("__mkey")
+    cuts = F.array(*[F.lit(float(c)) for c in cuts_row])
+    keyed = base.withColumn(
+        "__b", F.size(F.filter(cuts, lambda c: c < F.col("__mkey")))
+    )
+    counts = sorted(
+        (r["__b"], r["cnt"])
+        for r in keyed.groupBy("__b").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bucket, cnt in counts:
+        offsets[bucket] = acc
+        acc += cnt
+    off_map = F.create_map(*[F.lit(x) for bc in offsets.items() for x in bc])
+    from pyspark.sql import Window
+
+    wloc = Window.partitionBy("__b").orderBy("__mkey", source_col, id_col)
+    return (
+        keyed.withColumn(
+            pos_col,
+            (F.row_number().over(wloc) - 1 + off_map[F.col("__b")]).cast("long"),
+        )
+        .drop("__mkey", "__b")
+    )

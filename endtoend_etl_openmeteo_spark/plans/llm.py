@@ -950,3 +950,48 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated"))
     )
+
+
+@register(
+    "q_data_mixture",
+    # Exponential-race keys replicated verbatim: same Knuth uniform, same
+    # -ln(u)/w, same 9dp round-before-rank; DuckDB ranks with one global
+    # window (fine for an oracle), Spark with bucketed offsets.
+    oracle="""
+    WITH w(source, wt) AS (
+      VALUES ('src0', 4.0), ('src1', 2.0), ('src2', 1.0), ('src3', 0.5)
+    ),
+    k AS (
+      SELECT d.doc_id, d.source,
+             round(-ln((((d.doc_id % 2147483648) * 2654435761) % 4294967296
+                        + 1) / 4294967296.0) / w.wt, 9) AS mkey
+      FROM documents d JOIN w USING (source)
+    )
+    SELECT doc_id, source,
+           (row_number() OVER (ORDER BY mkey, source, doc_id) - 1)::BIGINT
+             AS mix_pos
+    FROM k
+    """,
+    doc="Dataset mixture schedule (operators/layout.weighted_mixture_"
+    "index): per-source weights -> ONE deterministic interleaved global "
+    "order via Efraimidis-Spirakis exponential-race keys (-ln(u)/w, "
+    "Knuth-hash uniform, no RNG state). Unweighted sources are excluded "
+    "— mixture is selection + weighting. The global rank is bucketed "
+    "per approx-quantile cut points + driver offsets, never a single-"
+    "partition window; long-run source proportions track the weights "
+    "(pinned by tests/test_layout_sql_http.py).",
+    tags=("llm", "sampling", "layout"),
+)
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.layout import (
+        weighted_mixture_index,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "source")
+    out = weighted_mixture_index(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 0.5},
+    )
+    return out.select("doc_id", "source", "mix_pos")

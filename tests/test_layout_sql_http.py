@@ -443,3 +443,34 @@ def test_fetch_payload_offline_raises_connection_error():
 
     with _pytest.raises(ConnectionError, match="fetch failed"):
         fetch_payload("http://127.0.0.1:9/nope", timeout_s=0.5)
+
+
+def test_weighted_mixture_is_dense_and_tracks_weights(spark):
+    from endtoend_etl_openmeteo_spark.operators.layout import (
+        weighted_mixture_index,
+    )
+    from pyspark.sql import functions as F
+
+    n = 2000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS source"
+    )
+    out = weighted_mixture_index(
+        docs, "source", "doc_id", {"a": 4.0, "b": 1.0}
+    ).collect()
+    # dense 0..n-1 permutation, no gaps or dupes
+    assert sorted(r["mix_pos"] for r in out) == list(range(n))
+    # the head of the schedule over-represents the heavy source ~4:1
+    head = [r["source"] for r in sorted(out, key=lambda r: r["mix_pos"])[:400]]
+    share_a = head.count("a") / len(head)
+    assert 0.65 <= share_a <= 0.95, share_a
+    # deterministic: a second run gives the identical order
+    again = weighted_mixture_index(
+        docs, "source", "doc_id", {"a": 4.0, "b": 1.0}
+    ).collect()
+    assert {r["doc_id"]: r["mix_pos"] for r in out} == {
+        r["doc_id"]: r["mix_pos"] for r in again
+    }
+    # unweighted sources are excluded
+    some = weighted_mixture_index(docs, "source", "doc_id", {"a": 1.0})
+    assert some.count() == n // 2
