@@ -51,3 +51,20 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """One-shot: register views then run the query."""
     register_views(spark, sf_dir)
     return spark.sql(query)
+
+
+def register_versioned_view(
+    spark: SparkSession,
+    table: str,
+    name: str,
+    version: int | None = None,
+) -> None:
+    """Expose a versioned-table snapshot to the SQL surface: resolves ONE
+    manifest (latest, or ``version`` for time travel) and registers the
+    pinned scan as a temp view — concurrent commits/compactions cannot
+    change what the view reads (snapshot isolation carried into
+    `spark.sql`)."""
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_read
+
+    ensure_engine_conf(spark)
+    vt_read(spark, table, version=version).createOrReplaceTempView(name)

@@ -1069,3 +1069,47 @@ def test_maintain_with_sort_cols_optimizes(spark, table):
         1, report["files_after"] // 2
     )
     assert vt_read(spark, table).count() == 400
+
+
+def test_sql_facade_time_travel_views(spark, table):
+    from endtoend_etl_openmeteo_spark.sql import register_versioned_view
+
+    vt_append(spark, _df(spark, 0, 10), table)
+    vt_append(spark, _df(spark, 10, 30), table)
+    register_versioned_view(spark, table, "t_latest")
+    register_versioned_view(spark, table, "t_v1", version=1)
+    assert spark.sql("SELECT count(*) AS n FROM t_latest").collect()[0].n == 30
+    assert spark.sql("SELECT count(*) AS n FROM t_v1").collect()[0].n == 10
+    # the view is PINNED: a later append doesn't leak into it
+    vt_append(spark, _df(spark, 30, 40), table)
+    assert spark.sql("SELECT count(*) AS n FROM t_latest").collect()[0].n == 30
+
+
+def test_mor_merge_conflict_raises(spark, table):
+    import json
+
+    import endtoend_etl_openmeteo_spark.operators.versioned as V
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        ConcurrentWriteError,
+        vt_merge_mor,
+    )
+
+    vt_append(spark, _keyed(spark, 0, 10, 1), table, stats_cols=["id"])
+    rival = dict(read_manifest(spark, table, 1), version=2, parent=1)
+    (Path(table) / "_manifests" / "v00000002.json").write_text(json.dumps(rival))
+    real = V.latest_version
+    V.latest_version = lambda s, t: 1
+    try:
+        # MOR merge derives delete positions from the parent snapshot: a
+        # rival commit in the window must raise, never be clobbered
+        with pytest.raises(ConcurrentWriteError):
+            vt_merge_mor(
+                spark,
+                spark.createDataFrame([(3, 99, 2)], "id long, v long, ord long"),
+                table,
+                keys=["id"],
+                order_col="ord",
+            )
+    finally:
+        V.latest_version = real
+    assert vt_read(spark, table).count() == 10
