@@ -820,15 +820,20 @@ def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = scratch_dir(prefix="corpus_ingest_")
     corpus, quarantine = f"{work}/corpus", f"{work}/quarantine"
     try:
+        # two single-file waves -> two micro-batches of ONE streaming
+        # lifecycle (maxFilesPerTrigger=1): wave 2 is screened against the
+        # index wave 1's epoch committed, same sequencing as two separate
+        # runs without paying a second engine start/stop
         for wave in (docs.filter(F.col("doc_id") <= half),
                      docs.filter(F.col("doc_id") > half)):
-            wave.write.mode("append").parquet(f"{work}/landing")
-            q = run_streaming_corpus_ingest(
-                spark, f"{work}/landing", corpus, f"{work}/index",
-                f"{work}/ckpt", "doc_id bigint, text string",
-                quarantine_path=quarantine,
-            )
-            q.awaitTermination(600)
+            wave.coalesce(1).write.mode("append").parquet(f"{work}/landing")
+        q = run_streaming_corpus_ingest(
+            spark, f"{work}/landing", corpus, f"{work}/index",
+            f"{work}/ckpt", "doc_id bigint, text string",
+            quarantine_path=quarantine,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(600)
         kept = spark.read.parquet(corpus).select("doc_id", F.lit(True).alias("kept"))
         dupd = spark.read.parquet(quarantine).select(
             "doc_id", F.lit(False).alias("kept")
