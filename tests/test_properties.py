@@ -340,3 +340,73 @@ def test_pq_codes_valid_and_rerank_exact_on_selected(spark, vecs):
     }
     for r in got:
         assert r.cos_sim == exact[(r.q_id, r.n_id)], (r, exact.get((r.q_id, r.n_id)))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(2, 60),
+    w_a=st.floats(0.25, 8.0, allow_nan=False),
+    w_b=st.floats(0.25, 8.0, allow_nan=False),
+)
+def test_mixture_is_permutation_for_any_weights(spark, n, w_a, w_b):
+    """weighted_mixture_index must emit a dense 0..n-1 permutation of the
+    weighted rows for ANY positive weights, with every input row kept
+    exactly once — weights shape the ORDER, never membership."""
+    from endtoend_etl_openmeteo_spark.operators.layout import (
+        weighted_mixture_index,
+    )
+
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS source",
+    )
+    out = weighted_mixture_index(
+        docs, "source", "doc_id", {"a": w_a, "b": w_b}
+    ).collect()
+    assert len(out) == n
+    assert sorted(r["mix_pos"] for r in out) == list(range(n))
+    assert sorted(r["doc_id"] for r in out) == list(range(n))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(0, 10_000))
+def test_curate_survivors_pass_every_gate(spark, seed):
+    """Pipeline postconditions on randomized corpora: every surviving doc
+    passes the quality gate and the language allowlist, carries a UNIQUE
+    normalized digest, and no surviving pair within a language block is
+    near-duplicate above the threshold (the canonical-selection
+    invariant)."""
+    import random
+
+    from endtoend_etl_openmeteo_spark.operators.curate import curate_corpus
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(seed)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    for i in range(24):
+        n_words = rng.randint(2, 80)
+        text = " ".join(rng.choice(words) for _ in range(n_words))
+        lang = rng.choice(["en", "de", "zh"])
+        rows.append((i, text, lang, f"s{i % 3}"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = curate_corpus(docs, quality_min=0.5)
+    survivors = out.collect()
+    assert all(r["quality"] >= 0.5 for r in survivors)
+    assert all(r["lang"] in ("en", "de", "fr", "es") for r in survivors)
+    kept_ids = {r["doc_id"] for r in survivors}
+    kept_docs = docs.filter(F.col("doc_id").isin(*kept_ids)) if kept_ids else None
+    if kept_docs is not None:
+        from endtoend_etl_openmeteo_spark.operators.dedup import normalized_text
+
+        fps = kept_docs.select(F.md5(normalized_text("text")).alias("fp")).collect()
+        assert len({r["fp"] for r in fps}) == len(fps)  # digest-unique
+        pairs = ngram_jaccard_pairs(
+            kept_docs, "doc_id", "text", "lang", threshold=0.2
+        ).collect()
+        assert pairs == []  # no near-dup pair survives
