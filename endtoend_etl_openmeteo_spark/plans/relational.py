@@ -1151,3 +1151,50 @@ def q_optimize_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+@register(
+    "q_safe_parse",
+    # Malformed inputs derived deterministically (the q_pii_scrub trick):
+    # the same rows are garbage in both engines, so what the hash checks
+    # is the NULL-not-crash semantics of the try_* family itself.
+    oracle="""
+    WITH raws AS (
+      SELECT event_id, value,
+             CASE WHEN event_id % 5 = 0 THEN event_type
+                  ELSE CAST(value AS VARCHAR) END AS raw_num,
+             CASE WHEN event_id % 3 = 0 THEN '2024-13-99'
+                  ELSE '2024-01-15' END AS raw_date
+      FROM events
+    )
+    SELECT event_id,
+           round(TRY_CAST(raw_num AS DOUBLE), 6) AS parsed_value,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE round(value / (event_id % 7), 6) END AS safe_ratio,
+           TRY_CAST(raw_date AS TIMESTAMP) AS parsed_ts
+    FROM raws
+    """,
+    doc="Malformed-input-tolerant parsing (the data-cleaning face of "
+    "SURVEY §2.7): try_cast / try_divide / try_to_timestamp turn garbage "
+    "rows into NULLs instead of job-killing ANSI errors — at 100 TB a "
+    "single bad record must never fail a scan. Map-only, codegen; the "
+    "engine runs ANSI mode, so the try_* family is the sanctioned "
+    "escape hatch (not disabling ANSI).",
+    tags=("scalar", "quality"),
+)
+def q_safe_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    raw_num = F.when(
+        F.col("event_id") % 5 == 0, F.col("event_type")
+    ).otherwise(F.col("value").cast("string"))
+    raw_date = F.when(
+        F.col("event_id") % 3 == 0, F.lit("2024-13-99")
+    ).otherwise(F.lit("2024-01-15"))
+    return ev.select(
+        "event_id",
+        F.round(raw_num.try_cast("double"), 6).alias("parsed_value"),
+        F.round(
+            F.try_divide(F.col("value"), F.col("event_id") % 7), 6
+        ).alias("safe_ratio"),
+        raw_date.try_cast("timestamp").alias("parsed_ts"),
+    )
