@@ -1048,3 +1048,85 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pii",
         F.md5("clean").alias("clean_fp"),
     )
+
+
+SEARCH_TERMS = ("spark", "join", "window", "batch")
+
+
+@register(
+    "q_inverted_index",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               w -> w <> '') AS ws
+      FROM documents),
+    words AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM toks)
+    SELECT w AS term, doc_id,
+           CAST(count(*) AS BIGINT) AS tf,
+           CAST(any_value(dl) AS BIGINT) AS dl
+    FROM words WHERE w IN ('spark', 'join', 'window', 'batch')
+    GROUP BY w, doc_id
+    """,
+    doc="Inverted-index posting lists (operators/search.inverted_index) "
+    "for a bounded term set: (term, doc_id, tf, dl), one row per distinct "
+    "term per doc. The build is exchange-FREE — term frequencies come out "
+    "of the map-side token_counts run-length fold (the q_tfidf shape), so "
+    "a 100 TB index build shuffles nothing; stored postings partition BY "
+    "TERM so keyword queries prune to their terms' partitions.",
+    tags=("text", "search"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.search import inverted_index
+
+    idx = inverted_index(tbl(spark, sf_dir, "documents"))
+    return idx.filter(F.col("term").isin(list(SEARCH_TERMS)))
+
+
+@register(
+    "q_bm25_search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               w -> w <> '') AS ws
+      FROM documents),
+    stats AS (SELECT count(*) AS n, round(avg(len(ws)), 6) AS avgdl FROM toks),
+    words AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM toks),
+    tf AS (
+      SELECT w, doc_id, count(*) AS tf, any_value(dl) AS dl
+      FROM words WHERE w IN ('spark', 'join', 'window', 'batch')
+      GROUP BY w, doc_id),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT t.doc_id,
+             ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) AS contrib
+      FROM tf t JOIN df d USING (w) CROSS JOIN stats s)
+    SELECT doc_id, round(sum(contrib), 6) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 ranked retrieval (operators/search.bm25_topk): top-10 docs "
+    "for a 4-term keyword query, Lucene idf form, k1=1.2 b=0.75. Serving "
+    "touches ONLY the query terms' postings (term IN prunes a "
+    "term-partitioned index); df is |terms| rows broadcast back; the "
+    "per-doc sum aggregates <=|terms| rows per candidate; top-k is "
+    "TakeOrdered, never a global window. avgdl is rounded at the source "
+    "and scores round before the (score desc, doc_id) rank, so cross-"
+    "engine float folds can't flip the result.",
+    tags=("text", "search"),
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.search import (
+        bm25_topk,
+        corpus_stats,
+        inverted_index,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    n_docs, avgdl = corpus_stats(docs)
+    return bm25_topk(inverted_index(docs), SEARCH_TERMS, n_docs, avgdl, k=10)
