@@ -171,3 +171,41 @@ def curate_corpus(
         n_pii.alias("n_pii"),
         clean.alias("clean"),
     )
+
+
+def leakproof_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_hex_prefixes: tuple[str, ...] = ("0",),
+) -> DataFrame:
+    """Cluster-aware train/val assignment: every member of a near-dup
+    cluster lands in the SAME split.
+
+    Independent per-document bucketing (q_train_split) leaks: a training
+    document's near-duplicate in the eval split inflates eval scores —
+    the contamination problem *inside* one corpus. The fix is to assign
+    by the duplicate CLUSTER: connected components over the near-dup
+    pairs (:func:`~.clusters.dedup_clusters`), split keyed on the
+    cluster's canonical id (md5 bucket — content-independent,
+    RNG-free, stable across runs/engines/partitionings; each hex prefix
+    in ``val_hex_prefixes`` routes 1/16 of groups to val). Singleton
+    documents are their own group.
+
+    Returns ``docs`` + (group_id, split). Scale shape: one key-join of
+    the corpus against the (id, cluster_id) map — clusters carry ids
+    only, never text; the pair generator bounds the quadratic work
+    (blocked exact Jaccard for verification, MinHash-LSH at scale).
+    """
+    clusters = dedup_clusters(pairs).withColumnRenamed("id", id_col)
+    group = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    split = F.when(
+        F.substring(F.md5(group.cast("string")), 1, 1).isin(*val_hex_prefixes),
+        "val",
+    ).otherwise("train")
+    return (
+        docs.join(clusters, id_col, "left")
+        .withColumn("group_id", group)
+        .withColumn("split", split)
+        .drop("cluster_id")
+    )

@@ -177,7 +177,10 @@ def _write_data(
     bloom_cols: list[str] | None = None,
 ) -> list[dict]:
     """Materialize ``df`` as immutable files under data/<uuid>/ and return
-    manifest entries [{"path": ..., "stats": {col: [min, max]}}].
+    manifest entries [{"path": ..., "stats": {col: [min, max]}, "rows": n}].
+    Per-file row counts always come from the parquet footers (local) or
+    ride the stats aggregate (remote+stats) — they cost nothing at commit
+    and make :func:`vt_count` a metadata-only operation.
 
     ``bloom_cols`` additionally records a per-file bloom sidecar
     (:func:`_bloom_sidecars`) under ``entry["bloom"]`` — point-lookup
@@ -206,15 +209,21 @@ def _write_data(
         if s.getPath().getName().endswith(".parquet")
     ]
     stats_by_file: dict[str, dict] = {}
+    rows_by_file: dict[str, int] = {}
     scheme = urlparse(table).scheme
-    if stats_cols and scheme in ("", "file"):
+    if scheme in ("", "file"):
+        import pyarrow.parquet as pq
+
         local_root = table[len("file:"):] if scheme == "file" else table
         for n in names:
-            stats_by_file[n] = _footer_stats(
-                f"{local_root}/{subdir}/{n}", stats_cols
-            )
+            md = pq.ParquetFile(f"{local_root}/{subdir}/{n}").metadata
+            rows_by_file[n] = md.num_rows
+            if stats_cols:
+                stats_by_file[n] = _footer_stats(
+                    f"{local_root}/{subdir}/{n}", stats_cols
+                )
     elif stats_cols:
-        aggs = []
+        aggs = [F.count("*").alias("__rows")]
         for c in stats_cols:
             aggs += [
                 F.min(c).alias(f"__min_{c}"),
@@ -228,6 +237,7 @@ def _write_data(
         )  # bounded: one row per written file
         for r in rows:
             fname = r["__f"].rsplit("/", 1)[-1]
+            rows_by_file[fname] = r["__rows"]
             stats_by_file[fname] = {
                 c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in stats_cols
             }
@@ -248,8 +258,16 @@ def _write_data(
             for c in bloom_cols:
                 bloom_by_file.setdefault(n, {}).setdefault(c, empty)
     entries = []
+    cols = list(df.columns)  # physical column names as written — the
+    # positional identity :func:`vt_rename_column` maps through
     for n in names:
-        e: dict = {"path": f"{subdir}/{n}", "stats": stats_by_file.get(n, {})}
+        e: dict = {
+            "path": f"{subdir}/{n}",
+            "stats": stats_by_file.get(n, {}),
+            "cols": cols,
+        }
+        if n in rows_by_file:
+            e["rows"] = int(rows_by_file[n])
         if bloom_by_file.get(n):
             e["bloom"] = bloom_by_file[n]
         entries.append(e)
@@ -539,12 +557,81 @@ def _entries_df(
     ``keep_meta=True`` returns every row with ``__file``/``__pos``
     appended (the delete writers need row identity). Returns None for an
     empty entry list.
-    """
-    from pyspark.sql import functions as F
 
+    Renamed-over files (:func:`vt_rename_column`) read through a
+    POSITIONAL physical→logical projection: each entry records the
+    column names it was physically written with (``entry["cols"]``), and
+    because evolution is additive-append-only and rename preserves
+    positions, a file's columns always correspond to the first
+    ``len(cols)`` fields of the snapshot schema. Entries needing the
+    same projection scan together; entries whose physical names already
+    match the schema prefix take the plain by-name fast path.
+    """
     if not entries:
         return None
-    reader = spark.read.schema(schema) if schema is not None else spark.read
+    groups: dict[tuple | None, list[dict]] = {}
+    for e in entries:
+        groups.setdefault(_mapping_sig(e, schema), []).append(e)
+    keys = sorted(groups, key=lambda s: (s is not None, s or ()))
+    parts = [
+        _scan_group(spark, table, s, groups[s], schema, keep_meta) for s in keys
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _mapping_sig(e: dict, schema) -> tuple | None:
+    """The physical→logical projection signature an entry needs, or None
+    for the by-name fast path (physical names equal the snapshot schema's
+    prefix — true for every file not written over by a rename)."""
+    cols = e.get("cols")
+    if cols is None or schema is None:
+        return None
+    names = [f.name for f in schema.fields]
+    if list(cols) == names[: len(cols)]:
+        return None
+    return tuple(cols)
+
+
+def _scan_group(
+    spark: SparkSession,
+    table: str,
+    sig: tuple | None,
+    entries: list[dict],
+    schema,
+    keep_meta: bool,
+):
+    """One projection group of :func:`_entries_df`: scan the entries'
+    files (physical schema when ``sig`` says they predate a rename),
+    apply their position deletes, and project to the snapshot schema."""
+    from pyspark.sql.types import StructField, StructType
+
+    if sig is None:
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        project = None
+    else:
+        head = schema.fields[: len(sig)]
+        reader = spark.read.schema(
+            StructType(
+                [
+                    StructField(sig[i], f.dataType, f.nullable)
+                    for i, f in enumerate(head)
+                ]
+            )
+        )
+        project = [F.col(sig[i]).alias(f.name) for i, f in enumerate(head)] + [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields[len(sig):]
+        ]
+
+    def finish(df, with_meta):
+        if project is None:
+            return df
+        extra = [F.col("__file"), F.col("__pos")] if with_meta else []
+        return df.select(*project, *extra)
+
     rel = F.concat_ws(
         "/", F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3)
     )
@@ -560,12 +647,14 @@ def _entries_df(
                 *[f"{table}/{p}" for p in del_paths]
             ).select("__file", "__pos")
             df = df.join(F.broadcast(dels), ["__file", "__pos"], "left_anti")
-        return df
+        return finish(df, True)
     clean = [e for e in entries if not e.get("deletes")]
     dirty = [e for e in entries if e.get("deletes")]
     parts = []
     if clean:
-        parts.append(reader.parquet(*[f"{table}/{e['path']}" for e in clean]))
+        parts.append(
+            finish(reader.parquet(*[f"{table}/{e['path']}" for e in clean]), False)
+        )
     if dirty:
         del_paths = sorted({p for e in dirty for p in e["deletes"]})
         dels = spark.read.parquet(
@@ -578,7 +667,7 @@ def _entries_df(
             .join(F.broadcast(dels), ["__file", "__pos"], "left_anti")
             .drop("__file", "__pos")
         )
-        parts.append(ddf)
+        parts.append(finish(ddf, False))
     return parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 
 
@@ -925,6 +1014,124 @@ def vt_history(spark: SparkSession, table: str) -> list[dict]:
         }
         for v in _list_versions(spark, table)
     ]
+
+
+def vt_count(spark: SparkSession, table: str, version: int | None = None) -> int:
+    """COUNT(*) of a snapshot from manifest metadata — no data scan.
+
+    Row counts are recorded per entry at commit time (parquet footer
+    ``num_rows``); merge-on-read position deletes subtract exactly,
+    because every delete writer derives its (file, pos) set from the LIVE
+    rows of its parent snapshot (``_entries_df`` applies existing deletes
+    before new ones are chosen), so delete files never overlap — live
+    rows = Σ entry rows − Σ delete-file rows.
+
+    This is the Iceberg snapshot-summary trick: counting a 100-TB table
+    costs one manifest read plus footer reads of KB-sized delete files,
+    not a scan. Entries written before row tracking (no ``"rows"``) fall
+    back to ONE bounded Spark metadata count over just those files."""
+    table = table.rstrip("/")
+    v = latest_version(spark, table) if version is None else version
+    entries = read_manifest(spark, table, v)["files"]
+    total = sum(e["rows"] for e in entries if "rows" in e)
+    legacy = [e["path"] for e in entries if "rows" not in e]
+    if legacy:
+        # parquet metadata count — Spark answers from footers, no row scan
+        total += spark.read.parquet(*[f"{table}/{p}" for p in legacy]).count()
+    del_paths = sorted({p for e in entries for p in e.get("deletes", [])})
+    if del_paths:
+        from urllib.parse import urlparse
+
+        scheme = urlparse(table).scheme
+        if scheme in ("", "file"):
+            import pyarrow.parquet as pq
+
+            local_root = table[len("file:"):] if scheme == "file" else table
+            total -= sum(
+                pq.ParquetFile(f"{local_root}/{p}").metadata.num_rows
+                for p in del_paths
+            )
+        else:
+            total -= spark.read.parquet(
+                *[f"{table}/{p}" for p in del_paths]
+            ).count()
+    return int(total)
+
+
+def vt_rename_column(spark: SparkSession, table: str, old: str, new: str) -> int:
+    """Rename a column WITHOUT rewriting any data — a metadata-only
+    commit, the capability :func:`_merge_schema` deliberately refuses to
+    smuggle in through appends.
+
+    At 100 TB a rename-by-rewrite is a full-table copy; table formats
+    make it O(1) instead (Iceberg via field IDs). Here the equivalent
+    identity is POSITIONAL: every entry records the column names its
+    file was physically written with (``entry["cols"]``), evolution is
+    additive-append-only, and rename preserves positions — so a file's
+    columns always map onto the snapshot schema's prefix, and
+    :func:`_entries_df` projects physical→logical per entry group at
+    scan time. The commit updates the manifest schema, re-keys each
+    entry's recorded stats/bloom to the new name (pruning follows the
+    logical name), and touches no data file.
+
+    After the rename the OLD name no longer exists: a later append
+    carrying it creates a fresh column of that name (exactly Iceberg's
+    semantics). Old snapshots time-travel with their own schema — the
+    rename is part of history, not a retroactive edit. Entries from
+    manifests that predate column tracking are stamped with their
+    physical names here (one driver-side footer read per legacy file,
+    once ever)."""
+    from pyspark.sql.types import StructField, StructType
+
+    table = table.rstrip("/")
+    parent = latest_version(spark, table)
+    manifest = read_manifest(spark, table, parent)
+    entries = manifest["files"]
+    schema_json = manifest.get("schema")
+    if schema_json is None and entries:
+        schema_json = (
+            spark.read.parquet(f"{table}/{entries[0]['path']}").schema.json()
+        )
+    if schema_json is None:
+        raise ValueError(
+            f"{table} is empty with no tracked schema — nothing to rename"
+        )
+    schema = StructType.fromJson(json.loads(schema_json))
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} in {table} (columns: {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists in {table}")
+    renamed = StructType(
+        [
+            StructField(
+                new if f.name == old else f.name, f.dataType, f.nullable, f.metadata
+            )
+            for f in schema.fields
+        ]
+    )
+    new_entries = []
+    for e in entries:
+        e2 = dict(e)
+        if "cols" not in e2:
+            e2["cols"] = list(
+                spark.read.parquet(f"{table}/{e['path']}").schema.names
+            )
+        for k in ("stats", "bloom"):
+            side = e2.get(k)
+            if side and old in side:
+                side = dict(side)
+                side[new] = side.pop(old)
+                e2[k] = side
+        new_entries.append(e2)
+    return _commit(
+        spark,
+        table,
+        new_entries,
+        "rename",
+        parent,
+        extra={"schema": renamed.json()},
+    )
 
 
 def vt_vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> int:

@@ -1198,3 +1198,79 @@ def q_safe_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("safe_ratio"),
         raw_date.try_cast("timestamp").alias("parsed_ts"),
     )
+
+
+@register(
+    "q_rename_count",
+    oracle="""
+    WITH base AS (SELECT event_id, value FROM events)
+    SELECT 'v_even' AS step, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(NULL AS DOUBLE) AS sum_val
+    FROM base WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 'v_renamed', CAST(count(*) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM base WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 'v_all', CAST(count(*) AS BIGINT), CAST(NULL AS DOUBLE) FROM base
+    UNION ALL
+    SELECT 'v_live', CAST(count(*) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM base WHERE event_id % 5 <> 0
+    UNION ALL
+    SELECT 'final', CAST(count(*) AS BIGINT), round(sum(value), 4)
+    FROM base WHERE event_id % 5 <> 0
+    """,
+    doc="Metadata-only operations on the versioned table: COUNT(*) from "
+    "manifest row counts (vt_count — no data scan, exact through "
+    "merge-on-read position deletes) and column rename WITHOUT rewrite "
+    "(vt_rename_column — metadata commit; old files map positionally at "
+    "scan). The step counts come from vt_count at each snapshot; the "
+    "final row re-reads through the renamed column, proving the mapping "
+    "preserves values. Oracle recomputes every step from the source "
+    "table.",
+    tags=("versioned", "snapshot"),
+)
+def q_rename_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_append,
+        vt_count,
+        vt_delete_mor,
+        vt_init,
+        vt_read,
+        vt_rename_column,
+    )
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+
+    ev = tbl(spark, sf_dir, "events").select("event_id", "value")
+    table = scratch_dir(prefix="vt_rn_")
+    try:
+        vt_init(spark, table)
+        v1 = vt_append(spark, ev.filter(F.col("event_id") % 2 == 0), table)
+        v2 = vt_rename_column(spark, table, "value", "val")
+        v3 = vt_append(
+            spark,
+            ev.filter(F.col("event_id") % 2 == 1).select(
+                "event_id", F.col("value").alias("val")
+            ),
+            table,
+        )
+        v4, _, _ = vt_delete_mor(spark, table, F.col("event_id") % 5 == 0)
+        counts = spark.createDataFrame(
+            [
+                ("v_even", vt_count(spark, table, v1)),
+                ("v_renamed", vt_count(spark, table, v2)),
+                ("v_all", vt_count(spark, table, v3)),
+                ("v_live", vt_count(spark, table, v4)),
+            ],
+            "step string, n_rows long",
+        ).select("step", "n_rows", F.lit(None).cast("double").alias("sum_val"))
+        final = vt_read(spark, table).agg(
+            F.lit("final").alias("step"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("val"), 4).alias("sum_val"),
+        )
+        # 5 rows — checkpoint eagerly so the scratch table can be reclaimed
+        return counts.unionByName(final).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)

@@ -1130,3 +1130,58 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     n_docs, avgdl = corpus_stats(docs)
     return bm25_topk(inverted_index(docs), SEARCH_TERMS, n_docs, avgdl, k=10)
+
+
+@register(
+    "q_leakproof_split",
+    oracle=rf"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents WHERE doc_id < {{max_id}}
+    ),
+    e AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.2
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           FROM reach GROUP BY a)
+    SELECT doc.doc_id::BIGINT AS doc_id,
+           coalesce(cc.cluster_id, doc.doc_id)::BIGINT AS group_id,
+           CASE WHEN substr(md5(CAST(coalesce(cc.cluster_id, doc.doc_id)
+                                     AS VARCHAR)), 1, 1) = '0'
+                THEN 'val' ELSE 'train' END AS split
+    FROM (SELECT doc_id FROM documents WHERE doc_id < {{max_id}}) doc
+    LEFT JOIN cc USING (doc_id)
+    """.format(max_id=JACCARD_VERIFY_MAX_DOC_ID),
+    doc="Leakage-proof train/val split (operators/curate.leakproof_split): "
+    "near-duplicate CLUSTERS are the split unit, so a training document's "
+    "near-dup can never sit in the eval set — per-doc md5 bucketing "
+    "(q_train_split) cannot give this guarantee. Exact-Jaccard edges + "
+    "connected components (the q_cc_exact machinery) keyed by canonical "
+    "cluster id, md5-bucketed; hash-matched against the DuckDB "
+    "recursive-closure oracle. At scale the pair generator swaps to "
+    "MinHash-LSH; the split join carries ids only.",
+    tags=("text", "sampling", "dedup"),
+)
+def q_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.curate import leakproof_split
+
+    docs = tbl(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < JACCARD_VERIFY_MAX_DOC_ID
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.2)
+    return leakproof_split(docs.select("doc_id"), pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+        "split",
+    )

@@ -77,3 +77,37 @@ def test_scrub_pii_counts_and_redacts(spark):
     row = df.select(n.alias("n"), clean.alias("c")).collect()[0]
     assert row["n"] == 3
     assert row["c"] == "reach [EMAIL] or [PHONE] from [IP]"
+
+
+def test_leakproof_split_never_splits_a_cluster(spark):
+    from endtoend_etl_openmeteo_spark.operators.curate import leakproof_split
+
+    # 3 near-identical docs (one cluster), 1 exact pair, many singletons
+    rows = [(i, f"unique document number {i} about topic {i*7}") for i in range(20)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+        (102, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    )
+    from endtoend_etl_openmeteo_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.8)
+    out = leakproof_split(docs, pairs).collect()
+    by_doc = {r["doc_id"]: (r["group_id"], r["split"]) for r in out}
+    # the near-dup trio shares one group and therefore ONE split
+    assert by_doc[100][0] == by_doc[101][0] == by_doc[102][0] == 100
+    assert len({by_doc[d][1] for d in (100, 101, 102)}) == 1
+    # singletons group as themselves
+    assert by_doc[5] == (5, by_doc[5][1])
+    # the no-leak invariant: every group maps to exactly one split
+    groups = {}
+    for r in out:
+        groups.setdefault(r["group_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in groups.values())
+    # determinism: a rerun assigns identically
+    again = {r["doc_id"]: (r["group_id"], r["split"])
+             for r in leakproof_split(docs, pairs).collect()}
+    assert again == by_doc

@@ -1113,3 +1113,197 @@ def test_mor_merge_conflict_raises(spark, table):
     finally:
         V.latest_version = real
     assert vt_read(spark, table).count() == 10
+
+
+def test_metadata_count_matches_scan(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_count
+
+    vt_append(spark, _df(spark, 0, 100), table)
+    v2 = vt_append(spark, _df(spark, 100, 250), table)
+    assert vt_count(spark, table) == 250
+    assert vt_count(spark, table, version=1) == 100
+    # the count must come from the manifest, not a scan: every entry of
+    # the counted snapshot carries a recorded row count
+    entries = read_manifest(spark, table, v2)["files"]
+    assert entries and all("rows" in e for e in entries)
+    assert sum(e["rows"] for e in entries) == 250
+
+
+def test_metadata_count_subtracts_mor_deletes_exactly(spark, table):
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_count,
+        vt_delete_mor,
+    )
+
+    vt_append(spark, _df(spark, 0, 100), table)
+    vt_delete_mor(spark, table, F.col("id") % 10 == 0)  # 10 rows
+    assert vt_count(spark, table) == 90 == vt_read(spark, table).count()
+    # stacked deletes never overlap (each derives from LIVE rows), so the
+    # subtraction stays exact
+    vt_delete_mor(spark, table, F.col("id") % 10 < 2)  # 10 more (1 mod 10)
+    assert vt_count(spark, table) == 80 == vt_read(spark, table).count()
+    # compaction materializes: count comes back to plain entry sums
+    vt_compact(spark, table)
+    assert vt_count(spark, table) == 80
+
+
+def test_metadata_count_legacy_entries_fall_back(spark, table):
+    import json
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        _manifest_path,
+        vt_count,
+    )
+
+    vt_append(spark, _df(spark, 0, 60), table)
+    v = latest_version(spark, table)
+    mpath = Path(_manifest_path(table, v))
+    manifest = json.loads(mpath.read_text())
+    for e in manifest["files"]:  # simulate a pre-row-tracking manifest
+        e.pop("rows", None)
+    mpath.write_text(json.dumps(manifest))
+    crc = mpath.parent / f".{mpath.name}.crc"  # hadoop checksum sidecar
+    crc.unlink(missing_ok=True)
+    assert vt_count(spark, table) == 60
+
+
+def _mtimes(table):
+    root = Path(table) / "data"
+    return {
+        str(p.relative_to(table)): p.stat().st_mtime_ns
+        for p in root.rglob("*.parquet")
+    }
+
+
+def test_rename_column_is_metadata_only(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_rename_column,
+    )
+
+    vt_append(spark, _df(spark, 0, 50), table)
+    before = _mtimes(table)
+    v = vt_rename_column(spark, table, "v", "doubled")
+    assert _mtimes(table) == before  # no data file touched or added
+    got = vt_read(spark, table)
+    assert got.columns == ["id", "doubled"]
+    assert sorted((r.id, r.doubled) for r in got.collect()) == [
+        (i, i * 2) for i in range(50)
+    ]
+    # time travel: the pre-rename snapshot keeps its own schema
+    assert vt_read(spark, table, version=v - 1).columns == ["id", "v"]
+
+
+def test_rename_then_append_maps_old_files(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_count,
+        vt_rename_column,
+    )
+
+    vt_append(spark, _df(spark, 0, 10), table)
+    vt_rename_column(spark, table, "v", "doubled")
+    vt_append(
+        spark, spark.range(10, 20).selectExpr("id", "id * 2 AS doubled"), table
+    )
+    got = vt_read(spark, table)
+    assert got.columns == ["id", "doubled"]
+    assert sorted((r.id, r.doubled) for r in got.collect()) == [
+        (i, i * 2) for i in range(20)
+    ]
+    assert vt_count(spark, table) == 20
+    # appending the OLD name after the rename creates a NEW column
+    vt_append(spark, spark.range(20, 21).selectExpr("id", "id * 3 AS v"), table)
+    got = vt_read(spark, table)
+    assert got.columns == ["id", "doubled", "v"]
+    row = {r.id: (r.doubled, r.v) for r in got.collect()}
+    assert row[0] == (0, None) and row[20] == (None, 60)
+
+
+def test_rename_rekeys_stats_pruning(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_files,
+        vt_rename_column,
+    )
+
+    vt_append(spark, _df(spark, 0, 100).repartition(4, "id"), table,
+              stats_cols=["v"])
+    vt_rename_column(spark, table, "v", "doubled")
+    pruned = vt_files(spark, table, prune=("doubled", 0, 10))
+    assert 0 < len(pruned) < 4  # stats survived under the new name
+
+
+def test_rename_with_mor_deletes_still_applies(spark, table):
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_delete_mor,
+        vt_rename_column,
+    )
+
+    vt_append(spark, _df(spark, 0, 30), table)
+    vt_delete_mor(spark, table, F.col("v") >= 40)  # drops ids 20..29
+    vt_rename_column(spark, table, "v", "doubled")
+    got = vt_read(spark, table)
+    assert got.columns == ["id", "doubled"]
+    assert sorted(r.id for r in got.collect()) == list(range(20))
+    # and a post-rename delete on the NEW name works over old files
+    vt_delete_mor(spark, table, F.col("doubled") < 10)  # drops ids 0..4
+    assert sorted(r.id for r in vt_read(spark, table).collect()) == list(
+        range(5, 20)
+    )
+
+
+def test_rename_compact_rewrites_physical_names(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        read_manifest as rm,
+        vt_rename_column,
+    )
+
+    vt_append(spark, _df(spark, 0, 40), table)
+    vt_rename_column(spark, table, "v", "doubled")
+    vt_compact(spark, table)
+    m = rm(spark, table, latest_version(spark, table))
+    # compaction materialized the logical names: no mapping needed anymore
+    assert all(e["cols"] == ["id", "doubled"] for e in m["files"])
+    raw = spark.read.parquet(f"{table}/{m['files'][0]['path']}")
+    assert raw.columns == ["id", "doubled"]
+    assert vt_read(spark, table).count() == 40
+
+
+def test_rename_diff_is_empty_and_errors_are_clear(spark, table):
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_diff,
+        vt_rename_column,
+    )
+
+    vt_append(spark, _df(spark, 0, 10), table)
+    v1 = latest_version(spark, table)
+    v2 = vt_rename_column(spark, table, "v", "doubled")
+    assert vt_diff(spark, table, v1, v2, keys=["id"]).count() == 0
+    with pytest.raises(ValueError, match="no column"):
+        vt_rename_column(spark, table, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        vt_rename_column(spark, table, "id", "doubled")
+
+
+def test_rename_stamps_legacy_entries(spark, table):
+    import json
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        _manifest_path,
+        vt_rename_column,
+    )
+
+    vt_append(spark, _df(spark, 0, 25), table)
+    v = latest_version(spark, table)
+    mpath = Path(_manifest_path(table, v))
+    manifest = json.loads(mpath.read_text())
+    for e in manifest["files"]:  # simulate a pre-column-tracking manifest
+        e.pop("cols", None)
+    mpath.write_text(json.dumps(manifest))
+    (mpath.parent / f".{mpath.name}.crc").unlink(missing_ok=True)
+    vt_rename_column(spark, table, "v", "doubled")
+    got = vt_read(spark, table)
+    assert got.columns == ["id", "doubled"]
+    assert got.count() == 25
