@@ -46,6 +46,8 @@ WATCHED = {
     "q_neardup_incremental": 4.0,  # banded index probe + bucket prune
     "q_bpe_encode": 3.0,  # sample-trained; encode is map-only
     "q_word_entropy": 3.0,  # map-only fold — must stay embarrassingly linear
+    "q_inverted_index": 3.0,  # map-only run-length fold — linear build
+    "q_bm25_search": 3.0,  # serve cost ∝ query terms' postings, ~linear here
 }
 
 
