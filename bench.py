@@ -19,7 +19,10 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 from endtoend_etl_openmeteo_spark import plans  # noqa: E402
-from endtoend_etl_openmeteo_spark.session import get_spark  # noqa: E402
+from endtoend_etl_openmeteo_spark.session import (  # noqa: E402
+    get_spark,
+    release_persistent_rdds,
+)
 
 
 def run_query(df) -> None:
@@ -62,6 +65,11 @@ def main() -> None:
         except Exception as e:  # a failed query must not hide the rest
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
+        finally:
+            # Each query's plan has been fully executed (noop sink) —
+            # release any localCheckpoint blocks it pinned so later
+            # queries measure the query, not accumulated session state.
+            release_persistent_rdds(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(

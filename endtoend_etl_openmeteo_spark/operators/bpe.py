@@ -29,6 +29,7 @@ from endtoend_etl_openmeteo_spark.operators.dedup import (
     cpu_parallelize,
     normalized_text,
 )
+from endtoend_etl_openmeteo_spark.session import release_checkpoint
 
 #: Joiner for fused tokens. MUST be absent from the normalized token
 #: stream, or literal occurrences collide with fused tokens and corrupt
@@ -132,10 +133,15 @@ def bpe_train(
             break
         left, right, cnt = top
         merges.append((step_i, left, right, cnt))
-        # map-only rewrite; checkpoint truncates the growing fold lineage
+        # map-only rewrite; checkpoint truncates the growing fold lineage.
+        # Eager materialization means the PREVIOUS round's blocks are dead
+        # the moment this returns — release them (one corpus copy live at
+        # a time, not one per merge rule).
+        prev = toked
         toked = toked.withColumn(
             "toks", merge_adjacent(F.col("toks"), left, right)
         ).localCheckpoint(eager=True)
+        release_checkpoint(prev)
     return merges, toked
 
 

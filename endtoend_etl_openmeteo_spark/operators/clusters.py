@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from endtoend_etl_openmeteo_spark.session import release_checkpoint
+
 
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Connected components over near-duplicate pairs (id_a, id_b) →
@@ -33,26 +35,28 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     The downstream dedup policy is then "keep cluster_id" (the smallest id
     representative per cluster) — the standard corpus-dedup reducer.
     """
-    edges = (
+    edges_ck = (
         pairs.selectExpr("id_a AS src", "id_b AS dst")
         .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
         .distinct()
         .localCheckpoint(eager=True)  # pair generation may be expensive
-        # (e.g. an LSH pipeline) — never re-execute it per iteration
+        # (e.g. an LSH pipeline) — never re-execute it per iteration;
+        # released before return (only the final labels survive the call)
     )
     # Size the iteration parallelism to the graph, not the session default:
     # near-dup graphs are usually tiny relative to the corpus, and paying
     # 32-partition shuffle overhead per round dominates small inputs.
-    n_edges = edges.count()
+    n_edges = edges_ck.count()
     spark = pairs.sparkSession
     target = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 20_000 + 1))
-    edges = edges.repartition(target, "dst")
+    edges = edges_ck.repartition(target, "dst")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
     prev_sig = None
+    prev_labels: DataFrame | None = None
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -97,16 +101,27 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             # overflows (and ANSI mode rightly raises on it)
             F.sum(F.xxhash64("id", "cluster_id").cast("decimal(38,0)")).alias("sig")
         ).collect()[0][0]
+        # The sig agg just materialized THIS round's checkpoint, so the
+        # previous round's blocks (this round's only lineage input) are
+        # now dead — release them instead of pinning one labels copy per
+        # iteration for the life of the session.
+        if prev_labels is not None:
+            release_checkpoint(prev_labels)
+        prev_labels = labels
         if cur_sig == prev_sig:
             converged = True
             break
         prev_sig = cur_sig
     if not converged and prev_sig is not None:
+        release_checkpoint(edges_ck)
         raise RuntimeError(
             f"dedup_clusters did not converge within {max_iterations} rounds "
             "(a component's diameter exceeds the cap); raise max_iterations — "
             "returning split clusters would keep duplicate documents silently"
         )
+    # Only the final labels checkpoint survives the call; the edge table
+    # is scaffolding (callers own the returned frame's blocks).
+    release_checkpoint(edges_ck)
     return labels
 
 
@@ -306,6 +321,7 @@ def kmeans(
         F.min(F.size("vec")).alias("lo"), F.max(F.size("vec")).alias("hi")
     ).collect()[0]
     if sizes["lo"] != sizes["hi"]:
+        release_checkpoint(v)
         raise ValueError(
             "kmeans requires uniform vector dimensionality; got sizes "
             f"{sizes['lo']}..{sizes['hi']} in column {vec_col!r}"
@@ -338,12 +354,17 @@ def kmeans(
     # Final assignment AGAINST the returned centroids, so the two halves of
     # the result are consistent (the in-loop assignment predates the last
     # centroid update) — and so kmeans_assign(v, centroids) reproduces it.
-    assignments = _assign_literal(v, cent)
+    # Checkpointing it lets the (much larger) input checkpoint ``v`` be
+    # released here instead of leaking one corpus copy per kmeans call.
+    assignments = (
+        _assign_literal(v, cent).select("id", "cluster").localCheckpoint(eager=True)
+    )
+    release_checkpoint(v)
     spark = vectors.sparkSession
     centroids = spark.createDataFrame(
         [(cl, c) for cl, c in cent], "cluster int, centroid array<double>"
     )
-    return assignments.select("id", "cluster"), centroids
+    return assignments, centroids
 
 
 def pagerank(
@@ -382,11 +403,13 @@ def pagerank(
     nodes = deg.select(F.col("src").alias("id")).localCheckpoint(eager=True)
     n = nodes.count()  # bounded: one scalar
     if n == 0:
+        release_checkpoint(edges_deg)
         return nodes.withColumn("rank", F.lit(0.0))
     teleport = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n))
     ranks = nodes.select(
         "id", F.round(F.lit(1.0) / F.lit(float(n)), iter_dp).alias("rank")
     )
+    prev_ck: DataFrame | None = None
     for i in range(iterations):
         sums = (
             edges_deg.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -402,6 +425,17 @@ def pagerank(
             ).alias("rank"),
         )
         if (i + 1) % 3 == 0 and i + 1 < iterations:
-            # cut lineage so the plan doesn't deepen linearly in rounds
+            # cut lineage so the plan doesn't deepen linearly in rounds;
+            # the new checkpoint supersedes the previous lineage cut
             ranks = ranks.localCheckpoint(eager=True)
+            if prev_ck is not None:
+                release_checkpoint(prev_ck)
+            prev_ck = ranks
+    # Materialize the final ranks so every internal block (edge table,
+    # node list, in-loop lineage cuts) can be released before returning —
+    # a pagerank call leaves behind exactly one n-row checkpoint.
+    ranks = ranks.localCheckpoint(eager=True)
+    for internal in (prev_ck, edges_deg, nodes):
+        if internal is not None:
+            release_checkpoint(internal)
     return ranks

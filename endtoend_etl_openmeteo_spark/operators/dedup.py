@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from endtoend_etl_openmeteo_spark.session import release_checkpoint
+
 
 def normalized_text(col: Column | str) -> Column:
     """lower + whitespace collapse + trim — the canonical form for digests."""
@@ -384,6 +386,10 @@ def incremental_neardup(
         novel.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
     else:
         novel.write.mode("append").parquet(index_path)
+    # The index append was the last consumer of the signature checkpoint
+    # (``pairs`` is already materialized above) — release it so repeated
+    # ingest batches don't pin one signature copy per batch forever.
+    release_checkpoint(new_sigs)
     return pairs
 
 

@@ -104,3 +104,53 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         except Exception:  # pragma: no cover - static confs on some builds
             pass
     return spark
+
+
+# --- localCheckpoint lifecycle -------------------------------------------
+#
+# ``df.localCheckpoint(eager=True)`` pins its blocks in the block manager
+# until the RDD is garbage-collected JVM-side — which for a long-lived
+# driver (bench loops, serving sessions, maintenance ticks) is effectively
+# never. Iterative operators therefore release superseded per-iteration
+# checkpoints as soon as the next round is materialized, and release their
+# internal scaffolding (edge tables, tokenized corpora) before returning —
+# the ONLY blocks a plan may leave behind are the ones backing the
+# DataFrame it returns. Suite drivers (bench.py, tools/check_oracle.py,
+# tests) then call :func:`release_persistent_rdds` after consuming each
+# result, so session storage memory returns to ~0 between queries.
+
+
+def release_checkpoint(df) -> None:
+    """Unpersist the block-manager blocks behind a ``localCheckpoint``'ed
+    DataFrame. The DataFrame must not be used afterwards — its lineage was
+    truncated at the checkpoint, so the blocks are the only copy. Safe
+    no-op on non-checkpointed frames and on any JVM accessor drift."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of every RDD currently pinned in the block manager (cached or
+    locally checkpointed) — the leak gauge the soak test asserts on."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def release_persistent_rdds(spark: SparkSession, keep: set[int] | None = None) -> int:
+    """Unpersist every pinned RDD (except ``keep``). Call ONLY between
+    units of work, after the previous result has been fully consumed:
+    a released local checkpoint cannot be recomputed. Returns the number
+    of RDDs released."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    released = 0
+    for jrdd in list(jmap.values()):
+        if keep and int(jrdd.id()) in keep:
+            continue
+        try:
+            jrdd.unpersist(False)
+            released += 1
+        except Exception:  # pragma: no cover - races with concurrent GC
+            pass
+    return released

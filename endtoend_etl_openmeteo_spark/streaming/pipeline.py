@@ -25,6 +25,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from endtoend_etl_openmeteo_spark.operators.explode import unzip_hourly
 from endtoend_etl_openmeteo_spark.operators.merge import merge_upsert
+from endtoend_etl_openmeteo_spark.session import release_checkpoint
 from endtoend_etl_openmeteo_spark.sources.bronze import BRONZE_READ_SCHEMA
 
 
@@ -462,13 +463,14 @@ def run_streaming_mart_maintenance(
         # localCheckpoint before the overwrite commit: `merged` reads the
         # very files the new version supersedes — materialize first so the
         # plan cannot observe its own write (the _stage_and_reread rule).
-        vt_overwrite_epoch(
-            sess,
-            merged.localCheckpoint(eager=True),
-            mart_table,
-            run_id,
-            int(epoch_id),
-        )
+        # Released after the commit: a maintenance tick must leave ZERO
+        # pinned blocks behind or a long-lived mart driver leaks one
+        # state copy per epoch.
+        merged_ck = merged.localCheckpoint(eager=True)
+        try:
+            vt_overwrite_epoch(sess, merged_ck, mart_table, run_id, int(epoch_id))
+        finally:
+            release_checkpoint(merged_ck)
 
     writer = (
         events.writeStream.foreachBatch(maintain)

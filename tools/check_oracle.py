@@ -22,7 +22,10 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 from endtoend_etl_openmeteo_spark import plans  # noqa: E402
-from endtoend_etl_openmeteo_spark.session import get_spark  # noqa: E402
+from endtoend_etl_openmeteo_spark.session import (  # noqa: E402
+    get_spark,
+    release_persistent_rdds,
+)
 from endtoend_etl_openmeteo_spark.sources.tables import TABLES  # noqa: E402
 
 
@@ -164,6 +167,11 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        finally:
+            # The result is fully collected — drop any localCheckpoint
+            # blocks the plan pinned, so query N+1 measures a clean
+            # session instead of degrading under accumulated storage.
+            release_persistent_rdds(spark)
         if name in ("q_ann_cosine", "q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_minhash_neardup"):
             ann_results[name] = [dict(zip(spark_cols, r)) for r in spark_rows]
         if spec.oracle is None:
