@@ -314,14 +314,25 @@ def weighted_mixture_index(
     bucket), count buckets (bounded collect), cumulative offsets on the
     driver, then a per-bucket window — the global_shuffle_index technique
     applied to a computed sort key. Ties break on (source, id).
+
+    ``df`` MUST be deterministic under re-evaluation (a table scan or a
+    pure transformation of one — not ``sample``/``limit``/``rand``): the
+    input is evaluated three times (quantile cuts, bucket counts, the
+    final window), and a nondeterministic source can land rows in buckets
+    absent from the collected offsets map, yielding NULL or colliding
+    positions. Materialize such inputs first (write them, or
+    ``localCheckpoint``) before scheduling a mixture over them.
     """
     wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
     w = wmap[F.col(source_col)]
     # Knuth hash -> uniform in (0, 1]: +1 keeps ln() off -inf at hash 0;
-    # pre-mod to 2^31 so the product never overflows a signed long
-    unif = (
-        (F.col(id_col) % F.lit(2147483648)) * F.lit(2654435761)
-    ) % F.lit(4294967296)
+    # pre-PMOD to 2^31 so the product never overflows a signed long AND
+    # negative ids stay non-negative (% follows the dividend's sign in
+    # Spark; a negative residue would push u <= 0 and ln(u) to NaN).
+    unif = F.pmod(
+        F.pmod(F.col(id_col), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
     u = (unif + 1) / F.lit(4294967296.0)
     base = df.filter(w.isNotNull()).withColumn(
         "__mkey", F.round(-F.log(u) / w, 9)

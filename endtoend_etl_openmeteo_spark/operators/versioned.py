@@ -249,13 +249,14 @@ def _write_data(
         # files with no rows (or only NULLs in the column) get an all-zero
         # bitmap: every probe skips them, which is exactly right — a NULL
         # never equals the probed value
-        empty = {
-            "m": _BLOOM_M,
-            "k": _BLOOM_K,
-            "b64": base64.b64encode(bytes(_BLOOM_M // 8)).decode("ascii"),
-        }
-        for n in names:
-            for c in bloom_cols:
+        for c in bloom_cols:
+            empty = {
+                "m": _BLOOM_M,
+                "k": _BLOOM_K,
+                "kind": _bloom_kind(df.schema[c].dataType),
+                "b64": base64.b64encode(bytes(_BLOOM_M // 8)).decode("ascii"),
+            }
+            for n in names:
                 bloom_by_file.setdefault(n, {}).setdefault(c, empty)
     entries = []
     cols = list(df.columns)  # physical column names as written — the
@@ -322,11 +323,29 @@ def _json_stat(v):
     return None
 
 
-#: Default bloom sidecar geometry: m bits / k probes per file+column.
-#: 2048 bits = 256 B per (file, column) in the manifest; at ~500 distinct
-#: keys per file that is ~2.6 bits/key -> high but useful selectivity, and
-#: the geometry is per-entry metadata so later commits can change it.
-_BLOOM_M, _BLOOM_K = 2048, 5
+#: Bloom sidecar geometry bounds. m is sized PER FILE from the observed
+#: distinct-key estimate (~10 bits/key, rounded up to a power of two) so
+#: production-sized files don't saturate: the old fixed m=2048 hit ~0.70
+#: fill (fp≈17%/file) at ~500 keys/file and degraded toward keep-all.
+#: Geometry is per-entry metadata, so mixed-geometry manifests are fine.
+#: _BLOOM_M_MAX is also the working modulus of the single distributed
+#: pass: positions are computed mod 2^16 and folded down to the chosen
+#: power-of-two m driver-side ((h mod 2^16) mod m == h mod m when m
+#: divides 2^16) — sizing never needs a second scan.
+_BLOOM_M_MIN, _BLOOM_M_MAX = 2048, 65536
+_BLOOM_M, _BLOOM_K = _BLOOM_M_MIN, 5
+_BLOOM_BITS_PER_KEY = 10
+
+
+def _bloom_kind(dtype) -> str:
+    """Canonical hash-input kind recorded in each sidecar entry: probes of
+    a different kind hash incompatibly and must never skip files."""
+    name = dtype.typeName()
+    if name in ("byte", "short", "integer", "long"):
+        return "long"
+    if name == "string":
+        return "string"
+    raise ValueError(f"bloom index unsupported for column type {name}")
 
 
 def _bloom_canon_col(dtype, col):
@@ -334,49 +353,70 @@ def _bloom_canon_col(dtype, col):
     long, strings pass through — so a probe literal hashes identically to
     the stored column regardless of the frame's physical integer width
     (Spark's xxhash64 is type-sensitive: int 5 and long 5 hash apart)."""
-    name = dtype.typeName()
-    if name in ("byte", "short", "integer", "long"):
-        return col.cast("long")
-    if name == "string":
-        return col
-    raise ValueError(f"bloom index unsupported for column type {name}")
+    return col.cast("long") if _bloom_kind(dtype) == "long" else col
 
 
-def _bloom_canon_lit(value):
+def _bloom_probe_kind(value) -> str:
     if isinstance(value, bool):
         raise ValueError("bloom index unsupported for boolean probes")
     if isinstance(value, int):
-        return F.lit(value).cast("long")
+        return "long"
     if isinstance(value, str):
-        return F.lit(value)
+        return "string"
     raise ValueError(f"bloom probe unsupported for {type(value).__name__}")
+
+
+def _bloom_canon_lit(value):
+    return (
+        F.lit(value).cast("long")
+        if _bloom_probe_kind(value) == "long"
+        else F.lit(value)
+    )
+
+
+def _bloom_size_for(n_positions: int, k: int) -> int:
+    """Power-of-two m targeting ~_BLOOM_BITS_PER_KEY bits per key, clamped
+    to [_BLOOM_M_MIN, _BLOOM_M_MAX]. ``n_positions`` is the file's distinct
+    probe-position count at the working modulus — ~k per distinct key, so
+    n_keys ≈ n_positions / k (collisions only under-count, and the 2x
+    power-of-two round-up absorbs that slack)."""
+    n_keys = max(1, n_positions // max(k, 1))
+    m = _BLOOM_M_MIN
+    while m < n_keys * _BLOOM_BITS_PER_KEY and m < _BLOOM_M_MAX:
+        m *= 2
+    return m
 
 
 def _bloom_sidecars(
     spark: SparkSession,
     subdir_path: str,
     bloom_cols: list[str],
-    m: int = _BLOOM_M,
     k: int = _BLOOM_K,
 ) -> dict[str, dict]:
     """Per-file bloom bitsets for ``bloom_cols`` over a freshly-written
-    subdir: {file_name: {col: {"m", "k", "b64"}}}.
+    subdir: {file_name: {col: {"m", "k", "kind", "b64"}}}.
 
     One distributed pass per column: k seeded xxhash64 positions per
-    value, DISTINCT per file via collect_set — the shuffle carries at
-    most m ints per (file, column), never values, so sidecar
-    construction is bounded by scan throughput at any corpus size. The
-    driver packs positions into an m-bit bitmap (m/8 bytes, base64 in
-    the manifest entry)."""
+    value (mod _BLOOM_M_MAX), DISTINCT per file via collect_set — the
+    shuffle carries at most _BLOOM_M_MAX ints per (file, column), never
+    values, so sidecar construction is bounded by scan throughput at any
+    corpus size. The driver sizes each file's m from its observed
+    position count (:func:`_bloom_size_for`), folds the 2^16-modulus
+    positions down to m, and packs the m-bit bitmap (m/8 bytes, base64
+    in the manifest entry)."""
     import base64
     from collections import defaultdict
 
     reader = spark.read.parquet(subdir_path)
     out: dict[str, dict] = defaultdict(dict)
     for c in bloom_cols:
+        kind = _bloom_kind(reader.schema[c].dataType)
         canon = _bloom_canon_col(reader.schema[c].dataType, F.col(c))
         positions = F.array(
-            *[F.pmod(F.xxhash64(canon, F.lit(i)), F.lit(m)) for i in range(k)]
+            *[
+                F.pmod(F.xxhash64(canon, F.lit(i)), F.lit(_BLOOM_M_MAX))
+                for i in range(k)
+            ]
         )
         rows = (
             reader.filter(F.col(c).isNotNull())
@@ -384,14 +424,17 @@ def _bloom_sidecars(
             .groupBy("__f")
             .agg(F.collect_set("p").alias("ps"))
             .collect()
-        )  # bounded: one row per file, <= m positions each
+        )  # bounded: one row per file, <= _BLOOM_M_MAX positions each
         for r in rows:
+            m = _bloom_size_for(len(r["ps"]), k)
             bits = bytearray(m // 8)
-            for p in r["ps"]:
+            for p_max in r["ps"]:
+                p = p_max & (m - 1)  # fold 2^16 modulus down to m
                 bits[p >> 3] |= 1 << (p & 7)
             out[r["__f"].rsplit("/", 1)[-1]][c] = {
                 "m": m,
                 "k": k,
+                "kind": kind,
                 "b64": base64.b64encode(bytes(bits)).decode("ascii"),
             }
     return dict(out)
@@ -404,14 +447,19 @@ def _prune_entries_eq(
 ) -> list[dict]:
     """Bloom-sidecar point-lookup skipping: drop an entry iff its bloom
     for ``col`` proves ``value`` absent (some probe bit unset). Entries
-    without a bloom for the column are conservatively kept. Probe
-    positions come from a one-row local Spark projection so the probe
-    uses the exact xxhash64 the writer used; cached per (m, k) geometry."""
+    without a bloom for the column are conservatively kept — as are
+    entries whose recorded hash-input ``kind`` differs from the probe
+    literal's (an int probe against a string-indexed column hashes
+    incompatibly; skipping on it would silently drop matching rows and
+    break the pruning superset guarantee). Probe positions come from a
+    one-row local Spark projection so the probe uses the exact xxhash64
+    the writer used; cached per (m, k) geometry."""
     import base64
 
     if prune_eq is None:
         return entries
     col, value = prune_eq
+    probe_kind = _bloom_probe_kind(value)
     pos_cache: dict[tuple[int, int], list[int]] = {}
 
     def probe(m: int, k: int) -> list[int]:
@@ -433,8 +481,8 @@ def _prune_entries_eq(
     kept = []
     for e in entries:
         side = e.get("bloom", {}).get(col)
-        if side is None:
-            kept.append(e)  # unknown -> cannot skip
+        if side is None or side.get("kind") != probe_kind:
+            kept.append(e)  # no bloom / kind mismatch -> cannot skip
             continue
         bits = base64.b64decode(side["b64"])
         if all(bits[p >> 3] & (1 << (p & 7)) for p in probe(side["m"], side["k"])):
@@ -1612,12 +1660,22 @@ def vt_merge_mor(
         if order_col is not None:
             probe = new.select(*keys, F.col(order_col).alias("__new_ord"))
             joined = scan.join(F.broadcast(probe), keys)
+            # NULL order sorts as -infinity — the COW path's semantics
+            # (dedup_last_write_wins orders DESC NULLS LAST, so a NULL-
+            # order row loses to any non-NULL one and batch wins
+            # NULL-vs-NULL ties). A bare <= / > pair would let NULLs
+            # satisfy NEITHER filter: the batch row inserts AND the
+            # existing row survives — duplicate keys after merge.
+            ex_null = F.col(order_col).isNull()
+            new_null = F.col("__new_ord").isNull()
             superseded = joined.filter(
-                F.col(order_col) <= F.col("__new_ord")
+                ex_null | (~new_null & (F.col(order_col) <= F.col("__new_ord")))
             ).select("__file", "__pos")
             # batch rows older than the table's copy lose outright
             losers = (
-                joined.filter(F.col(order_col) > F.col("__new_ord"))
+                joined.filter(
+                    ~ex_null & (new_null | (F.col(order_col) > F.col("__new_ord")))
+                )
                 .select(*keys)
                 .distinct()
             )

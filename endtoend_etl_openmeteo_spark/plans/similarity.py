@@ -141,16 +141,49 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Process-level cache of trained quantizer models, keyed by
-#: (kind, sf_dir, params). Training is deterministic (smallest-id samples,
-#: fixed seeds/iterations), so reuse is semantics-free — this is the real
-#: serving pattern: train the quantizer ONCE offline, answer many queries
+#: (kind, sf_dir, params) PLUS a content fingerprint of the training
+#: table (file mtimes/sizes): testdata dirs are regenerated in place, so
+#: a long-lived process (bench loops, test sessions) must not serve
+#: centroids/codebooks trained on stale data — undetectable otherwise,
+#: because the consumers are approximate (oracle=None). Training is
+#: deterministic (smallest-id samples, fixed seeds/iterations), so reuse
+#: under an unchanged fingerprint is semantics-free — the real serving
+#: pattern: train the quantizer ONCE offline, answer many queries
 #: against it. Values are driver-side row lists (k·dim doubles — tiny);
-#: each call rebuilds a LocalRelation for the live session so cached models
-#: work across SparkSessions within the process.
+#: each call rebuilds a LocalRelation for the live session so cached
+#: models work across SparkSessions within the process.
 _TRAINED: dict[tuple, tuple[list, object]] = {}
 
 
+def _table_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
+    """Cheap content fingerprint of a testdata table: sorted (name,
+    mtime_ns, size) of the parquet path's file(s). Local-FS only — for a
+    real object-store deployment key the cache on the snapshot/commit id
+    instead."""
+    import os
+
+    path = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    try:
+        if os.path.isdir(path):
+            out = []
+            for name in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, name))
+                out.append((name, st.st_mtime_ns, st.st_size))
+            return tuple(out)
+        st = os.stat(path)
+        return ((table, st.st_mtime_ns, st.st_size),)
+    except OSError:
+        return ()  # unknown -> still cached per (key, empty-fp)
+
+
+def clear_trained_models() -> None:
+    """Drop every cached quantizer model — harness hook for explicit
+    invalidation (e.g. between data regenerations)."""
+    _TRAINED.clear()
+
+
 def _cached_model(spark: SparkSession, key: tuple, build) -> DataFrame:
+    key = key + (_table_fingerprint(key[1]),)
     if key not in _TRAINED:
         df = build()
         _TRAINED[key] = ([tuple(r) for r in df.collect()], df.schema)

@@ -474,3 +474,20 @@ def test_weighted_mixture_is_dense_and_tracks_weights(spark):
     # unweighted sources are excluded
     some = weighted_mixture_index(docs, "source", "doc_id", {"a": 1.0})
     assert some.count() == n // 2
+
+
+def test_weighted_mixture_handles_negative_ids(spark):
+    """Round-5 ADVICE: % follows the dividend's sign, so negative ids
+    produced u <= 0 and ln(u) = NaN ranking keys. pmod keeps the uniform
+    in (0, 1] for any id sign; positions stay a dense permutation."""
+    from endtoend_etl_openmeteo_spark.operators.layout import (
+        weighted_mixture_index,
+    )
+
+    docs = spark.range(-500, 500).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS source"
+    )
+    out = weighted_mixture_index(
+        docs, "source", "doc_id", {"a": 2.0, "b": 1.0}
+    ).collect()
+    assert sorted(r["mix_pos"] for r in out) == list(range(1000))

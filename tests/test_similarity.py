@@ -112,3 +112,37 @@ def test_zero_norm_vector_does_not_abort_topk(spark):
     assert by_n[2].cos_sim is None  # null, not an ANSI divide-by-zero abort
     # the null similarity ranks LAST, after all real neighbors
     assert max(r.rank for r in out) == by_n[2].rank
+
+
+def test_trained_model_cache_invalidates_on_data_change(spark, tmp_path):
+    """Round-5 ADVICE: _TRAINED keyed only by (kind, sf_dir, params) served
+    stale models after in-place testdata regeneration. The content
+    fingerprint (file mtimes/sizes) must force a rebuild."""
+    import os
+
+    from endtoend_etl_openmeteo_spark.plans.similarity import _cached_model
+
+    sf = str(tmp_path)
+    p = tmp_path / "embeddings.parquet"
+    spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(str(p))
+
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.createDataFrame([(0, [0.0])], "cluster int, centroid array<double>")
+
+    key = ("test_kind", sf, 1)
+    _cached_model(spark, key, build)
+    _cached_model(spark, key, build)
+    assert len(builds) == 1  # cached while data unchanged
+
+    # regenerate in place: new mtime/size -> new fingerprint -> rebuild
+    newest = max(os.stat(os.path.join(p, f)).st_mtime_ns for f in os.listdir(p))
+    for f in os.listdir(p):
+        os.utime(os.path.join(p, f), ns=(newest + 10**9, newest + 10**9))
+    _cached_model(spark, key, build)
+    assert len(builds) == 2

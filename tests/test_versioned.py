@@ -1307,3 +1307,96 @@ def test_rename_stamps_legacy_entries(spark, table):
     got = vt_read(spark, table)
     assert got.columns == ["id", "doubled"]
     assert got.count() == 25
+
+
+def test_bloom_kind_mismatch_never_skips(spark, table):
+    """An int probe against a string-indexed column (and vice versa)
+    hashes incompatibly — pruning must keep every file, not skip on
+    garbage positions (round-5 ADVICE: the superset guarantee)."""
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_files
+
+    vt_append(
+        spark,
+        spark.createDataFrame([("1", 1), ("2", 2)], "k string, id int"),
+        table,
+        bloom_cols=["k", "id"],
+    )
+    vt_append(
+        spark,
+        spark.createDataFrame([("3", 3)], "k string, id int"),
+        table,
+        bloom_cols=["k", "id"],
+    )
+    all_files = vt_files(spark, table)
+    # kind mismatch: int probe on string column / string probe on int
+    # column -> cannot skip anything
+    assert set(vt_files(spark, table, prune_eq=("k", 2))) == set(all_files)
+    assert set(vt_files(spark, table, prune_eq=("id", "2"))) == set(all_files)
+    # matching kinds still skip (value "3"/3 lives only in the second file)
+    assert len(vt_files(spark, table, prune_eq=("k", "3"))) < len(all_files)
+    assert len(vt_files(spark, table, prune_eq=("id", 3))) < len(all_files)
+    # and reads stay correct under both
+    assert vt_read(spark, table, prune_eq=("k", "2")).filter("k = '2'").count() == 1
+    assert vt_read(spark, table, prune_eq=("id", 2)).filter("id = 2").count() == 1
+
+
+def test_bloom_geometry_scales_with_file_keys(spark, table):
+    """m is sized per file (~10 bits/key, power of two): a ~6k-key file
+    must get a bigger bitmap than the 2048-bit floor (which would sit at
+    ~fp 40% there), and point lookups still skip the other file."""
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        _BLOOM_M_MIN,
+        vt_files,
+    )
+
+    vt_append(
+        spark,
+        spark.range(0, 6000).selectExpr("id", "id AS v").coalesce(1),
+        table,
+        bloom_cols=["id"],
+    )
+    vt_append(
+        spark,
+        spark.range(100_000, 100_050).selectExpr("id", "id AS v").coalesce(1),
+        table,
+        bloom_cols=["id"],
+    )
+    manifest = read_manifest(spark, table, latest_version(spark, table))
+    ms = {e["path"]: e["bloom"]["id"]["m"] for e in manifest["files"]}
+    by_rows = {e["path"]: e.get("rows") for e in manifest["files"]}
+    m_large = next(m for p, m in ms.items() if by_rows[p] == 6000)
+    m_small = next(m for p, m in ms.items() if by_rows[p] == 50)
+    assert m_small == _BLOOM_M_MIN
+    assert m_large >= 6000 * 8  # ~10 bits/key target, pow2-rounded
+    # skipping still works across mixed geometries, superset holds
+    probed = vt_files(spark, table, prune_eq=("id", 100_010))
+    assert len(probed) == 1
+    got = vt_read(spark, table, prune_eq=("id", 3), version=None)
+    assert got.filter("id = 3").count() == 1
+
+
+def test_mor_merge_null_order_never_duplicates_keys(spark, table):
+    """NULL order sorts as -infinity, matching the COW path's DESC NULLS
+    LAST (round-5 ADVICE): a NULL-order batch row must never BOTH insert
+    and leave the existing row alive."""
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_merge_mor
+
+    vt_append(
+        spark,
+        spark.createDataFrame(
+            [(1, 5, "t1"), (2, None, "t2"), (3, 7, "t3")],
+            "id long, ord int, src string",
+        ),
+        table,
+        stats_cols=["id"],
+    )
+    batch = spark.createDataFrame(
+        [(1, None, "b1"), (2, None, "b2"), (3, 9, "b3")],
+        "id long, ord int, src string",
+    )
+    vt_merge_mor(spark, batch, table, keys=["id"], order_col="ord")
+    rows = {r.id: (r.ord, r.src) for r in vt_read(spark, table).collect()}
+    assert vt_read(spark, table).count() == 3  # one row per key — no dups
+    assert rows[1] == (5, "t1")  # NULL batch loses to non-NULL table
+    assert rows[2] == (None, "b2")  # NULL-vs-NULL tie: batch wins
+    assert rows[3] == (9, "b3")  # ordinary newest-wins
