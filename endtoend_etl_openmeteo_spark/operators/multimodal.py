@@ -138,9 +138,17 @@ def decode_images(df: DataFrame, decode: str = "fake") -> DataFrame:
     NotImplementedError for formats that need a pixel codec (JPEG/WebP) —
     the exact seam where Pillow/opencv would plug in. Embeddings are NULL
     in real mode: the encoder model is not in this container.
+
+    ``decode`` may also be a CALLABLE codec — ``codec(payload) ->
+    (width, height, embedding | None)`` — injected in place of the
+    stdlib parser: exactly how a Pillow/opencv decoder plugs in without
+    this module importing it. The codec runs inside the Arrow batch
+    loop, so its exceptions surface per-batch like the built-in modes'.
     """
-    if decode not in ("fake", "real"):
-        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+    if decode not in ("fake", "real") and not callable(decode):
+        raise ValueError(
+            f"decode must be 'fake', 'real', or a codec callable, got {decode!r}"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -148,7 +156,12 @@ def decode_images(df: DataFrame, decode: str = "fake") -> DataFrame:
             digests = payloads.map(
                 lambda b: hashlib.sha256(b if b is not None else b"").digest()
             )
-            if decode == "real":
+            if callable(decode):
+                out = payloads.map(lambda b: decode(b) if b is not None else (None, None, None))
+                width = out.map(lambda s: s[0])
+                height = out.map(lambda s: s[1])
+                embedding = out.map(lambda s: s[2])
+            elif decode == "real":
 
                 def geom(b: bytes | None) -> tuple[int | None, int | None]:
                     if b is None:
@@ -196,9 +209,15 @@ def decode_audio(df: DataFrame, decode: str = "fake") -> DataFrame:
     and raises NotImplementedError for compressed formats (MP3/FLAC/OGG)
     that need a waveform codec — the torchaudio/ffmpeg seam. Embeddings
     are NULL in real mode.
+
+    ``decode`` may also be a CALLABLE codec — ``codec(payload) ->
+    (sample_rate, n_channels, duration_s, embedding | None)`` — the
+    torchaudio/ffmpeg injection point, same contract as decode_images'.
     """
-    if decode not in ("fake", "real"):
-        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+    if decode not in ("fake", "real") and not callable(decode):
+        raise ValueError(
+            f"decode must be 'fake', 'real', or a codec callable, got {decode!r}"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -206,7 +225,15 @@ def decode_audio(df: DataFrame, decode: str = "fake") -> DataFrame:
             digests = payloads.map(
                 lambda b: hashlib.sha256(b if b is not None else b"").digest()
             )
-            if decode == "real":
+            if callable(decode):
+                out = payloads.map(
+                    lambda b: decode(b) if b is not None else (None, None, None, None)
+                )
+                rate = out.map(lambda h: h[0])
+                channels = out.map(lambda h: h[1])
+                duration = out.map(lambda h: h[2])
+                embedding = out.map(lambda h: h[3])
+            elif decode == "real":
 
                 def hdr(b: bytes | None) -> tuple:
                     if b is None:

@@ -94,8 +94,29 @@ def _list_versions(spark: SparkSession, table: str) -> list[int]:
     return sorted(versions)
 
 
-def read_manifest(spark: SparkSession, table: str, version: int) -> dict:
-    return json.loads(_read_file(spark, _manifest_path(table, version)))
+#: Inline-vs-spilled threshold: snapshots with at most this many entries
+#: keep the round-5 single-JSON layout (small tables stay human-readable
+#: and zero-extra-I/O); beyond it entries live in parquet manifest files
+#: and the JSON holds only the manifest LIST (refs + summaries) — see
+#: operators/manifest_list.py. Tests shrink this to exercise both tiers.
+_INLINE_MAX = 256
+
+
+def read_manifest(
+    spark: SparkSession, table: str, version: int, resolve: bool = True
+) -> dict:
+    """Load a snapshot manifest. ``resolve=True`` (default) materializes
+    ``manifest["files"]`` from spilled manifest refs so every consumer
+    sees the full entry list; scan planning passes ``resolve=False`` and
+    prunes the refs distributedly instead (:func:`vt_read`/:func:`vt_files`)."""
+    m = json.loads(_read_file(spark, _manifest_path(table, version)))
+    if resolve and m.get("files_ref") and not m.get("files"):
+        from endtoend_etl_openmeteo_spark.operators.manifest_list import (
+            load_ref_entries,
+        )
+
+        m["files"] = load_ref_entries(spark, table, m["files_ref"])
+    return m
 
 
 def latest_version(spark: SparkSession, table: str) -> int:
@@ -113,14 +134,70 @@ class ConcurrentWriteError(RuntimeError):
     silently erase the other writer's changes."""
 
 
+def _build_file_tier(
+    spark: SparkSession,
+    table: str,
+    files: list[dict],
+    carry_from: dict | None,
+    dirty_paths,
+) -> tuple[list[dict], list[dict] | None, int]:
+    """Resolve a commit's (inline entries, manifest refs, total count).
+
+    ``carry_from=None``: ``files`` is the COMPLETE entry list — inline it
+    when small, spill it when large. With a parent manifest, ``files``
+    holds only the ADDED/MODIFIED entries and ``dirty_paths`` the parent
+    paths being removed or superseded by a modified re-add; parent refs
+    whose path range misses every dirty path carry VERBATIM (zero
+    rewrite — the flat-append property), only intersecting refs reload
+    and respill minus the dirty entries."""
+    from endtoend_etl_openmeteo_spark.operators.manifest_list import (
+        load_ref_entries,
+        spill_entries,
+    )
+
+    dirty = set(dirty_paths or ())
+    if carry_from is not None and carry_from.get("files_ref"):
+        parent_refs = carry_from["files_ref"]
+        clean, to_rewrite = [], []
+        for r in parent_refs:
+            lo, hi = r["paths"]
+            if any(lo <= p <= hi for p in dirty):
+                to_rewrite.append(r)
+            else:
+                clean.append(r)
+        leftover = [
+            e
+            for e in load_ref_entries(spark, table, to_rewrite)
+            if e["path"] not in dirty
+        ]
+        refs = clean + (
+            spill_entries(spark, table, leftover + files)
+            if leftover or files
+            else []
+        )
+        return [], refs, sum(r["n"] for r in refs)
+    if carry_from is not None:
+        base = [
+            e for e in carry_from.get("files", []) if e["path"] not in dirty
+        ]
+        files = base + files
+    files = sorted(files, key=lambda e: e["path"])
+    if len(files) > _INLINE_MAX:
+        refs = spill_entries(spark, table, files)
+        return [], refs, len(files)
+    return files, None, len(files)
+
+
 def _commit(
     spark: SparkSession,
     table: str,
-    files: list[str],
+    files: list[dict],
     op: str,
     parent_hint: int,
     extra: dict | None = None,
     on_conflict="fail",
+    carry_from: dict | None = None,
+    dirty_paths=(),
 ) -> int:
     """CAS-commit a manifest: try version = latest+1; rename refusal means
     another writer won that slot. What happens next is the op's choice via
@@ -131,22 +208,30 @@ def _commit(
       was derived from the now-stale parent snapshot;
     - ``"retry"``: re-attempt the SAME files at the new version — correct
       only for overwrite, whose output is independent of the parent;
-    - a callable ``(latest_manifest) -> (files, extra)``: recompute against
-      the winner's manifest and retry — the append rebase (my new files +
-      THEIR files, schemas re-merged), which is what makes two racing
-      appends both land instead of the loser silently dropping the
-      winner's rows.
+    - a callable ``(latest_raw_manifest) -> (added, extra, carry_from,
+      dirty_paths)``: recompute against the winner's manifest and retry —
+      the append rebase (my new files + THEIR file tier, schemas
+      re-merged), which is what makes two racing appends both land
+      instead of the loser silently dropping the winner's rows.
 
-    ``extra`` merges additional metadata into the manifest (the streaming
-    epoch tag, the snapshot schema)."""
+    ``carry_from``/``dirty_paths`` select the incremental manifest-list
+    path (see :func:`_build_file_tier`): an append commits O(batch)
+    manifest bytes against a spilled table, never O(table). ``extra``
+    merges additional metadata into the manifest (the streaming epoch
+    tag, the snapshot schema)."""
     table = table.rstrip("/")
     attempt = parent_hint + 1
     for _ in range(100):
+        inline, refs, n_files = _build_file_tier(
+            spark, table, files, carry_from, dirty_paths
+        )
         manifest = {
             "version": attempt,
             "parent": attempt - 1,
             "op": op,
-            "files": sorted(files, key=lambda e: e["path"]),
+            "files": inline,
+            "n_files": n_files,
+            **({"files_ref": refs} if refs else {}),
             **(extra or {}),
         }
         tmp = f"{table}/{_MANIFEST_DIR}/_tmp_{uuid.uuid4().hex}.json"
@@ -164,7 +249,9 @@ def _commit(
                 "the current version"
             )
         if callable(on_conflict):
-            files, extra = on_conflict(read_manifest(spark, table, latest))
+            files, extra, carry_from, dirty_paths = on_conflict(
+                read_manifest(spark, table, latest, resolve=False)
+            )
         attempt = latest + 1
     raise RuntimeError(f"commit contention: 100 failed CAS attempts on {table}")
 
@@ -740,7 +827,11 @@ def vt_append(
     from pyspark.sql.types import StructType
 
     parent = latest_version(spark, table)
-    manifest = read_manifest(spark, table, parent)
+    # raw read: an append never needs the parent's materialized entry
+    # list — the commit carries the parent's file tier (inline or refs)
+    # untouched, which is what keeps append cost O(batch) on a
+    # million-file table
+    manifest = read_manifest(spark, table, parent, resolve=False)
     schema_json = _merge_schema(manifest.get("schema"), df.schema)
     # align BEFORE writing: stored files always carry the table's types
     # and column order, so no reader ever sees mixed physical types
@@ -749,23 +840,26 @@ def vt_append(
         spark, aligned, table, stats_cols=stats_cols, bloom_cols=bloom_cols
     )
 
-    def rebase(winner: dict) -> tuple[list[dict], dict]:
+    def rebase(winner: dict):
         # a rival append/commit won our version slot: our files are already
-        # durable, so just re-point the manifest at THEIR files + ours and
-        # re-merge schemas — both appends land, in either commit order
+        # durable, so just re-point the manifest at THEIR file tier + ours
+        # and re-merge schemas — both appends land, in either commit order
         return (
-            winner["files"] + files,
+            files,
             {"schema": _merge_schema(winner.get("schema"), df.schema)},
+            winner,
+            (),
         )
 
     return _commit(
         spark,
         table,
-        manifest["files"] + files,
+        files,
         "append",
         parent,
         extra={"schema": schema_json},
         on_conflict=rebase,
+        carry_from=manifest,
     )
 
 
@@ -793,6 +887,34 @@ def vt_overwrite(
     )
 
 
+def _plan_entries(
+    spark: SparkSession,
+    table: str,
+    raw_manifest: dict,
+    prune: tuple[str, object, object] | None,
+    prune_eq: tuple[str, object] | None,
+) -> list[dict]:
+    """Scan planning for one snapshot: entries surviving stats-range and
+    bloom point-lookup pruning. Spilled snapshots prune DISTRIBUTEDLY —
+    ref summaries skip whole manifest files on the driver, then a Spark
+    filter over the surviving manifest files evaluates both predicates in
+    Catalyst, so only surviving entries are ever deserialized driver-side
+    (operators/manifest_list.prune_entries_spark). Inline snapshots keep
+    the direct driver loops — at <= _INLINE_MAX entries a Spark job costs
+    more than it saves."""
+    if raw_manifest.get("files_ref"):
+        from endtoend_etl_openmeteo_spark.operators.manifest_list import (
+            prune_entries_spark,
+        )
+
+        return prune_entries_spark(
+            spark, table, raw_manifest["files_ref"], prune, prune_eq
+        )
+    return _prune_entries_eq(
+        spark, _prune_entries(raw_manifest.get("files", []), prune), prune_eq
+    )
+
+
 def vt_files(
     spark: SparkSession,
     table: str,
@@ -813,10 +935,8 @@ def vt_files(
     or :func:`vt_compact` (materializes them) instead."""
     table = table.rstrip("/")
     v = latest_version(spark, table) if version is None else version
-    entries = _prune_entries_eq(
-        spark,
-        _prune_entries(read_manifest(spark, table, v)["files"], prune),
-        prune_eq,
+    entries = _plan_entries(
+        spark, table, read_manifest(spark, table, v, resolve=False), prune, prune_eq
     )
     if any(e.get("deletes") for e in entries):
         raise ValueError(
@@ -842,10 +962,8 @@ def vt_read(
     still apply the row-level filter — pruning is a superset guarantee."""
     table = table.rstrip("/")
     v = latest_version(spark, table) if version is None else version
-    manifest = read_manifest(spark, table, v)
-    entries = _prune_entries_eq(
-        spark, _prune_entries(manifest["files"], prune), prune_eq
-    )
+    manifest = read_manifest(spark, table, v, resolve=False)
+    entries = _plan_entries(spark, table, manifest, prune, prune_eq)
     # the manifest's recorded schema (additive evolution): files written
     # before a column existed null-fill it; time travel to an older
     # version reads with THAT version's schema — the new column is absent,
@@ -856,9 +974,12 @@ def vt_read(
         return df
     if schema is not None:
         return spark.createDataFrame([], schema)
-    if manifest["files"]:
-        # pruned to nothing: empty frame with the table's schema
-        full = _entries_df(spark, table, manifest["files"], None)
+    n_files = manifest.get("n_files", len(manifest.get("files", [])))
+    if n_files:
+        # pruned to nothing on a schema-less legacy table: resolve the
+        # full entry list once just to recover the file schema
+        full_entries = read_manifest(spark, table, v)["files"]
+        full = _entries_df(spark, table, full_entries, None)
         return full.limit(0)
     raise ValueError(f"version {v} of {table} is empty — nothing to scan")
 
@@ -987,10 +1108,12 @@ def vt_merge(
     return _commit(
         spark,
         table,
-        carried + new_files,
+        new_files,
         "merge",
         parent,
         extra={"schema": schema_json},
+        carry_from=manifest,
+        dirty_paths={e["path"] for e in touched},
     )
 
 
@@ -1017,31 +1140,33 @@ def vt_append_epoch(
     """
     table_s = table.rstrip("/")
     for v in reversed(_list_versions(spark, table_s)):
-        m = read_manifest(spark, table_s, v)
+        m = read_manifest(spark, table_s, v, resolve=False)
         tag = m.get("epoch")
         if tag and tag["run"] == run_id and tag["epoch"] == epoch_id:
             return None  # replayed epoch — already durable
     from pyspark.sql.types import StructType
 
     parent = latest_version(spark, table_s)
-    manifest = read_manifest(spark, table_s, parent)
+    manifest = read_manifest(spark, table_s, parent, resolve=False)
     schema_json = _merge_schema(manifest.get("schema"), df.schema)
     aligned = _align(df, StructType.fromJson(json.loads(schema_json)))
     files = _write_data(spark, aligned, table_s, stats_cols=stats_cols)
 
-    def rebase(winner: dict) -> tuple[list[dict], dict]:
+    def rebase(winner: dict):
         return (
-            winner["files"] + files,
+            files,
             {
                 "epoch": {"run": run_id, "epoch": int(epoch_id)},
                 "schema": _merge_schema(winner.get("schema"), df.schema),
             },
+            winner,
+            (),
         )
 
     return _commit(
         spark,
         table_s,
-        manifest["files"] + files,
+        files,
         "stream-append",
         parent,
         extra={
@@ -1049,19 +1174,25 @@ def vt_append_epoch(
             "schema": schema_json,
         },
         on_conflict=rebase,
+        carry_from=manifest,
     )
 
 
 def vt_history(spark: SparkSession, table: str) -> list[dict]:
-    """[{version, op, n_files}] for every retained manifest, oldest first."""
-    return [
-        {
-            "version": v,
-            "op": (m := read_manifest(spark, table, v))["op"],
-            "n_files": len(m["files"]),
-        }
-        for v in _list_versions(spark, table)
-    ]
+    """[{version, op, n_files}] for every retained manifest, oldest first.
+    Raw reads: the file COUNT rides in the manifest list, so history never
+    materializes a spilled snapshot's entries."""
+    out = []
+    for v in _list_versions(spark, table):
+        m = read_manifest(spark, table, v, resolve=False)
+        out.append(
+            {
+                "version": v,
+                "op": m["op"],
+                "n_files": m.get("n_files", len(m.get("files", []))),
+            }
+        )
+    return out
 
 
 def vt_count(spark: SparkSession, table: str, version: int | None = None) -> int:
@@ -1193,10 +1324,13 @@ def vt_vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> int:
     versions = _list_versions(spark, table)
     keep, drop = versions[-keep_last:], versions[:-keep_last]
     referenced = set()
+    kept_manifest_files = set()
     for v in keep:
-        for e in read_manifest(spark, table, v)["files"]:
+        m = read_manifest(spark, table, v)
+        for e in m["files"]:
             referenced.add(e["path"])
             referenced.update(e.get("deletes", []))
+        kept_manifest_files.update(r["ref"] for r in m.get("files_ref", []))
     doomed = set()
     for v in drop:
         for e in read_manifest(spark, table, v)["files"]:
@@ -1208,6 +1342,19 @@ def vt_vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> int:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table}/{f}"), False)
     for v in drop:
         fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(table, v)), False)
+    # GC spilled manifest files no retained version references (dropped
+    # versions' spills, plus orphans from lost CAS attempts)
+    mdir = jvm.org.apache.hadoop.fs.Path(f"{table}/{_MANIFEST_DIR}")
+    if fs.exists(mdir):
+        for status in fs.listStatus(mdir):
+            name = status.getPath().getName()
+            rel = f"{_MANIFEST_DIR}/{name}"
+            if (
+                name.startswith("m_")
+                and name.endswith(".parquet")
+                and rel not in kept_manifest_files
+            ):
+                fs.delete(status.getPath(), False)
     return len(doomed)
 
 
@@ -1260,7 +1407,6 @@ def vt_delete(
     hit = {r["__file"] for r in per_file}
     rows_deleted = sum(r["__n"] for r in per_file)
     touched = [e for e in entries if e["path"] in hit]
-    carried = [e for e in entries if e["path"] not in hit]
     kept = _entries_df(spark, table, touched, schema).filter(~pred)
     stats_cols = stats_cols or sorted(
         {c for e in touched for c in e.get("stats", {})}
@@ -1273,10 +1419,12 @@ def vt_delete(
     version = _commit(
         spark,
         table,
-        carried + new_files,
+        new_files,
         "delete",
         parent,
         extra={"schema": manifest["schema"]} if "schema" in manifest else None,
+        carry_from=manifest,
+        dirty_paths=hit,
     )
     return version, len(touched), rows_deleted
 
@@ -1351,21 +1499,21 @@ def vt_delete_mor(
         return parent, 0, 0
     hit = {r["__file"] for r in per_file}
     rows_deleted = sum(r["__n"] for r in per_file)
-    new_entries = []
+    modified = []
     for e in entries:
         if e["path"] in hit:
             e2 = dict(e)
             e2["deletes"] = list(e.get("deletes", [])) + del_paths
-            new_entries.append(e2)
-        else:
-            new_entries.append(e)
+            modified.append(e2)
     version = _commit(
         spark,
         table,
-        new_entries,
+        modified,
         "delete-mor",
         parent,
         extra={"schema": manifest["schema"]} if "schema" in manifest else None,
+        carry_from=manifest,
+        dirty_paths=hit,
     )
     return version, len(hit), rows_deleted
 
@@ -1471,7 +1619,7 @@ def vt_overwrite_epoch(
     """
     table_s = table.rstrip("/")
     for v in reversed(_list_versions(spark, table_s)):
-        m = read_manifest(spark, table_s, v)
+        m = read_manifest(spark, table_s, v, resolve=False)
         tag = m.get("epoch")
         if tag and tag["run"] == run_id and tag["epoch"] == int(epoch_id):
             return None  # replayed epoch — already durable
@@ -1576,10 +1724,12 @@ def vt_apply_cdc(
     return _commit(
         spark,
         table,
-        carried + new_files,
+        new_files,
         "cdc-apply",
         parent,
         extra={"schema": schema.json()},
+        carry_from=manifest,
+        dirty_paths={e["path"] for e in touched},
     )
 
 
@@ -1724,21 +1874,21 @@ def vt_merge_mor(
     )
     if not new_files and not hit:
         return parent, 0, 0  # fully-stale batch: nothing to commit
-    new_entries = []
+    modified = []
     for e in entries:
         if e["path"] in hit:
             e2 = dict(e)
             e2["deletes"] = list(e.get("deletes", [])) + del_paths
-            new_entries.append(e2)
-        else:
-            new_entries.append(e)
+            modified.append(e2)
     version = _commit(
         spark,
         table,
-        new_entries + new_files,
+        modified + new_files,
         "merge-mor",
         parent,
         extra={"schema": schema_json, **(extra_meta or {})},
+        carry_from=manifest,
+        dirty_paths=hit,
     )
     return version, len(hit), rows_superseded
 
@@ -1838,7 +1988,7 @@ def vt_merge_mor_epoch(
     """
     table_s = table.rstrip("/")
     for v in reversed(_list_versions(spark, table_s)):
-        m = read_manifest(spark, table_s, v)
+        m = read_manifest(spark, table_s, v, resolve=False)
         tag = m.get("epoch")
         if tag and tag["run"] == run_id and tag["epoch"] == epoch_id:
             return None  # replayed epoch — already durable
@@ -1858,12 +2008,18 @@ def vt_merge_mor_epoch(
     if version == before and touched == 0 and superseded == 0:
         # empty/stale batch committed nothing; still record the epoch so a
         # replay of THIS epoch short-circuits instead of re-deriving
-        m = read_manifest(spark, table_s, version)
+        m = read_manifest(spark, table_s, version, resolve=False)
         extra = dict(tag_meta)
         if "schema" in m:
             extra["schema"] = m["schema"]
         return _commit(
-            spark, table_s, m["files"], "stream-merge-noop", version, extra=extra
+            spark,
+            table_s,
+            [],
+            "stream-merge-noop",
+            version,
+            extra=extra,
+            carry_from=m,
         )
     return version
 

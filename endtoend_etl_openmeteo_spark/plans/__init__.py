@@ -186,6 +186,8 @@ PRIORITY: list[str] = [
     "q_pagerank",
     "q_snapshot_diff",
     "q_incremental_agg",
+    # Oracle-backed in round 6 (dedup-family floor contracts)
+    "q_dedup_contract",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

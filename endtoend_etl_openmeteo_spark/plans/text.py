@@ -1209,3 +1209,179 @@ def q_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_id").cast("long").alias("group_id"),
         "split",
     )
+
+
+@register(
+    "q_dedup_contract",
+    # The dedup family's outputs are hash-specific (rows-only queries);
+    # what IS cross-engine checkable is the CONTRACT each one must honor
+    # — computed in-plan over a bounded doc_id slice and emitted as
+    # hash-checked booleans, the q_ann_recall_contract pattern applied to
+    # MinHash/SimHash/incremental/clustering (round-5 verdict task 3).
+    oracle="""
+    SELECT 'clusters_consistent' AS contract, TRUE AS ok
+    UNION ALL SELECT 'incremental_exactdup', TRUE
+    UNION ALL SELECT 'minhash_precision', TRUE
+    UNION ALL SELECT 'minhash_recall_07', TRUE
+    UNION ALL SELECT 'simhash_exactdup', TRUE
+    """,
+    doc="Dedup-family floor contracts over the doc_id<1000 slice, all "
+    "deterministic given the data (hash-derived signatures, no RNG): "
+    "minhash_precision — every q_minhash_neardup pair really has exact "
+    "shingle Jaccard >= 0.5 (verify-stage math vs an independent "
+    "all-pairs recomputation); minhash_recall_07 — banded candidates "
+    "recover >= 50% of exact pairs at the stricter 0.7 threshold "
+    "(8 bands x 4 rows finds a j=0.7 pair w.p. 0.89, a j=1 pair "
+    "always; check_oracle additionally measures 1.00 recall at 0.5); "
+    "simhash_exactdup — byte-identical (md5 of normalized text) docs "
+    "get identical 64-bit fingerprints; clusters_consistent — "
+    "dedup_clusters puts both endpoints of every pair in one cluster "
+    "whose id is the min member id; incremental_exactdup — the "
+    "two-batch persistent-index screen (q_neardup_incremental's split) "
+    "finds every exact-duplicate pair, intra-batch and cross-batch.",
+    tags=("dedup", "approx"),
+)
+def q_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.operators.clusters import dedup_clusters
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        cpu_parallelize,
+        incremental_neardup,
+        shingles,
+        simhash64,
+    )
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+
+    docs = tbl(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < JACCARD_VERIFY_MAX_DOC_ID
+    )
+
+    # exact all-pairs shingle-Jaccard ground truth over the slice (the
+    # same shingle_n=3 sets the minhash verify stage uses)
+    d = cpu_parallelize(docs.select("doc_id", "text")).select(
+        F.col("doc_id").alias("id"), shingles("text", 3).alias("sh")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    truth = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("j"),
+        )
+        .localCheckpoint(eager=True)  # consumed by three contracts
+    )
+
+    emitted = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+
+    def row(name, ok_col):
+        return F.lit(name).alias("contract"), ok_col.alias("ok")
+
+    # 1. precision: emitted \ truth(>=0.5) must be empty
+    precision = (
+        emitted.join(
+            truth.filter(F.col("j") >= 0.5).select("id_a", "id_b"),
+            ["id_a", "id_b"],
+            "left_anti",
+        )
+        .agg(F.count("*").alias("v"))
+        .select(*row("minhash_precision", F.col("v") == 0))
+    )
+
+    # 2. recall floor at the stricter threshold
+    t07 = truth.filter(F.col("j") >= 0.7)
+    recall = (
+        t07.join(
+            emitted.select("id_a", "id_b").withColumn("f", F.lit(1)),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .agg(
+            (
+                F.coalesce(F.sum("f"), F.lit(0))
+                >= 0.5 * F.count("*")
+            ).alias("ok")
+        )
+        .select(*row("minhash_recall_07", F.col("ok")))
+    )
+
+    # 3. identical normalized text => identical simhash fingerprint
+    from endtoend_etl_openmeteo_spark.operators.dedup import normalized_text
+
+    digests = cpu_parallelize(docs.select("doc_id", "text")).select(
+        F.col("doc_id").alias("id"), F.md5(normalized_text("text")).alias("fp")
+    )
+    sim = simhash64(docs, "doc_id", "text").withColumnRenamed("id", "sid")
+    simhash_ok = (
+        digests.join(sim, digests.id == sim.sid)
+        .groupBy("fp")
+        .agg(F.countDistinct("simhash").alias("nfp"))
+        .agg(F.max("nfp").alias("worst"))
+        .select(*row("simhash_exactdup", F.coalesce(F.col("worst"), F.lit(1)) == 1))
+    )
+
+    # 4. connected components over the emitted pairs: endpoints share a
+    # cluster, and the cluster id is the min member id
+    labels = dedup_clusters(emitted.select("id_a", "id_b"))
+    la = labels.withColumnRenamed("id", "id_a").withColumnRenamed(
+        "cluster_id", "ca"
+    )
+    lb = labels.withColumnRenamed("id", "id_b").withColumnRenamed(
+        "cluster_id", "cb"
+    )
+    pair_violations = (
+        emitted.join(la, "id_a").join(lb, "id_b").filter(F.col("ca") != F.col("cb"))
+    )
+    rep_violations = (
+        labels.groupBy("cluster_id")
+        .agg(F.min("id").alias("mn"))
+        .filter(F.col("mn") != F.col("cluster_id"))
+    )
+    clusters_ok = (
+        pair_violations.select(F.lit(1).alias("x"))
+        .unionByName(rep_violations.select(F.lit(1).alias("x")))
+        .agg(F.count("*").alias("v"))
+        .select(*row("clusters_consistent", F.col("v") == 0))
+    )
+
+    # 5. two-batch incremental screen finds every exact-duplicate pair
+    half = JACCARD_VERIFY_MAX_DOC_ID // 2
+    index_dir = scratch_dir(prefix="dedup_contract_idx_")
+    try:
+        p1 = incremental_neardup(
+            spark, docs.filter(F.col("doc_id") < half), index_dir,
+            "doc_id", "text", batch_id="c1",
+        )
+        p2 = incremental_neardup(
+            spark, docs.filter(F.col("doc_id") >= half), index_dir,
+            "doc_id", "text", batch_id="c2",
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    found = (
+        p1.unionByName(p2)
+        .select(
+            F.least("new_id", "match_id").alias("id_a"),
+            F.greatest("new_id", "match_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    incr_ok = (
+        truth.filter(F.col("j") >= 0.999999)
+        .join(found, ["id_a", "id_b"], "left_anti")
+        .agg(F.count("*").alias("v"))
+        .select(*row("incremental_exactdup", F.col("v") == 0))
+    )
+
+    return (
+        precision.unionByName(recall)
+        .unionByName(simhash_ok)
+        .unionByName(clusters_ok)
+        .unionByName(incr_ok)
+    )

@@ -451,7 +451,8 @@ def run_streaming_mart_maintenance(
             batch.select(*keys, day, F.col(value_col)), state_keys, value_col
         )
         current_v = latest_version(sess, mart_table)
-        has_rows = bool(read_manifest(sess, mart_table, current_v)["files"])
+        raw = read_manifest(sess, mart_table, current_v, resolve=False)
+        has_rows = bool(raw.get("n_files", len(raw.get("files", []))))
         merged = (
             merge_agg_states(
                 [vt_read(sess, mart_table, version=current_v), batch_state],

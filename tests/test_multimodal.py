@@ -189,3 +189,90 @@ def test_audio_window_plan_covers_duration(spark):
         # consecutive windows overlap by window - hop
         for a, b in zip(ws, ws[1:]):
             assert b.start_s == pytest.approx(a.start_s + 2.5)
+
+
+# --- injected codec seam (round-5 verdict task 7) -------------------------
+# A toy "XIMG"/"XAUD" codec stands in for Pillow/torchaudio: the point is
+# that a caller-supplied callable composes with the Arrow batch loop —
+# schema, NULL payloads, and the error surface — without this repo
+# shipping a pixel/waveform decoder. Codecs are defined INSIDE each test:
+# cloudpickle ships locals by value, while a test-module-level function
+# pickles by reference and the executors cannot import the test module.
+
+
+def _make_ximg_codec():
+    def codec(payload):
+        import struct
+
+        if payload[:4] != b"XIMG":
+            raise ValueError(f"not an XIMG payload: {payload[:4]!r}")
+        w, h = struct.unpack("<II", payload[4:12])
+        return w, h, [float(w), float(h), float(len(payload))]
+
+    return codec
+
+
+def _ximg(w, h):
+    import struct
+
+    return b"XIMG" + struct.pack("<II", w, h)
+
+
+def test_injected_image_codec_composes_with_batch_loop(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(media_id=1, kind="image", payload=_ximg(320, 200),
+            meta=Row(mime="image/x-img", width=None, height=None,
+                     duration_s=None, sample_rate=None)),
+        Row(media_id=2, kind="image", payload=None,
+            meta=Row(mime="image/x-img", width=None, height=None,
+                     duration_s=None, sample_rate=None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_images(media, decode=_make_ximg_codec()).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (320, 200)
+    assert out[1]["embedding"] == [320.0, 200.0, 12.0]
+    assert out[1]["sha256"]  # digest plumbing independent of the codec
+    # NULL payloads never reach the codec
+    assert (out[2]["width"], out[2]["height"], out[2]["embedding"]) == (None, None, None)
+
+
+def test_injected_audio_codec_composes_with_batch_loop(spark):
+    import struct
+
+    from pyspark.sql import Row
+
+    from endtoend_etl_openmeteo_spark.operators.multimodal import decode_audio
+
+    def xaud_codec(payload):
+        import struct as _s
+
+        if payload[:4] != b"XAUD":
+            raise ValueError(f"not an XAUD payload: {payload[:4]!r}")
+        rate, ch, ms = _s.unpack("<IHI", payload[4:14])
+        return rate, ch, ms / 1000.0, None
+
+    payload = b"XAUD" + struct.pack("<IHI", 16000, 2, 2500)
+    rows = [
+        Row(media_id=7, kind="audio", payload=payload,
+            meta=Row(mime="audio/x-aud", width=None, height=None,
+                     duration_s=None, sample_rate=None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    [r] = decode_audio(media, decode=xaud_codec).collect()
+    assert (r["sample_rate"], r["n_channels"], r["duration_s"]) == (16000, 2, 2.5)
+    assert r["embedding"] is None
+
+
+def test_injected_codec_errors_surface_per_batch(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(media_id=1, kind="image", payload=b"JPEGnope",
+            meta=Row(mime="image/jpeg", width=None, height=None,
+                     duration_s=None, sample_rate=None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="not an XIMG payload"):
+        decode_images(media, decode=_make_ximg_codec()).collect()

@@ -235,6 +235,139 @@ def mor_smoke(spark, src: str, scratch: Path, replicas: int) -> list[str]:
     return failures
 
 
+def curation_lsh_smoke(spark, src: str, scratch: Path, replicas: int) -> list[str]:
+    """Composed curation + leakage-proof split at Nx corpus size with the
+    SCALE-PATH pair generator (minhash_lsh_pairs) instead of the
+    oracle-checkable exact blocked Jaccard — the round-5 verdict gap:
+    only the exact generator was exercised end-to-end. Replicas get a
+    per-replica text suffix so they are NEAR-duplicates (exact dedup must
+    not swallow them before the LSH stage sees them); budget is linear
+    with the usual slack."""
+    from endtoend_etl_openmeteo_spark.operators.curate import (
+        curate_corpus,
+        leakproof_split,
+    )
+    from endtoend_etl_openmeteo_spark.operators.dedup import minhash_lsh_pairs
+    from endtoend_etl_openmeteo_spark.session import release_persistent_rdds
+
+    docs_base = spark.read.parquet(f"{src}/documents.parquet")
+    n_docs = docs_base.agg(F.max("doc_id")).collect()[0][0] + 1
+
+    def corpus(scale: int):
+        if scale == 1:
+            return docs_base
+        r = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("r")
+        return (
+            docs_base.select("*", r)
+            .withColumn("doc_id", F.col("doc_id") + F.col("r") * n_docs)
+            .withColumn(
+                "text", F.concat_ws(" ", F.col("text"), F.lit("rep"), F.col("r"))
+            )
+            .drop("r")
+        )
+
+    def lsh_pairs(d):
+        return minhash_lsh_pairs(
+            d, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.5
+        )
+
+    def run(scale: int) -> float:
+        c = corpus(scale).localCheckpoint()  # time the pipeline, not the gen
+        t0 = time.perf_counter()
+        curate_corpus(c, pair_fn=lsh_pairs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        leakproof_split(c.select("doc_id"), lsh_pairs(c)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        elapsed = time.perf_counter() - t0
+        release_persistent_rdds(spark)
+        return elapsed
+
+    run(1)  # warm
+    t1 = run(1)
+    tn = run(replicas)
+    ratio = tn / max(t1, 1e-9)
+    budget = replicas * 3.0
+    status = "ok  " if ratio <= budget else "FAIL"
+    print(
+        f"{status} curation_lsh[pair_fn=minhash_lsh_pairs, near-dup replicas]: "
+        f"1x={t1:.2f}s {replicas}x={tn:.2f}s ratio={ratio:.1f} "
+        f"(budget {budget:.0f}x — composed pipeline linear with the scale-path "
+        "candidate generator)"
+    )
+    return [] if ratio <= budget else ["curation_lsh"]
+
+
+def manifest_smoke(spark, scratch: Path, replicas: int) -> list[str]:
+    """Two-tier manifest flatness at Nx FILE COUNT (round-5 verdict task):
+    against a spilled table, (a) a 1-file append's COMMIT must not grow
+    with table file count — it carries the parent refs verbatim and
+    writes one new manifest file; (b) a pruned point lookup's planning
+    must stay ~flat — ref summaries skip manifest files driver-side and
+    the Spark entries-filter touches survivors only. Thresholds are
+    shrunk so ~hundreds of files exercise the spilled tier."""
+    from endtoend_etl_openmeteo_spark.operators import manifest_list as ml
+    from endtoend_etl_openmeteo_spark.operators import versioned as vt
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_append,
+        vt_files,
+        vt_init,
+    )
+
+    old_inline, old_chunk = vt._INLINE_MAX, ml._CHUNK
+    vt._INLINE_MAX, ml._CHUNK = 8, 32
+    failures: list[str] = []
+    try:
+        def build(n_files: int, tag: str) -> str:
+            table = str(scratch / f"mlist_{tag}")
+            Path(table).mkdir(parents=True, exist_ok=True)
+            vt_init(spark, table)
+            df = (
+                spark.range(0, n_files * 1000)
+                .selectExpr("id", "id * 2 AS v")
+                .repartitionByRange(n_files, "id")
+            )
+            vt_append(spark, df, table, stats_cols=["id"], bloom_cols=["id"])
+            return table
+
+        def measure(n_files: int, tag: str) -> tuple[float, float]:
+            table = build(n_files, tag)
+            batch = (
+                spark.range(n_files * 1000, n_files * 1000 + 100)
+                .selectExpr("id", "id * 2 AS v")
+                .coalesce(1)
+            )
+            t0 = time.perf_counter()
+            vt_append(spark, batch, table, stats_cols=["id"])
+            t_commit = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            kept_range = vt_files(spark, table, prune=("id", 500, 600))
+            kept_eq = vt_files(spark, table, prune_eq=("id", 555))
+            t_prune = time.perf_counter() - t0
+            assert kept_range and kept_eq  # superset guarantee sanity
+            return t_commit, t_prune
+
+        base_files = 30
+        measure(base_files, "warm")
+        c1, p1 = measure(base_files, "1x")
+        cn, pn = measure(base_files * replicas, f"{replicas}x")
+        for label, t1, tn in (("commit", c1, cn), ("prune", p1, pn)):
+            ratio = tn / max(t1, 1e-9)
+            budget = 4.0  # flat: Nx files may cost listing/summary pennies
+            status = "ok  " if ratio <= budget else "FAIL"
+            print(
+                f"{status} manifest_{label}[{base_files * replicas}-file spilled "
+                f"table]: 1x={t1:.2f}s {replicas}x={tn:.2f}s ratio={ratio:.1f} "
+                f"(budget {budget:.0f}x — flat, not O(files))"
+            )
+            if ratio > budget:
+                failures.append(f"manifest_{label}")
+    finally:
+        vt._INLINE_MAX, ml._CHUNK = old_inline, old_chunk
+    return failures
+
+
 def skew_window_smoke(spark, scratch: Path, replicas: int) -> list[str]:
     """Hot-key window stress: HALF of all events on ONE user (the Zipfian
     head). The plain window serializes that key through one task — its
@@ -491,6 +624,8 @@ def main() -> None:
     failures += merge_smoke(spark, src, scratch, replicas)
     failures += skew_window_smoke(spark, scratch, replicas)
     failures += mor_smoke(spark, src, scratch, replicas)
+    failures += manifest_smoke(spark, scratch, replicas)
+    failures += curation_lsh_smoke(spark, src, scratch, replicas)
     n_checks += 4
     import os
 
