@@ -287,6 +287,98 @@ def shard_assign(
     )
 
 
+def sequence_pack(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    n_buckets: int = 64,
+    eos: int = 1,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing — the GPT-style step that turns
+    a token-counted corpus into fixed-length training sequences: documents
+    concatenate in deterministic ``id_col`` order (each followed by
+    ``eos`` separator tokens) and the resulting global token stream is cut
+    every ``seq_len`` tokens. Documents straddling a cut are SPLIT across
+    sequences, so every training sequence is exactly full (the final one
+    may be short) — no padding waste, the standard pretraining packer.
+
+    Input: (id, n_tokens); output one row per (document, sequence) span:
+    (id, seq_id, seq_off, doc_off, span_len) — enough for a writer to
+    materialize token ids later without re-deriving placement.
+
+    Scale shape: the global running token offset is the classic
+    single-partition ``sum() OVER (ORDER BY id)`` trap; instead documents
+    bucket by deterministic quantile cuts of ``id`` (order-contiguous
+    ranges), per-bucket token sums collect to the driver (n_buckets rows),
+    prefix offsets ride back in a broadcast map, and the within-bucket
+    cumulative sum is an n_buckets-way-parallel window — the
+    global_shuffle_index technique applied to a SUM. Span explosion is a
+    narrow generator: ceil(n_eff / seq_len) + 1 rows per doc, no shuffle
+    after the bucket exchange.
+    """
+    n_eff = (F.col(n_tokens_col).cast("long") + F.lit(int(eos))).alias("__n")
+    base = docs.select(F.col(id_col), n_eff)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = base.select(
+        F.percentile_approx(id_col, qs, 10_000).alias("c")
+    ).collect()[0]["c"]
+    if cuts_row is None:  # empty corpus
+        return base.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("seq_id"),
+            F.lit(None).cast("long").alias("seq_off"),
+            F.lit(None).cast("long").alias("doc_off"),
+            F.lit(None).cast("long").alias("span_len"),
+        ).limit(0)
+    cuts = F.array(*[F.lit(c) for c in cuts_row])
+    keyed = base.withColumn(
+        "__b", F.size(F.filter(cuts, lambda c: c < F.col(id_col)))
+    )
+    sums = sorted(
+        (r["__b"], r["s"])
+        for r in keyed.groupBy("__b").agg(F.sum("__n").alias("s")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bucket, s in sums:
+        offsets[bucket] = acc
+        acc += int(s)
+    off_map = F.create_map(*[F.lit(x) for bc in offsets.items() for x in bc])
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    L = F.lit(int(seq_len))
+    off = (
+        F.element_at(off_map, F.col("__b"))
+        + F.coalesce(F.sum("__n").over(w), F.lit(0))
+    )
+    first_seq = F.floor(F.col("__off") / L)
+    last_seq = F.floor((F.col("__off") + F.col("__n") - 1) / L)
+    span_start = F.greatest(F.col("__off"), F.col("seq_id") * L)
+    span_end = F.least(F.col("__off") + F.col("__n"), (F.col("seq_id") + 1) * L)
+    return (
+        keyed.withColumn("__off", off.cast("long"))
+        .select(
+            F.col(id_col),
+            "__off",
+            "__n",
+            F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("seq_id").cast("long").alias("seq_id"),
+            (span_start - F.col("seq_id") * L).cast("long").alias("seq_off"),
+            (span_start - F.col("__off")).cast("long").alias("doc_off"),
+            (span_end - span_start).cast("long").alias("span_len"),
+        )
+    )
+
+
 def weighted_mixture_index(
     df: DataFrame,
     source_col: str,

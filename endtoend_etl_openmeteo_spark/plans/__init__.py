@@ -186,8 +186,9 @@ PRIORITY: list[str] = [
     "q_pagerank",
     "q_snapshot_diff",
     "q_incremental_agg",
-    # Oracle-backed in round 6 (dedup-family floor contracts)
+    # Oracle-backed in round 6 (dedup-family floor contracts, packing)
     "q_dedup_contract",
+    "q_sequence_pack",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

@@ -995,3 +995,52 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 0.5},
     )
     return out.select("doc_id", "source", "mix_pos")
+
+
+@register(
+    "q_sequence_pack",
+    # DuckDB replicates the pack with one global ordered cumsum (fine for
+    # an oracle); Spark computes the identical offsets via the bucketed
+    # two-phase sum — same spans either way, hash-checked.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                  + 1 AS BIGINT) AS n_eff
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_eff,
+             CAST(coalesce(sum(n_eff) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS off
+      FROM t)
+    SELECT doc_id,
+           CAST(u.k AS BIGINT) AS seq_id,
+           CAST(greatest(off, u.k * 512) - u.k * 512 AS BIGINT) AS seq_off,
+           CAST(greatest(off, u.k * 512) - off AS BIGINT) AS doc_off,
+           CAST(least(off + n_eff, (u.k + 1) * 512)
+                - greatest(off, u.k * 512) AS BIGINT) AS span_len
+    FROM c, unnest(generate_series(off // 512, (off + n_eff - 1) // 512)) AS u(k)
+    """,
+    doc="Token-level sequence packing (operators/layout.sequence_pack): "
+    "concat documents in doc_id order (+1 EOS each, BPE-ish token counts "
+    "— the q_token_count regex) and chunk the global token stream every "
+    "512 tokens, splitting straddlers — one (doc, seq) span row per "
+    "overlap, the GPT-style packer that wastes zero padding. The global "
+    "running offset uses quantile-bucketed two-phase summation (driver "
+    "holds n_buckets partial sums), never a single-partition "
+    "sum-over-order window; span explosion is a narrow generator.",
+    tags=("llm", "layout"),
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.layout import sequence_pack
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    return sequence_pack(docs, seq_len=512, id_col="doc_id")

@@ -1244,6 +1244,11 @@ def q_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
+    # contract-specific slice: 500 docs keeps dozens of true pairs at
+    # every sf (sf0.01's full corpus) while bounding the all-pairs truth
+    # join at 125k candidate pairs
+    max_id = 500
+
     from endtoend_etl_openmeteo_spark.operators.clusters import dedup_clusters
     from endtoend_etl_openmeteo_spark.operators.dedup import (
         cpu_parallelize,
@@ -1253,26 +1258,33 @@ def q_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from endtoend_etl_openmeteo_spark.session import scratch_dir
 
-    docs = tbl(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < JACCARD_VERIFY_MAX_DOC_ID
-    )
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < max_id)
 
     # exact all-pairs shingle-Jaccard ground truth over the slice (the
-    # same shingle_n=3 sets the minhash verify stage uses)
+    # same shingle_n=3 sets the minhash verify stage uses). Length
+    # prefilter: j = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|), so pairs
+    # whose size ratio is under the lowest threshold used (0.5) cannot
+    # be true pairs — the standard similarity-join length filter, which
+    # skips the O(shingles) intersect for the overwhelming majority of
+    # the slice-squared pair space.
     d = cpu_parallelize(docs.select("doc_id", "text")).select(
         F.col("doc_id").alias("id"), shingles("text", 3).alias("sh")
-    )
+    ).withColumn("n", F.size("sh"))
     a, b = d.alias("a"), d.alias("b")
     jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
         F.array_union("a.sh", "b.sh")
     )
+    length_ok = F.least(F.col("a.n"), F.col("b.n")) >= 0.5 * F.greatest(
+        F.col("a.n"), F.col("b.n")
+    )
     truth = (
-        a.join(b, F.col("a.id") < F.col("b.id"))
+        a.join(b, (F.col("a.id") < F.col("b.id")) & length_ok)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(jac, 6).alias("j"),
         )
+        .filter(F.col("j") >= 0.5)
         .localCheckpoint(eager=True)  # consumed by three contracts
     )
 
@@ -1351,7 +1363,7 @@ def q_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # 5. two-batch incremental screen finds every exact-duplicate pair
-    half = JACCARD_VERIFY_MAX_DOC_ID // 2
+    half = max_id // 2
     index_dir = scratch_dir(prefix="dedup_contract_idx_")
     try:
         p1 = incremental_neardup(

@@ -25,6 +25,19 @@ from pyspark.sql import SparkSession
 
 #: Session-creation-time configuration (static confs).
 ENGINE_CONF: dict[str, str] = {
+    # Size the single local-mode JVM above Spark's 1g default: local[32]
+    # runs every executor thread inside the driver heap, and 32
+    # concurrent tasks' shuffle/broadcast/parquet buffers in 1 GB keep
+    # the MemoryManager clamping writers and the GC busy. 4g is the
+    # validated sweet spot on this box (larger heaps showed no gain).
+    # Creation-time only (ignored for an externally-created JVM, e.g.
+    # the verification driver's).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+    # The SQL/UI status stores retain per-execution plan graphs (default
+    # 1000 executions) — pure driver-heap ballast for a 160-query bench.
+    "spark.sql.ui.retainedExecutions": "50",
+    "spark.ui.retainedJobs": "100",
+    "spark.ui.retainedStages": "100",
     "spark.sql.session.timeZone": "UTC",
     # Pinned, not inherited: malformed input raises (matching the
     # reference's fromisoformat/raise behavior) on EVERY session,

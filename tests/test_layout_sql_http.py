@@ -491,3 +491,66 @@ def test_weighted_mixture_handles_negative_ids(spark):
         docs, "source", "doc_id", {"a": 2.0, "b": 1.0}
     ).collect()
     assert sorted(r["mix_pos"] for r in out) == list(range(1000))
+
+
+def test_sequence_pack_tiles_exactly(spark):
+    """Packing invariants: spans tile each document completely and in
+    order; every sequence except the last is exactly full; global
+    placement is gapless."""
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.layout import sequence_pack
+
+    docs = spark.createDataFrame(
+        [(i, 7 + (i * 13) % 50) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    L = 32
+    out = sequence_pack(docs, seq_len=L, id_col="doc_id").collect()
+    n_eff = {i: 7 + (i * 13) % 50 + 1 for i in range(200)}  # +1 EOS
+    total = sum(n_eff.values())
+
+    # per-doc: spans cover [0, n_eff) contiguously
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(200))
+    for doc, rows in by_doc.items():
+        rows.sort(key=lambda r: r["doc_off"])
+        assert rows[0]["doc_off"] == 0
+        pos = 0
+        for r in rows:
+            assert r["doc_off"] == pos and r["span_len"] >= 1
+            pos += r["span_len"]
+        assert pos == n_eff[doc]
+
+    # per-sequence: all but the last are exactly full, none overflows
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r["seq_id"], 0)
+        by_seq[r["seq_id"]] += r["span_len"]
+    last = max(by_seq)
+    assert set(by_seq) == set(range(last + 1))  # gapless sequence ids
+    for k, filled in by_seq.items():
+        assert filled == (L if k < last else total - last * L)
+
+    # within a sequence, spans tile [0, filled) without overlap
+    for k in by_seq:
+        spans = sorted(
+            ((r["seq_off"], r["span_len"]) for r in out if r["seq_id"] == k)
+        )
+        pos = 0
+        for off, ln in spans:
+            assert off == pos
+            pos += ln
+
+
+def test_sequence_pack_empty_and_single(spark):
+    from endtoend_etl_openmeteo_spark.operators.layout import sequence_pack
+
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert sequence_pack(empty, seq_len=16).count() == 0
+    one = spark.createDataFrame([(5, 100)], "doc_id long, n_tokens long")
+    rows = sequence_pack(one, seq_len=16).collect()
+    # 101 effective tokens -> 7 sequences: 6 full + 5-token tail
+    assert len(rows) == 7
+    assert sum(r["span_len"] for r in rows) == 101
