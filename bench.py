@@ -55,6 +55,16 @@ def main() -> None:
             "zip_with(sequence(1, 5), sequence(1, 5), (a, b) -> a + b) z",
         )
     )
+    # NOTE a full-registry warmup pass (every query once at sf0.001 before
+    # timing) was tried and measured NET HARMFUL: 216.5 s cold vs 258.6 s
+    # warm at sf0.1 (and 256.1 s with a 12 g heap, so not GC headroom).
+    # Catalyst's generated-class cache holds 100 entries
+    # (spark.sql.codegen.cache.maxEntries, static conf) — warming 160+
+    # distinct plans evicts everything, so the timed pass recompiles
+    # anyway while paying the warmup's metaspace/JIT churn. The three
+    # targeted warmups above (codegen paths shared by ALL queries) are
+    # the useful subset; per-plan compilation is part of each query's
+    # honest first-run cost.
 
     timings: dict[str, float] = {}
     for name, spec in sorted(registry.items()):

@@ -309,23 +309,34 @@ def kmeans(
     """
     from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
 
-    v = cpu_parallelize(vectors).select(
+    v_ck = cpu_parallelize(vectors).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     ).localCheckpoint(eager=True)
 
     # Uniform dimensionality is a hard precondition: the per-dimension avg
     # below subscripts every vector up to the seed dimension, which under
     # ANSI mode raises INVALID_ARRAY_INDEX mid-job on a ragged vector.
-    # Fail fast with a clear message instead (one 1-row aggregate).
-    sizes = v.agg(
-        F.min(F.size("vec")).alias("lo"), F.max(F.size("vec")).alias("hi")
+    # Fail fast with a clear message instead (one 1-row aggregate, which
+    # doubles as the row count used to size the iteration parallelism).
+    sizes = v_ck.agg(
+        F.min(F.size("vec")).alias("lo"),
+        F.max(F.size("vec")).alias("hi"),
+        F.count("*").alias("n"),
     ).collect()[0]
     if sizes["lo"] != sizes["hi"]:
-        release_checkpoint(v)
+        release_checkpoint(v_ck)
         raise ValueError(
             "kmeans requires uniform vector dimensionality; got sizes "
             f"{sizes['lo']}..{sizes['hi']} in column {vec_col!r}"
         )
+    # Size the per-iteration job to the data: every iteration is a full
+    # job over v, and on a small corpus 32 near-empty tasks' scheduling
+    # overhead dominates the arithmetic (measured ~1 s/iteration for
+    # 2,000 vectors). Narrow coalesce over the checkpoint blocks — at
+    # real corpus sizes this is a no-op.
+    spark_ctx = vectors.sparkSession.sparkContext
+    target = max(1, min(spark_ctx.defaultParallelism, int(sizes["n"]) // 256 + 1))
+    v = v_ck.coalesce(target) if target < v_ck.rdd.getNumPartitions() else v_ck
 
     # k seed rows → driver: [(cluster, [dim doubles]), ...]
     seed = v.orderBy("id").limit(k).select("vec").collect()
@@ -359,7 +370,7 @@ def kmeans(
     assignments = (
         _assign_literal(v, cent).select("id", "cluster").localCheckpoint(eager=True)
     )
-    release_checkpoint(v)
+    release_checkpoint(v_ck)
     spark = vectors.sparkSession
     centroids = spark.createDataFrame(
         [(cl, c) for cl, c in cent], "cluster int, centroid array<double>"

@@ -189,6 +189,7 @@ PRIORITY: list[str] = [
     # Oracle-backed in round 6 (dedup-family floor contracts, packing)
     "q_dedup_contract",
     "q_sequence_pack",
+    "q_repetition_filter",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

@@ -1397,3 +1397,103 @@ def q_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(clusters_ok)
         .unionByName(incr_ok)
     )
+
+
+@register(
+    "q_repetition_filter",
+    # Counts are engine-independent (run-length fold on Spark, unnest +
+    # GROUP BY on DuckDB), fractions round at 6dp on both sides.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               w -> w <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bi,
+             list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                 || ' ' || toks[i+3] || ' ' || toks[i+4]) AS five
+      FROM t),
+    bc AS (
+      SELECT doc_id, max(c) AS top_bi, sum(c) AS n_bi
+      FROM (SELECT doc_id, u.x, count(*) AS c
+            FROM g, unnest(bi) AS u(x) GROUP BY doc_id, u.x)
+      GROUP BY doc_id),
+    fc AS (
+      SELECT doc_id,
+             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_five,
+             sum(c) AS n_five
+      FROM (SELECT doc_id, u.x, count(*) AS c
+            FROM g, unnest(five) AS u(x) GROUP BY doc_id, u.x)
+      GROUP BY doc_id)
+    SELECT g.doc_id,
+           round(coalesce(bc.top_bi, 0) / greatest(coalesce(bc.n_bi, 0), 1), 6)
+             AS top_bigram_frac,
+           round(coalesce(fc.dup_five, 0) / greatest(coalesce(fc.n_five, 0), 1), 6)
+             AS dup_5gram_frac,
+           (coalesce(bc.top_bi, 0) / greatest(coalesce(bc.n_bi, 0), 1) > 0.18
+            OR coalesce(fc.dup_five, 0) / greatest(coalesce(fc.n_five, 0), 1) > 0.30)
+             AS is_repetitive
+    FROM g LEFT JOIN bc USING (doc_id) LEFT JOIN fc USING (doc_id)
+    """,
+    doc="Gopher-style intra-document repetition filters (Rae et al. 2021 "
+    "quality rules): fraction of 2-grams taken by the most common 2-gram "
+    "and fraction of 5-grams occurring more than once, with the combined "
+    "repetitive-document verdict. MAP-ONLY at any scale: n-grams and "
+    "their frequencies come from the token_counts run-length fold over "
+    "the sorted n-gram array inside whole-stage expression evaluation — "
+    "no explode, no shuffle, one pass over the corpus (the same trick "
+    "TF-IDF uses, applied per document).",
+    tags=("text", "quality"),
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        cpu_parallelize,
+        token_counts,
+    )
+
+    toks = F.filter(
+        F.split(normalized_text("text"), " "), lambda w: w != ""
+    )
+
+    def grams(col, n):
+        k = F.greatest(F.size(col) - (n - 1), F.lit(0))
+        return F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(col, i, n), " "),
+        )
+
+    d = cpu_parallelize(tbl(spark, sf_dir, "documents").select("doc_id", "text"))
+    # token_counts requires MATERIALIZED sorted columns (Catalyst does not
+    # CSE inside higher-order lambdas) — stage them in a select first
+    staged = d.select(
+        "doc_id",
+        F.array_sort(grams(toks, 2)).alias("bi"),
+        F.array_sort(grams(toks, 5)).alias("five"),
+    ).select(
+        "doc_id",
+        F.size("bi").alias("n_bi"),
+        F.size("five").alias("n_five"),
+        token_counts(F.col("bi")).alias("bc"),
+        token_counts(F.col("five")).alias("fc"),
+    )
+    top_bi = F.coalesce(
+        F.array_max(F.transform("bc", lambda x: x["tf"])), F.lit(0).cast("long")
+    )
+    dup_five = F.aggregate(
+        "fc",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(x["tf"] >= 2, x["tf"]).otherwise(0),
+    )
+    bi_frac = top_bi / F.greatest(F.col("n_bi"), F.lit(1))
+    five_frac = dup_five / F.greatest(F.col("n_five"), F.lit(1))
+    return staged.select(
+        "doc_id",
+        F.round(bi_frac, 6).alias("top_bigram_frac"),
+        F.round(five_frac, 6).alias("dup_5gram_frac"),
+        ((bi_frac > 0.18) | (five_frac > 0.30)).alias("is_repetitive"),
+    )
