@@ -248,7 +248,21 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+#: Token-hash expressions simhash64 can fold over. ``xxhash64`` is the
+#: scale default (one JVM intrinsic per token). ``md5_60`` derives a
+#: 60-bit integer from the md5 hex prefix — ~2x the hashing cost, but
+#: every engine with md5 computes the IDENTICAL value, which is what
+#: makes q_simhash bit-for-bit oracle-checkable against DuckDB
+#: (`('0x' || substr(md5(t),1,15))::BIGINT` on that side).
+_TOKEN_HASHES = {
+    "xxhash64": ("xxhash64(t)", 64),
+    "md5_60": ("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)", 60),
+}
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, token_hash: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash fingerprint per document — a MAP-ONLY stage.
 
     The fingerprint is a per-document reduction, so it never needs a
@@ -257,20 +271,24 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bits — all inside whole-stage codegen. (The alternative explode +
     groupBy(doc) shape pays a corpus-wide exchange for a computation
     that was per-row all along.)
+
+    ``token_hash`` selects the per-token hash from _TOKEN_HASHES; the
+    fold only visits bits the hash can set, so md5_60 costs 60 slots.
     """
+    hash_expr, bits = _TOKEN_HASHES[token_hash]
     toks_arr = F.array_distinct(F.split(normalized_text(text_col), " "))
     fp = F.expr(
-        """
+        f"""
         aggregate(
           zip_with(
             aggregate(
-              transform(__toks, t -> xxhash64(t)),
-              array_repeat(0L, 64),
+              transform(__toks, t -> {hash_expr}),
+              array_repeat(0L, {bits}),
               (acc, h) -> zip_with(
-                acc, sequence(0, 63),
+                acc, sequence(0, {bits - 1}),
                 (a, i) -> a + IF((shiftright(h, i) & 1L) = 1L, 1L, -1L))
             ),
-            sequence(0, 63),
+            sequence(0, {bits - 1}),
             (c, i) -> IF(c > 0, shiftleft(1L, i), 0L)
           ),
           0L, (a, x) -> a | x

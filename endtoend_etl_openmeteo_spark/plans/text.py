@@ -498,13 +498,38 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_simhash",
-    oracle=None,  # hash-function-specific fingerprints — rows-only check
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT id, i,
+             SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS c
+      FROM h CROSS JOIN (SELECT unnest(range(60)) AS i) bit_idx
+      GROUP BY id, i
+    )
+    SELECT id,
+           SUM(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT
+             AS simhash
+    FROM bits GROUP BY id
+    """,
     doc="64-bit SimHash fingerprints per document: per-bit signed token "
-    "sums in one groupBy, bits recombined JVM-side.",
-    tags=("dedup", "approx"),
+    "sums folded map-side, bits recombined JVM-side. The declared query "
+    "uses the md5_60 token hash so DuckDB replicates every fingerprint "
+    "bit-for-bit (the engine default stays xxhash64 — same fold, cheaper "
+    "hash; q_quality_contract exercises that path).",
+    tags=("dedup",),
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash64(tbl(spark, sf_dir, "documents"), "doc_id", "text")
+    return simhash64(
+        tbl(spark, sf_dir, "documents"), "doc_id", "text", token_hash="md5_60"
+    )
 
 
 @register(
