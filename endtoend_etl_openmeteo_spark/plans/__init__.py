@@ -186,15 +186,17 @@ PRIORITY: list[str] = [
     "q_pagerank",
     "q_snapshot_diff",
     "q_incremental_agg",
-    # Oracle-backed in round 6 (dedup-family floor contracts, packing)
+    # Oracle-backed in round 6 (dedup-family floor contracts, packing,
+    # md5_60 simhash, streaming window parity)
     "q_dedup_contract",
     "q_sequence_pack",
     "q_repetition_filter",
+    "q_simhash",
+    "q_stream_window",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",
     "q_neardup_incremental",
-    "q_simhash",
     "q_dedup_clusters",
     "q_kmeans",
     "q_ann_ivf",

@@ -678,3 +678,85 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap")
         )
     )
+
+
+@register(
+    "q_stream_window",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Structured-Streaming windowed aggregate, hash-checked against the "
+    "BATCH oracle — streaming-equals-batch parity as a driver-grade "
+    "contract, not just a pytest. The events table lands as a file "
+    "stream (two micro-batches); a tumbling 1-day event-time window "
+    "behind a 1-hour watermark aggregates in APPEND mode (the scale "
+    "path: state purges as the watermark passes each window, emitted "
+    "rows are final — no complete-mode re-emission of the whole result "
+    "per batch). Wave 2 is a fence row 30 days past the horizon "
+    "(advances the watermark so every real window closes and emits; its "
+    "own window never does). Wave 3 is a LATE row at the stream's "
+    "minimum event time, which the watermark must DROP — it rides one "
+    "batch BEHIND the fence because Spark filters batch N's late rows "
+    "with batch N-1's watermark (the two-watermark split of SPARK-40925; "
+    "fence and probe in one batch would be filtered against the "
+    "pre-fence watermark and leak). If the probe leaked into the first "
+    "day's window, its count would shift and the oracle hash would catch "
+    "it. Exactly-once file sink + checkpoint, same lifecycle as "
+    "production (streaming/pipeline.py T1-T4).",
+    tags=("streaming", "aggregate"),
+)
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from datetime import timedelta
+
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+
+    events = tbl(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    bounds = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    work = scratch_dir(prefix="stream_window_")
+    landing, out = f"{work}/landing", f"{work}/out"
+    try:
+        # wave 1: the real corpus, one file (one micro-batch)
+        events.coalesce(1).write.mode("append").parquet(landing)
+        # wave 2: watermark fence; wave 3: late-data probe (see doc —
+        # the probe must trail the fence by one micro-batch)
+        sch = "event_id bigint, ts timestamp, event_type string, value double"
+        spark.createDataFrame(
+            [(-1, bounds["hi"] + timedelta(days=30), "__fence__", 0.0)], sch
+        ).coalesce(1).write.mode("append").parquet(landing)
+        spark.createDataFrame(
+            [(-2, bounds["lo"], "__late__", 1.0e6)], sch
+        ).coalesce(1).write.mode("append").parquet(landing)
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.avg("value"), 6).alias("avg_value"),
+            )
+            .select("event_type", F.col("w.start").alias("day"), "n", "avg_value")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        # eager checkpoint: the result must outlive the scratch cleanup
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

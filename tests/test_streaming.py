@@ -395,3 +395,60 @@ def test_streaming_session_window_merges_and_closes(spark, workdir):
     assert sessions[(1, 0)] == (3, 6.0)  # 10:00-10:20 merged (gap 10 min)
     assert sessions[(1, 30)] == (1, 5.0)  # 11:30 is its own session
     assert sessions[(2, 5)] == (1, 10.0)
+
+
+def test_stream_window_drops_late_row_and_fences_watermark(spark, workdir):
+    """q_stream_window's contract, pinned at the metrics level: the late
+    probe is DROPPED by the watermark (numRowsDroppedByWatermark=1 in the
+    batch AFTER the fence — SPARK-40925 filters batch N with batch N-1's
+    watermark), every real window emits in append mode, and the fence's
+    own window never does."""
+    from datetime import datetime
+
+    landing, out, ckpt = (str(workdir / d) for d in ("landing", "out", "ckpt"))
+    sch = "event_id bigint, ts timestamp, event_type string, value double"
+    real = [
+        (1, datetime(2024, 1, 1, 0, 0, 7), "a", 1.0),
+        (2, datetime(2024, 1, 30, 23, 0, 0), "a", 3.0),
+        (3, datetime(2024, 1, 1, 12, 0, 0), "b", 5.0),
+    ]
+    spark.createDataFrame(real, sch).coalesce(1).write.mode("append").parquet(landing)
+    spark.createDataFrame(
+        [(-1, datetime(2024, 3, 1), "__fence__", 0.0)], sch
+    ).coalesce(1).write.mode("append").parquet(landing)
+    spark.createDataFrame(
+        [(-2, datetime(2024, 1, 1, 6, 0, 0), "__late__", 1.0e6)], sch
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(landing)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select("event_type", F.col("w.start").alias("day"), "n")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    dropped = {
+        p["batchId"]: p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    }
+    assert dropped.get(2) == 1, f"late probe not dropped: {dropped}"
+
+    rows = {(r.event_type, r.day, r.n) for r in spark.read.parquet(out).collect()}
+    assert rows == {
+        ("a", datetime(2024, 1, 1), 1),
+        ("a", datetime(2024, 1, 30), 1),
+        ("b", datetime(2024, 1, 1), 1),
+    }  # no __late__ leak, no __fence__ emission, all real windows closed
