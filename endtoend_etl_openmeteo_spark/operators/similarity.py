@@ -538,3 +538,116 @@ def pq_topk_rerank(
     return rescored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def write_ivf_index(
+    cells: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> None:
+    """Materialize an IVF index: cell-assigned vectors stored
+    ``partitionBy("cell")`` plus a ``_quantizer.json`` sidecar holding the
+    trained centroids (underscore-prefixed: invisible to Spark's data-file
+    discovery — the ``_stats.json`` pattern of the stored BM25 index,
+    operators/search.py).
+
+    The stored layout IS the serving optimization: a query batch probes
+    nprobe cells, and because ``cell`` is the partition column the scan
+    plans ``PartitionFilters`` on it — Spark never lists, opens, or reads
+    the other cells' files. Cell count is the knob: bounded directories
+    (one per cell, FAISS nlist), each internally splittable, so the
+    small-files failure mode of per-term/per-key layouts doesn't apply.
+    """
+    import json
+    import os
+
+    (
+        cells.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+            F.col(cell_col).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]]) for r in centroids.collect()
+    )
+    with open(os.path.join(path, "_quantizer.json"), "w") as f:
+        json.dump({"centroids": cents}, f)
+
+
+def stored_ivf_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve IVF top-k from a :func:`write_ivf_index` layout, touching only
+    the probed cells' partitions.
+
+    Probe selection runs exactly like :func:`ivf_topk` (packed one-row
+    centroid broadcast, map-side array_sort+slice). The DISTINCT probed
+    cells — bounded by min(|queries|·nprobe, n_cells), a metadata-sized
+    list — come back to the driver as literals for the scan's
+    ``cell IN (...)`` predicate, which is what lets Catalyst prune
+    partitions statically instead of joining first and pruning never.
+    Scoring then matches ivf_topk row for row: same candidate set, same
+    rounding, same (cos_sim desc, n_id) tie-break.
+    """
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(path, "_quantizer.json")) as f:
+        cents = json.load(f)["centroids"]
+    cell_t = "bigint"
+    cents_row = spark.createDataFrame(
+        [([(int(c), list(v)) for c, v in cents],)],
+        f"cents array<struct<cell:{cell_t},centroid:array<double>>>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    ranked = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            (-F.round(cosine(F.col("q_vec"), s["centroid"]), 9)).alias("neg"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents_row))
+        .select(
+            "q_id",
+            "q_vec",
+            F.explode(F.slice(F.array_sort(ranked), 1, nprobe)).alias("probe"),
+        )
+        .select("q_id", "q_vec", F.col("probe.cell").alias("cell"))
+        # evaluated twice (cell-list collect + the scoring join) — a
+        # |queries| x n_cells map stage, cheap enough to recompute rather
+        # than pin a checkpoint block past the call
+    )
+    probe_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    scored = idx.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"), "cell"
+    ).join(F.broadcast(probes), "cell").filter(F.col("q_id") != F.col("n_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        scored.select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -327,3 +327,70 @@ def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") / F.col("n_exact") >= 0.5).alias("recall_ok"),
         )
     )
+
+
+@register(
+    "q_ann_ivf_stored",
+    # Stored-vs-in-plan equivalence is exactly checkable (same centroids,
+    # same rounding, same tie-break), so the contract row hash-checks it.
+    oracle="SELECT 'stored_equals_inplan' AS contract, TRUE AS ok",
+    doc="IVF serving from a STORED index (operators/similarity."
+    "write_ivf_index / stored_ivf_topk): cell-assigned vectors persisted "
+    "partitionBy(cell) + a _quantizer.json centroid sidecar; a query "
+    "batch collects its nprobe probe cells as literals so the scan's "
+    "PartitionFilters prune every unprobed cell statically (pinned in "
+    "tests/test_similarity.py). The contract asserts the stored path "
+    "returns row-for-row the in-plan ivf_topk result for the same "
+    "quantizer — build-once/serve-many with zero recall drift. The "
+    "offline analog of q_ann_ivf, completing the FAISS split: train "
+    "(sampled) -> assign+store (one distributed pass) -> serve (probed "
+    "partitions only).",
+    tags=("similarity", "approx"),
+)
+def q_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.operators.clusters import (
+        kmeans_assign,
+        kmeans_train_sampled,
+    )
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        stored_ivf_topk,
+        write_ivf_index,
+    )
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = _cached_model(
+        spark,
+        ("ivf_kmeans", sf_dir, 10, 2),
+        lambda: kmeans_train_sampled(emb, k=10, iterations=2),
+    )
+    cells = (
+        kmeans_assign(emb, centroids, keep_vec=True)
+        .withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("vec", "embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx_dir = scratch_dir(prefix="ivf_idx_")
+    try:
+        write_ivf_index(cells, centroids, idx_dir, cell_col="cluster")
+        stored = stored_ivf_topk(spark, idx_dir, queries, k=10, nprobe=2)
+        inplan = ivf_topk(
+            cells,
+            queries,
+            cell_col="cluster",
+            k=10,
+            nprobe=2,
+            centroids=centroids.withColumnRenamed("cluster", "cell"),
+        )
+        diff = stored.exceptAll(inplan).unionByName(inplan.exceptAll(stored))
+        return (
+            diff.groupBy()
+            .agg((F.count("*") == 0).alias("ok"))
+            .select(F.lit("stored_equals_inplan").alias("contract"), "ok")
+            # the scratch index is deleted on return — materialize first
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)

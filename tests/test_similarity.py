@@ -146,3 +146,53 @@ def test_trained_model_cache_invalidates_on_data_change(spark, tmp_path):
         os.utime(os.path.join(p, f), ns=(newest + 10**9, newest + 10**9))
     _cached_model(spark, key, build)
     assert len(builds) == 2
+
+
+def test_stored_ivf_prunes_unprobed_cells_and_matches_inplan(spark, emb, tmp_path):
+    """The stored-index serving contract at the plan level: the scan
+    carries PartitionFilters on `cell`, reads ONLY the probed cells'
+    directories, and returns row-for-row the in-plan ivf_topk result."""
+    from endtoend_etl_openmeteo_spark.operators.clusters import (
+        kmeans_assign,
+        kmeans_train_sampled,
+    )
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        stored_ivf_topk,
+        write_ivf_index,
+    )
+
+    centroids = kmeans_train_sampled(emb, k=10, iterations=2)
+    cells = (
+        kmeans_assign(emb, centroids, keep_vec=True)
+        .withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("vec", "embedding")
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(cells, centroids, path, cell_col="cluster")
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    stored = stored_ivf_topk(spark, path, queries, k=10, nprobe=1)
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200]
+
+    # the partition filter names STRICTLY fewer cells than the index
+    # holds (5 queries x 1 probe of 10 cells; inputFiles() can't show
+    # this — it lists the relation pre-pruning)
+    import re
+
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    in_list = re.search(r"IN \(([^)]*)\)", pf)
+    assert in_list, f"no IN partition filter: {pf}"
+    probed = {c.strip() for c in in_list.group(1).split(",")}
+    assert len(probed) <= 5 < 10  # 10 = cells in the index
+
+    # and serving from the store is row-for-row the in-plan result
+    inplan = ivf_topk(
+        cells, queries, cell_col="cluster", k=10, nprobe=1,
+        centroids=centroids.withColumnRenamed("cluster", "cell"),
+    )
+    s_rows = {tuple(r) for r in stored.collect()}
+    i_rows = {tuple(r) for r in inplan.collect()}
+    assert s_rows == i_rows and s_rows
