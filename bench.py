@@ -82,15 +82,39 @@ def main() -> None:
             release_persistent_rdds(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # Full per-query map → local artifact (committed per round). The driver
+    # captures only the ~2 KB TAIL of stdout, so the printed line must stay
+    # compact: round-6's full 164-query line was front-truncated and parsed
+    # as null, losing half the suite's timings. The driver line carries the
+    # 50 driver-prefix queries at 2 dp (~1.2 KB) + suite totals; everything
+    # else is recoverable from BENCH_LOCAL.json.
+    full = {
+        "metric": "declared_query_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    (REPO / "BENCH_LOCAL.json").write_text(json.dumps(full, indent=1) + "\n")
+    prefix = [n for n in plans.PRIORITY if n in timings][:50]
+    compact_q = {n: round(timings[n], 2) for n in prefix}
+    n_err = sum(1 for t in timings.values() if t < 0)
     print(
         json.dumps(
             {
                 "metric": "declared_query_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": compact_q,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+                "n_errors": n_err,
+                "tail_sec": round(
+                    sum(t for n, t in timings.items() if t >= 0 and n not in compact_q), 2
+                ),
+                "full_map": "BENCH_LOCAL.json",
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -428,6 +428,84 @@ def incremental_neardup(
     return pairs
 
 
+def incremental_exact_dedup(
+    spark: SparkSession,
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    batch_id: str | None = None,
+) -> DataFrame:
+    """Exact-dup screen a NEW batch against a persistent content-digest
+    index — ``incremental_neardup``'s machinery at the exact tier.
+
+    The production split this serves: exact dedup runs AT INGEST (this
+    operator — the index is one 16-byte md5 per document, an order of
+    magnitude leaner than even the MinHash signature index), near-dup runs
+    offline over the committed corpus. Because the verdict is digest
+    equality, the whole screen is deterministic and ANSI-SQL-replicable —
+    which is what lets the streaming corpus ingest carry a DuckDB oracle.
+
+    Semantics mirror ``incremental_neardup`` exactly: a new doc is a dup
+    iff its digest matches ANY prior-batch doc (kept or quarantined — the
+    whole batch is indexed), or a smaller-id doc in its own batch (keep
+    the smallest id, ``exact_dedup``'s rule). Returns pairs
+    (new_id, match_id, match_is_new); index layout and the batch-stamped
+    crash-idempotent overwrite are shared with the MinHash path.
+    """
+    from endtoend_etl_openmeteo_spark.operators.merge import _path_exists
+
+    new_fp = (
+        cpu_parallelize(new_df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("id"), F.md5(normalized_text(text_col)).alias("fp")
+        )
+        .localCheckpoint(eager=True)  # consumed 3x: pairs, novelty, append
+    )
+    old_fp = None
+    if batch_id is not None:
+        sibling_paths = _sibling_batch_paths(spark, index_path, batch_id)
+        if sibling_paths:
+            old_fp = spark.read.parquet(*sibling_paths).select("id", "fp")
+    elif _path_exists(spark, index_path):
+        old_fp = spark.read.parquet(index_path).select("id", "fp")
+    if old_fp is not None:
+        touched = new_fp.select("fp").distinct()
+        old_side = old_fp.join(F.broadcast(touched), ["fp"])
+    else:
+        old_side = new_fp.limit(0)
+    right = old_side.withColumn("is_new", F.lit(False)).unionByName(
+        new_fp.withColumn("is_new", F.lit(True))
+    )
+    a, b = new_fp.alias("a"), right.alias("b")
+    pairs = (
+        a.join(b, ["fp"])
+        # new-new pairs once (id_a < id_b); new-old pairs always (new, old)
+        .filter(
+            (~F.col("b.is_new") & (F.col("a.id") != F.col("b.id")))
+            | (F.col("b.is_new") & (F.col("a.id") < F.col("b.id")))
+        )
+        .select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("match_id"),
+            F.col("b.is_new").alias("match_is_new"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # materialize BEFORE the index append
+    )
+    novel = (
+        new_fp
+        if old_fp is None
+        else new_fp.join(old_fp.select("id"), "id", "left_anti")
+    )
+    if batch_id is not None:
+        novel.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+    else:
+        novel.write.mode("append").parquet(index_path)
+    release_checkpoint(new_fp)
+    return pairs
+
+
 def _sibling_batch_paths(spark: SparkSession, index_path: str, batch_id: str) -> list[str]:
     """Index contents EXCEPT this batch's own ``batch=<id>`` subdirectory:
     every sibling batch dir PLUS any root-level parquet files from the

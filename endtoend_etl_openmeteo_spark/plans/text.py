@@ -819,21 +819,61 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_corpus_ingest",
-    oracle=None,  # MinHash-estimate screening — hash-specific, rows-only
+    # The streaming lifecycle hash-checked against the batch dedup oracle
+    # (the q_stream_window pattern applied to the ingest pipeline): the
+    # exact-digest screen's verdicts are deterministic SQL — a doc is a dup
+    # iff its normalized-text md5 matches any earlier-wave doc (kept OR
+    # quarantined: the whole batch is indexed) or a smaller-id doc in its
+    # own wave. Wave split replicates the Spark side's
+    # (max(doc_id)/2).cast(long) = floor for positive ids.
+    oracle=r"""
+    WITH h AS (
+      SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS half FROM documents
+    ),
+    raw AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id <= (SELECT half FROM h) THEN 1 ELSE 2 END AS wave
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text, 2
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    d AS (
+      SELECT doc_id, wave,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM raw
+    ),
+    dup AS (
+      SELECT DISTINCT a.doc_id
+      FROM d a JOIN d b ON a.fp = b.fp
+      WHERE b.wave < a.wave OR (b.wave = a.wave AND b.doc_id < a.doc_id)
+    )
+    SELECT doc_id::BIGINT AS doc_id,
+           doc_id NOT IN (SELECT doc_id FROM dup) AS kept
+    FROM d
+    """,
     doc="End-to-end continuous corpus ingest "
     "(streaming.run_streaming_corpus_ingest): the documents table lands in "
     "two micro-batch waves on a file stream; each epoch is screened "
-    "against the persistent MinHash index (batch_id = run-epoch, "
+    "against the persistent dup index (batch_id = run-epoch, "
     "crash-idempotent whole-subdir writes), duplicates quarantined, clean "
     "docs committed to the corpus under replay-safe (run, epoch) "
     "partitions. Returns one row per ingested doc with its kept/dup "
-    "verdict. Work per epoch is O(batch + touched buckets), never "
-    "O(corpus) — ingest cost tracks arrival rate as the corpus grows. "
-    "Crash/kill-resume semantics pinned by tests/test_corpus_ingest.py.",
+    "verdict, HASH-CHECKED against the batch dedup oracle — streaming "
+    "ingest equals batch curation as a driver-grade contract. This row "
+    "runs the exact-digest screen tier (screen='exact', "
+    "operators/dedup.incremental_exact_dedup — deterministic verdicts, "
+    "16-byte/doc index); the MinHash near-dup tier shares every line of "
+    "lifecycle machinery and keeps its own kill-and-resume + floor "
+    "contracts (tests/test_corpus_ingest.py, q_dedup_contract). Work per "
+    "epoch is O(batch + touched digests), never O(corpus) — ingest cost "
+    "tracks arrival rate as the corpus grows.",
     tags=("dedup", "streaming"),
 )
 def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import shutil
+    import time as _time
 
     from endtoend_etl_openmeteo_spark.session import scratch_dir
     from endtoend_etl_openmeteo_spark.streaming import (
@@ -844,19 +884,40 @@ def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = docs.agg((F.max("doc_id") / 2).cast("long")).collect()[0][0]
     work = scratch_dir(prefix="corpus_ingest_")
     corpus, quarantine = f"{work}/corpus", f"{work}/quarantine"
+    landing = f"{work}/landing"
     try:
         # two single-file waves -> two micro-batches of ONE streaming
         # lifecycle (maxFilesPerTrigger=1): wave 2 is screened against the
         # index wave 1's epoch committed, same sequencing as two separate
-        # runs without paying a second engine start/stop
-        for wave in (docs.filter(F.col("doc_id") <= half),
-                     docs.filter(F.col("doc_id") > half)):
-            wave.coalesce(1).write.mode("append").parquet(f"{work}/landing")
+        # runs without paying a second engine start/stop. The documents
+        # table has no exact duplicates, so wave 2 also carries a
+        # deterministic replica of every doc_id % 7 == 0 doc (id + 1e7,
+        # same text — mirrored in the oracle): replicas of wave-1 docs
+        # exercise the cross-batch index match, replicas of wave-2 docs
+        # the smaller-id-in-own-batch rule. Wave order is pinned with
+        # explicit mtimes (FileStreamSource sorts by mtime; coarse
+        # filesystem granularity must not reorder the waves).
+        replicas = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        docs.filter(F.col("doc_id") <= half).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        wave1 = set(os.listdir(landing))
+        docs.filter(F.col("doc_id") > half).unionByName(replicas).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        now = _time.time()
+        for f in os.listdir(landing):
+            if not f.startswith("_"):
+                off = 0 if f in wave1 else 10
+                os.utime(f"{landing}/{f}", (now + off, now + off))
         q = run_streaming_corpus_ingest(
-            spark, f"{work}/landing", corpus, f"{work}/index",
+            spark, landing, corpus, f"{work}/index",
             f"{work}/ckpt", "doc_id bigint, text string",
             quarantine_path=quarantine,
             max_files_per_trigger=1,
+            screen="exact",
         )
         q.awaitTermination(600)
         kept = spark.read.parquet(corpus).select("doc_id", F.lit(True).alias("kept"))

@@ -694,21 +694,30 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "behind a 1-hour watermark aggregates in APPEND mode (the scale "
     "path: state purges as the watermark passes each window, emitted "
     "rows are final — no complete-mode re-emission of the whole result "
-    "per batch). Wave 2 is a fence row 30 days past the horizon "
-    "(advances the watermark so every real window closes and emits; its "
-    "own window never does). Wave 3 is a LATE row at the stream's "
-    "minimum event time, which the watermark must DROP — it rides one "
-    "batch BEHIND the fence because Spark filters batch N's late rows "
-    "with batch N-1's watermark (the two-watermark split of SPARK-40925; "
-    "fence and probe in one batch would be filtered against the "
-    "pre-fence watermark and leak). If the probe leaked into the first "
+    "per batch). Batch 1 is the corpus; batch 2 a fence row 30 days "
+    "past the horizon (advances the watermark so every real window "
+    "closes and emits; its own window never does); batch 3 a LATE row "
+    "at the stream's minimum event time, which the watermark must DROP. "
+    "The probe rides TWO batches behind the data whose watermark drops "
+    "it: SPARK-40925's two-watermark split filters batch N's late rows "
+    "with the watermark of batch N-1, which is computed from data seen "
+    "through batch N-2 — measured here: a probe one batch after the "
+    "fence-carrying batch leaks (its filter watermark predates the "
+    "fence). The corpus watermark (hi - 1h) is what drops the probe; "
+    "the fence's job is closing windows. Batch order is pinned with "
+    "explicit strictly-increasing mtimes (FileStreamSource orders by "
+    "modification time — coarse filesystem timestamp granularity must "
+    "not co-batch the probe with the fence). If the probe leaked into "
+    "the first "
     "day's window, its count would shift and the oracle hash would catch "
     "it. Exactly-once file sink + checkpoint, same lifecycle as "
     "production (streaming/pipeline.py T1-T4).",
     tags=("streaming", "aggregate"),
 )
 def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import shutil
+    import time
     from datetime import timedelta
 
     from endtoend_etl_openmeteo_spark.session import scratch_dir
@@ -720,17 +729,41 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = scratch_dir(prefix="stream_window_")
     landing, out = f"{work}/landing", f"{work}/out"
     try:
-        # wave 1: the real corpus, one file (one micro-batch)
-        events.coalesce(1).write.mode("append").parquet(landing)
-        # wave 2: watermark fence; wave 3: late-data probe (see doc —
-        # the probe must trail the fence by one micro-batch)
+        # batch 1: the corpus (whose watermark hi-1h is what ultimately
+        # drops the probe); batch 2: watermark fence; batch 3: late probe
+        # (must trail the corpus by TWO micro-batches, see doc).
         sch = "event_id bigint, ts timestamp, event_type string, value double"
-        spark.createDataFrame(
-            [(-1, bounds["hi"] + timedelta(days=30), "__fence__", 0.0)], sch
-        ).coalesce(1).write.mode("append").parquet(landing)
-        spark.createDataFrame(
-            [(-2, bounds["lo"], "__late__", 1.0e6)], sch
-        ).coalesce(1).write.mode("append").parquet(landing)
+
+        def one_row(eid: int, ts, etype: str, value: float):
+            # JVM-side literal row: a createDataFrame-backed write launches
+            # a Python runner per task (~5 s worker spin-up measured here);
+            # a literal projection over range(1) stays in codegen.
+            return spark.range(1).select(
+                F.lit(eid).cast("bigint").alias("event_id"),
+                F.lit(ts.isoformat()).cast("timestamp").alias("ts"),
+                F.lit(etype).alias("event_type"),
+                F.lit(value).alias("value"),
+            )
+
+        events.coalesce(1).write.mode("append").parquet(landing)
+        wave1 = set(os.listdir(landing))
+        one_row(-1, bounds["hi"] + timedelta(days=30), "__fence__", 0.0).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        wave2 = set(os.listdir(landing))
+        one_row(-2, bounds["lo"], "__late__", 1.0e6).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        # Pin micro-batch order: FileStreamSource sorts by mtime, and on a
+        # coarse-granularity filesystem the waves can land in the same
+        # tick — stamp strictly increasing mtimes (corpus < fence < probe)
+        # so the probe provably arrives one batch after the fence.
+        now = time.time()
+        for f in os.listdir(landing):
+            if f.startswith("_"):
+                continue
+            off = 0 if f in wave1 else (10 if f in wave2 else 20)
+            os.utime(f"{landing}/{f}", (now + off, now + off))
         stream = (
             spark.readStream.schema(
                 "event_id bigint, ts timestamp, event_type string, value double"
@@ -747,15 +780,26 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("event_type", F.col("w.start").alias("day"), "n", "avg_value")
         )
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", f"{work}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
+        # State partitions are fixed by spark.sql.shuffle.partitions at
+        # checkpoint creation; this query creates a fresh checkpoint every
+        # run, so pin a small count — each micro-batch commits one state
+        # store per partition, and 32 stores × 4 batches is pure fixed
+        # overhead for a ~150-group aggregate. (At production scale the
+        # checkpoint would be long-lived and sized to the key cardinality.)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         # eager checkpoint: the result must outlive the scratch cleanup
         return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:

@@ -171,12 +171,16 @@ def run_streaming_corpus_ingest(
     shingle_n: int = 3,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    screen: str = "minhash",
 ) -> StreamingQuery:
-    """Continuous corpus ingest: landing docs stream → near-dup screen
-    against the persistent MinHash index → clean docs to the corpus,
-    duplicates quarantined — the 100-TB training-data pipeline shape that
-    composes the streaming ELT's exactly-once machinery with
-    ``operators.dedup.incremental_neardup``.
+    """Continuous corpus ingest: landing docs stream → dup screen against
+    the persistent index → clean docs to the corpus, duplicates
+    quarantined — the 100-TB training-data pipeline shape that composes
+    the streaming ELT's exactly-once machinery with
+    ``operators.dedup.incremental_neardup`` (``screen="minhash"``, the
+    near-dup default) or ``operators.dedup.incremental_exact_dedup``
+    (``screen="exact"`` — digest-equality verdicts, deterministic and
+    SQL-replicable, with a 16-byte/doc index).
 
     Per micro-batch (epoch):
 
@@ -211,24 +215,38 @@ def run_streaming_corpus_ingest(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(landing_path)
 
+    if screen not in ("minhash", "exact"):
+        raise ValueError(f"unknown screen {screen!r} (minhash|exact)")
+
     def screen_batch(batch: DataFrame, epoch_id: int) -> None:
         from endtoend_etl_openmeteo_spark.operators.dedup import (
+            incremental_exact_dedup,
             incremental_neardup,
         )
 
         sess = batch.sparkSession
-        pairs = incremental_neardup(
-            sess,
-            batch,
-            index_path,
-            id_col,
-            text_col,
-            n_hashes=n_hashes,
-            bands=bands,
-            shingle_n=shingle_n,
-            est_threshold=est_threshold,
-            batch_id=f"{run_id}-{int(epoch_id)}",
-        )
+        if screen == "exact":
+            pairs = incremental_exact_dedup(
+                sess,
+                batch,
+                index_path,
+                id_col,
+                text_col,
+                batch_id=f"{run_id}-{int(epoch_id)}",
+            )
+        else:
+            pairs = incremental_neardup(
+                sess,
+                batch,
+                index_path,
+                id_col,
+                text_col,
+                n_hashes=n_hashes,
+                bands=bands,
+                shingle_n=shingle_n,
+                est_threshold=est_threshold,
+                batch_id=f"{run_id}-{int(epoch_id)}",
+            )
         # pairs is eagerly checkpointed inside the operator (it must
         # materialize BEFORE the index append), so reusing it twice below
         # re-reads checkpoint blocks, not the landing files.

@@ -150,3 +150,65 @@ def test_incremental_neardup_identical_text_estimates_one(spark, index_path):
         spark, _docs(spark, [(2, BASE)]), index_path, "doc_id", "text"
     ).collect()
     assert [(r.new_id, r.match_id, r.est_jaccard) for r in pairs] == [(2, 1, 1.0)]
+
+
+def test_incremental_exact_dedup_semantics(spark, index_path):
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    other = "unrelated text on streaming watermarks and stateful operators"
+    b1 = _docs(spark, [(1, BASE), (2, other)])
+    assert (
+        incremental_exact_dedup(spark, b1, index_path, "doc_id", "text", batch_id="b1")
+        .collect()
+        == []
+    )
+    assert spark.read.parquet(index_path).count() == 2
+
+    # batch 2: exact copy of doc 1 (cross-batch), a WHITESPACE/CASE variant
+    # of doc 2 (normalization must equate them), an intra-batch dup pair,
+    # and a near-dup that exact MUST NOT flag.
+    near = BASE.replace("quiet sleeping town", "quiet sleepy village")
+    b2 = _docs(
+        spark,
+        [
+            (10, BASE),
+            (11, "  " + other.upper() + "  "),
+            (12, "fresh doc body"),
+            (13, "fresh  doc body"),
+            (14, near),
+        ],
+    )
+    pairs = incremental_exact_dedup(
+        spark, b2, index_path, "doc_id", "text", batch_id="b2"
+    ).collect()
+    got = {(r.new_id, r.match_id): r.match_is_new for r in pairs}
+    assert got == {(10, 1): False, (11, 2): False, (12, 13): True}
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == 7 and idx.select("id").distinct().count() == 7
+
+
+def test_incremental_exact_dedup_rerun_after_partial_write(spark, index_path):
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    other = "unrelated text on streaming watermarks and stateful operators"
+    incremental_exact_dedup(
+        spark, _docs(spark, [(1, BASE)]), index_path, "doc_id", "text", batch_id="b1"
+    )
+    b2 = _docs(spark, [(10, BASE), (11, other), (12, other)])
+    # crashed first attempt: only doc 11 landed in batch=b2
+    incremental_exact_dedup(
+        spark, _docs(spark, [(11, other)]), index_path, "doc_id", "text", batch_id="b2"
+    )
+    pairs = incremental_exact_dedup(
+        spark, b2, index_path, "doc_id", "text", batch_id="b2"
+    ).collect()
+    got = {(r.new_id, r.match_id): r.match_is_new for r in pairs}
+    # cross-batch hit survives; the intra-batch pair is NOT lost to the
+    # partial write (doc 11's stale digest was excluded and replaced)
+    assert got == {(10, 1): False, (11, 12): True}
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == 4 and idx.select("id").distinct().count() == 4

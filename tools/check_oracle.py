@@ -154,9 +154,11 @@ def main() -> int:
     con = duck_con(sf_dir)
     failures, rows_only = [], []
     ann_results: dict[str, list] = {}
+    n_run = 0
     for name, spec in sorted(registry.items()):
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
@@ -254,7 +256,7 @@ def main() -> int:
         if recall < RECALL_FLOOR:
             failures.append("recall:q_minhash_neardup")
     print(
-        f"\n{len(registry) - len(failures) - len(rows_only)} ok, "
+        f"\n{n_run - len(failures) - len(rows_only)} ok, "
         f"{len(rows_only)} rows-only, {len(failures)} FAILED"
     )
     return 1 if failures else 0
