@@ -158,6 +158,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified by exact Jaccard.
 
@@ -176,13 +177,19 @@ def minhash_lsh_pairs(
     feeds. Internal blocks are released before returning; the returned
     pair frame is itself checkpointed (pairs are candidate-bounded, tiny
     relative to the corpus) and owned by the caller.
+
+    ``materialize=False`` skips both checkpoints and returns the fully
+    lazy composed plan. The checkpoints collapse the declared plan to a
+    LogicalRDD scan, which blinds the registry-level shuffle-budget gate
+    to this pipeline — the lazy form exists so a dedicated plan test
+    (tests/test_plans.py::test_minhash_lsh_lazy_plan_shape) can keep the
+    band/verify-join exchange count pinned.
     """
-    base = (
-        cpu_parallelize(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
-        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
-        .localCheckpoint(eager=True)
-    )
+    base = cpu_parallelize(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    if materialize:
+        base = base.localCheckpoint(eager=True)
 
     banded = base.select(
         "id", F.explode(minhash_bands(F.col("sig"), n_hashes, bands)).alias("bb")
@@ -209,8 +216,10 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        .localCheckpoint(eager=True)
     )
+    if not materialize:
+        return verified
+    verified = verified.localCheckpoint(eager=True)
     release_checkpoint(base)
     return verified
 

@@ -540,6 +540,14 @@ def pq_topk_rerank(
     )
 
 
+def _quantizer_path(spark, index_path: str):
+    """(Path, FileSystem) for the stored-IVF quantizer sidecar — Hadoop FS
+    so the index works on any scheme the data does (file:/hdfs:/s3:)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_path.rstrip('/')}/_quantizer.json")
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
 def write_ivf_index(
     cells: DataFrame,
     centroids: DataFrame,
@@ -562,8 +570,8 @@ def write_ivf_index(
     small-files failure mode of per-term/per-key layouts doesn't apply.
     """
     import json
-    import os
 
+    spark = cells.sparkSession
     (
         cells.select(
             F.col(id_col).alias("vec_id"),
@@ -577,8 +585,12 @@ def write_ivf_index(
     cents = sorted(
         (int(r[0]), [float(x) for x in r[1]]) for r in centroids.collect()
     )
-    with open(os.path.join(path, "_quantizer.json"), "w") as f:
-        json.dump({"centroids": cents}, f)
+    # Hadoop FS, not open(): the sidecar must live wherever the vector data
+    # does (file:/hdfs:/s3:), same as the BM25 index's _stats.json.
+    p, fs = _quantizer_path(spark, path)
+    out = fs.create(p, True)
+    out.write(json.dumps({"centroids": cents}).encode("utf-8"))
+    out.close()
 
 
 def stored_ivf_topk(
@@ -603,12 +615,16 @@ def stored_ivf_topk(
     rounding, same (cos_sim desc, n_id) tie-break.
     """
     import json
-    import os
 
     from pyspark.sql import Window
 
-    with open(os.path.join(path, "_quantizer.json")) as f:
-        cents = json.load(f)["centroids"]
+    p, fs = _quantizer_path(spark, path)
+    stream = fs.open(p)
+    try:
+        raw = bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    cents = json.loads(raw.decode("utf-8"))["centroids"]
     cell_t = "bigint"
     cents_row = spark.createDataFrame(
         [([(int(c), list(v)) for c, v in cents],)],

@@ -1343,9 +1343,20 @@ def vt_vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> int:
     for v in drop:
         fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(table, v)), False)
     # GC spilled manifest files no retained version references (dropped
-    # versions' spills, plus orphans from lost CAS attempts)
+    # versions' spills, plus orphans from lost CAS attempts). A concurrent
+    # writer spills its m_*.parquet BEFORE the CAS rename of vN.json, so an
+    # unreferenced spill is not necessarily an orphan — it may belong to an
+    # in-flight commit. Grace window: only GC spills strictly older than the
+    # oldest retained version manifest; any in-flight commit started after
+    # that version landed, so its spills are always newer and survive.
     mdir = jvm.org.apache.hadoop.fs.Path(f"{table}/{_MANIFEST_DIR}")
     if fs.exists(mdir):
+        grace_mtime = min(
+            fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(_manifest_path(table, v))
+            ).getModificationTime()
+            for v in keep
+        )
         for status in fs.listStatus(mdir):
             name = status.getPath().getName()
             rel = f"{_MANIFEST_DIR}/{name}"
@@ -1353,6 +1364,7 @@ def vt_vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> int:
                 name.startswith("m_")
                 and name.endswith(".parquet")
                 and rel not in kept_manifest_files
+                and status.getModificationTime() < grace_mtime
             ):
                 fs.delete(status.getPath(), False)
     return len(doomed)

@@ -1236,7 +1236,16 @@ def _stored_index(spark: SparkSession, sf_dir: str) -> str:
 
     key = (sf_dir, _table_fingerprint(sf_dir, "documents"))
     if key not in _STORED_INDEX:
-        path = scratch_dir("bm25_index_") + "/postings"
+        import atexit
+        import shutil
+
+        root = scratch_dir("bm25_index_")
+        # scratch indexes must not accrete across bench/check_oracle
+        # processes — one /tmp dir per corpus fingerprint per process,
+        # removed at interpreter exit (the serving path holds no open
+        # handles; Spark re-lists the files per query).
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = root + "/postings"
         write_inverted_index(tbl(spark, sf_dir, "documents"), path)
         _STORED_INDEX[key] = path
     return _STORED_INDEX[key]

@@ -1400,3 +1400,116 @@ def test_mor_merge_null_order_never_duplicates_keys(spark, table):
     assert rows[1] == (5, "t1")  # NULL batch loses to non-NULL table
     assert rows[2] == (None, "b2")  # NULL-vs-NULL tie: batch wins
     assert rows[3] == (9, "b3")  # ordinary newest-wins
+
+
+def test_concurrent_appends_both_land_via_rebase(spark, table, monkeypatch):
+    """Round-6 verdict task 8 — the actual CAS race, not just conflict
+    detection: two threads append to one table having read the SAME
+    parent snapshot (a barrier inside read_manifest forces the overlap
+    deterministically). Exactly one must lose the v-slot rename, take
+    the rebase path, and re-point at the winner's file tier — both
+    appends land, lineage stays linear, and a reader pinned to the
+    pre-race snapshot is untouched."""
+    import threading
+
+    import endtoend_etl_openmeteo_spark.operators.versioned as vt
+
+    vt_append(spark, _df(spark, 0, 10), table)
+    v_start = latest_version(spark, table)
+    pinned_before = sorted(
+        r.id for r in vt_read(spark, table, version=v_start).collect()
+    )
+
+    barrier = threading.Barrier(2, timeout=60)
+    raced = threading.local()
+    real_read = vt.read_manifest
+    real_rename = vt._rename
+    refusals = []
+
+    def synced_read(spark_, table_, *a, **kw):
+        m = real_read(spark_, table_, *a, **kw)
+        # rendezvous exactly once per thread, on the parent read the
+        # append derives its commit from — both writers now hold v_start
+        if not getattr(raced, "done", False) and threading.current_thread().name.startswith("racer"):
+            raced.done = True
+            barrier.wait()
+        return m
+
+    def counting_rename(spark_, src, dst):
+        ok = real_rename(spark_, src, dst)
+        if not ok:
+            refusals.append(dst)
+        return ok
+
+    monkeypatch.setattr(vt, "read_manifest", synced_read)
+    monkeypatch.setattr(vt, "_rename", counting_rename)
+
+    errors = []
+
+    def run(lo, hi):
+        try:
+            vt_append(spark, _df(spark, lo, hi), table)
+        except Exception as e:  # pragma: no cover - fail loudly below
+            errors.append(e)
+
+    t1 = threading.Thread(target=run, args=(10, 25), name="racer-a")
+    t2 = threading.Thread(target=run, args=(25, 45), name="racer-b")
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+
+    assert not errors, errors
+    assert len(refusals) >= 1, "no CAS refusal — the race never happened"
+    # both appends landed
+    assert sorted(r.id for r in vt_read(spark, table).collect()) == list(range(45))
+    # lineage is linear: every version's parent is version-1, no gaps
+    history = vt_history(spark, table)
+    versions = [h["version"] for h in history]
+    assert versions == list(range(len(versions)))
+    assert latest_version(spark, table) == v_start + 2
+    for v in versions[1:]:
+        m = read_manifest(spark, table, v, resolve=False)
+        assert m["parent"] == v - 1
+    # the pinned reader's snapshot is byte-identical after the race
+    pinned_after = sorted(
+        r.id for r in vt_read(spark, table, version=v_start).collect()
+    )
+    assert pinned_after == pinned_before
+
+
+def test_vacuum_spares_in_flight_manifest_spills(spark, table):
+    """Round-6 ADVICE (medium): a concurrent writer spills m_*.parquet
+    BEFORE its CAS rename; a vacuum tick in that window must NOT GC the
+    in-flight files (it used to, bricking the subsequent commit). The
+    grace window spares any spill newer than the oldest retained
+    version manifest."""
+    import json
+
+    from endtoend_etl_openmeteo_spark.operators.manifest_list import (
+        load_ref_entries,
+        spill_entries,
+    )
+
+    vt_append(spark, _df(spark, 0, 10), table)
+    vt_append(spark, _df(spark, 10, 20), table)
+    # simulate the in-flight writer: entries spilled, vN.json not yet renamed
+    entries = [
+        {"path": f"data/inflight_{i:03d}.parquet", "n": 1, "cols": ["id", "v"]}
+        for i in range(6)
+    ]
+    refs = spill_entries(spark, table, entries)
+    vt_vacuum(spark, table, keep_last=1)
+    # the in-flight spill survived the tick and still loads
+    assert [e["path"] for e in load_ref_entries(spark, table, refs)] == [
+        e["path"] for e in entries
+    ]
+    # and a genuinely old orphan (older than the oldest retained
+    # manifest) is still collected: backdate a fresh spill, vacuum again
+    import os
+    import time
+
+    stale = spill_entries(spark, table, entries[:2])
+    for r in stale:
+        p = os.path.join(table, r["ref"])
+        os.utime(p, (time.time() - 3600, time.time() - 3600))
+    vt_vacuum(spark, table, keep_last=1)
+    assert not any(os.path.exists(os.path.join(table, r["ref"])) for r in stale)
+    assert all(os.path.exists(os.path.join(table, r["ref"])) for r in refs)
