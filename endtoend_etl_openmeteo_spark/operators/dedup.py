@@ -534,3 +534,93 @@ def _sibling_batch_paths(spark: SparkSession, index_path: str, batch_id: str) ->
         elif status.isFile() and name.endswith(".parquet"):
             out.append(str(status.getPath().toString()))
     return sorted(out)
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 20,
+    min_shared: int = 1,
+    boilerplate_cap: int = 50,
+) -> DataFrame:
+    """Pairwise exact-substring duplication screen: document pairs sharing
+    at least ``min_shared`` distinct ``window``-token contiguous spans,
+    with the token extent of the shared material on each side — the
+    candidate stage of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"), which MinHash misses
+    when a long copied passage sits inside two otherwise-unrelated
+    documents (document-level Jaccard stays tiny).
+
+    Rows: (id_a, id_b, n_shared, a_lo, a_end, b_lo, b_end) with
+    id_a < id_b; positions are 1-based token indices, [lo, end] covering
+    first-to-last shared window. Matching is by xxhash64 of the
+    space-joined token window — equality of 64-bit hashes stands in for
+    string equality (a cross-doc collision needs ~2^32 distinct spans by
+    birthday bound; the declared query's oracle joins on the span STRINGS
+    and must agree exactly).
+
+    Scale shape: windows are built map-side (one transform over a
+    token-count-long sequence — corpus-token-scale, the inherent cost of
+    substring-granular dedup; Lee et al. pay a suffix array for the same
+    reason) and the shuffle carries (hash, id, pos) — 20 bytes per
+    window, never span text. ``boilerplate_cap`` is the skew guard:
+    window hashes present in more docs are boilerplate (licenses,
+    headers — q_boilerplate_ngrams' domain, not pairwise duplication)
+    and are dropped BEFORE the self-join, bounding any bucket's pair
+    fan-out at cap^2. One exchange keyed on the window hash feeds the
+    per-doc collapse, the doc-frequency window AND the self-join; the
+    pair aggregate is the only further shuffle.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(normalized_text(text_col), " ")
+    d = cpu_parallelize(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), toks.alias("toks")
+    )
+    nwin = F.size("toks") - F.lit(window - 1)
+    # guard: sequence(1, n) with n < 1 generates DESCENDING [1..n]
+    idx = F.when(nwin >= 1, F.sequence(F.lit(1), nwin)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = d.select(
+        "id",
+        F.explode(idx).alias("pos"),
+        F.col("toks"),
+    ).select(
+        "id",
+        "pos",
+        F.xxhash64(F.concat_ws(" ", F.slice("toks", F.col("pos"), window))).alias("h"),
+    )
+    # ONE exchange keyed on the window hash serves every h-keyed step:
+    # HashPartitioning(h) satisfies the (h, id) grouping (partition keys
+    # are a subset of the grouping keys), the doc-frequency window, and
+    # both sides of the self-join — without the explicit repartition each
+    # step plans its own exchange (measured 7 vs 4 total shuffles).
+    # One row per (window hash, doc): within-doc repeats collapse to an
+    # extent, so the pair join is doc-pair-per-hash, not occurrence^2.
+    per_doc = (
+        wins.repartition(F.col("h"))
+        .groupBy("h", "id")
+        .agg(F.min("pos").alias("lo"), F.max("pos").alias("hi"))
+    )
+    w_h = Window.partitionBy("h")
+    kept = (
+        per_doc.withColumn("n_docs", F.count("*").over(w_h))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= boilerplate_cap))
+        .drop("n_docs")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, ["h"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min("a.lo").alias("a_lo"),
+            (F.max("a.hi") + F.lit(window - 1)).alias("a_end"),
+            F.min("b.lo").alias("b_lo"),
+            (F.max("b.hi") + F.lit(window - 1)).alias("b_end"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -86,6 +86,45 @@ def parse_png_size(payload: bytes | None) -> tuple[int, int] | None:
     return width, height
 
 
+JPEG_SIGNATURE = b"\xff\xd8\xff"
+
+
+def parse_jpeg_size(payload: bytes | None) -> tuple[int, int, int] | None:
+    """(width, height, n_components) from a JPEG SOF marker, or None if
+    not a JPEG. Walks the marker list from SOI: each segment is
+    0xFF + marker(1) + length(2, BE, includes itself); geometry lives in
+    the first SOFn frame header (0xC0-0xCF minus DHT 0xC4 / JPG 0xC8 /
+    DAC 0xCC) as precision(1) + height(2, BE) + width(2, BE) +
+    components(1). Pure stdlib — the exact shape of parse_png_size's
+    IHDR read; full pixel decode stays behind the injectable codec.
+    """
+    import struct
+
+    if payload is None or len(payload) < 4 or not payload.startswith(JPEG_SIGNATURE):
+        return None
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return None  # desynced marker stream — not a parseable JPEG
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        (seg_len,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        if seg_len < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n:
+                return None
+            height, width = struct.unpack(">HH", payload[pos + 5:pos + 9])
+            return width, height, payload[pos + 9] if pos + 9 < n else 0
+        pos += 2 + seg_len
+    return None
+
+
 def parse_wav_header(
     payload: bytes | None,
 ) -> tuple[int, int, float] | None:
@@ -168,10 +207,13 @@ def decode_images(df: DataFrame, decode: str = "fake") -> DataFrame:
                         return (None, None)
                     size = parse_png_size(b)
                     if size is None:
+                        jpeg = parse_jpeg_size(b)
+                        size = jpeg[:2] if jpeg is not None else None
+                    if size is None:
                         raise NotImplementedError(
-                            "real pixel decode beyond PNG headers requires an "
-                            "imaging library (Pillow/opencv); not available "
-                            "in this environment"
+                            "real pixel decode beyond PNG/JPEG headers "
+                            "requires an imaging library (Pillow/opencv); "
+                            "not available in this environment"
                         )
                     return size
 

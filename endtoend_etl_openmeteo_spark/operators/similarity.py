@@ -578,6 +578,12 @@ def write_ivf_index(
             F.col(vec_col).cast("array<double>").alias("embedding"),
             F.col(cell_col).alias("cell"),
         )
+        # repartition(cell) before partitionBy(cell) — search.py's lesson:
+        # without it every upstream task appends a file into every cell
+        # directory (tasks x cells small files and one open writer per
+        # cell per task); with it each task owns whole cells, one file
+        # per cell.
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)

@@ -199,6 +199,10 @@ PRIORITY: list[str] = [
     "q_sequence_pack",
     "q_repetition_filter",
     "q_simhash",
+    # Oracle-backed in round 7: the stream-stream interval join parity row
+    # and the exact-substring (Lee et al.) pairwise dup screen
+    "q_stream_join",
+    "q_substring_dup",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

@@ -366,16 +366,26 @@ def q_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_kmeans", sf_dir, 10, 2),
         lambda: kmeans_train_sampled(emb, k=10, iterations=2),
     )
+    from endtoend_etl_openmeteo_spark.session import release_checkpoint
+
+    # one assignment pass feeds BOTH the index write and the in-plan
+    # comparator — lazily it re-runs the broadcast argmin per consumer
     cells = (
         kmeans_assign(emb, centroids, keep_vec=True)
         .withColumnRenamed("id", "vec_id")
         .withColumnRenamed("vec", "embedding")
+        .localCheckpoint(eager=True)
     )
     queries = emb.filter(F.col("vec_id") < 5)
     idx_dir = scratch_dir(prefix="ivf_idx_")
     try:
         write_ivf_index(cells, centroids, idx_dir, cell_col="cluster")
-        stored = stored_ivf_topk(spark, idx_dir, queries, k=10, nprobe=2)
+        # materialize each side ONCE: the two-way exceptAll otherwise
+        # evaluates every branch twice (4 IVF scans where 2 suffice) —
+        # both results are k·|queries| rows, checkpoint-sized
+        stored = stored_ivf_topk(
+            spark, idx_dir, queries, k=10, nprobe=2
+        ).localCheckpoint(eager=True)
         inplan = ivf_topk(
             cells,
             queries,
@@ -383,14 +393,18 @@ def q_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=10,
             nprobe=2,
             centroids=centroids.withColumnRenamed("cluster", "cell"),
-        )
+        ).localCheckpoint(eager=True)
         diff = stored.exceptAll(inplan).unionByName(inplan.exceptAll(stored))
-        return (
+        out = (
             diff.groupBy()
             .agg((F.count("*") == 0).alias("ok"))
             .select(F.lit("stored_equals_inplan").alias("contract"), "ok")
             # the scratch index is deleted on return — materialize first
             .localCheckpoint(eager=True)
         )
+        release_checkpoint(stored)
+        release_checkpoint(inplan)
+        return out
     finally:
+        release_checkpoint(cells)
         shutil.rmtree(idx_dir, ignore_errors=True)

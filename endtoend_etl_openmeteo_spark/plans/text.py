@@ -287,6 +287,64 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_substring_dup",
+    # The oracle joins on the span STRINGS; the engine joins on xxhash64
+    # of the span — agreement is exactly the no-collision guarantee the
+    # operator's docstring claims.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    w AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i:i+11], ' ') AS span
+      FROM t, LATERAL unnest(generate_series(1, len(toks)-11)) AS g(i)
+    ),
+    pd AS (SELECT span, doc_id, min(pos) AS lo, max(pos) AS hi FROM w GROUP BY span, doc_id),
+    keep AS (SELECT span FROM pd GROUP BY span HAVING count(*) BETWEEN 2 AND 10),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.lo AS a_lo, a.hi AS a_hi, b.lo AS b_lo, b.hi AS b_hi
+      FROM pd a JOIN pd b USING (span) JOIN keep USING (span)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, count(*)::BIGINT AS n_shared,
+           min(a_lo)::BIGINT AS a_lo, (max(a_hi) + 11)::BIGINT AS a_end,
+           min(b_lo)::BIGINT AS b_lo, (max(b_hi) + 11)::BIGINT AS b_end
+    FROM p GROUP BY id_a, id_b
+    """,
+    doc="Pairwise exact-substring duplication screen (operators/dedup."
+    "substring_dup_spans): doc pairs sharing a 12-token contiguous span, "
+    "with per-side token extents — the candidate stage of Lee et al.'s "
+    "exact-substring dedup, catching the long-copied-passage case "
+    "document-level MinHash misses. Windows are hashed map-side "
+    "(xxhash64, 20 bytes/window on the wire, never span text); hashes "
+    "seen in > 10 docs are dropped BEFORE the self-join — boilerplate "
+    "belongs to q_boilerplate_ngrams, and the cap bounds any bucket's "
+    "pair fan-out (the skew guard). Declared over the doc_id<300 slice "
+    "so the DuckDB oracle (which joins on span STRINGS — hash-collision-"
+    "free ground truth) stays tractable; the operator itself is "
+    "corpus-scale.",
+    tags=("text", "dedup"),
+)
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.dedup import substring_dup_spans
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return substring_dup_spans(
+        docs, "doc_id", "text", window=12, min_shared=1, boilerplate_cap=10
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("a_lo").cast("long").alias("a_lo"),
+        F.col("a_end").cast("long").alias("a_end"),
+        F.col("b_lo").cast("long").alias("b_lo"),
+        F.col("b_end").cast("long").alias("b_end"),
+    )
+
+
+@register(
     "q_repetition",
     oracle=r"""
     WITH t AS (
@@ -1457,18 +1515,31 @@ def q_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*row("clusters_consistent", F.col("v") == 0))
     )
 
-    # 5. two-batch incremental screen finds every exact-duplicate pair
-    half = max_id // 2
+    # 5. two-batch incremental screen finds every exact-duplicate pair.
+    # The natural corpus has ZERO byte-identical docs in the slice (the
+    # round-6 form ran the screen over 2x250 docs against an EMPTY truth
+    # set — expensive and vacuous), so this runs on a small constructed
+    # corpus: 60 docs plus one replica injected into EACH batch — doc 3's
+    # copy lands in batch 1 (intra-batch dup), doc 7's in batch 2
+    # (cross-batch dup) — and the truth set is derived independently by
+    # grouping the constructed corpus on md5(normalized text): identical
+    # text implies identical MinHash signatures, so the screen must emit
+    # every such pair.
+    base = docs.filter(F.col("doc_id") < 60).select("doc_id", "text")
+
+    def replica(src_id: int, new_id: int) -> DataFrame:
+        return base.filter(F.col("doc_id") == src_id).select(
+            F.lit(new_id).cast("long").alias("doc_id"), "text"
+        )
+
+    b1 = base.filter(F.col("doc_id") < 30).unionByName(replica(3, 900003))
+    b2 = base.filter(F.col("doc_id") >= 30).unionByName(replica(7, 900007))
     index_dir = scratch_dir(prefix="dedup_contract_idx_")
     try:
-        p1 = incremental_neardup(
-            spark, docs.filter(F.col("doc_id") < half), index_dir,
-            "doc_id", "text", batch_id="c1",
-        )
-        p2 = incremental_neardup(
-            spark, docs.filter(F.col("doc_id") >= half), index_dir,
-            "doc_id", "text", batch_id="c2",
-        )
+        p1 = incremental_neardup(spark, b1, index_dir, "doc_id", "text",
+                                 batch_id="c1")
+        p2 = incremental_neardup(spark, b2, index_dir, "doc_id", "text",
+                                 batch_id="c2")
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
     found = (
@@ -1479,11 +1550,22 @@ def q_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    fp = b1.unionByName(b2).select(
+        F.col("doc_id").alias("id"), F.md5(normalized_text("text")).alias("fp")
+    )
+    fa, fb = fp.alias("fa"), fp.alias("fb")
+    exact_truth = fa.join(
+        fb, (F.col("fa.fp") == F.col("fb.fp")) & (F.col("fa.id") < F.col("fb.id"))
+    ).select(F.col("fa.id").alias("id_a"), F.col("fb.id").alias("id_b"))
     incr_ok = (
-        truth.filter(F.col("j") >= 0.999999)
-        .join(found, ["id_a", "id_b"], "left_anti")
+        # completeness (no exact pair missed) AND non-vacuity (the two
+        # injected replicas guarantee >= 2 truth pairs — an empty truth
+        # set can never silently pass again)
+        exact_truth.join(found, ["id_a", "id_b"], "left_anti")
         .agg(F.count("*").alias("v"))
-        .select(*row("incremental_exactdup", F.col("v") == 0))
+        .crossJoin(exact_truth.agg(F.count("*").alias("t")))
+        .select(*row("incremental_exactdup",
+                     (F.col("v") == 0) & (F.col("t") >= 2)))
     )
 
     return (

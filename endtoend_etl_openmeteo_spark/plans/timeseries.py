@@ -804,3 +804,162 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+    SELECT l.event_id AS l_id, r.event_id AS r_id,
+           l.event_type AS event_type, l.user_id AS user_id,
+           l.ts AS l_ts, r.ts AS r_ts,
+           round(r.value, 6) AS r_value
+    FROM events l JOIN events r
+      ON l.event_type = r.event_type AND l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 24 HOUR
+    WHERE l.event_id % 20 = 0 AND r.user_id % 2 = 0
+      AND l.event_id <> r.event_id
+    """,
+    doc="Watermarked stream-stream interval join, hash-checked against the "
+    "BATCH interval-join oracle — the reference's late-corrections "
+    "enrichment shape (T2, `/root/reference/etl_openmeteo.py:37-38`) in "
+    "streaming form, as a driver-grade parity row (the q_stream_window "
+    "pattern applied to streaming/pipeline.stream_stream_join). Left "
+    "stream: the 5% event_id%20==0 slice (the 'corrections'); right: the "
+    "full event stream; each left row pairs with right rows sharing "
+    "(event_type, user_id) in [l_ts, l_ts+24h]. The COMPOSITE key is the "
+    "scale lesson, not a convenience: Spark's symmetric hash join scans "
+    "every buffered state value for the probing row's key, so a "
+    "5-value key (event_type alone) degenerates to |left|x|right|/5 "
+    "comparisons per micro-batch (measured 13 s for one sf0.1 batch); "
+    "keyed by (type, user) the same corpus probes ~50 values per row. "
+    "Both sides land as file streams; batch 1 is the corpus (both "
+    "sides), batch 2 non-matching fence rows 30 days past the horizon "
+    "(distinct types per side so they can never pair), batch 3 a LATE "
+    "left probe at the stream's minimum event time carrying a real "
+    "(type, user) from the corpus — if the watermark failed to drop it, "
+    "it would emit pairs with l_id=-20 and break the oracle hash. The "
+    "probe trails the corpus by TWO micro-batches (SPARK-40925's "
+    "two-batch watermark lag, measured in q_stream_window); batch order "
+    "is pinned with explicit strictly-increasing mtimes per landing "
+    "dir. Inner mode emits pairs as both sides arrive — no window close "
+    "needed; the event-time range condition is what lets Spark bound "
+    "both sides' join state (buffered rows are evicted once the "
+    "opposing watermark passes their match horizon) — without it "
+    "stream-stream state grows forever.",
+    tags=("streaming", "join"),
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import time
+    from datetime import timedelta
+
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+    from endtoend_etl_openmeteo_spark.streaming.pipeline import (
+        stream_stream_join,
+    )
+
+    events = tbl(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # the two stream slices: corrections (5% of events) vs the even-user
+    # half of the base stream — the right thinning halves the join-state
+    # volume every micro-batch pays to buffer/commit, with the oracle
+    # mirroring the same predicate
+    left_b = events.filter(F.col("event_id") % 20 == 0)
+    right_b = events.filter(F.col("user_id") % 2 == 0)
+    ordkey = F.struct("ts", "event_id")
+    bounds = right_b.agg(
+        F.min("ts").alias("lo"),
+        F.max("ts").alias("hi"),
+        # the late probe must carry a REAL (type, user) PRESENT IN THE
+        # RIGHT SLICE so a watermark failure would visibly emit pairs —
+        # take the earliest right-side row's; its ts is within 24h of
+        # that row by construction
+        F.min_by("event_type", ordkey).alias("lo_type"),
+        F.min_by("user_id", ordkey).alias("lo_user"),
+    ).collect()[0]
+    work = scratch_dir(prefix="stream_join_")
+    land_l, land_r, out = f"{work}/left", f"{work}/right", f"{work}/out"
+    try:
+        def one_row(eid: int, ts, user: int, etype: str, value: float):
+            # JVM literal projection — see q_stream_window: a
+            # createDataFrame-backed write spins up a Python runner per
+            # task, pure fixed overhead here.
+            return spark.range(1).select(
+                F.lit(eid).cast("bigint").alias("event_id"),
+                F.lit(ts.isoformat()).cast("timestamp").alias("ts"),
+                F.lit(user).cast("bigint").alias("user_id"),
+                F.lit(etype).alias("event_type"),
+                F.lit(value).cast("double").alias("value"),
+            )
+
+        fence_ts = bounds["hi"] + timedelta(days=30)
+        left_b.coalesce(1).write.mode("append").parquet(land_l)
+        right_b.coalesce(1).write.mode("append").parquet(land_r)
+        w1 = {(d, f) for d in (land_l, land_r) for f in os.listdir(d)}
+        # -40 passes the left slice filter (-40 % 20 == 0) so the fence
+        # row reaches the LEFT watermark node too, not just the right's
+        one_row(-40, fence_ts, -1, "__fence_l__", 0.0).coalesce(1).write.mode(
+            "append"
+        ).parquet(land_l)
+        one_row(-3, fence_ts, -1, "__fence_r__", 0.0).coalesce(1).write.mode(
+            "append"
+        ).parquet(land_r)
+        w2 = {(d, f) for d in (land_l, land_r) for f in os.listdir(d)}
+        # late LEFT probe: passes the %20 slice filter (-20 % 20 == 0) and
+        # would match right rows at the stream's origin if it leaked
+        one_row(
+            -20, bounds["lo"], bounds["lo_user"], bounds["lo_type"], 1.0e6
+        ).coalesce(1).write.mode("append").parquet(land_l)
+        now = time.time()
+        for d in (land_l, land_r):
+            for f in os.listdir(d):
+                if f.startswith("_"):
+                    continue
+                off = 0 if (d, f) in w1 else (10 if (d, f) in w2 else 20)
+                os.utime(f"{d}/{f}", (now + off, now + off))
+        sch = (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+
+        def file_stream(path: str) -> DataFrame:
+            return (
+                spark.readStream.schema(sch)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+
+        left = file_stream(land_l).filter(F.col("event_id") % 20 == 0)
+        right = file_stream(land_r)
+        joined = stream_stream_join(
+            left, right, keys=["event_type", "user_id"],
+            left_ts="ts", right_ts="ts", tolerance="24 hours",
+        ).filter(F.col("l.event_id") != F.col("r.event_id"))
+        result = joined.select(
+            F.col("l.event_id").alias("l_id"),
+            F.col("r.event_id").alias("r_id"),
+            F.col("l.event_type").alias("event_type"),
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.ts").alias("l_ts"),
+            F.col("r.ts").alias("r_ts"),
+            F.round(F.col("r.value"), 6).alias("r_value"),
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                result.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -90,6 +90,49 @@ def test_decode_real_parses_png_headers(spark):
     assert feats[1].n_bytes == len(_png_bytes(640, 480))
 
 
+def _jpeg_bytes(width, height, components=3, progressive=False, with_dht=False):
+    """Minimal JPEG marker stream: SOI + APP0 (+ optional DHT to prove the
+    walker skips non-SOF segments) + SOFn frame header + EOI. Only headers
+    are synthesized — parse_jpeg_size walks markers and stops at SOFn, so
+    this is exactly what a real file presents."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    if with_dht:
+        dht = b"\x00" + b"\x00" * 16 + b"\x05"
+        out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = struct.pack(">BHHB", 8, height, width, components) + b"\x01\x11\x00" * components
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
+    return out + b"\xff\xd9"
+
+
+def test_decode_real_parses_jpeg_headers(spark):
+    from endtoend_etl_openmeteo_spark.operators.multimodal import parse_jpeg_size
+
+    # unit level: baseline, progressive, DHT-before-SOF, and rejections
+    assert parse_jpeg_size(_jpeg_bytes(640, 480)) == (640, 480, 3)
+    assert parse_jpeg_size(_jpeg_bytes(1920, 1080, progressive=True)) == (1920, 1080, 3)
+    assert parse_jpeg_size(_jpeg_bytes(16, 8, components=1, with_dht=True)) == (16, 8, 1)
+    assert parse_jpeg_size(b"\x89PNG not a jpeg") is None
+    assert parse_jpeg_size(b"\xff\xd8\xff\xd9") is None  # EOI before SOF
+    assert parse_jpeg_size(None) is None
+
+    # through the operator: decode="real" now covers JPEG alongside PNG
+    rows = [
+        Row(media_id=1, kind="image", payload=_jpeg_bytes(800, 600),
+            meta=Row(mime="image/jpeg", width=None, height=None, duration_s=None, sample_rate=None)),
+        Row(media_id=2, kind="image", payload=_png_bytes(32, 1080),
+            meta=Row(mime="image/png", width=None, height=None, duration_s=None, sample_rate=None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {f.media_id: f for f in decode_images(media, decode="real").collect()}
+    assert (feats[1].width, feats[1].height) == (800, 600)
+    assert (feats[2].width, feats[2].height) == (32, 1080)
+    assert all(f.embedding is None for f in feats.values())
+
+
 def test_decode_real_parses_wav_headers(spark):
     from endtoend_etl_openmeteo_spark.operators.multimodal import decode_audio
 

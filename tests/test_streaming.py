@@ -452,3 +452,30 @@ def test_stream_window_drops_late_row_and_fences_watermark(spark, workdir):
         ("a", datetime(2024, 1, 30), 1),
         ("b", datetime(2024, 1, 1), 1),
     }  # no __late__ leak, no __fence__ emission, all real windows closed
+
+
+def test_stream_join_plan_carries_both_watermarks(spark, workdir):
+    """q_stream_join's state-boundedness claim, pinned structurally: the
+    interval join must carry an EventTimeWatermark on EACH input AND the
+    two-sided event-time range condition — drop any of the three and
+    stream-stream join state grows forever (Spark can't evict buffered
+    rows it can't prove unmatchable)."""
+    from endtoend_etl_openmeteo_spark.streaming import stream_stream_join
+
+    d = str(workdir / "wmplan")
+    spark.createDataFrame(
+        [(1, "a")], "event_id bigint, event_type string"
+    ).write.json(d)  # schema-only seed; the stream never starts
+    sch = "event_id bigint, ts timestamp, event_type string, value double"
+    left = spark.readStream.schema(sch).json(d)
+    right = spark.readStream.schema(sch).json(d)
+    joined = stream_stream_join(
+        left, right, keys=["event_type"], left_ts="ts", right_ts="ts",
+        tolerance="1 hour",
+    )
+    analyzed = joined._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("EventTimeWatermark") == 2, analyzed
+    cond = analyzed.lower()
+    assert "cast(1 hours as interval)" in cond or "interval" in cond
+    # both range bounds present: r.ts >= l.ts AND r.ts <= l.ts + tol
+    assert ">=" in analyzed and "<=" in analyzed

@@ -1,0 +1,61 @@
+"""substring_dup_spans — the exact-substring (Lee et al.) pairwise screen."""
+
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.operators.dedup import substring_dup_spans
+
+PASSAGE = "the quick brown fox jumps over the lazy dog near the riverbank"
+
+
+def _docs(spark):
+    rows = [
+        # docs 1 and 2 share the 12-token PASSAGE at different offsets;
+        # their surrounding text is unrelated -> document-level Jaccard low
+        (1, "alpha beta gamma " + PASSAGE + " delta epsilon zeta eta theta"),
+        (2, "one two three four five six " + PASSAGE + " seven eight"),
+        # doc 3 is unrelated
+        (3, "completely different text with no overlap whatsoever in its body "
+            "and some more filler words to pass the window length"),
+        # docs 4-9 all share a boilerplate footer -> capped out
+        *[(i, f"unique body {i} with enough filler tokens here "
+               "copyright footer all rights reserved contact us at example "
+               "dot com for more information")
+          for i in range(4, 10)],
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shared_passage_detected_with_extents(spark):
+    out = {
+        (r.id_a, r.id_b): r
+        for r in substring_dup_spans(
+            _docs(spark), "doc_id", "text", window=12, boilerplate_cap=3
+        ).collect()
+    }
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    # PASSAGE is 12 tokens -> exactly one shared window per doc
+    assert r.n_shared == 1
+    assert (r.a_lo, r.a_end) == (4, 15)  # after 3 lead tokens, 1-based
+    assert (r.b_lo, r.b_end) == (7, 18)  # after 6 lead tokens
+    # the boilerplate footer is shared by 6 docs > cap=3 -> no footer pairs
+    assert not any(a >= 4 and b >= 4 for a, b in out)
+    # unrelated doc pairs never appear
+    assert not any(3 in (a, b) for a, b in out)
+
+
+def test_boilerplate_cap_admits_small_groups(spark):
+    # with the cap raised above the footer's doc frequency the 6 footer
+    # docs pair up (15 pairs), proving the cap—not the matcher—was the gate
+    out = substring_dup_spans(
+        _docs(spark), "doc_id", "text", window=12, boilerplate_cap=10
+    ).filter((F.col("id_a") >= 4) & (F.col("id_b") >= 4))
+    assert out.count() == 15
+
+
+def test_short_docs_yield_no_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], "doc_id long, text string"
+    )
+    # shorter than one window: no pairs, and no sequence(1, n<1) blowup
+    assert substring_dup_spans(docs, "doc_id", "text", window=12).count() == 0
