@@ -158,6 +158,71 @@ def parse_wav_header(
     return rate, channels, data_size / byte_rate
 
 
+def parse_flac_streaminfo(
+    payload: bytes | None,
+) -> tuple[int, int, float] | None:
+    """(sample_rate, n_channels, duration_s) from a FLAC STREAMINFO block,
+    or None if not a FLAC. Layout is fixed by the spec: 4-byte "fLaC"
+    magic, then metadata blocks of 1-byte header (bit7 = last, bits 0-6 =
+    type; STREAMINFO is type 0 and MUST come first) + 3-byte BE length.
+    STREAMINFO packs sample rate (20 bits), channels-1 (3), bits/sample-1
+    (5) and total samples (36) into the 8 bytes at offset 10 of the
+    block. Pure stdlib bit shifts — the parse_wav_header shape."""
+    if payload is None or len(payload) < 8 + 34 or payload[0:4] != b"fLaC":
+        return None
+    if payload[4] & 0x7F != 0:  # STREAMINFO must be the first block
+        return None
+    block = payload[8:]
+    packed = int.from_bytes(block[10:18], "big")
+    sample_rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    total_samples = packed & ((1 << 36) - 1)
+    if sample_rate == 0:
+        return None
+    return sample_rate, channels, total_samples / sample_rate
+
+
+#: MPEG-1 Layer III bitrate table (kbit/s; index 0 = free, 15 = bad) and
+#: sample-rate table — the two lookups an MP3 frame header needs.
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+_MP3_RATES = (44100, 48000, 32000, 0)
+
+
+def parse_mp3_header(
+    payload: bytes | None,
+) -> tuple[int, int, float] | None:
+    """(sample_rate, n_channels, duration_s_estimate) from the first
+    MPEG-1 Layer III frame header, or None if not an MP3. Skips a
+    leading ID3v2 tag (syncsafe 28-bit size), then requires the 11-bit
+    frame sync. Duration is the CBR estimate audio_bytes*8/bitrate —
+    exact for constant-bitrate files, approximate for VBR (a real codec
+    reads the Xing header; that stays at the injectable seam)."""
+    if payload is None or len(payload) < 10:
+        return None
+    pos = 0
+    if payload[0:3] == b"ID3":
+        size = (
+            (payload[6] & 0x7F) << 21
+            | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7
+            | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+    if pos + 4 > len(payload):
+        return None
+    h = payload[pos:pos + 4]
+    # sync (11 bits), MPEG-1 (bits 4-3 of byte1 == 11), Layer III (bits
+    # 2-1 == 01)
+    if h[0] != 0xFF or (h[1] & 0xFE) != 0xFA:
+        return None
+    bitrate = _MP3_BITRATES[h[2] >> 4] * 1000
+    rate = _MP3_RATES[(h[2] >> 2) & 0x3]
+    if not bitrate or not rate:
+        return None
+    channels = 1 if (h[3] >> 6) == 0b11 else 2  # mono vs stereo/joint/dual
+    return rate, channels, (len(payload) - pos) * 8 / bitrate
+
+
 def _fake_embedding(digest: bytes, dim: int = 8) -> list[float]:
     """Deterministic unit-scale vector derived from a content digest —
     the stand-in for a real vision/audio encoder."""
@@ -246,11 +311,12 @@ def decode_audio(df: DataFrame, decode: str = "fake") -> DataFrame:
     """Audio decode + feature extraction over Arrow batches (mapInPandas).
 
     ``fake`` passes typed metadata through and derives a deterministic
-    pseudo-embedding from the payload digest; ``real`` parses the RIFF/WAVE
-    header with stdlib ``struct`` (sample rate, channel count, duration)
-    and raises NotImplementedError for compressed formats (MP3/FLAC/OGG)
-    that need a waveform codec — the torchaudio/ffmpeg seam. Embeddings
-    are NULL in real mode.
+    pseudo-embedding from the payload digest; ``real`` parses RIFF/WAVE,
+    FLAC STREAMINFO and MPEG-1 Layer III frame headers with stdlib bit
+    arithmetic (sample rate, channel count, duration — CBR-estimated for
+    MP3) and raises NotImplementedError for formats needing a waveform
+    codec (OGG/Opus, VBR-exact MP3) — the torchaudio/ffmpeg seam.
+    Embeddings are NULL in real mode.
 
     ``decode`` may also be a CALLABLE codec — ``codec(payload) ->
     (sample_rate, n_channels, duration_s, embedding | None)`` — the
@@ -280,12 +346,16 @@ def decode_audio(df: DataFrame, decode: str = "fake") -> DataFrame:
                 def hdr(b: bytes | None) -> tuple:
                     if b is None:
                         return (None, None, None)
-                    parsed = parse_wav_header(b)
+                    parsed = (
+                        parse_wav_header(b)
+                        or parse_flac_streaminfo(b)
+                        or parse_mp3_header(b)
+                    )
                     if parsed is None:
                         raise NotImplementedError(
-                            "real audio decode beyond WAV headers requires a "
-                            "codec library (torchaudio/ffmpeg); not available "
-                            "in this environment"
+                            "real audio decode beyond WAV/FLAC/MP3 headers "
+                            "requires a codec library (torchaudio/ffmpeg); "
+                            "not available in this environment"
                         )
                     return parsed
 

@@ -673,3 +673,67 @@ def stored_ivf_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    iter_dp: int | None = 6,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate pairs via cluster-bucketed cosine — SemDeDup
+    (Abbas et al. 2023): k-means the embedding space, compare only within
+    cells. Rows: (id_a, id_b, cluster, cos_sim) with id_a < id_b and
+    cos_sim >= threshold, cosine rounded to 6dp BEFORE the threshold so a
+    cross-engine float fold can't flip a borderline pair.
+
+    The bucketing is the scale claim: exact all-pairs cosine
+    (embedding_neardup_pairs) is O(n^2); within-cell pairs cost
+    sum(|cell|^2) ~= n^2/k for balanced cells, and k grows with the
+    corpus (SemDeDup uses 10k-100k cells at web scale), holding the cell
+    quadratic bounded. Assignment itself is the shuffle-free broadcast
+    argmin (operators/clusters.kmeans); the only exchanges are the
+    id-keyed label join and the cluster-keyed self-join.
+
+    Determinism: kmeans is deterministic (smallest-id seeds, per-round
+    dp-rounded centroids), so the whole output is replicable in SQL —
+    q_semdedup extends the q_kmeans unrolled-CTE oracle with one
+    within-cluster pair join.
+    """
+    from endtoend_etl_openmeteo_spark.operators.clusters import kmeans
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    assignments, _ = kmeans(
+        corpus, k=k, iterations=iterations,
+        id_col=id_col, vec_col=vec_col, iter_dp=iter_dp,
+    )
+    d = (
+        cpu_parallelize(corpus)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .join(assignments, "id")
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / F.nullif(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.cluster").cast("long").alias("cluster"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -199,10 +199,12 @@ PRIORITY: list[str] = [
     "q_sequence_pack",
     "q_repetition_filter",
     "q_simhash",
-    # Oracle-backed in round 7: the stream-stream interval join parity row
-    # and the exact-substring (Lee et al.) pairwise dup screen
+    # Oracle-backed in round 7: the stream-stream interval join parity row,
+    # the exact-substring (Lee et al.) pairwise dup screen, and SemDeDup
+    # (cluster-bucketed semantic near-dup with an exact replayed oracle)
     "q_stream_join",
     "q_substring_dup",
+    "q_semdedup",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

@@ -469,10 +469,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-def _kmeans_oracle(k: int, iters: int, dim: int, dp: int) -> str:
+def _kmeans_ctes(k: int, iters: int, dim: int, dp: int) -> str:
     """Unrolled Lloyd's iterations in DuckDB SQL — assignment + centroid
     CTE pair per round, generated with the SAME constants the Spark
-    operator receives (the :func:`_pagerank_oracle` pattern).
+    operator receives (the :func:`_pagerank_oracle` pattern). Returns the
+    ``WITH ... afinal`` prefix; ``afinal`` holds (id, vec, cluster).
 
     Cross-engine determinism: squared distance is generated as an
     explicit left-associated term chain, the exact fold order of the
@@ -516,8 +517,16 @@ def _kmeans_oracle(k: int, iters: int, dim: int, dp: int) -> str:
       SELECT cluster, list_value({cent}) AS centroid
       FROM a{i} GROUP BY cluster)""")
     parts.append(assign("afinal", f"c{iters}"))
+    return ",".join(parts)
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int, dp: int) -> str:
+    """Full q_kmeans oracle: the unrolled fixed point + the id->cluster
+    projection. Kept separate from :func:`_kmeans_ctes` so composed
+    queries (q_semdedup) can extend the same fixed point with further
+    CTEs instead of duplicating the unroll."""
     return (
-        ",".join(parts)
+        _kmeans_ctes(k, iters, dim, dp)
         + """
     SELECT id::BIGINT AS id, cluster::BIGINT AS cluster FROM afinal
     """
@@ -551,6 +560,50 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assignments.select(
         "id", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+@register(
+    "q_semdedup",
+    # Extends the q_kmeans unrolled fixed point (same k/iters/dim/dp
+    # constants, same CTE generator) with one within-cluster pair join —
+    # the cosine uses DuckDB's list_dot_product with sqrt(aa)*sqrt(bb)
+    # association, matching the engine's dot()/nrm fold bit-for-bit
+    # (the q_embed_neardup determinism argument, post-clustering).
+    oracle=_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM, _KMEANS_DP)
+    + """,
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.cluster AS cluster,
+             round(list_dot_product(a.vec, b.vec) /
+                   (sqrt(list_dot_product(a.vec, a.vec)) *
+                    sqrt(list_dot_product(b.vec, b.vec))), 6) AS cos_sim
+      FROM afinal a JOIN afinal b
+        ON a.cluster = b.cluster AND a.id < b.id
+    )
+    SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+           cluster::BIGINT AS cluster, cos_sim
+    FROM pairs WHERE cos_sim >= 0.3
+    """,
+    doc="SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via "
+    "cluster-bucketed cosine over the FULL embedding corpus — k-means "
+    "cells bound the quadratic (sum |cell|^2 ~= n^2/k, with k growing "
+    "with the corpus at scale), where q_embed_neardup's exact all-pairs "
+    "form needs a bounded id slice. Deterministic end to end: the "
+    "clustering is the q_kmeans fixed point (smallest-id seeds, 6dp "
+    "per-round centroids), so the oracle replays clustering AND pairing "
+    "in SQL and the full output hash-matches — an approximate-family "
+    "operator with an exact oracle.",
+    tags=("dedup", "similarity", "iterative"),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.similarity import semdedup_pairs
+
+    return semdedup_pairs(
+        tbl(spark, sf_dir, "embeddings"),
+        k=_KMEANS_K,
+        iterations=_KMEANS_ITERS,
+        iter_dp=_KMEANS_DP,
+        threshold=0.3,
     )
 
 

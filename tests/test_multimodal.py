@@ -319,3 +319,60 @@ def test_injected_codec_errors_surface_per_batch(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     with pytest.raises(Exception, match="not an XIMG payload"):
         decode_images(media, decode=_make_ximg_codec()).collect()
+
+
+def _flac_bytes(rate, channels, total_samples):
+    """Minimal FLAC prefix: magic + STREAMINFO block header + the packed
+    34-byte STREAMINFO body."""
+    packed = (rate << 44) | ((channels - 1) << 41) | (16 - 1) << 36 | total_samples
+    body = (
+        (576).to_bytes(2, "big") * 2      # min/max block size
+        + b"\x00\x00\x00" * 2             # min/max frame size
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16                    # md5 of raw audio
+    )
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _mp3_bytes(n_frames=100, id3=False):
+    """CBR MPEG-1 Layer III stream: optional ID3v2 tag + sync'd frame
+    headers. 128 kbit/s (index 9), 44100 Hz (index 0), stereo."""
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413  # 417-byte frame
+    tag = b""
+    if id3:
+        body = b"\x00" * 30
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, len(body)]) + body
+    return tag + frame * n_frames
+
+
+def test_decode_real_parses_flac_and_mp3_headers(spark):
+    from endtoend_etl_openmeteo_spark.operators.multimodal import (
+        decode_audio,
+        parse_flac_streaminfo,
+        parse_mp3_header,
+    )
+
+    assert parse_flac_streaminfo(_flac_bytes(48000, 2, 96000)) == (48000, 2, 2.0)
+    assert parse_flac_streaminfo(b"OggS not flac") is None
+    rate, ch, dur = parse_mp3_header(_mp3_bytes(100))
+    assert (rate, ch) == (44100, 2)
+    assert dur == pytest.approx(100 * 417 * 8 / 128000, rel=0.01)
+    # ID3v2 tag skipped before the sync scan
+    assert parse_mp3_header(_mp3_bytes(100, id3=True))[0] == 44100
+    assert parse_mp3_header(b"ID3\x04mp3 frames...") is None  # bogus tag
+
+    rows = [
+        Row(media_id=1, kind="audio", payload=_flac_bytes(16000, 1, 8000),
+            meta=Row(mime="audio/flac", width=None, height=None, duration_s=None, sample_rate=None)),
+        Row(media_id=2, kind="audio", payload=_mp3_bytes(50),
+            meta=Row(mime="audio/mpeg", width=None, height=None, duration_s=None, sample_rate=None)),
+        Row(media_id=3, kind="audio", payload=_wav_bytes(22050, 2, 22050),
+            meta=Row(mime="audio/wav", width=None, height=None, duration_s=None, sample_rate=None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    from endtoend_etl_openmeteo_spark.operators.multimodal import decode_audio as da
+    feats = {f.media_id: f for f in da(media, decode="real").collect()}
+    assert (feats[1].sample_rate, feats[1].n_channels) == (16000, 1)
+    assert feats[1].duration_s == pytest.approx(0.5)
+    assert (feats[2].sample_rate, feats[2].n_channels) == (44100, 2)
+    assert (feats[3].sample_rate, feats[3].n_channels) == (22050, 2)

@@ -368,6 +368,55 @@ def manifest_smoke(spark, scratch: Path, replicas: int) -> list[str]:
     return failures
 
 
+def substring_smoke(spark, src: str, replicas: int) -> list[str]:
+    """substring_dup_spans at Nx corpus size with EXACT replicas — the
+    adversarial input: every replica family shares ALL its windows, so
+    without the boilerplate cap each family's bucket fans out to
+    C(replicas, 2) pairs per window. With cap < replicas the hot buckets
+    drop BEFORE the self-join (the skew-guard claim), leaving the
+    map-side window build + one h-keyed exchange — linear in corpus
+    tokens. Budget is linear with slack."""
+    from endtoend_etl_openmeteo_spark.operators.dedup import substring_dup_spans
+    from endtoend_etl_openmeteo_spark.session import release_persistent_rdds
+
+    docs_base = spark.read.parquet(f"{src}/documents.parquet")
+    n_docs = docs_base.agg(F.max("doc_id")).collect()[0][0] + 1
+
+    def corpus(scale: int):
+        if scale == 1:
+            return docs_base
+        r = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("r")
+        return (
+            docs_base.select("*", r)
+            .withColumn("doc_id", F.col("doc_id") + F.col("r") * n_docs)
+            .drop("r")
+        )
+
+    def run(scale: int) -> float:
+        c = corpus(scale).localCheckpoint()
+        t0 = time.perf_counter()
+        substring_dup_spans(
+            c, "doc_id", "text", window=12, boilerplate_cap=max(2, replicas // 2)
+        ).write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - t0
+        release_persistent_rdds(spark)
+        return elapsed
+
+    run(1)  # warm
+    t1 = run(1)
+    tn = run(replicas)
+    ratio = tn / max(t1, 1e-9)
+    budget = replicas * 3.0
+    status = "ok  " if ratio <= budget else "FAIL"
+    print(
+        f"{status} substring_dup[exact replicas, cap<replicas]: "
+        f"1x={t1:.2f}s {replicas}x={tn:.2f}s ratio={ratio:.1f} "
+        f"(budget {budget:.0f}x — hot window buckets must drop before the "
+        "self-join)"
+    )
+    return [] if ratio <= budget else ["substring_dup"]
+
+
 def skew_window_smoke(spark, scratch: Path, replicas: int) -> list[str]:
     """Hot-key window stress: HALF of all events on ONE user (the Zipfian
     head). The plain window serializes that key through one task — its
@@ -626,6 +675,7 @@ def main() -> None:
     failures += mor_smoke(spark, src, scratch, replicas)
     failures += manifest_smoke(spark, scratch, replicas)
     failures += curation_lsh_smoke(spark, src, scratch, replicas)
+    failures += substring_smoke(spark, src, replicas)
     n_checks += 4
     import os
 
