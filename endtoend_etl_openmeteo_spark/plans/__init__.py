@@ -86,12 +86,19 @@ PRIORITY: list[str] = [
     # --- multimodal (round-1 hard failure — needs a green row) ---
     "q_multimodal_features",
     "q_multimodal_frames",
-    # --- oracle-backed extension queries with no round-1 driver row ---
+    # --- oracle-backed extension queries with no round-1 driver row.
+    # Round 7: q_train_split / q_repetition (simple map/split shapes,
+    # green since round 2, still covered by check_oracle + CI) yield
+    # their slots to the two new operator families so the driver
+    # witnesses them — q_substring_dup (exact-substring screen whose
+    # hash-match doubles as the no-collision proof) and q_semdedup
+    # (cluster-bucketed semantic dedup replaying the kmeans fixed
+    # point), both vanilla-session verified. ---
     "q_dedup_exact",
     "q_ngram_jaccard",
-    "q_train_split",
+    "q_substring_dup",
     "q_boilerplate_ngrams",
-    "q_repetition",
+    "q_semdedup",
     # --- approximate-family floor contracts + streaming parity (round 7):
     # the driver itself now witnesses the dedup/ANN recall floors and the
     # streaming-equals-batch hash; the displaced TPC-H decorrelation shapes
@@ -102,6 +109,9 @@ PRIORITY: list[str] = [
     "q_stream_window",
     "q_ann_ivf_stored",
     # ------------------------- 50-entry line -------------------------
+    # Displaced from the prefix in round 7 (still check_oracle + CI green).
+    "q_train_split",
+    "q_repetition",
     # Oracle-backed queries green in round 1 (driver rows already exist).
     "q_tpch_q2",
     "q_tpch_q9",
