@@ -624,3 +624,59 @@ def substring_dup_spans(
         )
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Remove duplicated passages in place — the transform stage of
+    exact-substring dedup (Lee et al.): for every pair found by
+    :func:`substring_dup_spans`, the HIGHER-id document loses the tokens
+    of its shared extent [b_lo, b_end]; the lower-id copy keeps the
+    canonical occurrence. Rows: (id, n_tokens_kept, n_tokens_removed,
+    text_clean) over ALL input docs (untouched docs pass through with
+    their normalized text).
+
+    Token surgery is a per-row higher-order expression: keep position i
+    iff no span covers it — O(tokens x spans-per-doc) inside codegen,
+    no shuffle beyond the one id-keyed join of the (tiny) span lists
+    onto the corpus. Documents never shuffle for the surgery itself.
+    """
+    spans = pairs.groupBy(F.col("id_b").alias("id")).agg(
+        F.collect_list(
+            F.struct(F.col("b_lo").alias("lo"), F.col("b_end").alias("end"))
+        ).alias("spans")
+    )
+    toks = F.split(normalized_text(text_col), " ")
+    d = (
+        cpu_parallelize(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .withColumn("toks", toks)
+        .join(spans, "id", "left")
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("spans"), lambda s: (s["lo"] <= i) & (i <= s["end"])
+    )
+    kept = F.when(
+        F.col("spans").isNull(), F.col("toks")
+    ).otherwise(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.size("toks")),
+                lambda i: ~covered(i),
+            ),
+            lambda i: F.element_at("toks", i),
+        )
+    )
+    return d.select(
+        "id",
+        F.size("toks").alias("__n"),
+        kept.alias("__kept"),
+    ).select(
+        "id",
+        F.size("__kept").cast("long").alias("n_tokens_kept"),
+        (F.col("__n") - F.size("__kept")).cast("long").alias("n_tokens_removed"),
+        F.array_join("__kept", " ").alias("text_clean"),
+    )

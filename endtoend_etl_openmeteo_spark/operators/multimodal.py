@@ -158,6 +158,35 @@ def parse_wav_header(
     return rate, channels, data_size / byte_rate
 
 
+def parse_webp_size(payload: bytes | None) -> tuple[int, int] | None:
+    """(width, height) from a WebP header, or None if not a WebP. Handles
+    all three first-chunk layouts the spec allows: VP8X (extended —
+    24-bit LE canvas minus one), VP8L (lossless — 14-bit packed fields
+    after the 0x2F signature), VP8 (lossy — 14-bit LE fields after the
+    9D 01 2A sync). Pure stdlib bit arithmetic."""
+    if (
+        payload is None
+        or len(payload) < 30
+        or payload[0:4] != b"RIFF"
+        or payload[8:12] != b"WEBP"
+    ):
+        return None
+    fourcc = payload[12:16]
+    body = payload[20:]
+    if fourcc == b"VP8X" and len(body) >= 10:
+        w = int.from_bytes(body[4:7], "little") + 1
+        h = int.from_bytes(body[7:10], "little") + 1
+        return w, h
+    if fourcc == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+        bits = int.from_bytes(body[1:5], "little")
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+    if fourcc == b"VP8 " and len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":
+        w = int.from_bytes(body[6:8], "little") & 0x3FFF
+        h = int.from_bytes(body[8:10], "little") & 0x3FFF
+        return w, h
+    return None
+
+
 def parse_flac_streaminfo(
     payload: bytes | None,
 ) -> tuple[int, int, float] | None:
@@ -270,13 +299,13 @@ def decode_images(df: DataFrame, decode: str = "fake") -> DataFrame:
                 def geom(b: bytes | None) -> tuple[int | None, int | None]:
                     if b is None:
                         return (None, None)
-                    size = parse_png_size(b)
+                    size = parse_png_size(b) or parse_webp_size(b)
                     if size is None:
                         jpeg = parse_jpeg_size(b)
                         size = jpeg[:2] if jpeg is not None else None
                     if size is None:
                         raise NotImplementedError(
-                            "real pixel decode beyond PNG/JPEG headers "
+                            "real pixel decode beyond PNG/JPEG/WebP headers "
                             "requires an imaging library (Pillow/opencv); "
                             "not available in this environment"
                         )

@@ -213,8 +213,7 @@ PRIORITY: list[str] = [
     # the exact-substring (Lee et al.) pairwise dup screen, and SemDeDup
     # (cluster-bucketed semantic near-dup with an exact replayed oracle)
     "q_stream_join",
-    "q_substring_dup",
-    "q_semdedup",
+    "q_strip_spans",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

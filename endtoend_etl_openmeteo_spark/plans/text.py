@@ -345,6 +345,74 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_strip_spans",
+    # Replays the q_substring_dup pair extents, then the token surgery:
+    # a position is removed iff some pair's [b_lo, b_end] covers it in
+    # the HIGHER-id doc. md5 of the rebuilt text keeps rows small while
+    # still hashing every byte of the output.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    w AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i:i+11], ' ') AS span
+      FROM t, LATERAL unnest(generate_series(1, len(toks)-11)) AS g(i)
+    ),
+    pd AS (SELECT span, doc_id, min(pos) AS lo, max(pos) AS hi FROM w GROUP BY span, doc_id),
+    keep AS (SELECT span FROM pd GROUP BY span HAVING count(*) BETWEEN 2 AND 10),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.lo AS b_lo, b.hi AS b_hi
+      FROM pd a JOIN pd b USING (span) JOIN keep USING (span)
+      WHERE a.doc_id < b.doc_id
+    ),
+    agg AS (
+      SELECT id_b AS id, min(b_lo) AS b_lo, max(b_hi) + 11 AS b_end
+      FROM p GROUP BY id_a, id_b
+    ),
+    pos AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok, len(toks) AS n,
+             EXISTS (SELECT 1 FROM agg s WHERE s.id = t.doc_id
+                     AND i BETWEEN s.b_lo AND s.b_end) AS covered
+      FROM t, LATERAL unnest(generate_series(1, len(toks))) AS g(i)
+    )
+    SELECT doc_id AS id,
+           sum(CASE WHEN covered THEN 0 ELSE 1 END)::BIGINT AS n_tokens_kept,
+           sum(CASE WHEN covered THEN 1 ELSE 0 END)::BIGINT AS n_tokens_removed,
+           md5(coalesce(string_agg(tok, ' ' ORDER BY pos)
+                        FILTER (WHERE NOT covered), '')) AS clean_md5
+    FROM pos GROUP BY doc_id
+    """,
+    doc="Exact-substring dedup, transform stage (operators/dedup."
+    "strip_duplicate_spans): every pair q_substring_dup finds costs the "
+    "HIGHER-id doc its shared extent; the lower-id copy keeps the "
+    "canonical occurrence — Lee et al.'s removal policy. Surgery is a "
+    "per-row higher-order filter in codegen (keep token i iff no span "
+    "covers it); documents never shuffle for it — only the tiny "
+    "pair-extent lists move, one id-keyed join. All 300 slice docs come "
+    "back (untouched ones pass through), md5 of the rebuilt text "
+    "hash-checks every byte of the surgery cross-engine.",
+    tags=("text", "dedup"),
+)
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        strip_duplicate_spans,
+        substring_dup_spans,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = substring_dup_spans(
+        docs, "doc_id", "text", window=12, min_shared=1, boilerplate_cap=10
+    )
+    return strip_duplicate_spans(docs, pairs, "doc_id", "text").select(
+        F.col("id").cast("long").alias("id"),
+        "n_tokens_kept",
+        "n_tokens_removed",
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
+@register(
     "q_repetition",
     oracle=r"""
     WITH t AS (

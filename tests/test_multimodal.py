@@ -376,3 +376,24 @@ def test_decode_real_parses_flac_and_mp3_headers(spark):
     assert feats[1].duration_s == pytest.approx(0.5)
     assert (feats[2].sample_rate, feats[2].n_channels) == (44100, 2)
     assert (feats[3].sample_rate, feats[3].n_channels) == (22050, 2)
+
+
+def test_parse_webp_size_all_three_layouts():
+    from endtoend_etl_openmeteo_spark.operators.multimodal import parse_webp_size
+
+    def riff(fourcc, body):
+        chunk = fourcc + len(body).to_bytes(4, "little") + body
+        return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+    vp8x = bytes([0x02, 0, 0, 0]) + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    assert parse_webp_size(riff(b"VP8X", vp8x + b"\x00" * 8)) == (640, 480)
+
+    bits = (1023) | (767 << 14)  # 1024x768 minus-one packed
+    vp8l = bytes([0x2F]) + bits.to_bytes(4, "little") + b"\x00" * 8
+    assert parse_webp_size(riff(b"VP8L", vp8l)) == (1024, 768)
+
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+    assert parse_webp_size(riff(b"VP8 ", vp8)) == (320, 200)
+
+    assert parse_webp_size(b"RIFF\x00\x00\x00\x00WAVEfmt not webp" + b"\x00" * 20) is None
+    assert parse_webp_size(None) is None

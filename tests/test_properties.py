@@ -410,3 +410,94 @@ def test_curate_survivors_pass_every_gate(spark, seed):
             kept_docs, "doc_id", "text", "lang", threshold=0.2
         ).collect()
         assert pairs == []  # no near-dup pair survives
+
+
+def _brute_shared_windows(texts: dict[int, str], window: int):
+    """Reference implementation: exact string windows, pure Python."""
+    import re
+
+    spans = {}
+    for i, t in texts.items():
+        toks = re.sub(r"\s+", " ", t.lower().strip()).split(" ")
+        spans[i] = {}
+        for p in range(len(toks) - window + 1):
+            spans[i].setdefault(" ".join(toks[p:p + window]), []).append(p + 1)
+    pairs = {}
+    for a in sorted(spans):
+        for b in sorted(spans):
+            if a >= b:
+                continue
+            shared = set(spans[a]) & set(spans[b])
+            if shared:
+                pairs[(a, b)] = shared
+    return spans, pairs
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_substring_dup_matches_bruteforce(spark, data):
+    from endtoend_etl_openmeteo_spark.operators.dedup import substring_dup_spans
+
+    # small vocab + short docs force frequent window collisions
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+    texts = {i: data.draw(doc) for i in range(6)}
+    window = 3
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r
+        for r in substring_dup_spans(
+            df, "doc_id", "text", window=window, boilerplate_cap=100
+        ).collect()
+    }
+    spans, expect = _brute_shared_windows(texts, window)
+    assert set(got) == set(expect)
+    for (a, b), shared in expect.items():
+        r = got[(a, b)]
+        assert r.n_shared == len(shared)
+        a_pos = [p for s in shared for p in spans[a][s]]
+        b_pos = [p for s in shared for p in spans[b][s]]
+        assert r.a_lo == min(a_pos) and r.a_end == max(a_pos) + window - 1
+        assert r.b_lo == min(b_pos) and r.b_end == max(b_pos) + window - 1
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_semdedup_pairs_within_clusters_match_bruteforce(spark, data):
+    """semdedup output == brute-force cosine over pairs sharing a kmeans
+    cluster: the bucketing must lose exactly the cross-cluster pairs and
+    nothing else, with cosines equal to the exact fold."""
+    import math
+
+    from endtoend_etl_openmeteo_spark.operators.clusters import kmeans
+    from endtoend_etl_openmeteo_spark.operators.similarity import semdedup_pairs
+
+    dim = 4
+    vec = st.lists(
+        st.floats(-1, 1, allow_nan=False, width=32), min_size=dim, max_size=dim
+    )
+    rows = [(i, data.draw(vec)) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in semdedup_pairs(
+            df, k=2, iterations=2, iter_dp=6, threshold=-2.0
+        ).collect()
+    }
+    labels, _ = kmeans(df, k=2, iterations=2, iter_dp=6)
+    cluster = {r.id: r.cluster for r in labels.collect()}
+    vecs = dict(rows)
+    for a in range(8):
+        for b in range(a + 1, 8):
+            if cluster[a] != cluster[b]:
+                assert (a, b) not in got
+                continue
+            dot_ab = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            na = math.sqrt(sum(x * x for x in vecs[a]))
+            nb = math.sqrt(sum(x * x for x in vecs[b]))
+            if na * nb == 0:
+                assert (a, b) not in got  # null cosine filtered
+                continue
+            assert got[(a, b)] == pytest.approx(dot_ab / (na * nb), abs=1e-5)

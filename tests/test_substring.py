@@ -59,3 +59,25 @@ def test_short_docs_yield_no_windows(spark):
     )
     # shorter than one window: no pairs, and no sequence(1, n<1) blowup
     assert substring_dup_spans(docs, "doc_id", "text", window=12).count() == 0
+
+
+def test_strip_duplicate_spans_semantics(spark):
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        strip_duplicate_spans,
+        substring_dup_spans,
+    )
+
+    docs = _docs(spark).filter("doc_id <= 3")
+    pairs = substring_dup_spans(docs, "doc_id", "text", window=12, boilerplate_cap=3)
+    out = {r.id: r for r in strip_duplicate_spans(docs, pairs, "doc_id", "text").collect()}
+    # all docs come back, untouched ones pass through with zero removed
+    assert set(out) == {1, 2, 3}
+    assert out[3].n_tokens_removed == 0
+    assert out[1].n_tokens_removed == 0  # lower id keeps the canonical copy
+    # doc 2 (higher id) loses exactly the 12-token shared passage
+    assert out[2].n_tokens_removed == 12
+    assert PASSAGE not in out[2].text_clean
+    assert out[2].text_clean.startswith("one two three four five six")
+    assert out[2].text_clean.endswith("seven eight")
+    # token accounting adds up against the normalized originals
+    assert out[2].n_tokens_kept == len(out[2].text_clean.split(" "))
