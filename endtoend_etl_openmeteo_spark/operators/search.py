@@ -180,7 +180,7 @@ def write_inverted_index(
     import json as _json
 
     spark = docs.sparkSession
-    n_docs, avgdl = corpus_stats(docs, text_col)
+    n_docs, avgdl, total_tokens = _full_stats(docs, text_col)
     idx = inverted_index(docs, id_col, text_col).withColumn(
         "bkt", _term_bucket(F.col("term"), n_buckets)
     )
@@ -191,7 +191,99 @@ def write_inverted_index(
     out = fs.create(p, True)
     out.write(
         _json.dumps(
-            {"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets}
+            {
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "n_buckets": n_buckets,
+                # exact integer total so appends can re-derive avgdl with
+                # zero drift vs a full rebuild (ints merge exactly; the
+                # rounded double never compounds)
+                "total_tokens": total_tokens,
+            }
+        ).encode("utf-8")
+    )
+    out.close()
+    return n_docs, avgdl
+
+
+def _full_stats(docs: DataFrame, text_col: str) -> tuple[int, float, int]:
+    """(n_docs, avgdl, total_tokens) in one aggregate — corpus_stats plus
+    the exact integer token total the append path merges on. NULL text
+    counts as length 0 (not skipped) so avgdl == total_tokens / n_docs
+    holds as an exact identity — the invariant the append path's integer
+    merge relies on."""
+    dl = F.coalesce(F.size(_tokens(text_col)), F.lit(0))
+    row = docs.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(dl), 6).alias("avgdl"),
+        F.sum(dl).alias("tt"),
+    ).first()
+    return int(row["n"]), float(row["avgdl"]), int(row["tt"])
+
+
+def _rounded_avgdl(spark, total_tokens: int, n_docs: int) -> float:
+    """round(total/n, 6) with Spark's JVM HALF_UP-on-double semantics —
+    NOT Python's round (banker's), so an appended index's avgdl equals a
+    full rebuild's bit-for-bit."""
+    return float(
+        spark.range(1)
+        .select(
+            F.round(
+                F.lit(total_tokens).cast("double") / F.lit(n_docs), 6
+            ).alias("a")
+        )
+        .first()["a"]
+    )
+
+
+def append_inverted_index(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[int, float]:
+    """Add a batch of new documents to a stored index — incremental
+    index maintenance: the batch's postings land under their term-bucket
+    partitions (mode append; existing posting files are never rewritten)
+    and the stats sidecar merges EXACT integer totals (doc count, token
+    count), re-deriving avgdl with the same JVM rounding a full rebuild
+    uses — serving after N appends is bit-for-bit the single-build
+    result. Cost is O(batch): one map-side postings fold + one
+    bucket-keyed exchange. Returns the updated (n_docs, avgdl).
+
+    Caller owns dedup (append the same batch twice and its postings count
+    twice — pair with the ingest-log / epoch-tag patterns used elsewhere).
+    """
+    import json as _json
+
+    spark = docs.sparkSession
+    stats = read_index_stats(spark, index_path)
+    if "total_tokens" not in stats:
+        raise ValueError(
+            "index predates the total_tokens sidecar field — rebuild once "
+            "with write_inverted_index before appending"
+        )
+    n_buckets = stats["n_buckets"]
+    b_docs, _, b_tokens = _full_stats(docs, text_col)
+    idx = inverted_index(docs, id_col, text_col).withColumn(
+        "bkt", _term_bucket(F.col("term"), n_buckets)
+    )
+    idx.repartition(F.col("bkt")).write.partitionBy("bkt").mode(
+        "append"
+    ).parquet(index_path)
+    n_docs = stats["n_docs"] + b_docs
+    total_tokens = stats["total_tokens"] + b_tokens
+    avgdl = _rounded_avgdl(spark, total_tokens, n_docs)
+    p, fs = _stats_path(spark, index_path)
+    out = fs.create(p, True)
+    out.write(
+        _json.dumps(
+            {
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "n_buckets": n_buckets,
+                "total_tokens": total_tokens,
+            }
         ).encode("utf-8")
     )
     out.close()

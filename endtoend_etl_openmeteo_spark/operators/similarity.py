@@ -737,3 +737,60 @@ def semdedup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def read_ivf_quantizer(spark, path: str) -> DataFrame:
+    """The stored index's trained quantizer as a (cluster, centroid)
+    DataFrame — read back through the same Hadoop-FS sidecar the writer
+    used, so append/serve agree on the centroids byte-for-byte."""
+    import json
+
+    p, fs = _quantizer_path(spark, path)
+    stream = fs.open(p)
+    try:
+        raw = bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    cents = json.loads(raw.decode("utf-8"))["centroids"]
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cluster int, centroid array<double>",
+    )
+
+
+def append_ivf_index(
+    spark,
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add a batch of new vectors to a stored :func:`write_ivf_index`
+    layout — the FAISS ``add`` half of build-once/serve-many: the
+    quantizer is NOT retrained; the batch is assigned to the existing
+    cells (same squared-euclidean argmin the original build used, via
+    the sidecar centroids) and appended under its ``cell=`` partitions.
+
+    Serving (:func:`stored_ivf_topk`) needs no change: partition
+    discovery picks up the new files, probe pruning still holds because
+    cell membership is quantizer-consistent. Cost is O(batch): one
+    map-side argmin + one cell-keyed exchange; existing cell files are
+    never rewritten. (Quantizer drift under a shifting distribution is
+    the signal to rebuild — the offline retrain path.)
+    """
+    from endtoend_etl_openmeteo_spark.operators.clusters import kmeans_assign
+
+    cents = read_ivf_quantizer(spark, path)
+    assigned = kmeans_assign(vectors, cents, id_col=id_col, vec_col=vec_col,
+                             keep_vec=True)
+    (
+        assigned.select(
+            F.col("id").alias("vec_id"),
+            F.col("vec").alias("embedding"),
+            F.col("cluster").alias("cell"),
+        )
+        .repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )

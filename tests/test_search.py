@@ -111,6 +111,7 @@ def test_stored_index_round_trip_matches_inplan_build(spark, tmp_path):
         "n_docs": n,
         "avgdl": avgdl,
         "n_buckets": 8,
+        "total_tokens": 21,  # exact integer total for the append path
     }
     stored = stored_bm25_topk(spark, path, TERMS, k=10).collect()
     inplan = bm25_topk(inverted_index(docs), TERMS, n, avgdl, k=10).collect()
@@ -147,3 +148,63 @@ def test_stored_index_scan_prunes_term_buckets(spark, tmp_path):
     assert all(any(f"bkt={b}/" in f for b in bkts) for f in files)
     # and the postings content is exactly the two terms'
     assert set(r["term"] for r in post.collect()) == {"spark", "join"}
+
+
+def test_append_inverted_index_equals_full_rebuild(spark, tmp_path):
+    """Incremental maintenance contract: N appends serve bit-for-bit what
+    one full build over the union serves — postings identical, sidecar
+    stats re-derived from exact integer totals (not compounded rounded
+    doubles)."""
+    from endtoend_etl_openmeteo_spark.operators.search import (
+        append_inverted_index,
+        read_index_stats,
+        stored_bm25_topk,
+        write_inverted_index,
+    )
+
+    extra = [
+        (5, "spark window shuffle exchange partition"),
+        (6, "batch join join spark window"),
+    ]
+    full = spark.createDataFrame(DOCS + extra, "doc_id long, text string")
+    base = _corpus(spark)
+    batch = spark.createDataFrame(extra, "doc_id long, text string")
+
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    write_inverted_index(base, inc_path)
+    n_docs, avgdl = append_inverted_index(batch, inc_path)
+    write_inverted_index(full, full_path)
+
+    s_inc, s_full = read_index_stats(spark, inc_path), read_index_stats(spark, full_path)
+    assert (n_docs, avgdl) == (s_full["n_docs"], s_full["avgdl"])
+    assert s_inc == s_full  # including the exact integer token total
+
+    got = sorted(
+        tuple(r) for r in stored_bm25_topk(spark, inc_path, TERMS, k=10).collect()
+    )
+    want = sorted(
+        tuple(r) for r in stored_bm25_topk(spark, full_path, TERMS, k=10).collect()
+    )
+    assert got == want and len(got) >= 5
+
+
+def test_append_refuses_legacy_sidecar(spark, tmp_path):
+    import json
+
+    from endtoend_etl_openmeteo_spark.operators.search import (
+        _stats_path,
+        append_inverted_index,
+        write_inverted_index,
+    )
+
+    path = str(tmp_path / "legacy")
+    write_inverted_index(_corpus(spark), path)
+    # simulate a pre-total_tokens index
+    p, fs = _stats_path(spark, path)
+    out = fs.create(p, True)
+    out.write(json.dumps({"n_docs": 4, "avgdl": 5.25, "n_buckets": 64}).encode())
+    out.close()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="total_tokens"):
+        append_inverted_index(_corpus(spark), path)

@@ -196,3 +196,52 @@ def test_stored_ivf_prunes_unprobed_cells_and_matches_inplan(spark, emb, tmp_pat
     s_rows = {tuple(r) for r in stored.collect()}
     i_rows = {tuple(r) for r in inplan.collect()}
     assert s_rows == i_rows and s_rows
+
+
+def test_append_ivf_index_serves_like_single_build(spark, tmp_path):
+    """FAISS `add`: appending a vector batch to a stored IVF index (no
+    quantizer retrain) must serve exactly what a single build over the
+    union serves — same cells (sidecar quantizer, same argmin), so same
+    probes, candidates, scores, tie-breaks."""
+    from endtoend_etl_openmeteo_spark.operators.clusters import (
+        kmeans_assign,
+        kmeans_train_sampled,
+    )
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        append_ivf_index,
+        read_ivf_quantizer,
+        stored_ivf_topk,
+        write_ivf_index,
+    )
+    from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+    emb = tbl(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = kmeans_train_sampled(base, k=6, iterations=2)
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    write_ivf_index(
+        kmeans_assign(base, cents, keep_vec=True)
+        .withColumnRenamed("id", "vec_id").withColumnRenamed("vec", "embedding"),
+        cents, inc, cell_col="cluster",
+    )
+    append_ivf_index(spark, batch, inc)
+    write_ivf_index(
+        kmeans_assign(emb, cents, keep_vec=True)
+        .withColumnRenamed("id", "vec_id").withColumnRenamed("vec", "embedding"),
+        cents, full, cell_col="cluster",
+    )
+    # sidecar survives the append byte-for-byte
+    assert (
+        read_ivf_quantizer(spark, inc).collect()
+        == read_ivf_quantizer(spark, full).collect()
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        tuple(r) for r in stored_ivf_topk(spark, inc, queries, k=10, nprobe=2).collect()
+    )
+    want = sorted(
+        tuple(r) for r in stored_ivf_topk(spark, full, queries, k=10, nprobe=2).collect()
+    )
+    assert got == want and len(got) == 50
