@@ -337,3 +337,47 @@ def stored_bm25_topk(
         k1=k1,
         b=b,
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked lists: score(id) = sum over lists
+    of 1/(rrf_k + rank), the standard score-free hybrid-retrieval
+    combiner (Cormack et al.) — BM25 and embedding rankings live on
+    incomparable scales, ranks don't. Rows: (id, rrf_score, rank), top-k
+    by (rrf_score desc, id).
+
+    Each input carries (id_col, rank_col) and is top-k-bounded by its
+    producer, so everything here is metadata-sized: the union is
+    |lists|·k rows and the final window sorts at most that. 9dp rounding
+    before the rank pins the order cross-engine (with two lists the sum
+    is order-exact — IEEE addition is commutative; beyond two the
+    rounding absorbs association differences).
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = [
+        r.select(
+            F.col(id_col).alias("id"),
+            F.col(rank_col).cast("long").alias("rank"),
+        )
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    scored = u.groupBy("id").agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))), 9).alias(
+            "rrf_score"
+        )
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

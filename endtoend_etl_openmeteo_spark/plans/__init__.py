@@ -214,6 +214,7 @@ PRIORITY: list[str] = [
     # (cluster-bucketed semantic near-dup with an exact replayed oracle)
     "q_stream_join",
     "q_strip_spans",
+    "q_hybrid_search",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

@@ -1431,6 +1431,97 @@ def _stored_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 @register(
+    "q_hybrid_search",
+    # The BM25 CTE chain is q_bm25_search's verbatim (k=20 cut), the
+    # cosine chain q_ann_cosine's for one query vector; fusion replays
+    # 1/(60+rank) sums at 9dp. Ranks, not scores, cross the fusion
+    # boundary — the two score scales are incomparable by construction.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               w -> w <> '') AS ws
+      FROM documents),
+    stats AS (SELECT count(*) AS n, round(avg(len(ws)), 6) AS avgdl FROM toks),
+    words AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM toks),
+    tf AS (
+      SELECT w, doc_id, count(*) AS tf, any_value(dl) AS dl
+      FROM words WHERE w IN ('spark', 'join', 'window', 'batch')
+      GROUP BY w, doc_id),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT t.doc_id,
+             ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) AS contrib
+      FROM tf t JOIN df d USING (w) CROSS JOIN stats s),
+    bm AS (
+      SELECT doc_id, round(sum(contrib), 6) AS score
+      FROM scored GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 20),
+    bmr AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM bm),
+    e AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings),
+    qv AS (SELECT v, nrm FROM e WHERE id = 0),
+    cos AS (
+      SELECT e.id,
+             round(list_dot_product(qv.v, e.v) / (qv.nrm * e.nrm), 6) AS cs
+      FROM e, qv WHERE e.id <> 0
+      ORDER BY cs DESC, e.id LIMIT 20),
+    cr AS (SELECT id, row_number() OVER (ORDER BY cs DESC, id) AS rank FROM cos),
+    u AS (SELECT id, rank FROM bmr UNION ALL SELECT id, rank FROM cr),
+    f AS (
+      SELECT id, round(sum(1.0 / (60 + rank)), 9) AS rrf_score
+      FROM u GROUP BY id)
+    SELECT id AS doc_id, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, id) AS BIGINT)
+             AS rank
+    FROM f ORDER BY rrf_score DESC, id LIMIT 10
+    """,
+    doc="Hybrid retrieval: reciprocal-rank fusion (operators/search."
+    "rrf_fuse) of the stored-index BM25 top-20 and the exact-cosine "
+    "top-20 for one query embedding — the standard two-tower + lexical "
+    "combiner (RAG retrieval, candidate mining). Everything the fusion "
+    "touches is k-bounded metadata: two 20-row ranked lists union, one "
+    "40-row aggregate, one 9dp-rounded rank — the heavy lifting stays "
+    "in the two producers, each with its own pruned serving path "
+    "(term-bucket partitions; broadcast query vector).",
+    tags=("text", "search", "similarity"),
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from endtoend_etl_openmeteo_spark.operators.search import (
+        rrf_fuse,
+        stored_bm25_topk,
+    )
+    from endtoend_etl_openmeteo_spark.operators.similarity import cosine_topk
+
+    bm = stored_bm25_topk(spark, _stored_index(spark, sf_dir), SEARCH_TERMS, k=20)
+    # rank over a k-bounded (<=20 row) frame — the producer already cut it
+    bmr = bm.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    emb = tbl(spark, sf_dir, "embeddings")
+    cos = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("n_id").alias("id"), "rank"
+    )
+    return rrf_fuse([bmr, cos], k=10).select(
+        F.col("id").cast("long").alias("doc_id"), "rrf_score", "rank"
+    )
+
+
+@register(
     "q_leakproof_split",
     oracle=rf"""
     WITH RECURSIVE d AS (
