@@ -1513,3 +1513,71 @@ def test_vacuum_spares_in_flight_manifest_spills(spark, table):
     vt_vacuum(spark, table, keep_last=1)
     assert not any(os.path.exists(os.path.join(table, r["ref"])) for r in stale)
     assert all(os.path.exists(os.path.join(table, r["ref"])) for r in refs)
+
+
+def test_maintain_ticks_concurrent_with_appends(spark, table):
+    """The round-6 ADVICE race, end to end: vt_maintain (compact + vacuum
+    with orphan-spill GC) running WHILE a writer appends. The vacuum
+    grace window must spare the writer's pre-CAS manifest spills, every
+    append must land (rebase path as needed), and each retained snapshot
+    must stay readable after every tick."""
+    import threading
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_count, vt_maintain
+
+    vt_append(spark, _df(spark, 0, 20), table)
+    rounds = 4
+    rows_per = 30
+    start = threading.Barrier(2, timeout=120)
+    errors = []
+
+    def writer():
+        try:
+            for i in range(rounds):
+                start.wait()
+                vt_append(
+                    spark,
+                    _df(spark, 20 + i * rows_per, 20 + (i + 1) * rows_per),
+                    table,
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(("writer", e))
+
+    def maintainer():
+        from endtoend_etl_openmeteo_spark.operators.versioned import (
+            ConcurrentWriteError,
+        )
+
+        try:
+            for _ in range(rounds):
+                start.wait()
+                # compact is read-modify-write: losing the CAS to a racing
+                # append raises ConcurrentWriteError BY DESIGN ("re-run
+                # against the current version") — the maintenance loop's
+                # retry is part of the contract under test
+                for _attempt in range(5):
+                    try:
+                        vt_maintain(spark, table, keep_last=2, max_files=4,
+                                    small_file_mb=64)
+                        break
+                    except ConcurrentWriteError:
+                        continue
+                else:  # pragma: no cover
+                    raise RuntimeError("5 conflicted maintain attempts")
+        except Exception as e:  # pragma: no cover
+            errors.append(("maintainer", e))
+
+    t1 = threading.Thread(target=writer, name="vt-writer")
+    t2 = threading.Thread(target=maintainer, name="vt-maintainer")
+    t1.start(); t2.start(); t1.join(300); t2.join(300)
+    assert not errors, errors
+    # every append landed exactly once
+    total = 20 + rounds * rows_per
+    assert sorted(r.id for r in vt_read(spark, table).collect()) == list(range(total))
+    assert vt_count(spark, table) == total
+    # every retained snapshot is fully readable (no snapshot points at
+    # GC'd manifest spills or data files)
+    from endtoend_etl_openmeteo_spark.operators.versioned import _list_versions
+
+    for v in _list_versions(spark, table):
+        assert vt_read(spark, table, version=v).count() >= 0
