@@ -683,6 +683,7 @@ def semdedup_pairs(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs via cluster-bucketed cosine — SemDeDup
     (Abbas et al. 2023): k-means the embedding space, compare only within
@@ -702,23 +703,40 @@ def semdedup_pairs(
     dp-rounded centroids), so the whole output is replicable in SQL —
     q_semdedup extends the q_kmeans unrolled-CTE oracle with one
     within-cluster pair join.
+
+    ``centroids`` short-circuits training with an already-trained fixed
+    point ((cluster, centroid) rows): assignment collapses to ONE
+    shuffle-free broadcast-argmin pass over the corpus, and no id-keyed
+    label join is needed — the train-once/assign-many production split.
+    kmeans' final assignment is defined to equal kmeans_assign against
+    its returned centroids, so both paths give identical pairs.
     """
-    from endtoend_etl_openmeteo_spark.operators.clusters import kmeans
+    from endtoend_etl_openmeteo_spark.operators.clusters import (
+        kmeans,
+        kmeans_assign,
+    )
     from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
 
-    assignments, _ = kmeans(
-        corpus, k=k, iterations=iterations,
-        id_col=id_col, vec_col=vec_col, iter_dp=iter_dp,
-    )
-    d = (
-        cpu_parallelize(corpus)
-        .select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
+    if centroids is not None:
+        d = kmeans_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col, keep_vec=True
+        ).select("id", F.col("vec").alias("v"), "cluster").withColumn(
+            "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
         )
-        .join(assignments, "id")
-        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    )
+    else:
+        assignments, _ = kmeans(
+            corpus, k=k, iterations=iterations,
+            id_col=id_col, vec_col=vec_col, iter_dp=iter_dp,
+        )
+        d = (
+            cpu_parallelize(corpus)
+            .select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .join(assignments, "id")
+            .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        )
     a, b = d.alias("a"), d.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / F.nullif(
         F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)

@@ -664,15 +664,29 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "similarity", "iterative"),
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.clusters import kmeans
     from endtoend_etl_openmeteo_spark.operators.similarity import semdedup_pairs
+    from endtoend_etl_openmeteo_spark.plans.similarity import _cached_model
+    from endtoend_etl_openmeteo_spark.session import release_checkpoint
 
-    return semdedup_pairs(
-        tbl(spark, sf_dir, "embeddings"),
-        k=_KMEANS_K,
-        iterations=_KMEANS_ITERS,
-        iter_dp=_KMEANS_DP,
-        threshold=0.3,
+    emb = tbl(spark, sf_dir, "embeddings")
+
+    def train() -> DataFrame:
+        # only the k-row centroid fixed point is cached (the _TRAINED
+        # pattern — train once, assign many); the corpus-sized assignment
+        # checkpoint is released, semdedup_pairs re-derives it with one
+        # broadcast-argmin pass, provably equal to kmeans' own assignment
+        assignments, cents = kmeans(
+            emb, k=_KMEANS_K, iterations=_KMEANS_ITERS, iter_dp=_KMEANS_DP
+        )
+        release_checkpoint(assignments)
+        return cents
+
+    cents = _cached_model(
+        spark, ("semdedup_kmeans", sf_dir, _KMEANS_K, _KMEANS_ITERS, _KMEANS_DP),
+        train,
     )
+    return semdedup_pairs(emb, threshold=0.3, centroids=cents)
 
 
 @register(
