@@ -425,6 +425,15 @@ def incremental_neardup(
         if old_sigs is None
         else new_sigs.join(old_sigs.select("id"), "id", "left_anti")
     )
+    # Right-size the index files to the BATCH, not to cpu_parallelize's
+    # session-wide partition count riding in from the signature
+    # checkpoint: a 30-doc contract batch otherwise lands as 32 near-empty
+    # parquet files, and the index directory accretes tasks-per-batch
+    # files forever. ~50k signatures (~6 MB) per file; the count is a
+    # cheap job against the already-materialized checkpoint.
+    sig_files = max(1, new_sigs.count() // 50_000)
+    if sig_files < new_sigs.rdd.getNumPartitions():
+        novel = novel.coalesce(sig_files)
     if batch_id is not None:
         # Whole-subdir overwrite: replaces any partial earlier attempt.
         novel.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
@@ -507,6 +516,11 @@ def incremental_exact_dedup(
         if old_fp is None
         else new_fp.join(old_fp.select("id"), "id", "left_anti")
     )
+    # same batch-sized file policy as the MinHash tier: ~200k 24-byte
+    # digests (~5 MB) per index file, never one file per checkpoint task
+    fp_files = max(1, new_fp.count() // 200_000)
+    if fp_files < new_fp.rdd.getNumPartitions():
+        novel = novel.coalesce(fp_files)
     if batch_id is not None:
         novel.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
     else:
