@@ -420,29 +420,34 @@ def incremental_neardup(
         .distinct()
         .localCheckpoint(eager=True)  # materialize BEFORE the index append
     )
+    # Right-size the index files to the NOVEL rows actually written (a
+    # mostly-duplicate batch writes 1 file, not files sized to the raw
+    # batch), never to cpu_parallelize's session-wide partition count
+    # riding in from the signature checkpoint: a 30-doc contract batch
+    # otherwise lands as 32 near-empty parquet files, and the index
+    # directory accretes tasks-per-batch files forever. The anti-join is
+    # checkpointed so the count and the write share ONE evaluation;
+    # ~50k signatures (~6 MB) per file. coalesce only ever reduces
+    # partition counts, so no current-partition probe is needed.
     novel = (
         new_sigs
         if old_sigs is None
         else new_sigs.join(old_sigs.select("id"), "id", "left_anti")
+        .localCheckpoint(eager=True)
     )
-    # Right-size the index files to the BATCH, not to cpu_parallelize's
-    # session-wide partition count riding in from the signature
-    # checkpoint: a 30-doc contract batch otherwise lands as 32 near-empty
-    # parquet files, and the index directory accretes tasks-per-batch
-    # files forever. ~50k signatures (~6 MB) per file; the count is a
-    # cheap job against the already-materialized checkpoint.
-    sig_files = max(1, new_sigs.count() // 50_000)
-    if sig_files < new_sigs.rdd.getNumPartitions():
-        novel = novel.coalesce(sig_files)
+    sig_files = max(1, novel.count() // 50_000)
+    out = novel.coalesce(sig_files)
     if batch_id is not None:
         # Whole-subdir overwrite: replaces any partial earlier attempt.
-        novel.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+        out.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
     else:
-        novel.write.mode("append").parquet(index_path)
+        out.write.mode("append").parquet(index_path)
     # The index append was the last consumer of the signature checkpoint
     # (``pairs`` is already materialized above) — release it so repeated
     # ingest batches don't pin one signature copy per batch forever.
     release_checkpoint(new_sigs)
+    if novel is not new_sigs:
+        release_checkpoint(novel)
     return pairs
 
 
@@ -511,21 +516,24 @@ def incremental_exact_dedup(
         .distinct()
         .localCheckpoint(eager=True)  # materialize BEFORE the index append
     )
+    # same novel-sized file policy as the MinHash tier: ~200k 24-byte
+    # digests (~5 MB) per index file, never one file per checkpoint task
+    # and never more files than the novel rows warrant
     novel = (
         new_fp
         if old_fp is None
         else new_fp.join(old_fp.select("id"), "id", "left_anti")
+        .localCheckpoint(eager=True)
     )
-    # same batch-sized file policy as the MinHash tier: ~200k 24-byte
-    # digests (~5 MB) per index file, never one file per checkpoint task
-    fp_files = max(1, new_fp.count() // 200_000)
-    if fp_files < new_fp.rdd.getNumPartitions():
-        novel = novel.coalesce(fp_files)
+    fp_files = max(1, novel.count() // 200_000)
+    out = novel.coalesce(fp_files)
     if batch_id is not None:
-        novel.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+        out.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
     else:
-        novel.write.mode("append").parquet(index_path)
+        out.write.mode("append").parquet(index_path)
     release_checkpoint(new_fp)
+    if novel is not new_fp:
+        release_checkpoint(novel)
     return pairs
 
 

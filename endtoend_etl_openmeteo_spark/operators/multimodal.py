@@ -107,6 +107,12 @@ def parse_jpeg_size(payload: bytes | None) -> tuple[int, int, int] | None:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             return None  # desynced marker stream — not a parseable JPEG
+        # The spec allows any number of 0xFF fill bytes before the marker
+        # code itself — skip padding so 0xFF is never read as a marker.
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            return None
         marker = payload[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2  # standalone markers carry no length

@@ -180,7 +180,7 @@ def write_inverted_index(
     import json as _json
 
     spark = docs.sparkSession
-    n_docs, avgdl, total_tokens = _full_stats(docs, text_col)
+    n_docs, avgdl, total_tokens, n_text_docs = _full_stats(docs, text_col)
     idx = inverted_index(docs, id_col, text_col).withColumn(
         "bkt", _term_bucket(F.col("term"), n_buckets)
     )
@@ -195,10 +195,12 @@ def write_inverted_index(
                 "n_docs": n_docs,
                 "avgdl": avgdl,
                 "n_buckets": n_buckets,
-                # exact integer total so appends can re-derive avgdl with
+                # exact integer totals so appends can re-derive avgdl with
                 # zero drift vs a full rebuild (ints merge exactly; the
-                # rounded double never compounds)
+                # rounded double never compounds). n_text_docs is avgdl's
+                # denominator — NULL-text docs count in n_docs but not here.
                 "total_tokens": total_tokens,
+                "n_text_docs": n_text_docs,
             }
         ).encode("utf-8")
     )
@@ -206,19 +208,23 @@ def write_inverted_index(
     return n_docs, avgdl
 
 
-def _full_stats(docs: DataFrame, text_col: str) -> tuple[int, float, int]:
-    """(n_docs, avgdl, total_tokens) in one aggregate — corpus_stats plus
-    the exact integer token total the append path merges on. NULL text
-    counts as length 0 (not skipped) so avgdl == total_tokens / n_docs
-    holds as an exact identity — the invariant the append path's integer
-    merge relies on."""
-    dl = F.coalesce(F.size(_tokens(text_col)), F.lit(0))
+def _full_stats(docs: DataFrame, text_col: str) -> tuple[int, float, int, int]:
+    """(n_docs, avgdl, total_tokens, n_text_docs) in one aggregate —
+    corpus_stats plus the exact integer totals the append path merges on.
+    NULL-text docs count in ``n_docs`` (corpus members for BM25's N) but
+    are EXCLUDED from avgdl — size(NULL) is NULL, so avg/sum/count skip
+    them, the SAME convention corpus_stats and the DuckDB oracles use
+    (``avg(len(ws))`` skips NULLs). The append-path identity is
+    avgdl == total_tokens / n_text_docs, exact in integers."""
+    dl = F.size(_tokens(text_col))
     row = docs.agg(
         F.count("*").alias("n"),
         F.round(F.avg(dl), 6).alias("avgdl"),
-        F.sum(dl).alias("tt"),
+        F.coalesce(F.sum(dl), F.lit(0)).alias("tt"),
+        F.count(dl).alias("nt"),
     ).first()
-    return int(row["n"]), float(row["avgdl"]), int(row["tt"])
+    avgdl = 0.0 if row["nt"] == 0 else float(row["avgdl"])
+    return int(row["n"]), avgdl, int(row["tt"]), int(row["nt"])
 
 
 def _rounded_avgdl(spark, total_tokens: int, n_docs: int) -> float:
@@ -264,7 +270,7 @@ def append_inverted_index(
             "with write_inverted_index before appending"
         )
     n_buckets = stats["n_buckets"]
-    b_docs, _, b_tokens = _full_stats(docs, text_col)
+    b_docs, _, b_tokens, b_text_docs = _full_stats(docs, text_col)
     idx = inverted_index(docs, id_col, text_col).withColumn(
         "bkt", _term_bucket(F.col("term"), n_buckets)
     )
@@ -273,7 +279,11 @@ def append_inverted_index(
     ).parquet(index_path)
     n_docs = stats["n_docs"] + b_docs
     total_tokens = stats["total_tokens"] + b_tokens
-    avgdl = _rounded_avgdl(spark, total_tokens, n_docs)
+    # pre-n_text_docs sidecars had no NULL-text docs, so n_docs is exact
+    n_text_docs = stats.get("n_text_docs", stats["n_docs"]) + b_text_docs
+    avgdl = (
+        _rounded_avgdl(spark, total_tokens, n_text_docs) if n_text_docs else 0.0
+    )
     p, fs = _stats_path(spark, index_path)
     out = fs.create(p, True)
     out.write(
@@ -283,6 +293,7 @@ def append_inverted_index(
                 "avgdl": avgdl,
                 "n_buckets": n_buckets,
                 "total_tokens": total_tokens,
+                "n_text_docs": n_text_docs,
             }
         ).encode("utf-8")
     )

@@ -1349,8 +1349,12 @@ def vt_vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> int:
     # in-flight commit. Grace window: only GC spills strictly older than the
     # oldest retained version manifest; any in-flight commit started after
     # that version landed, so its spills are always newer and survive.
+    # A table with spilled m_*.parquet but zero committed versions (crashed
+    # first commit) has an empty `keep`: no grace anchor exists, so spill GC
+    # is skipped entirely — the in-flight/orphan spills survive until a
+    # version lands and a later vacuum can reason about their age.
     mdir = jvm.org.apache.hadoop.fs.Path(f"{table}/{_MANIFEST_DIR}")
-    if fs.exists(mdir):
+    if fs.exists(mdir) and keep:
         grace_mtime = min(
             fs.getFileStatus(
                 jvm.org.apache.hadoop.fs.Path(_manifest_path(table, v))

@@ -212,3 +212,33 @@ def test_incremental_exact_dedup_rerun_after_partial_write(spark, index_path):
     assert got == {(10, 1): False, (11, 12): True}
     idx = spark.read.parquet(index_path)
     assert idx.count() == 4 and idx.select("id").distinct().count() == 4
+
+def test_index_files_sized_to_novel_rows(spark, index_path):
+    """File sizing counts the rows actually written (post anti-join), not
+    the raw batch: a mostly-duplicate batch writes ONE parquet file, and
+    reruns of an all-duplicate batch add one (empty-payload) file, never
+    tasks-per-batch near-empty files."""
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    def _data_files():
+        return [
+            p for p in Path(index_path).rglob("*.parquet")
+            if not p.name.startswith("_")
+        ]
+
+    b1 = _docs(spark, [(i, f"document number {i} entirely unique") for i in range(40)])
+    incremental_exact_dedup(spark, b1, index_path, "doc_id", "text")
+    assert len(_data_files()) == 1
+
+    # batch 2: 39 already-indexed ids resubmitted + 1 novel id — only the
+    # novel id is appended, in exactly one file
+    b2 = _docs(
+        spark,
+        [(i, f"document number {i} entirely unique") for i in range(39)]
+        + [(999, "a genuinely new document")],
+    )
+    incremental_exact_dedup(spark, b2, index_path, "doc_id", "text")
+    assert len(_data_files()) == 2  # exactly one new file for 1 novel row
+    assert spark.read.parquet(index_path).count() == 41

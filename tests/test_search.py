@@ -112,6 +112,7 @@ def test_stored_index_round_trip_matches_inplan_build(spark, tmp_path):
         "avgdl": avgdl,
         "n_buckets": 8,
         "total_tokens": 21,  # exact integer total for the append path
+        "n_text_docs": n,  # avgdl denominator; == n_docs when no NULL text
     }
     stored = stored_bm25_topk(spark, path, TERMS, k=10).collect()
     inplan = bm25_topk(inverted_index(docs), TERMS, n, avgdl, k=10).collect()
@@ -208,3 +209,34 @@ def test_append_refuses_legacy_sidecar(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="total_tokens"):
         append_inverted_index(_corpus(spark), path)
+
+
+def test_null_text_docs_share_oracle_avgdl_convention(spark, tmp_path):
+    """NULL-text docs count in n_docs (BM25's N) but are EXCLUDED from
+    avgdl — the convention corpus_stats and the DuckDB oracles use
+    (avg skips NULLs). Pinned end-to-end: build + append with NULL text
+    stays bit-for-bit equal to a full rebuild."""
+    from endtoend_etl_openmeteo_spark.operators.search import (
+        append_inverted_index,
+        read_index_stats,
+        write_inverted_index,
+    )
+
+    with_null = DOCS + [(7, None)]
+    base = spark.createDataFrame(with_null, "doc_id long, text string")
+    path = str(tmp_path / "nulls")
+    n, avgdl = write_inverted_index(base, path, n_buckets=8)
+    assert n == 5  # NULL doc is a corpus member
+    assert avgdl == round((4 + 4 + 8 + 5) / 4, 6)  # but not in avgdl
+    stats = read_index_stats(spark, path)
+    assert stats["n_text_docs"] == 4 and stats["total_tokens"] == 21
+
+    # append a batch that itself carries a NULL-text doc
+    extra = [(8, "spark join"), (9, None)]
+    batch = spark.createDataFrame(extra, "doc_id long, text string")
+    n2, avgdl2 = append_inverted_index(batch, path)
+    full_path = str(tmp_path / "full")
+    full = spark.createDataFrame(with_null + extra, "doc_id long, text string")
+    n3, avgdl3 = write_inverted_index(full, full_path, n_buckets=8)
+    assert (n2, avgdl2) == (n3, avgdl3)
+    assert read_index_stats(spark, path) == read_index_stats(spark, full_path)

@@ -670,13 +670,17 @@ def main() -> None:
     scratch = Path(dst) / "side"
     shutil.rmtree(scratch, ignore_errors=True)
     scratch.mkdir(parents=True)
-    failures += merge_smoke(spark, src, scratch, replicas)
-    failures += skew_window_smoke(spark, scratch, replicas)
-    failures += mor_smoke(spark, src, scratch, replicas)
-    failures += manifest_smoke(spark, scratch, replicas)
-    failures += curation_lsh_smoke(spark, src, scratch, replicas)
-    failures += substring_smoke(spark, src, replicas)
-    n_checks += 4
+    extra_smokes = [
+        lambda: merge_smoke(spark, src, scratch, replicas),
+        lambda: skew_window_smoke(spark, scratch, replicas),
+        lambda: mor_smoke(spark, src, scratch, replicas),
+        lambda: manifest_smoke(spark, scratch, replicas),
+        lambda: curation_lsh_smoke(spark, src, scratch, replicas),
+        lambda: substring_smoke(spark, src, replicas),
+    ]
+    for smoke in extra_smokes:
+        failures += smoke()
+    n_checks += len(extra_smokes)
     import os
 
     if os.environ.get("SCALE_SMOKE_SKIP_STREAMING") != "1":
