@@ -565,6 +565,7 @@ def substring_dup_spans(
     window: int = 20,
     min_shared: int = 1,
     boilerplate_cap: int = 50,
+    collect_positions: bool = False,
 ) -> DataFrame:
     """Pairwise exact-substring duplication screen: document pairs sharing
     at least ``min_shared`` distinct ``window``-token contiguous spans,
@@ -581,6 +582,14 @@ def substring_dup_spans(
     string equality (a cross-doc collision needs ~2^32 distinct spans by
     birthday bound; the declared query's oracle joins on the span STRINGS
     and must agree exactly).
+
+    ``collect_positions=True`` adds ``b_spans``: the exact per-OCCURRENCE
+    span list on the higher-id side, array<struct<lo,end>> with one
+    element per shared-window occurrence ([p, p+window-1], distinct) —
+    the input :func:`strip_duplicate_spans` needs for per-span surgery
+    (Lee et al. remove each duplicated passage, not the covering extent,
+    so original text BETWEEN two copied passages survives). Off by
+    default: the screen-only path doesn't pay for position lists.
 
     Scale shape: windows are built map-side (one transform over a
     token-count-long sequence — corpus-token-scale, the inherent cost of
@@ -621,10 +630,14 @@ def substring_dup_spans(
     # step plans its own exchange (measured 7 vs 4 total shuffles).
     # One row per (window hash, doc): within-doc repeats collapse to an
     # extent, so the pair join is doc-pair-per-hash, not occurrence^2.
+    per_doc_aggs = [F.min("pos").alias("lo"), F.max("pos").alias("hi")]
+    if collect_positions:
+        # every occurrence start of this window hash in this doc — the
+        # per-span surgery needs occurrences, not the [min, max] extent
+        # (a window repeated at positions 5 and 50 must not cost 6..49)
+        per_doc_aggs.append(F.collect_list("pos").alias("positions"))
     per_doc = (
-        wins.repartition(F.col("h"))
-        .groupBy("h", "id")
-        .agg(F.min("pos").alias("lo"), F.max("pos").alias("hi"))
+        wins.repartition(F.col("h")).groupBy("h", "id").agg(*per_doc_aggs)
     )
     w_h = Window.partitionBy("h")
     kept = (
@@ -632,18 +645,30 @@ def substring_dup_spans(
         .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= boilerplate_cap))
         .drop("n_docs")
     )
+    pair_aggs = [
+        F.count("*").alias("n_shared"),
+        F.min("a.lo").alias("a_lo"),
+        (F.max("a.hi") + F.lit(window - 1)).alias("a_end"),
+        F.min("b.lo").alias("b_lo"),
+        (F.max("b.hi") + F.lit(window - 1)).alias("b_end"),
+    ]
+    if collect_positions:
+        pair_aggs.append(
+            F.transform(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("b.positions")))
+                ),
+                lambda p: F.struct(
+                    p.alias("lo"), (p + F.lit(window - 1)).alias("end")
+                ),
+            ).alias("b_spans")
+        )
     a, b = kept.alias("a"), kept.alias("b")
     return (
         a.join(b, ["h"])
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count("*").alias("n_shared"),
-            F.min("a.lo").alias("a_lo"),
-            (F.max("a.hi") + F.lit(window - 1)).alias("a_end"),
-            F.min("b.lo").alias("b_lo"),
-            (F.max("b.hi") + F.lit(window - 1)).alias("b_end"),
-        )
+        .agg(*pair_aggs)
         .filter(F.col("n_shared") >= min_shared)
     )
 
@@ -656,22 +681,33 @@ def strip_duplicate_spans(
 ) -> DataFrame:
     """Remove duplicated passages in place — the transform stage of
     exact-substring dedup (Lee et al.): for every pair found by
-    :func:`substring_dup_spans`, the HIGHER-id document loses the tokens
-    of its shared extent [b_lo, b_end]; the lower-id copy keeps the
-    canonical occurrence. Rows: (id, n_tokens_kept, n_tokens_removed,
-    text_clean) over ALL input docs (untouched docs pass through with
-    their normalized text).
+    :func:`substring_dup_spans`, the HIGHER-id document loses its shared
+    spans; the lower-id copy keeps the canonical occurrence. Rows:
+    (id, n_tokens_kept, n_tokens_removed, text_clean) over ALL input
+    docs (untouched docs pass through with their normalized text).
+
+    Surgery granularity follows the pairs frame: when it carries
+    ``b_spans`` (``substring_dup_spans(collect_positions=True)``) each
+    shared-window OCCURRENCE is removed individually — Lee et al.'s
+    per-span policy, so original text between two copied passages
+    survives. Without it, the legacy covering extent [b_lo, b_end] is
+    removed (coarser: one span per pair).
 
     Token surgery is a per-row higher-order expression: keep position i
     iff no span covers it — O(tokens x spans-per-doc) inside codegen,
     no shuffle beyond the one id-keyed join of the (tiny) span lists
     onto the corpus. Documents never shuffle for the surgery itself.
     """
-    spans = pairs.groupBy(F.col("id_b").alias("id")).agg(
-        F.collect_list(
-            F.struct(F.col("b_lo").alias("lo"), F.col("b_end").alias("end"))
-        ).alias("spans")
-    )
+    if "b_spans" in pairs.columns:
+        spans = pairs.groupBy(F.col("id_b").alias("id")).agg(
+            F.array_distinct(F.flatten(F.collect_list("b_spans"))).alias("spans")
+        )
+    else:
+        spans = pairs.groupBy(F.col("id_b").alias("id")).agg(
+            F.collect_list(
+                F.struct(F.col("b_lo").alias("lo"), F.col("b_end").alias("end"))
+            ).alias("spans")
+        )
     toks = F.split(normalized_text(text_col), " ")
     d = (
         cpu_parallelize(docs.select(F.col(id_col).alias("id"), F.col(text_col)))

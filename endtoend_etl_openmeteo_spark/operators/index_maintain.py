@@ -1,0 +1,161 @@
+"""Compaction tick for stored serving indexes — the maintenance half of
+build-once / append-many.
+
+The incremental append paths (operators/similarity.append_ivf_index,
+operators/search.append_inverted_index) deliberately never rewrite
+existing files: each batch lands one file set under its ``cell=`` /
+``bkt=`` partitions. Under continuous ingestion that accretes one file
+per batch per touched partition forever — the small-file disease
+vt_maintain (operators/versioned.py) cures for the versioned table
+format, now cured for the plain partitioned serving layouts too.
+Reference analog: the reference's materialized-mart refresh keeps its
+serving artifact compact on every rebuild (dbt/models/marts/
+fct_city_day.sql:1); these indexes are append-only, so compaction is a
+separate tick.
+
+Scale shape:
+- Fragmentation detection is pure filesystem METADATA: one directory
+  listing per partition, no data read. Partition counts are bounded
+  (IVF nlist, BM25 term buckets), so the listing is O(partitions).
+- Only fragmented partitions are rewritten. The read is partition-pruned
+  (``part IN (...)`` on the partition column → PartitionFilters), the
+  write uses dynamic partition overwrite, so a 10k-cell index with 40
+  fragmented cells touches exactly 40 directories.
+- Output files are right-sized: ceil(rows / target_rows_per_file) files
+  per partition, assigned by a deterministic hash slot — a hot cell with
+  50M vectors still splits into parallel, splittable files instead of
+  one giant writer task.
+
+Concurrency contract: compaction must be SERIALIZED with appends to the
+same index (one maintenance owner per index — the vt_maintain
+discipline). Dynamic partition overwrite replaces whole partition
+directories; an append racing the overwrite window could land a file
+that the commit then clobbers. Readers racing a tick may briefly see a
+fragmented partition mid-replace — the versioned table format
+(operators/versioned.py) is the transactional story; these layouts
+trade that for zero-manifest serving simplicity.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _is_data_file(name: str) -> bool:
+    return not name.startswith(("_", ".")) and name.endswith(".parquet")
+
+
+def partition_file_counts(
+    spark: SparkSession, path: str, part_col: str
+) -> dict[str, int]:
+    """Data-file count per ``part_col=<value>`` directory — the
+    fragmentation signal, read from directory listings only (no data
+    scan). Keys are the RAW partition-value strings as encoded in the
+    directory names."""
+    fs, jvm = _fs(spark, path)
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    prefix = f"{part_col}="
+    counts: dict[str, int] = {}
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)):
+            continue
+        n = sum(
+            1
+            for f in fs.listStatus(status.getPath())
+            if _is_data_file(f.getPath().getName())
+        )
+        counts[name[len(prefix):]] = n
+    return counts
+
+
+def _typed_values(df, part_col: str, raw_values: list[str]):
+    """Partition-value literals in the SCAN's own type (Spark infers int
+    partition columns), so the ``isin`` prunes partitions statically
+    instead of casting the partition column and pruning never."""
+    dtype = dict(df.dtypes)[part_col]
+    if dtype in ("int", "bigint", "smallint", "tinyint"):
+        return [int(v) for v in raw_values]
+    return raw_values
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    max_files: int = 4,
+    target_rows_per_file: int = 4_000_000,
+) -> dict:
+    """Rewrite every partition holding more than ``max_files`` data files
+    into ceil(rows / target_rows_per_file) files; leave every other
+    partition's files byte-for-byte untouched (their directories are
+    never written, listed rows never read). Root-level sidecars
+    (``_stats.json``, ``_quantizer.json``) are invisible to the
+    partition overwrite and survive as-is.
+
+    Returns {"partitions_compacted", "files_before", "files_after"}
+    (file counts over the compacted partitions only; a no-op tick
+    returns zeros).
+    """
+    counts = partition_file_counts(spark, path, part_col)
+    fragmented = sorted(v for v, n in counts.items() if n > max_files)
+    if not fragmented:
+        return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+
+    df = spark.read.parquet(path)
+    vals = _typed_values(df, part_col, fragmented)
+    frag = df.filter(F.col(part_col).isin(vals))
+
+    # Per-partition row counts → file slots. The collect is bounded by
+    # the fragmented-partition count (metadata-sized), never by rows.
+    rows_per = {
+        r[0]: r[1]
+        for r in frag.groupBy(part_col).agg(F.count("*").alias("n")).collect()
+    }
+    slots = {
+        v: max(1, math.ceil(n / target_rows_per_file))
+        for v, n in rows_per.items()
+    }
+    data_cols = [c for c in df.columns if c != part_col]
+    if any(s > 1 for s in slots.values()):
+        slot_map = F.create_map(
+            *[x for v, s in slots.items() for x in (F.lit(v), F.lit(s))]
+        )
+        shaped = (
+            frag.withColumn(
+                "__slot",
+                F.pmod(
+                    F.xxhash64(*data_cols), F.element_at(slot_map, F.col(part_col))
+                ),
+            )
+            .repartition(F.col(part_col), F.col("__slot"))
+            .drop("__slot")
+        )
+    else:
+        shaped = frag.repartition(F.col(part_col))
+
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # dynamic mode replaces ONLY the partitions present in `shaped` —
+        # exactly the fragmented ones; untouched directories keep their
+        # original files.
+        shaped.write.mode("overwrite").partitionBy(part_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+    after = partition_file_counts(spark, path, part_col)
+    return {
+        "partitions_compacted": len(fragmented),
+        "files_before": sum(counts[v] for v in fragmented),
+        "files_after": sum(after.get(v, 0) for v in fragmented),
+    }

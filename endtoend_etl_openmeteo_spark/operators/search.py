@@ -392,3 +392,31 @@ def rrf_fuse(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def compact_inverted_index(
+    spark,
+    index_path: str,
+    max_files_per_bucket: int = 4,
+    target_rows_per_file: int = 4_000_000,
+) -> dict:
+    """Maintenance tick for a stored BM25 layout: rewrite term buckets
+    where :func:`append_inverted_index` batches have accreted more than
+    ``max_files_per_bucket`` posting files, right-sized to
+    ``target_rows_per_file`` postings per file. Non-fragmented buckets
+    and the ``_stats.json`` sidecar are untouched; serving
+    (:func:`stored_bm25_topk`) is bit-for-bit unchanged — postings move
+    between files, never between buckets (bucket identity is the term
+    hash, not file placement). Serialize with appends to the same index
+    (one maintenance owner; see operators/index_maintain.py)."""
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        compact_partitions,
+    )
+
+    return compact_partitions(
+        spark,
+        index_path,
+        "bkt",
+        max_files=max_files_per_bucket,
+        target_rows_per_file=target_rows_per_file,
+    )

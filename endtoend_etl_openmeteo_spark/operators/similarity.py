@@ -812,3 +812,31 @@ def append_ivf_index(
         .partitionBy("cell")
         .parquet(path)
     )
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    max_files_per_cell: int = 4,
+    target_rows_per_file: int = 500_000,
+) -> dict:
+    """Maintenance tick for a stored IVF layout: rewrite cells where
+    :func:`append_ivf_index` batches have accreted more than
+    ``max_files_per_cell`` files, right-sized to
+    ``target_rows_per_file`` vectors per file. Non-fragmented cells and
+    the ``_quantizer.json`` sidecar are untouched; serving
+    (:func:`stored_ivf_topk`) is bit-for-bit unchanged — compaction
+    moves rows between files, never between cells. Serialize with
+    appends to the same index (one maintenance owner — the vt_maintain
+    discipline; see operators/index_maintain.py)."""
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        compact_partitions,
+    )
+
+    return compact_partitions(
+        spark,
+        path,
+        "cell",
+        max_files=max_files_per_cell,
+        target_rows_per_file=target_rows_per_file,
+    )

@@ -85,30 +85,39 @@ PRIORITY: list[str] = [
     "q_pivot",
     # --- multimodal (round-1 hard failure — needs a green row) ---
     "q_multimodal_features",
-    "q_multimodal_frames",
-    # --- oracle-backed extension queries with no round-1 driver row.
-    # Round 7: q_train_split / q_repetition (simple map/split shapes,
-    # green since round 2, still covered by check_oracle + CI) yield
-    # their slots to the two new operator families so the driver
-    # witnesses them — q_substring_dup (exact-substring screen whose
-    # hash-match doubles as the no-collision proof) and q_semdedup
-    # (cluster-bucketed semantic dedup replaying the kmeans fixed
-    # point), both vanilla-session verified. ---
-    "q_dedup_exact",
-    "q_ngram_jaccard",
+    # --- oracle-backed extension rows rotated per round so every family
+    # eventually earns a driver-witnessed CORRECTNESS row (round-7 verdict
+    # task 2). Round 8: q_dedup_exact / q_ngram_jaccard /
+    # q_boilerplate_ngrams / q_multimodal_frames (stable green since
+    # rounds 1-3, still covered by check_oracle + CI) yield their slots to
+    # the four never-witnessed rows — the exactly-once streaming corpus
+    # ingest (newly exact-oracle-backed in r7), the stream-stream interval
+    # join, and the versioned-table-format pair (merge-on-read, time
+    # travel). q_substring_dup / q_semdedup keep the rows they earned in
+    # round 7. ---
     "q_substring_dup",
-    "q_boilerplate_ngrams",
     "q_semdedup",
+    "q_corpus_ingest",
+    "q_stream_join",
+    "q_merge_mor",
+    "q_time_travel",
     # --- approximate-family floor contracts + streaming parity (round 7):
-    # the driver itself now witnesses the dedup/ANN recall floors and the
-    # streaming-equals-batch hash; the displaced TPC-H decorrelation shapes
-    # (q2/q9/q17/q20, green since round 2) move just past the 50-entry line
-    # and stay covered by check_oracle + CI. ---
+    # the driver itself witnesses the dedup/ANN recall floors and the
+    # streaming-equals-batch hash. ---
     "q_dedup_contract",
     "q_ann_recall_contract",
     "q_stream_window",
     "q_ann_ivf_stored",
     # ------------------------- 50-entry line -------------------------
+    # Next rotation candidates (never driver-witnessed): q_index_compact
+    # (new in round 8 — stored-index maintenance lifecycle), q_bm25_search,
+    # q_hybrid_search, q_bloom_lookup.
+    "q_index_compact",
+    # Displaced from the prefix in round 8 (still check_oracle + CI green).
+    "q_dedup_exact",
+    "q_ngram_jaccard",
+    "q_boilerplate_ngrams",
+    "q_multimodal_frames",
     # Displaced from the prefix in round 7 (still check_oracle + CI green).
     "q_train_split",
     "q_repetition",

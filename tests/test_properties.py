@@ -463,6 +463,43 @@ def test_substring_dup_matches_bruteforce(spark, data):
         assert r.b_lo == min(b_pos) and r.b_end == max(b_pos) + window - 1
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_strip_spans_per_span_matches_bruteforce(spark, data):
+    """Per-span surgery == pure-Python reference: the higher-id doc of
+    every pair loses exactly the union of its shared-window occurrence
+    extents [p, p+w-1] — never the covering extent, never a position no
+    shared occurrence touches."""
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        strip_duplicate_spans,
+        substring_dup_spans,
+    )
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+    texts = {i: data.draw(doc) for i in range(6)}
+    window = 3
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    pairs = substring_dup_spans(
+        df, "doc_id", "text", window=window, boilerplate_cap=100,
+        collect_positions=True,
+    )
+    got = {r.id: r for r in strip_duplicate_spans(df, pairs, "doc_id", "text").collect()}
+    spans, expect = _brute_shared_windows(texts, window)
+    for i, t in texts.items():
+        toks = [w for w in t.split(" ") if w]
+        covered = set()
+        for (a, b), shared in expect.items():
+            if b != i:
+                continue
+            for s in shared:
+                for p in spans[b][s]:
+                    covered.update(range(p, p + window))  # 1-based [p, p+w-1]
+        kept = [tok for j, tok in enumerate(toks, start=1) if j not in covered]
+        assert got[i].n_tokens_removed == len(covered), i
+        assert got[i].text_clean == " ".join(kept), i
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(data=st.data())
 def test_semdedup_pairs_within_clusters_match_bruteforce(spark, data):

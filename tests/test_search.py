@@ -240,3 +240,45 @@ def test_null_text_docs_share_oracle_avgdl_convention(spark, tmp_path):
     n3, avgdl3 = write_inverted_index(full, full_path, n_buckets=8)
     assert (n2, avgdl2) == (n3, avgdl3)
     assert read_index_stats(spark, path) == read_index_stats(spark, full_path)
+
+
+def test_compact_inverted_index_bounds_files_and_preserves_serving(spark, tmp_path):
+    """Append-accreted posting files inside term buckets get compacted
+    without changing a single served score; the stats sidecar and the
+    tidy buckets' files are untouched."""
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        partition_file_counts,
+    )
+    from endtoend_etl_openmeteo_spark.operators.search import (
+        append_inverted_index,
+        compact_inverted_index,
+        read_index_stats,
+        stored_bm25_topk,
+        write_inverted_index,
+    )
+
+    path = str(tmp_path / "postings")
+    write_inverted_index(_corpus(spark), path, n_buckets=4)
+    for m in range(5):  # 5 append batches over the same term space
+        batch = spark.createDataFrame(
+            [(100 + m, f"spark join window batch extra{m}")],
+            "doc_id long, text string",
+        )
+        append_inverted_index(batch, path)
+
+    before = partition_file_counts(spark, path, "bkt")
+    assert max(before.values()) > 3
+    served_before = sorted(
+        tuple(r) for r in stored_bm25_topk(spark, path, TERMS, k=20).collect()
+    )
+    stats_before = read_index_stats(spark, path)
+
+    res = compact_inverted_index(spark, path, max_files_per_bucket=3)
+    assert res["partitions_compacted"] >= 1 and res["files_after"] < res["files_before"]
+    after = partition_file_counts(spark, path, "bkt")
+    assert max(after.values()) <= 3
+    assert read_index_stats(spark, path) == stats_before
+    served_after = sorted(
+        tuple(r) for r in stored_bm25_topk(spark, path, TERMS, k=20).collect()
+    )
+    assert served_after == served_before and len(served_after) >= 5

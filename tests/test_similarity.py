@@ -245,3 +245,60 @@ def test_append_ivf_index_serves_like_single_build(spark, tmp_path):
         tuple(r) for r in stored_ivf_topk(spark, full, queries, k=10, nprobe=2).collect()
     )
     assert got == want and len(got) == 50
+
+
+def test_compact_ivf_index_bounds_files_and_preserves_serving(spark, tmp_path):
+    """The maintenance half of build/append/serve: N appends accrete one
+    file set per batch inside each touched cell; compact_ivf_index
+    rewrites only the fragmented cells and serving stays bit-for-bit."""
+    from pathlib import Path
+
+    from endtoend_etl_openmeteo_spark.operators.clusters import (
+        kmeans_assign,
+        kmeans_train_sampled,
+    )
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        partition_file_counts,
+    )
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        append_ivf_index,
+        compact_ivf_index,
+        read_ivf_quantizer,
+        stored_ivf_topk,
+        write_ivf_index,
+    )
+    from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+    emb = tbl(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = kmeans_train_sampled(base, k=4, iterations=2)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(
+        kmeans_assign(base, cents, keep_vec=True)
+        .withColumnRenamed("id", "vec_id").withColumnRenamed("vec", "embedding"),
+        cents, path, cell_col="cluster",
+    )
+    for m in range(1, 5):  # 4 append batches
+        append_ivf_index(spark, emb.filter(F.col("vec_id") % 5 == m), path)
+
+    before = partition_file_counts(spark, path, "cell")
+    assert max(before.values()) > 4  # fragmentation actually happened
+    queries = emb.filter(F.col("vec_id") < 5)
+    served_before = sorted(
+        tuple(r)
+        for r in stored_ivf_topk(spark, path, queries, k=10, nprobe=2).collect()
+    )
+    quant_before = read_ivf_quantizer(spark, path).collect()
+
+    stats = compact_ivf_index(spark, path, max_files_per_cell=4)
+    assert stats["partitions_compacted"] >= 1
+    after = partition_file_counts(spark, path, "cell")
+    assert max(after.values()) <= 4
+    assert sum(after.values()) < sum(before.values())
+    # quantizer sidecar untouched, serving bit-for-bit unchanged
+    assert read_ivf_quantizer(spark, path).collect() == quant_before
+    served_after = sorted(
+        tuple(r)
+        for r in stored_ivf_topk(spark, path, queries, k=10, nprobe=2).collect()
+    )
+    assert served_after == served_before and len(served_after) == 50

@@ -81,3 +81,65 @@ def test_strip_duplicate_spans_semantics(spark):
     assert out[2].text_clean.endswith("seven eight")
     # token accounting adds up against the normalized originals
     assert out[2].n_tokens_kept == len(out[2].text_clean.split(" "))
+
+
+def test_strip_per_span_keeps_unique_text_between_copies(spark):
+    """Two disjoint copied passages straddling unique text: per-span
+    surgery (collect_positions=True) removes BOTH passages and nothing
+    else — the unique middle survives (round-7 verdict item; the legacy
+    covering-extent mode strips it, pinned below for contrast)."""
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        strip_duplicate_spans,
+        substring_dup_spans,
+    )
+
+    p1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    p2 = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    unique = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, p1 + " zulu yankee " + p2),
+            (2, p1 + " " + unique + " " + p2),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = substring_dup_spans(
+        docs, "doc_id", "text", window=12, boilerplate_cap=10,
+        collect_positions=True,
+    )
+    out = {r.id: r for r in strip_duplicate_spans(docs, pairs, "doc_id", "text").collect()}
+    assert out[1].n_tokens_removed == 0  # lower id keeps both copies
+    assert out[2].text_clean == unique  # exactly the two passages removed
+    assert out[2].n_tokens_removed == 24
+    assert out[2].n_tokens_kept == 5
+
+    # contrast: legacy covering-extent pairs strip the unique middle too
+    legacy = substring_dup_spans(docs, "doc_id", "text", window=12, boilerplate_cap=10)
+    out_legacy = {
+        r.id: r for r in strip_duplicate_spans(docs, legacy, "doc_id", "text").collect()
+    }
+    assert out_legacy[2].n_tokens_kept == 0
+
+
+def test_strip_per_span_within_doc_repeat_occurrences(spark):
+    """A shared window repeated at two places in the higher-id doc loses
+    BOTH occurrences but keeps the text between them (the per-occurrence
+    claim: extents are per window occurrence, not per window hash)."""
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        strip_duplicate_spans,
+        substring_dup_spans,
+    )
+
+    p = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    mid = "six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, p), (2, p + " " + mid + " " + p)],
+        "doc_id long, text string",
+    )
+    pairs = substring_dup_spans(
+        docs, "doc_id", "text", window=12, boilerplate_cap=10,
+        collect_positions=True,
+    )
+    out = {r.id: r for r in strip_duplicate_spans(docs, pairs, "doc_id", "text").collect()}
+    assert out[2].text_clean == mid
+    assert out[2].n_tokens_removed == 24 and out[2].n_tokens_kept == 5

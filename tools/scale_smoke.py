@@ -417,6 +417,111 @@ def substring_smoke(spark, src: str, replicas: int) -> list[str]:
     return [] if ratio <= budget else ["substring_dup"]
 
 
+def index_maintenance_smoke(spark, src: str, scratch: Path, replicas: int) -> list[str]:
+    """Continuous ingestion against the stored serving indexes: N append
+    batches accrete one file set per batch per touched partition; the
+    compaction tick (compact_ivf_index / compact_inverted_index) must
+    (a) keep per-partition file counts bounded by the maintenance policy
+    regardless of how many batches have landed, and (b) leave served
+    results bit-for-bit identical to a fresh single build over the same
+    rows. This is the failure mode the round-7 verdict named: without
+    the tick, serving scans degrade linearly in batch count forever."""
+    from endtoend_etl_openmeteo_spark.operators.clusters import (
+        kmeans_assign,
+        kmeans_train_sampled,
+    )
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        partition_file_counts,
+    )
+    from endtoend_etl_openmeteo_spark.operators.search import (
+        append_inverted_index,
+        compact_inverted_index,
+        stored_bm25_topk,
+        write_inverted_index,
+    )
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        append_ivf_index,
+        compact_ivf_index,
+        stored_ivf_topk,
+        write_ivf_index,
+    )
+
+    failures = []
+    n_batches = max(6, min(replicas, 12))
+    max_files = 4
+
+    # --- IVF: one build + n_batches appends, compact every 3 batches ---
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    mod = n_batches + 1
+    base = emb.filter(F.col("vec_id") % mod == 0)
+    cents = kmeans_train_sampled(base, k=8, iterations=2)
+    ivf = str(scratch / "ivf_maint")
+
+    def _assigned(d):
+        return (
+            kmeans_assign(d, cents, keep_vec=True)
+            .withColumnRenamed("id", "vec_id")
+            .withColumnRenamed("vec", "embedding")
+        )
+
+    write_ivf_index(_assigned(base), cents, ivf, cell_col="cluster")
+    worst = 0
+    for m in range(1, n_batches + 1):
+        append_ivf_index(spark, emb.filter(F.col("vec_id") % mod == m), ivf)
+        if m % 3 == 0:
+            compact_ivf_index(spark, ivf, max_files_per_cell=max_files)
+        worst = max(worst, max(partition_file_counts(spark, ivf, "cell").values()))
+    compact_ivf_index(spark, ivf, max_files_per_cell=max_files)
+    final = max(partition_file_counts(spark, ivf, "cell").values())
+    # between ticks at most (max_files + batches-per-cycle) files pile up
+    bound = max_files + 3
+    ok_files = worst <= bound and final <= max_files
+    # serving == fresh single build over the union
+    full = str(scratch / "ivf_full")
+    write_ivf_index(_assigned(emb), cents, full, cell_col="cluster")
+    q = emb.filter(F.col("vec_id") < 5)
+    got = sorted(tuple(r) for r in stored_ivf_topk(spark, ivf, q, k=10, nprobe=2).collect())
+    want = sorted(tuple(r) for r in stored_ivf_topk(spark, full, q, k=10, nprobe=2).collect())
+    ok_serve = got == want and len(got) > 0
+    status = "ok  " if ok_files and ok_serve else "FAIL"
+    print(
+        f"{status} ivf_maintain[{n_batches} appends, tick every 3]: "
+        f"worst files/cell={worst} (bound {bound}) final={final} "
+        f"(bound {max_files}) serving_equal={ok_serve}"
+    )
+    if not (ok_files and ok_serve):
+        failures.append("ivf_maintain")
+
+    # --- BM25: same discipline over term buckets ---
+    docs = spark.read.parquet(f"{src}/documents.parquet").select("doc_id", "text")
+    bm = str(scratch / "bm25_maint")
+    write_inverted_index(docs.filter(F.col("doc_id") % mod == 0), bm, n_buckets=16)
+    worst = 0
+    for m in range(1, n_batches + 1):
+        append_inverted_index(docs.filter(F.col("doc_id") % mod == m), bm)
+        if m % 3 == 0:
+            compact_inverted_index(spark, bm, max_files_per_bucket=max_files)
+        worst = max(worst, max(partition_file_counts(spark, bm, "bkt").values()))
+    compact_inverted_index(spark, bm, max_files_per_bucket=max_files)
+    final = max(partition_file_counts(spark, bm, "bkt").values())
+    ok_files = worst <= bound and final <= max_files
+    full_bm = str(scratch / "bm25_full")
+    write_inverted_index(docs, full_bm, n_buckets=16)
+    terms = ("data", "model", "training", "quality")
+    got = sorted(tuple(r) for r in stored_bm25_topk(spark, bm, terms, k=20).collect())
+    want = sorted(tuple(r) for r in stored_bm25_topk(spark, full_bm, terms, k=20).collect())
+    ok_serve = got == want and len(got) > 0
+    status = "ok  " if ok_files and ok_serve else "FAIL"
+    print(
+        f"{status} bm25_maintain[{n_batches} appends, tick every 3]: "
+        f"worst files/bucket={worst} (bound {bound}) final={final} "
+        f"(bound {max_files}) serving_equal={ok_serve}"
+    )
+    if not (ok_files and ok_serve):
+        failures.append("bm25_maintain")
+    return failures
+
+
 def skew_window_smoke(spark, scratch: Path, replicas: int) -> list[str]:
     """Hot-key window stress: HALF of all events on ONE user (the Zipfian
     head). The plain window serializes that key through one task — its
@@ -677,6 +782,7 @@ def main() -> None:
         lambda: manifest_smoke(spark, scratch, replicas),
         lambda: curation_lsh_smoke(spark, src, scratch, replicas),
         lambda: substring_smoke(spark, src, replicas),
+        lambda: index_maintenance_smoke(spark, src, scratch, replicas),
     ]
     for smoke in extra_smokes:
         failures += smoke()
