@@ -258,6 +258,56 @@ def parse_mp3_header(
     return rate, channels, (len(payload) - pos) * 8 / bitrate
 
 
+def parse_ogg_header(
+    payload: bytes | None,
+) -> tuple[int, int, float] | None:
+    """(sample_rate, n_channels, duration_s) from an OGG container holding
+    a Vorbis or Opus stream, or None if not an OGG. The first page's
+    payload is the codec id header — ``\\x01vorbis`` (channels u8 +
+    sample rate u32-LE at offsets 11/12) or ``OpusHead`` (channels u8 at
+    9, pre-skip u16-LE at 10, input rate u32-LE at 12). Duration comes
+    from the LAST page's granule position: PCM samples for Vorbis
+    (granule / rate), 48 kHz units minus pre-skip for Opus — the
+    spec-defined end-of-stream bookkeeping, so no packet decode is
+    needed. Pure stdlib, the parse_flac_streaminfo shape; waveform
+    decode stays at the injectable codec seam."""
+    import struct
+
+    if payload is None or len(payload) < 58 or payload[0:4] != b"OggS":
+        return None
+    n_segs = payload[26]
+    body = payload[27 + n_segs:]
+    if body.startswith(b"\x01vorbis") and len(body) >= 16:
+        channels = body[11]
+        (rate,) = struct.unpack("<I", body[12:16])
+        preskip, gr_rate = 0, rate
+    elif body.startswith(b"OpusHead") and len(body) >= 16:
+        channels = body[9]
+        (preskip,) = struct.unpack("<H", body[10:12])
+        (rate,) = struct.unpack("<I", body[12:16])
+        gr_rate = 48_000  # Opus granules are ALWAYS 48 kHz units
+    else:
+        return None
+    if not rate or not channels:
+        return None
+    # last page's granule position: scan capture patterns from the tail
+    # (pages are unindexed; -1 granule marks a continued-packet page)
+    granule = 0
+    search_end = len(payload)
+    while search_end > 0:
+        pos = payload.rfind(b"OggS", 0, search_end)
+        if pos < 0:
+            break
+        if pos + 14 <= len(payload):
+            (g,) = struct.unpack("<q", payload[pos + 6:pos + 14])
+            if g >= 0:
+                granule = g
+                break
+        search_end = pos
+    duration = max(0, granule - preskip) / gr_rate
+    return rate, channels, duration
+
+
 def _fake_embedding(digest: bytes, dim: int = 8) -> list[float]:
     """Deterministic unit-scale vector derived from a content digest —
     the stand-in for a real vision/audio encoder."""
@@ -347,10 +397,11 @@ def decode_audio(df: DataFrame, decode: str = "fake") -> DataFrame:
 
     ``fake`` passes typed metadata through and derives a deterministic
     pseudo-embedding from the payload digest; ``real`` parses RIFF/WAVE,
-    FLAC STREAMINFO and MPEG-1 Layer III frame headers with stdlib bit
+    FLAC STREAMINFO, MPEG-1 Layer III frame headers and OGG Vorbis/Opus
+    id headers (+ last-page granule for duration) with stdlib bit
     arithmetic (sample rate, channel count, duration — CBR-estimated for
     MP3) and raises NotImplementedError for formats needing a waveform
-    codec (OGG/Opus, VBR-exact MP3) — the torchaudio/ffmpeg seam.
+    codec (VBR-exact MP3, raw AAC) — the torchaudio/ffmpeg seam.
     Embeddings are NULL in real mode.
 
     ``decode`` may also be a CALLABLE codec — ``codec(payload) ->
@@ -385,12 +436,14 @@ def decode_audio(df: DataFrame, decode: str = "fake") -> DataFrame:
                         parse_wav_header(b)
                         or parse_flac_streaminfo(b)
                         or parse_mp3_header(b)
+                        or parse_ogg_header(b)
                     )
                     if parsed is None:
                         raise NotImplementedError(
-                            "real audio decode beyond WAV/FLAC/MP3 headers "
-                            "requires a codec library (torchaudio/ffmpeg); "
-                            "not available in this environment"
+                            "real audio decode beyond WAV/FLAC/MP3/OGG "
+                            "headers requires a codec library "
+                            "(torchaudio/ffmpeg); not available in this "
+                            "environment"
                         )
                     return parsed
 

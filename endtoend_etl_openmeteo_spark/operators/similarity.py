@@ -677,13 +677,15 @@ def stored_ivf_topk(
 
 def semdedup_pairs(
     corpus: DataFrame,
-    k: int = 8,
+    k: int | str = 8,
     iterations: int = 3,
     iter_dp: int | None = 6,
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    train: str = "full",
+    target_cell_size: int = 1024,
 ) -> DataFrame:
     """Semantic near-duplicate pairs via cluster-bucketed cosine — SemDeDup
     (Abbas et al. 2023): k-means the embedding space, compare only within
@@ -710,13 +712,33 @@ def semdedup_pairs(
     label join is needed — the train-once/assign-many production split.
     kmeans' final assignment is defined to equal kmeans_assign against
     its returned centroids, so both paths give identical pairs.
+
+    The SCALE path is ``train="sampled"`` + ``k="auto"``: the quantizer
+    trains on a bounded driver-side sample (kmeans_train_sampled — the
+    FAISS coarse-quantizer discipline) and k grows with the corpus,
+    k = clamp(n / target_cell_size, 8, 100_000) — SemDeDup's web-scale
+    regime (10k-100k cells) — so the within-cell pair cost n^2/k scales
+    LINEARLY in n at fixed cell size instead of quadratically
+    (tools/scale_smoke.semdedup_smoke pins this). The declared q_semdedup
+    keeps the deterministic corpus-resident fixed point for its exact
+    cross-engine oracle.
     """
     from endtoend_etl_openmeteo_spark.operators.clusters import (
         kmeans,
         kmeans_assign,
+        kmeans_train_sampled,
     )
     from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
 
+    if train not in ("full", "sampled"):
+        raise ValueError(f"train must be 'full' or 'sampled', got {train!r}")
+    if k == "auto":
+        n = corpus.count()
+        k = max(8, min(100_000, n // target_cell_size + 1))
+    if centroids is None and train == "sampled":
+        centroids = kmeans_train_sampled(
+            corpus, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+        )
     if centroids is not None:
         d = kmeans_assign(
             corpus, centroids, id_col=id_col, vec_col=vec_col, keep_vec=True

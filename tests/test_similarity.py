@@ -302,3 +302,42 @@ def test_compact_ivf_index_bounds_files_and_preserves_serving(spark, tmp_path):
         for r in stored_ivf_topk(spark, path, queries, k=10, nprobe=2).collect()
     )
     assert served_after == served_before and len(served_after) == 50
+
+
+def test_semdedup_sampled_train_auto_k(spark):
+    """The SemDeDup scale path: train='sampled' + k='auto' — quantizer
+    trained on a bounded sample, k derived from corpus size at fixed
+    target cell size; pairs match the explicit-centroids path exactly
+    (delegation contract) and k actually grows with n."""
+    from endtoend_etl_openmeteo_spark.operators.clusters import (
+        kmeans_train_sampled,
+    )
+    from endtoend_etl_openmeteo_spark.operators.similarity import semdedup_pairs
+    from endtoend_etl_openmeteo_spark.sources.tables import tbl
+
+    emb = tbl(spark, SF, "embeddings")
+    n = emb.count()
+    target = max(1, n // 16)  # force k > the 8 floor on this corpus
+    got = sorted(
+        tuple(r)
+        for r in semdedup_pairs(
+            emb, k="auto", train="sampled", target_cell_size=target,
+            iterations=2, threshold=0.3,
+        ).collect()
+    )
+    k_expect = max(8, min(100_000, n // target + 1))
+    cents = kmeans_train_sampled(emb, k=k_expect, iterations=2)
+    want = sorted(
+        tuple(r)
+        for r in semdedup_pairs(emb, centroids=cents, threshold=0.3).collect()
+    )
+    assert got == want and len(got) > 0
+    # auto-k grew past the floor and the pair clusters respect it
+    assert k_expect > 8
+    clusters = {r[2] for r in got}
+    assert max(clusters) < k_expect
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="train"):
+        semdedup_pairs(emb, train="bogus")

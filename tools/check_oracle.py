@@ -174,7 +174,14 @@ def main() -> int:
             # blocks the plan pinned, so query N+1 measures a clean
             # session instead of degrading under accumulated storage.
             release_persistent_rdds(spark)
-        if name in ("q_ann_cosine", "q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_minhash_neardup"):
+        if name in (
+            "q_ann_cosine",
+            "q_ann_ivf",
+            "q_ann_lsh",
+            "q_ann_pq",
+            "q_minhash_neardup",
+            "q_dedup_clusters",
+        ):
             ann_results[name] = [dict(zip(spark_cols, r)) for r in spark_rows]
         if spec.oracle is None:
             rows_only.append(name)
@@ -255,6 +262,57 @@ def main() -> int:
         )
         if recall < RECALL_FLOOR:
             failures.append("recall:q_minhash_neardup")
+    # q_dedup_clusters label anchor (round-7 verdict task 7): the candidate
+    # stage is approximate (MinHash — hash-specific, no SQL replay), but
+    # GIVEN the emitted candidate pairs the clustering is exact connected
+    # components. q_minhash_neardup emits the same pairs q_dedup_clusters
+    # consumes (identical generator parameters), so DuckDB recomputes
+    # components over those pairs with the q_cc_exact recursive closure and
+    # the label assignments must match EXACTLY — not just be
+    # consistency-checked.
+    if "q_dedup_clusters" in ann_results and "q_minhash_neardup" in ann_results:
+        import pandas as pd
+
+        pairs_df = pd.DataFrame(
+            [
+                {"id_a": r["id_a"], "id_b": r["id_b"]}
+                for r in ann_results["q_minhash_neardup"]
+            ],
+            columns=["id_a", "id_b"],
+        )
+        con.register("emitted_pairs", pairs_df)
+        duck_labels = {
+            (r[0], r[1])
+            for r in con.sql(
+                """
+                WITH RECURSIVE sym AS (
+                  SELECT id_a AS a, id_b AS b FROM emitted_pairs
+                  UNION SELECT id_b, id_a FROM emitted_pairs
+                ),
+                reach(a, b) AS (
+                  SELECT a, b FROM sym
+                  UNION
+                  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+                )
+                SELECT a::BIGINT AS id, least(a, min(b))::BIGINT AS cluster_id
+                FROM reach GROUP BY a
+                """
+            ).fetchall()
+        }
+        con.unregister("emitted_pairs")
+        spark_labels = {
+            (r["id"], r["cluster_id"]) for r in ann_results["q_dedup_clusters"]
+        }
+        ok = spark_labels == duck_labels
+        status = "ok   " if ok else "FAIL "
+        print(
+            f"{status} cc[q_dedup_clusters] = exact components over emitted "
+            f"pairs ({len(duck_labels)} labeled nodes)"
+        )
+        if not ok:
+            sample = sorted(spark_labels ^ duck_labels)[:5]
+            print(f"      label mismatches (sym diff sample): {sample}")
+            failures.append("cc:q_dedup_clusters")
     print(
         f"\n{n_run - len(failures) - len(rows_only)} ok, "
         f"{len(rows_only)} rows-only, {len(failures)} FAILED"

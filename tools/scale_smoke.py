@@ -522,6 +522,101 @@ def index_maintenance_smoke(spark, src: str, scratch: Path, replicas: int) -> li
     return failures
 
 
+def semdedup_smoke(spark, src: str, replicas: int) -> list[str]:
+    """SemDeDup's scale regime (round-7 verdict task 5): with
+    train='sampled' + k='auto', k grows with the corpus (fixed target
+    cell size), so the within-cell pair cost sum(|cell|^2) ~= n^2/k must
+    scale LINEARLY in n — the claim that separates SemDeDup from exact
+    all-pairs cosine. Measured directly from the quantizer assignment at
+    1x and Nx, plus a wall-clock linear budget on the full pair run."""
+    from endtoend_etl_openmeteo_spark.operators.clusters import (
+        kmeans_assign,
+        kmeans_train_sampled,
+    )
+    from endtoend_etl_openmeteo_spark.operators.similarity import semdedup_pairs
+    from endtoend_etl_openmeteo_spark.session import release_persistent_rdds
+
+    emb_base = spark.read.parquet(f"{src}/embeddings.parquet")
+    n_base = emb_base.agg(F.max("vec_id")).collect()[0][0] + 1
+    target_cell = 256  # small corpus at sf0.1 — keep k meaningful
+
+    def corpus(scale: int):
+        if scale == 1:
+            return emb_base
+        r = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("r")
+        return (
+            emb_base.select("*", r)
+            .withColumn("vec_id", F.col("vec_id") + F.col("r") * n_base)
+            # per-replica jitter on one dim so replicas don't all collapse
+            # into identical points (which would make every cell a clone)
+            .withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", 1, 7),
+                    F.array(
+                        F.element_at("embedding", 8)
+                        + F.col("r").cast("double") / F.lit(1000.0)
+                    ),
+                ),
+            )
+            .drop("r")
+        )
+
+    def pair_cost_and_k(c) -> tuple[int, int, float]:
+        n = c.count()
+        k = max(8, min(100_000, n // target_cell + 1))
+        cents = kmeans_train_sampled(c, k=k, iterations=2)
+        cost = (
+            kmeans_assign(c, cents)
+            .groupBy("cluster")
+            .agg(F.count("*").alias("m"))
+            .agg(F.sum(F.col("m") * F.col("m")).alias("c"))
+            .collect()[0][0]
+        )
+        return int(cost), k, n
+
+    def run(scale: int) -> float:
+        c = corpus(scale).localCheckpoint()
+        t0 = time.perf_counter()
+        semdedup_pairs(
+            c, k="auto", target_cell_size=target_cell, train="sampled",
+            iterations=2, threshold=0.99,
+        ).write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - t0
+        release_persistent_rdds(spark)
+        return elapsed
+
+    # The n^2/k claim, asserted directly: cost = sum(|cell|^2) = n*(n/k),
+    # and auto-k pins n/k at target_cell — so cost <= n * target_cell *
+    # slack must hold at EVERY scale (a per-row cost CEILING, immune to
+    # the k floor making small corpora look worse in cross-scale ratios).
+    # Slack covers cell imbalance (measured ~1.1x on this data).
+    cost1, k1, n1 = pair_cost_and_k(corpus(1).localCheckpoint())
+    costn, kn, nn = pair_cost_and_k(corpus(replicas).localCheckpoint())
+    release_persistent_rdds(spark)
+    per_row1, per_rown = cost1 / max(n1, 1), costn / max(nn, 1)
+    # small corpora sit under the k=8 floor — their cells are SMALLER
+    # than target_cell, so the ceiling is min(n/k, target_cell) * slack
+    ceil1 = 3.0 * min(n1 / k1, target_cell)
+    ceiln = 3.0 * min(nn / kn, target_cell)
+    run(1)  # warm
+    t1 = run(1)
+    tn = run(replicas)
+    time_ratio = tn / max(t1, 1e-9)
+    time_budget = replicas * 3.0
+    ok = per_row1 <= ceil1 and per_rown <= ceiln and time_ratio <= time_budget
+    status = "ok  " if ok else "FAIL"
+    print(
+        f"{status} semdedup[sampled train, k=auto]: per-row pair cost "
+        f"1x={per_row1:.0f} (k={k1}, ceil {ceil1:.0f}) "
+        f"{replicas}x={per_rown:.0f} (k={kn}, ceil {ceiln:.0f}) "
+        f"— n^2/k stays linear at fixed cell size; "
+        f"time 1x={t1:.2f}s {replicas}x={tn:.2f}s ratio={time_ratio:.1f} "
+        f"(budget {time_budget:.0f}x)"
+    )
+    return [] if ok else ["semdedup"]
+
+
 def skew_window_smoke(spark, scratch: Path, replicas: int) -> list[str]:
     """Hot-key window stress: HALF of all events on ONE user (the Zipfian
     head). The plain window serializes that key through one task — its
@@ -783,6 +878,7 @@ def main() -> None:
         lambda: curation_lsh_smoke(spark, src, scratch, replicas),
         lambda: substring_smoke(spark, src, replicas),
         lambda: index_maintenance_smoke(spark, src, scratch, replicas),
+        lambda: semdedup_smoke(spark, src, replicas),
     ]
     for smoke in extra_smokes:
         failures += smoke()
