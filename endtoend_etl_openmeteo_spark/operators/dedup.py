@@ -558,6 +558,58 @@ def _sibling_batch_paths(spark: SparkSession, index_path: str, batch_id: str) ->
     return sorted(out)
 
 
+def compact_dedup_index(
+    spark: SparkSession,
+    index_path: str,
+    keep_last: int = 4,
+    rows_per_file: int = 200_000,
+) -> dict:
+    """Consolidate old ``batch=<id>`` subdirectories of an incremental
+    dedup index into one right-sized segment — the maintenance tick for
+    the THIRD serving store (operators/index_maintain.py covers IVF
+    cells and BM25 buckets): continuous ingestion otherwise accretes one
+    directory per batch forever, and ``_sibling_batch_paths``' listing
+    plus every cross-batch anti-join degrade linearly in batch count.
+
+    The ``keep_last`` most recent batch dirs (by name — callers use
+    sortable batch ids) survive untouched so in-flight reruns keep their
+    whole-subdir overwrite idempotency (a rerun of a consolidated batch
+    recreates its dir; the resulting duplicate signatures are harmless —
+    the pair stage is ``.distinct()`` — and the next tick folds them).
+    Everything older lands in a single ``batch=__seg_<n>`` segment,
+    itself eligible for the next tick. Screen results are unchanged:
+    matching depends only on the SET of indexed (id, signature) rows,
+    never on file placement. Returns {"batches_merged", "rows_merged"}.
+    """
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return {"batches_merged": 0, "rows_merged": 0}
+    batch_dirs = sorted(
+        status.getPath().getName()
+        for status in fs.listStatus(root)
+        if status.isDirectory() and status.getPath().getName().startswith("batch=")
+    )
+    doomed = batch_dirs[:-keep_last] if keep_last > 0 else batch_dirs
+    if len(doomed) < 2:  # nothing to consolidate into fewer dirs
+        return {"batches_merged": 0, "rows_merged": 0}
+    seg_n = 1 + max(
+        (int(d.rsplit("_", 1)[-1]) for d in batch_dirs if d.startswith("batch=__seg_")),
+        default=-1,
+    )
+    seg = f"{index_path}/batch=__seg_{seg_n:06d}"
+    merged = spark.read.parquet(*[f"{index_path}/{d}" for d in doomed])
+    merged = merged.localCheckpoint(eager=True)  # outlive the source dirs
+    rows = merged.count()
+    files = max(1, rows // rows_per_file)
+    merged.coalesce(files).write.mode("overwrite").parquet(seg)
+    release_checkpoint(merged)
+    for d in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_path}/{d}"), True)
+    return {"batches_merged": len(doomed), "rows_merged": int(rows)}
+
+
 def substring_dup_spans(
     df: DataFrame,
     id_col: str,

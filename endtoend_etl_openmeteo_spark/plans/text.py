@@ -1555,7 +1555,7 @@ MAINT_TERMS = ("data", "model", "training", "quality")
              list_filter(string_split(
                trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
                w -> w <> '') AS ws
-      FROM documents),
+      FROM documents WHERE doc_id < 2000),
     stats AS (SELECT count(*) AS n, round(avg(len(ws)), 6) AS avgdl FROM toks),
     words AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM toks),
     tf AS (
@@ -1601,11 +1601,23 @@ def q_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from endtoend_etl_openmeteo_spark.session import scratch_dir
 
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    # doc_id < 2000 slice: the lifecycle proof (fragment -> compact ->
+    # serve equals SQL over the union) is corpus-size-independent, and
+    # the three partial builds are the query's whole cost
+    docs = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", "text")
+    )
     root = scratch_dir(prefix="bm25_maint_")
     path = root + "/postings"
     try:
-        write_inverted_index(docs.filter(F.col("doc_id") % 3 == 0), path)
+        # 16 buckets, not the 64 serving default: the per-directory write/
+        # list/commit overhead of three builds dominates this bounded
+        # lifecycle query; bucket count changes layout, never results
+        write_inverted_index(
+            docs.filter(F.col("doc_id") % 3 == 0), path, n_buckets=16
+        )
         append_inverted_index(docs.filter(F.col("doc_id") % 3 == 1), path)
         append_inverted_index(docs.filter(F.col("doc_id") % 3 == 2), path)
         res = compact_inverted_index(spark, path, max_files_per_bucket=1)
@@ -1721,37 +1733,53 @@ def q_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles,
         simhash64,
     )
-    from endtoend_etl_openmeteo_spark.session import scratch_dir
+    from endtoend_etl_openmeteo_spark.session import (
+        release_checkpoint,
+        scratch_dir,
+    )
 
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < max_id)
 
-    # exact all-pairs shingle-Jaccard ground truth over the slice (the
-    # same shingle_n=3 sets the minhash verify stage uses). Length
-    # prefilter: j = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|), so pairs
-    # whose size ratio is under the lowest threshold used (0.5) cannot
-    # be true pairs — the standard similarity-join length filter, which
-    # skips the O(shingles) intersect for the overwhelming majority of
-    # the slice-squared pair space.
-    d = cpu_parallelize(docs.select("doc_id", "text")).select(
-        F.col("doc_id").alias("id"), shingles("text", 3).alias("sh")
-    ).withColumn("n", F.size("sh"))
-    a, b = d.alias("a"), d.alias("b")
-    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
-        F.array_union("a.sh", "b.sh")
-    )
-    length_ok = F.least(F.col("a.n"), F.col("b.n")) >= 0.5 * F.greatest(
-        F.col("a.n"), F.col("b.n")
+    # exact shingle-Jaccard ground truth over the slice (the same
+    # shingle_n=3 sets the minhash verify stage uses), computed via the
+    # shingle INVERTED INDEX instead of a nested-loop all-pairs join: a
+    # true pair at any threshold > 0 must share >= 1 shingle, so joining
+    # the exploded (id, shingle) postings on the shingle and counting
+    # gives |A∩B| for exactly the candidate pairs, |A∪B| = nA + nB - i
+    # from the per-doc sizes — lossless, and O(shared-shingle pairs)
+    # instead of O(slice^2) intersects (measured 4.0 s -> 0.7 s; the
+    # round(i/union, 6) double equals the old array_intersect form's).
+    sh = cpu_parallelize(docs.select("doc_id", "text")).select(
+        F.col("doc_id").alias("id"), F.explode(shingles("text", 3)).alias("s")
+    ).localCheckpoint(eager=True)  # postings feed sizes AND the self-join
+    sz = sh.groupBy("id").agg(F.count("*").alias("n"))  # shingles are distinct
+    pa, pb = sh.alias("pa"), sh.alias("pb")
+    inter = (
+        pa.join(pb, ["s"])
+        .filter(F.col("pa.id") < F.col("pb.id"))
+        .groupBy(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .agg(F.count("*").alias("i"))
     )
     truth = (
-        a.join(b, (F.col("a.id") < F.col("b.id")) & length_ok)
+        inter.join(
+            F.broadcast(sz.select(F.col("id").alias("id_a"), F.col("n").alias("na"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))),
+            "id_b",
+        )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(jac, 6).alias("j"),
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
+            ).alias("j"),
         )
         .filter(F.col("j") >= 0.5)
         .localCheckpoint(eager=True)  # consumed by three contracts
     )
+    release_checkpoint(sh)
 
     emitted = minhash_lsh_pairs(
         docs, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.5

@@ -946,8 +946,13 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.ts").alias("r_ts"),
             F.round(F.col("r.value"), 6).alias("r_value"),
         )
+        # 4 state partitions, not the session's 32: every micro-batch
+        # commits one state store PER PARTITION PER JOIN SIDE, and this
+        # harness runs 3 waves — 8 partitions measured 8.8 s warm, 4 → 4.4 s
+        # (2 is no better: the join compute serializes). A production
+        # deployment sizes this to the stream's key cardinality instead.
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             q = (
                 result.writeStream.format("parquet")

@@ -242,3 +242,49 @@ def test_index_files_sized_to_novel_rows(spark, index_path):
     incremental_exact_dedup(spark, b2, index_path, "doc_id", "text")
     assert len(_data_files()) == 2  # exactly one new file for 1 novel row
     assert spark.read.parquet(index_path).count() == 41
+
+
+def test_compact_dedup_index_preserves_screen_and_bounds_dirs(spark, index_path):
+    """Consolidating old batch= dirs into one segment must leave the
+    screen's verdicts untouched (matching depends on the indexed SET,
+    not file placement) and hold the directory count bounded under
+    continuous batches — the third store's maintenance tick."""
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        compact_dedup_index,
+        incremental_exact_dedup,
+    )
+
+    def batch(n, text_suffix=""):
+        return _docs(spark, [(n * 10 + j, f"batch {n} doc {j}{text_suffix}")
+                             for j in range(3)])
+
+    for n in range(8):
+        incremental_exact_dedup(spark, batch(n), index_path, "doc_id", "text",
+                                batch_id=f"b{n:03d}")
+
+    def dirs():
+        return sorted(p.name for p in Path(index_path).iterdir()
+                      if p.name.startswith("batch="))
+
+    assert len(dirs()) == 8
+    res = compact_dedup_index(spark, index_path, keep_last=2)
+    assert res["batches_merged"] == 6 and res["rows_merged"] == 18
+    after = dirs()
+    assert len(after) == 3  # segment + 2 kept batches
+    assert after[0] == "batch=__seg_000000"
+
+    # the screen still sees every consolidated signature: resubmitting a
+    # copy of an OLD batch's doc must match it cross-batch
+    probe = _docs(spark, [(999, "batch 0 doc 1")])
+    pairs = incremental_exact_dedup(spark, probe, index_path, "doc_id", "text",
+                                    batch_id="b999").collect()
+    assert {(r.new_id, r.match_id) for r in pairs} == {(999, 1)}
+
+    # a second tick folds the first segment plus aged-out batches
+    incremental_exact_dedup(spark, batch(9), index_path, "doc_id", "text",
+                            batch_id="b009")
+    res2 = compact_dedup_index(spark, index_path, keep_last=2)
+    assert res2["batches_merged"] >= 2
+    assert len(dirs()) <= 4
+    # totals conserved through both ticks (24 batch rows + probe + b9)
+    assert spark.read.parquet(index_path).count() == 8 * 3 + 1 + 3

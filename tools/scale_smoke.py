@@ -519,6 +519,43 @@ def index_maintenance_smoke(spark, src: str, scratch: Path, replicas: int) -> li
     )
     if not (ok_files and ok_serve):
         failures.append("bm25_maintain")
+
+    # --- incremental dedup index: batch-dir consolidation ---
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        compact_dedup_index,
+        incremental_exact_dedup,
+    )
+
+    idx = str(scratch / "dedup_maint")
+    worst_dirs = 0
+    for m in range(n_batches):
+        b = docs.filter(F.col("doc_id") % mod == m)
+        incremental_exact_dedup(spark, b, idx, "doc_id", "text",
+                                batch_id=f"b{m:03d}")
+        if (m + 1) % 3 == 0:
+            compact_dedup_index(spark, idx, keep_last=2)
+        n_dirs = sum(
+            1 for p in Path(idx).iterdir() if p.name.startswith("batch=")
+        )
+        worst_dirs = max(worst_dirs, n_dirs)
+    # between ticks at most keep_last + batches-per-cycle + 1 segment dirs
+    dir_bound = 2 + 3 + 2
+    # a resubmitted old doc must still match through the segments
+    sample = docs.limit(1).collect()[0]
+    probe = spark.createDataFrame(
+        [(10_000_000, sample["text"])], "doc_id long, text string"
+    )
+    hits = incremental_exact_dedup(
+        spark, probe, idx, "doc_id", "text", batch_id="probe"
+    ).count()
+    ok = worst_dirs <= dir_bound and hits >= 1
+    status = "ok  " if ok else "FAIL"
+    print(
+        f"{status} dedup_index_maintain[{n_batches} batches, tick every 3]: "
+        f"worst dirs={worst_dirs} (bound {dir_bound}) probe_hits={hits}"
+    )
+    if not ok:
+        failures.append("dedup_index_maintain")
     return failures
 
 
