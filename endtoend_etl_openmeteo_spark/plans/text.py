@@ -691,6 +691,99 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_semdedup_prune",
+    # The full SemDeDup curation step, end to end in one exact oracle:
+    # the q_kmeans unrolled fixed point -> within-cluster pairs (the
+    # q_semdedup CTE verbatim) -> recursive-closure components over those
+    # pairs (the q_cc_exact machinery) -> keep-one-per-component. WITH
+    # RECURSIVE prefixes the whole chain (DuckDB allows non-recursive
+    # CTEs under it).
+    oracle=_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM, _KMEANS_DP)
+    .replace("WITH v AS", "WITH RECURSIVE v AS", 1)
+    + """,
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(list_dot_product(a.vec, b.vec) /
+                   (sqrt(list_dot_product(a.vec, a.vec)) *
+                    sqrt(list_dot_product(b.vec, b.vec))), 6) AS cos_sim
+      FROM afinal a JOIN afinal b
+        ON a.cluster = b.cluster AND a.id < b.id
+    ),
+    sim AS (SELECT id_a, id_b FROM pairs WHERE cos_sim >= 0.4),
+    sym AS (SELECT id_a AS a, id_b AS b FROM sim
+            UNION SELECT id_b, id_a FROM sim),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    cc AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+           FROM reach GROUP BY a)
+    SELECT e.vec_id::BIGINT AS id,
+           coalesce(cc.cluster_id, e.vec_id)::BIGINT AS group_id,
+           (cc.cluster_id IS NULL OR cc.cluster_id = e.vec_id) AS keep
+    FROM embeddings e LEFT JOIN cc ON cc.id = e.vec_id
+    """,
+    doc="SemDeDup's curation OUTPUT — per-document keep/drop over the "
+    "whole corpus: cluster-bucketed semantic pairs (q_semdedup's exact "
+    "fixed point, served from the cached trained centroids) feed "
+    "connected components (operators/clusters.dedup_clusters — min-label "
+    "pointer jumping), and each component keeps its smallest-id "
+    "representative; untouched docs pass through kept. The whole "
+    "approximate-family composition — clustering, pairing, components, "
+    "keep policy — is replayed exactly in one DuckDB oracle (unrolled "
+    "kmeans CTE + within-cluster pairs + recursive closure), so every "
+    "row's verdict hash-matches cross-engine. The per-stage scale "
+    "stories compose: broadcast-argmin assignment, n^2/k bounded "
+    "pairing, one-shuffle-per-round components, and a broadcast label "
+    "join back onto the corpus.",
+    tags=("dedup", "similarity", "iterative"),
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.clusters import (
+        dedup_clusters,
+        kmeans,
+    )
+    from endtoend_etl_openmeteo_spark.operators.similarity import semdedup_pairs
+    from endtoend_etl_openmeteo_spark.plans.similarity import _cached_model
+    from endtoend_etl_openmeteo_spark.session import release_checkpoint
+
+    emb = tbl(spark, sf_dir, "embeddings")
+
+    def train() -> DataFrame:
+        assignments, cents = kmeans(
+            emb, k=_KMEANS_K, iterations=_KMEANS_ITERS, iter_dp=_KMEANS_DP
+        )
+        release_checkpoint(assignments)
+        return cents
+
+    cents = _cached_model(
+        spark, ("semdedup_kmeans", sf_dir, _KMEANS_K, _KMEANS_ITERS, _KMEANS_DP),
+        train,
+    )
+    # 0.4, not q_semdedup's permissive 0.3: the PRUNE threshold is the
+    # corpus-calibrated eps of SemDeDup (at 0.3 this synthetic corpus
+    # forms one near-complete graph — pruning half the corpus and paying
+    # a dense connected-components pass for a meaningless verdict)
+    pairs = semdedup_pairs(emb, threshold=0.4, centroids=cents)
+    labels = dedup_clusters(pairs.select("id_a", "id_b"))
+    return (
+        emb.select(F.col("vec_id").cast("long").alias("id"))
+        .join(F.broadcast(labels), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cluster_id"), F.col("id"))
+            .cast("long")
+            .alias("group_id"),
+            (
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col("id"))
+            ).alias("keep"),
+        )
+    )
+
+
+@register(
     "q_simhash",
     oracle=r"""
     WITH toks AS (
