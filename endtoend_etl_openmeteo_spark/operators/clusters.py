@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 from endtoend_etl_openmeteo_spark.session import release_checkpoint
 
 
-def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    local_edge_threshold: int = 50_000,
+) -> DataFrame:
     """Connected components over near-duplicate pairs (id_a, id_b) →
     (id, cluster_id) with cluster_id = min id reachable. Works for any
     id type (long doc ids, string URIs/digests).
@@ -34,6 +38,10 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
 
     The downstream dedup policy is then "keep cluster_id" (the smallest id
     representative per cluster) — the standard corpus-dedup reducer.
+
+    Graphs at or under ``local_edge_threshold`` symmetric edges solve with
+    driver-side union-find instead (identical labels, milliseconds vs
+    several scheduled rounds); pass 0 to force the distributed path.
     """
     edges_ck = (
         pairs.selectExpr("id_a AS src", "id_b AS dst")
@@ -48,6 +56,54 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     # 32-partition shuffle overhead per round dominates small inputs.
     n_edges = edges_ck.count()
     spark = pairs.sparkSession
+    # Adaptive local solve — the AQE broadcast philosophy applied to
+    # connectivity: a metadata-sized edge set (<= ~2 MB at the default
+    # threshold) is solved with driver-side union-find in milliseconds
+    # instead of 3-5 distributed rounds x several jobs each (measured ~2 s
+    # of pure scheduling on graphs of a few thousand edges). Near-dup
+    # graphs are tiny relative to the corpus by construction — a 100-TB
+    # corpus with 10M near-dup PAIRS still fits (the nodes are only the
+    # docs that HAVE a duplicate); anything larger takes the distributed
+    # pointer-jumping path below, which is the scale story. Both paths
+    # produce identical labels (min reachable id) — pinned by
+    # tests/test_clusters.py on the same graphs.
+    if n_edges <= local_edge_threshold:
+        rows = edges_ck.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            a, b = row["src"], row["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            m = comp_min.get(r)
+            if m is None or node < m:
+                comp_min[r] = node
+        out = spark.createDataFrame(
+            [(n, comp_min[find(n)]) for n in sorted(parent)],
+            schema=(
+                edges_ck.select(
+                    F.col("src").alias("id"), F.col("src").alias("cluster_id")
+                ).schema
+            ),
+        )
+        release_checkpoint(edges_ck)
+        # match the distributed path's contract: the returned frame is
+        # materialized and owned by the caller
+        return out.localCheckpoint(eager=True)
     target = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 20_000 + 1))
     edges = edges_ck.repartition(target, "dst")
     labels = (

@@ -27,7 +27,12 @@ def test_dedup_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
-    got = {r.id: r.cluster_id for r in dedup_clusters(pairs, max_iterations=10).collect()}
+    got = {
+        r.id: r.cluster_id
+        for r in dedup_clusters(
+            pairs, max_iterations=10, local_edge_threshold=0
+        ).collect()
+    }
     assert set(got.values()) == {0}
     assert len(got) == n + 1
 
@@ -121,7 +126,7 @@ def test_dedup_clusters_raises_when_cap_too_low(spark):
         [(i, i + 1) for i in range(30)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_clusters(pairs, max_iterations=3)
+        dedup_clusters(pairs, max_iterations=3, local_edge_threshold=0)
 
 
 def test_dedup_clusters_string_ids(spark):
@@ -183,3 +188,24 @@ def test_simhash_matches_reference_fold_and_is_map_only(spark):
 
     plan = simhash64(df, "id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_dedup_clusters_local_and_distributed_paths_agree(spark):
+    """The adaptive local union-find (metadata-sized graphs) must label
+    identically to the distributed pointer-jumping path — same min-id
+    components, same schema — on chains, stars, singleton pairs, and
+    string ids."""
+    graphs = [
+        ([(1, 2), (2, 3), (3, 9), (5, 6)], "id_a long, id_b long"),
+        ([(i, i + 1) for i in range(40)], "id_a long, id_b long"),
+        ([(0, i) for i in range(1, 12)] + [(100, 101)], "id_a long, id_b long"),
+        ([("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"),
+    ]
+    for rows, schema in graphs:
+        pairs = spark.createDataFrame(rows, schema)
+        local = dedup_clusters(pairs)  # under the threshold -> union-find
+        dist = dedup_clusters(pairs, local_edge_threshold=0)
+        assert local.schema == dist.schema
+        assert sorted(map(tuple, local.collect())) == sorted(
+            map(tuple, dist.collect())
+        ), rows
