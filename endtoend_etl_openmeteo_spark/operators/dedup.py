@@ -425,18 +425,24 @@ def incremental_neardup(
     # batch), never to cpu_parallelize's session-wide partition count
     # riding in from the signature checkpoint: a 30-doc contract batch
     # otherwise lands as 32 near-empty parquet files, and the index
-    # directory accretes tasks-per-batch files forever. The anti-join is
-    # checkpointed so the count and the write share ONE evaluation;
-    # ~50k signatures (~6 MB) per file. coalesce only ever reduces
-    # partition counts, so no current-partition probe is needed.
+    # directory accretes tasks-per-batch files forever. ~50k signatures
+    # (~6 MB) per file. Sizing needs the novel COUNT only when the raw
+    # batch could overflow one file — the common small batch coalesces
+    # to 1 with zero extra jobs (novel <= batch, and coalesce only ever
+    # reduces partitions); a large batch checkpoints the anti-join once
+    # so the count and the write share one evaluation.
     novel = (
         new_sigs
         if old_sigs is None
         else new_sigs.join(old_sigs.select("id"), "id", "left_anti")
-        .localCheckpoint(eager=True)
     )
-    sig_files = max(1, novel.count() // 50_000)
-    out = novel.coalesce(sig_files)
+    novel_ck = None
+    if new_sigs.count() <= 50_000:
+        out = novel.coalesce(1)
+    else:
+        if novel is not new_sigs:
+            novel = novel_ck = novel.localCheckpoint(eager=True)
+        out = novel.coalesce(max(1, novel.count() // 50_000))
     if batch_id is not None:
         # Whole-subdir overwrite: replaces any partial earlier attempt.
         out.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
@@ -446,8 +452,8 @@ def incremental_neardup(
     # (``pairs`` is already materialized above) — release it so repeated
     # ingest batches don't pin one signature copy per batch forever.
     release_checkpoint(new_sigs)
-    if novel is not new_sigs:
-        release_checkpoint(novel)
+    if novel_ck is not None:
+        release_checkpoint(novel_ck)
     return pairs
 
 
@@ -518,22 +524,27 @@ def incremental_exact_dedup(
     )
     # same novel-sized file policy as the MinHash tier: ~200k 24-byte
     # digests (~5 MB) per index file, never one file per checkpoint task
-    # and never more files than the novel rows warrant
+    # and never more files than the novel rows warrant; the common small
+    # batch coalesces to 1 file with zero extra jobs
     novel = (
         new_fp
         if old_fp is None
         else new_fp.join(old_fp.select("id"), "id", "left_anti")
-        .localCheckpoint(eager=True)
     )
-    fp_files = max(1, novel.count() // 200_000)
-    out = novel.coalesce(fp_files)
+    novel_ck = None
+    if new_fp.count() <= 200_000:
+        out = novel.coalesce(1)
+    else:
+        if novel is not new_fp:
+            novel = novel_ck = novel.localCheckpoint(eager=True)
+        out = novel.coalesce(max(1, novel.count() // 200_000))
     if batch_id is not None:
         out.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
     else:
         out.write.mode("append").parquet(index_path)
     release_checkpoint(new_fp)
-    if novel is not new_fp:
-        release_checkpoint(novel)
+    if novel_ck is not None:
+        release_checkpoint(novel_ck)
     return pairs
 
 
