@@ -611,6 +611,11 @@ def compact_dedup_index(
     )
     seg = f"{index_path}/batch=__seg_{seg_n:06d}"
     merged = spark.read.parquet(*[f"{index_path}/{d}" for d in doomed])
+    # signatures are deterministic per doc id, so id-dedup at merge time
+    # folds any duplicates a crashed earlier tick (segment written, source
+    # dirs not yet deleted) or a rerun-after-consolidation left behind —
+    # ticks are self-healing instead of accreting copies forever
+    merged = merged.dropDuplicates(["id"])
     merged = merged.localCheckpoint(eager=True)  # outlive the source dirs
     rows = merged.count()
     files = max(1, rows // rows_per_file)

@@ -65,6 +65,11 @@ AUDIO_FEATURES_SCHEMA = (
     "n_channels int, duration_s double, embedding array<float>"
 )
 
+VIDEO_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, sha256 string, width int, height int, "
+    "duration_s double, embedding array<float>"
+)
+
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
@@ -308,6 +313,83 @@ def parse_ogg_header(
     return rate, channels, duration
 
 
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in
+    payload[start:end] — size(4 BE) + type(4); size==1 means a 64-bit
+    largesize follows, size==0 means to-end-of-enclosure."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", payload[pos:pos + 4])
+        btype = payload[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", payload[pos + 8:pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return  # truncated/corrupt — stop walking
+        yield btype, body, pos + size
+        pos += size
+
+
+def parse_mp4_header(
+    payload: bytes | None,
+) -> tuple[int | None, int | None, float] | None:
+    """(width, height, duration_s) from an ISO-BMFF (MP4/MOV) container,
+    or None if not one. Walks the box tree with stdlib struct — the
+    layouts are fixed by ISO 14496-12: ``moov/mvhd`` carries
+    (timescale u32, duration u32|u64) after the version/flags fullbox
+    header; each ``moov/trak/tkhd`` carries 16.16-fixed width/height at
+    spec-fixed offsets (76/80 for version 0, 88/92 for version 1).
+    Geometry is the max across tracks (audio-only tracks encode 0x0 —
+    a pure-audio MP4 yields NULL geometry with a real duration). Frame
+    extraction stays behind the injectable codec seam, exactly like
+    pixel decode for images."""
+    import struct
+
+    if payload is None or len(payload) < 16:
+        return None
+    head = payload[4:8]
+    if head not in (b"ftyp", b"moov", b"mdat", b"wide", b"free", b"skip"):
+        return None
+    duration = None
+    width = height = 0
+    for btype, body, bend in _mp4_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in _mp4_boxes(payload, body, bend):
+            if ctype == b"mvhd" and cbody + 4 <= cend:
+                ver = payload[cbody]
+                if ver == 1 and cbody + 32 <= cend:
+                    (ts,) = struct.unpack(">I", payload[cbody + 20:cbody + 24])
+                    (dur,) = struct.unpack(">Q", payload[cbody + 24:cbody + 32])
+                elif ver == 0 and cbody + 24 <= cend:
+                    ts, dur = struct.unpack(">II", payload[cbody + 12:cbody + 20])
+                else:
+                    continue
+                if ts:
+                    duration = dur / ts
+            elif ctype == b"trak":
+                for ttype, tbody, tend in _mp4_boxes(payload, cbody, cend):
+                    if ttype != b"tkhd":
+                        continue
+                    off = 88 if payload[tbody] == 1 else 76
+                    if tbody + off + 8 <= tend:
+                        w, h = struct.unpack(
+                            ">II", payload[tbody + off:tbody + off + 8]
+                        )
+                        width = max(width, w >> 16)  # 16.16 fixed point
+                        height = max(height, h >> 16)
+    if duration is None:
+        return None
+    return (width or None, height or None, duration)
+
+
 def _fake_embedding(digest: bytes, dim: int = 8) -> list[float]:
     """Deterministic unit-scale vector derived from a content digest —
     the stand-in for a real vision/audio encoder."""
@@ -473,6 +555,82 @@ def decode_audio(df: DataFrame, decode: str = "fake") -> DataFrame:
 
     audio = cpu_parallelize(df.filter(F.col("kind") == "audio"))
     return audio.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def decode_videos(df: DataFrame, decode: str = "fake") -> DataFrame:
+    """Video container probe + feature extraction over Arrow batches
+    (mapInPandas) — the video face of the decode_images/decode_audio
+    discipline. ``fake`` passes typed metadata through with a
+    digest-derived pseudo-embedding; ``real`` parses ISO-BMFF (MP4/MOV)
+    box trees with stdlib struct — mvhd duration, max tkhd 16.16
+    geometry across tracks — and raises NotImplementedError for
+    containers needing a demuxer (MKV/WebM's EBML, raw streams) — the
+    ffmpeg/pyav seam. Embeddings are NULL in real mode. ``decode`` may
+    also be a CALLABLE codec: ``codec(payload) -> (width, height,
+    duration_s, embedding | None)``. Frame pixel extraction composes
+    downstream via :func:`sample_video_frames` (metadata-only planning).
+    """
+    if decode not in ("fake", "real") and not callable(decode):
+        raise ValueError(
+            f"decode must be 'fake', 'real', or a codec callable, got {decode!r}"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            digests = payloads.map(
+                lambda b: hashlib.sha256(b if b is not None else b"").digest()
+            )
+            if callable(decode):
+                out = payloads.map(
+                    lambda b: decode(b) if b is not None else (None, None, None, None)
+                )
+                width = out.map(lambda s: s[0])
+                height = out.map(lambda s: s[1])
+                duration = out.map(lambda s: s[2])
+                embedding = out.map(lambda s: s[3])
+            elif decode == "real":
+
+                def hdr(b: bytes | None) -> tuple:
+                    if b is None:
+                        return (None, None, None)
+                    parsed = parse_mp4_header(b)
+                    if parsed is None:
+                        raise NotImplementedError(
+                            "real video probe beyond ISO-BMFF (MP4/MOV) "
+                            "headers requires a demuxer (ffmpeg/pyav); "
+                            "not available in this environment"
+                        )
+                    return parsed
+
+                headers = payloads.map(hdr)
+                width = headers.map(lambda h: h[0])
+                height = headers.map(lambda h: h[1])
+                duration = headers.map(lambda h: h[2])
+                embedding = pd.Series([None] * len(pdf), index=pdf.index)
+            else:
+                width = pdf["meta"].map(lambda m: m["width"] if m else None)
+                height = pdf["meta"].map(lambda m: m["height"] if m else None)
+                duration = pdf["meta"].map(
+                    lambda m: m["duration_s"] if m else None
+                )
+                embedding = digests.map(_fake_embedding)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "sha256": digests.map(bytes.hex),
+                    "width": width,
+                    "height": height,
+                    "duration_s": duration,
+                    "embedding": embedding,
+                }
+            )
+
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    videos = cpu_parallelize(df.filter(F.col("kind") == "video"))
+    return videos.mapInPandas(batches, schema=VIDEO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(df: DataFrame, fps: float = 1.0) -> DataFrame:

@@ -224,10 +224,11 @@ PRIORITY: list[str] = [
     "q_stream_join",
     "q_strip_spans",
     "q_hybrid_search",
-    # Oracle-backed in round 8: the stored-index maintenance lifecycle and
-    # the SemDeDup keep/drop curation verdict (q_index_compact is pinned
-    # at slot 51 above).
+    # Oracle-backed in round 8: the stored-index maintenance lifecycle,
+    # the SemDeDup keep/drop curation verdict, and the video face of the
+    # multimodal codec seam (q_index_compact is pinned at slot 51 above).
     "q_semdedup_prune",
+    "q_multimodal_video",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

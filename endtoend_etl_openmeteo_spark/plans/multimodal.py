@@ -112,6 +112,46 @@ def q_multimodal_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_video",
+    # The video slice of the synthesized media table through the
+    # decode_videos Arrow seam (fake codec): every scalar output is
+    # deterministic from the payload bytes / typed metadata, so DuckDB
+    # replays it exactly — same discipline as q_multimodal_features.
+    oracle="""
+        SELECT doc_id AS media_id,
+               strlen(text)::BIGINT AS n_bytes,
+               sha256(text) AS sha256,
+               (n_chars % 1024)::BIGINT AS width,
+               (n_chars % 768)::BIGINT AS height,
+               round(n_chars / 100.0, 6) AS duration_s
+        FROM documents
+        WHERE doc_id % 4 = 0
+    """,
+    doc="Video-column probe via Arrow-batched mapInPandas "
+    "(operators/multimodal.decode_videos): opaque payload digest + typed "
+    "container metadata (geometry, duration). decode='real' parses "
+    "ISO-BMFF box trees (mvhd duration, 16.16 tkhd geometry — "
+    "tests/test_multimodal.py); the declared query runs the fake codec "
+    "so the whole row is hash-checked. Completes the per-modality seam "
+    "trio: images (q_multimodal_features), audio (q_multimodal_audio), "
+    "video here — one partitioning/batching discipline for all three.",
+    tags=("multimodal", "pandas-udf"),
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.multimodal import decode_videos
+
+    feats = decode_videos(_media_from_documents(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "sha256",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round("duration_s", 6).alias("duration_s"),
+    )
+
+
+@register(
     "q_multimodal_frames",
     # Pure metadata arithmetic — fully SQL-expressible: one row per sampled
     # frame at 1 fps, at least one frame per video.

@@ -471,3 +471,70 @@ def test_decode_real_parses_ogg_headers(spark):
     assert feats[1].duration_s == pytest.approx(2.0)
     assert (feats[2].sample_rate, feats[2].n_channels) == (24000, 1)
     assert feats[2].duration_s == pytest.approx(2.0)
+
+
+def _mp4_box(btype, body):
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _mp4_bytes(width, height, timescale, duration, tkhd_ver=0):
+    """Minimal ISO-BMFF: ftyp + moov(mvhd + trak(tkhd))."""
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"                       # version 0 + flags
+        + b"\x00" * 8                              # ctime + mtime
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + b"\x00" * 80,                            # rate..next_track_ID
+    )
+    if tkhd_ver == 0:
+        head = b"\x00\x00\x00\x00" + b"\x00" * 72  # v0: fields + matrix -> 76
+    else:
+        head = b"\x01\x00\x00\x00" + b"\x00" * 84  # v1: wider times -> 88
+    tkhd = _mp4_box(
+        b"tkhd",
+        head
+        + (width << 16).to_bytes(4, "big")         # 16.16 fixed
+        + (height << 16).to_bytes(4, "big"),
+    )
+    trak = _mp4_box(b"trak", tkhd)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def test_decode_real_parses_mp4_headers(spark):
+    """ISO-BMFF box-tree probe — the video modality's real header parse
+    (mvhd duration, 16.16 tkhd geometry, both tkhd versions); demuxing
+    stays behind the injectable codec like pixels and waveforms."""
+    from endtoend_etl_openmeteo_spark.operators.multimodal import (
+        decode_videos,
+        parse_mp4_header,
+    )
+
+    assert parse_mp4_header(_mp4_bytes(640, 480, 1000, 2500)) == (640, 480, 2.5)
+    assert parse_mp4_header(_mp4_bytes(1920, 1080, 90000, 90000, tkhd_ver=1)) == (
+        1920, 1080, 1.0,
+    )
+    # audio-only MP4: zero geometry -> NULLs, duration real
+    assert parse_mp4_header(_mp4_bytes(0, 0, 48000, 96000)) == (None, None, 2.0)
+    assert parse_mp4_header(b"\x1aE\xdf\xa3 webm not mp4" + b"\x00" * 20) is None
+    assert parse_mp4_header(None) is None
+
+    rows = [
+        Row(media_id=1, kind="video", payload=_mp4_bytes(320, 240, 600, 1800),
+            meta=Row(mime="video/mp4", width=None, height=None, duration_s=None, sample_rate=None)),
+        Row(media_id=2, kind="video", payload=_mp4_bytes(1280, 720, 30000, 15000, tkhd_ver=1),
+            meta=Row(mime="video/mp4", width=None, height=None, duration_s=None, sample_rate=None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {f.media_id: f for f in decode_videos(media, decode="real").collect()}
+    assert (feats[1].width, feats[1].height) == (320, 240)
+    assert feats[1].duration_s == pytest.approx(3.0)
+    assert (feats[2].width, feats[2].height) == (1280, 720)
+    assert feats[2].duration_s == pytest.approx(0.5)
+    assert feats[1].embedding is None
+
+    # fake mode mirrors images/audio: metadata pass-through + digest embedding
+    fake = {f.media_id: f for f in decode_videos(media, decode="fake").collect()}
+    assert fake[1].embedding is not None and len(fake[1].embedding) == 8
