@@ -582,15 +582,19 @@ def compact_dedup_index(
     directory per batch forever, and ``_sibling_batch_paths``' listing
     plus every cross-batch anti-join degrade linearly in batch count.
 
-    The ``keep_last`` most recent batch dirs (by name — callers use
-    sortable batch ids) survive untouched so in-flight reruns keep their
-    whole-subdir overwrite idempotency (a rerun of a consolidated batch
-    recreates its dir; the resulting duplicate signatures are harmless —
-    the pair stage is ``.distinct()`` — and the next tick folds them).
+    The ``keep_last`` most recent REAL batch dirs (by name — callers use
+    sortable batch ids; segments are ranked oldest regardless of name)
+    survive untouched, so the rerun-idempotency of the batch-stamped
+    overwrite holds for exactly that in-flight window. Rerunning a batch
+    that was ALREADY consolidated is out of contract: the segment still
+    holds the batch's rows, so the rerun sees them as prior-batch
+    matches and emits extra (.., match_is_new=False) pair orientations —
+    size keep_last to cover the orchestrator's maximum retry horizon.
     Everything older lands in a single ``batch=__seg_<n>`` segment,
-    itself eligible for the next tick. Screen results are unchanged:
-    matching depends only on the SET of indexed (id, signature) rows,
-    never on file placement. Returns {"batches_merged", "rows_merged"}.
+    itself eligible for the next tick (id-level dedup at merge folds any
+    copies a crashed tick or out-of-contract rerun left, so the index
+    SET — which is all the screen's verdicts depend on — never drifts).
+    Returns {"batches_merged", "rows_merged"}.
     """
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(index_path)
@@ -602,11 +606,16 @@ def compact_dedup_index(
         for status in fs.listStatus(root)
         if status.isDirectory() and status.getPath().getName().startswith("batch=")
     )
-    doomed = batch_dirs[:-keep_last] if keep_last > 0 else batch_dirs
+    # segments rank OLDEST no matter how their name sorts against real
+    # batch ids ('__seg_' sorts after digit-leading ids — ranking by raw
+    # name would protect segments and consolidate the newest batches)
+    segs = [d for d in batch_dirs if d.startswith("batch=__seg_")]
+    real = [d for d in batch_dirs if not d.startswith("batch=__seg_")]
+    doomed = segs + (real[:-keep_last] if keep_last > 0 else real)
     if len(doomed) < 2:  # nothing to consolidate into fewer dirs
         return {"batches_merged": 0, "rows_merged": 0}
     seg_n = 1 + max(
-        (int(d.rsplit("_", 1)[-1]) for d in batch_dirs if d.startswith("batch=__seg_")),
+        (int(d.rsplit("_", 1)[-1]) for d in segs),
         default=-1,
     )
     seg = f"{index_path}/batch=__seg_{seg_n:06d}"

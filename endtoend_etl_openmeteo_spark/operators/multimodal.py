@@ -376,8 +376,8 @@ def parse_mp4_header(
                     duration = dur / ts
             elif ctype == b"trak":
                 for ttype, tbody, tend in _mp4_boxes(payload, cbody, cend):
-                    if ttype != b"tkhd":
-                        continue
+                    if ttype != b"tkhd" or tbody >= tend:
+                        continue  # empty tkhd body: skip, don't IndexError
                     off = 88 if payload[tbody] == 1 else 76
                     if tbody + off + 8 <= tend:
                         w, h = struct.unpack(

@@ -202,7 +202,7 @@ PRIORITY: list[str] = [
     "q_bpe_encode",
     "q_jdbc_roundtrip",
     "q_skew_window",
-    "q_time_travel",
+    # (q_time_travel rotated into the 50-prefix in round 8)
     "q_sketch_rollup",
     "q_sketch_intersection",
     "q_bpe_train",
@@ -218,10 +218,9 @@ PRIORITY: list[str] = [
     "q_sequence_pack",
     "q_repetition_filter",
     "q_simhash",
-    # Oracle-backed in round 7: the stream-stream interval join parity row,
-    # the exact-substring (Lee et al.) pairwise dup screen, and SemDeDup
-    # (cluster-bucketed semantic near-dup with an exact replayed oracle)
-    "q_stream_join",
+    # Oracle-backed in round 7: the exact-substring (Lee et al.) transform
+    # stage and hybrid retrieval (q_stream_join rotated into the 50-prefix
+    # in round 8)
     "q_strip_spans",
     "q_hybrid_search",
     # Oracle-backed in round 8: the stored-index maintenance lifecycle,

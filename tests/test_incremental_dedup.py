@@ -288,3 +288,37 @@ def test_compact_dedup_index_preserves_screen_and_bounds_dirs(spark, index_path)
     assert len(dirs()) <= 4
     # totals conserved through both ticks (24 batch rows + probe + b9)
     assert spark.read.parquet(index_path).count() == 8 * 3 + 1 + 3
+
+
+def test_compact_dedup_index_ranks_segments_oldest_for_numeric_ids(spark, index_path):
+    """Digit-leading batch ids sort BEFORE 'batch=__seg_*' by raw name;
+    the keep_last window must still protect the most recent REAL batches
+    (segments rank oldest regardless of name)."""
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        compact_dedup_index,
+        incremental_exact_dedup,
+    )
+
+    def batch(n):
+        return _docs(spark, [(n * 10 + j, f"numeric batch {n} doc {j}")
+                             for j in range(2)])
+
+    for n in range(5):  # ids '20260801'..'20260805' — sort before '__seg_'
+        incremental_exact_dedup(spark, batch(n), index_path, "doc_id", "text",
+                                batch_id=f"2026080{n + 1}")
+    compact_dedup_index(spark, index_path, keep_last=2)
+
+    def dirs():
+        return sorted(p.name for p in Path(index_path).iterdir()
+                      if p.name.startswith("batch="))
+
+    # the two NEWEST real batches survive; the three oldest merged
+    assert dirs() == ["batch=20260804", "batch=20260805", "batch=__seg_000000"]
+
+    # second tick with one more batch: the segment (not the newest real
+    # batches) must be ranked oldest and folded
+    incremental_exact_dedup(spark, batch(5), index_path, "doc_id", "text",
+                            batch_id="20260806")
+    compact_dedup_index(spark, index_path, keep_last=2)
+    assert dirs() == ["batch=20260805", "batch=20260806", "batch=__seg_000001"]
+    assert spark.read.parquet(index_path).count() == 12

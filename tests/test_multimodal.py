@@ -538,3 +538,30 @@ def test_decode_real_parses_mp4_headers(spark):
     # fake mode mirrors images/audio: metadata pass-through + digest embedding
     fake = {f.media_id: f for f in decode_videos(media, decode="fake").collect()}
     assert fake[1].embedding is not None and len(fake[1].embedding) == 8
+
+
+def test_parse_mp4_truncated_boxes_degrade_gracefully():
+    """Malformed containers return None or skip the bad box — never raise
+    (one corrupt file must not kill a decode job)."""
+    from endtoend_etl_openmeteo_spark.operators.multimodal import parse_mp4_header
+
+    def box(t, b):
+        return (8 + len(b)).to_bytes(4, "big") + t + b
+
+    ftyp = box(b"ftyp", b"isom")
+    mvhd = box(
+        b"mvhd",
+        b"\x00" * 12 + (1000).to_bytes(4, "big") + (2000).to_bytes(4, "big")
+        + b"\x00" * 80,
+    )
+    # empty tkhd body: geometry skipped, duration still parsed
+    empty_trak = box(b"trak", box(b"tkhd", b""))
+    assert parse_mp4_header(ftyp + box(b"moov", mvhd + empty_trak)) == (
+        None, None, 2.0,
+    )
+    # truncated mid-box: stop walking, no crash
+    whole = ftyp + box(b"moov", mvhd)
+    assert parse_mp4_header(whole[:20]) is None
+    # declared size overruns the payload: treated as corrupt, no moov found
+    bad = ftyp + (1 << 20).to_bytes(4, "big") + b"moov"
+    assert parse_mp4_header(bad) is None

@@ -540,8 +540,12 @@ def index_maintenance_smoke(spark, src: str, scratch: Path, replicas: int) -> li
         worst_dirs = max(worst_dirs, n_dirs)
     # between ticks at most keep_last + batches-per-cycle + 1 segment dirs
     dir_bound = 2 + 3 + 2
-    # a resubmitted old doc must still match through the segments
-    sample = docs.limit(1).collect()[0]
+    # a resubmitted old doc must still match through the segments — probe
+    # with a doc KNOWN to be ingested (residue class 0; an unordered
+    # limit(1) could sample class n_batches, which no batch covers)
+    sample = (
+        docs.filter(F.col("doc_id") % mod == 0).orderBy("doc_id").limit(1).collect()[0]
+    )
     probe = spark.createDataFrame(
         [(10_000_000, sample["text"])], "doc_id long, text string"
     )
