@@ -298,7 +298,12 @@ def _write_data(
     stats_by_file: dict[str, dict] = {}
     rows_by_file: dict[str, int] = {}
     scheme = urlparse(table).scheme
-    if scheme in ("", "file"):
+    # A scheme-less path is local only when the resolved Hadoop filesystem
+    # is — with fs.defaultFS=hdfs://... the data was just written REMOTELY
+    # and a pyarrow open of the same string would read the driver's local
+    # disk (FileNotFoundError after the write already landed).
+    is_local = scheme == "file" or (scheme == "" and fs.getScheme() == "file")
+    if is_local:
         import pyarrow.parquet as pq
 
         local_root = table[len("file:"):] if scheme == "file" else table
@@ -325,8 +330,12 @@ def _write_data(
         for r in rows:
             fname = r["__f"].rsplit("/", 1)[-1]
             rows_by_file[fname] = r["__rows"]
+            # _json_stat on the aggregate values too: Spark returns
+            # datetime/date/Decimal for those column types, which would
+            # crash json.dumps at COMMIT time — after the rewrite landed
             stats_by_file[fname] = {
-                c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in stats_cols
+                c: [_json_stat(r[f"__min_{c}"]), _json_stat(r[f"__max_{c}"])]
+                for c in stats_cols
             }
     bloom_by_file: dict[str, dict] = {}
     if bloom_cols:
@@ -1061,11 +1070,18 @@ def vt_merge(
     from pyspark.sql.types import StructType
 
     table = table.rstrip("/")
-    stats_cols = stats_cols or [keys[0]]
     k0 = keys[0]
     parent = latest_version(spark, table)
     manifest = read_manifest(spark, table, parent)
     entries = manifest["files"]
+    # carry forward whichever stats/bloom columns the parent recorded
+    # (vt_compact's rule): the rewrite is happening anyway, and dropping
+    # them would silently degrade later pruning to keep-all on every
+    # file this merge touches
+    stats_cols = stats_cols or sorted(
+        {c for e in entries for c in e.get("stats", {})} | {k0}
+    )
+    rewrite_bloom = sorted({c for e in entries for c in e.get("bloom", {})})
     # additive evolution during merge: the batch may carry NEW columns
     parent_schema_json = manifest.get("schema")
     if parent_schema_json is None and entries:
@@ -1075,8 +1091,23 @@ def vt_merge(
     schema_json = _merge_schema(parent_schema_json, new.schema)
     merged_schema = StructType.fromJson(json.loads(schema_json))
 
-    bounds = new.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).collect()[0]
+    bounds = new.agg(
+        F.min(k0).alias("lo"),
+        F.max(k0).alias("hi"),
+        F.count("*").alias("n"),
+        F.count(k0).alias("nk"),
+    ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
+    if bounds["n"] != bounds["nk"]:
+        # NULL never equals NULL, so a keyed last-write-wins upsert is
+        # undefined for NULL-key rows — and `lo is None` would silently
+        # classify an all-NULL batch as empty and DROP it. Fail loudly.
+        raise ValueError(
+            f"vt_merge: {bounds['n'] - bounds['nk']} batch rows have NULL "
+            f"merge key {k0!r} — filter them or assign surrogate keys "
+            "upstream (NULL keys can never match and would be silently "
+            "collapsed by last-write-wins)"
+        )
     touched, carried = [], []
     for e in entries:
         mm = e.get("stats", {}).get(k0)
@@ -1101,7 +1132,13 @@ def vt_merge(
     else:
         merged = dedup_last_write_wins(_align(new, merged_schema), keys, order_col)
     new_files = (
-        _write_data(spark, merged, table, stats_cols=stats_cols)
+        _write_data(
+            spark,
+            merged,
+            table,
+            stats_cols=stats_cols,
+            bloom_cols=rewrite_bloom or None,
+        )
         if lo is not None or touched
         else []
     )
@@ -1115,6 +1152,28 @@ def vt_merge(
         carry_from=manifest,
         dirty_paths={e["path"] for e in touched},
     )
+
+
+def _epoch_already_committed(
+    spark: SparkSession, table: str, run_id: str, epoch_id: int
+) -> bool:
+    """Replay detection shared by the three epoch sinks. Normalizes the
+    epoch to int on BOTH sides (a string epoch_id from parsed checkpoint
+    metadata would otherwise never match the stored int tag and quietly
+    defeat exactly-once). Scans manifests NEWEST-first and stops at the
+    first SAME-RUN tag with a lower epoch: epochs commit in order within
+    a run (foreachBatch replays only the latest uncommitted batch), so
+    the common non-replay probe reads O(tail-of-run) manifests, not all
+    of them — the per-micro-batch cost stays bounded as history grows."""
+    epoch = int(epoch_id)
+    for v in reversed(_list_versions(spark, table)):
+        tag = read_manifest(spark, table, v, resolve=False).get("epoch")
+        if tag and tag["run"] == run_id:
+            if int(tag["epoch"]) == epoch:
+                return True
+            if int(tag["epoch"]) < epoch:
+                return False
+    return False
 
 
 def vt_append_epoch(
@@ -1139,11 +1198,8 @@ def vt_append_epoch(
     dedup marker.
     """
     table_s = table.rstrip("/")
-    for v in reversed(_list_versions(spark, table_s)):
-        m = read_manifest(spark, table_s, v, resolve=False)
-        tag = m.get("epoch")
-        if tag and tag["run"] == run_id and tag["epoch"] == epoch_id:
-            return None  # replayed epoch — already durable
+    if _epoch_already_committed(spark, table_s, run_id, epoch_id):
+        return None  # replayed epoch — already durable
     from pyspark.sql.types import StructType
 
     parent = latest_version(spark, table_s)
@@ -1222,7 +1278,11 @@ def vt_count(spark: SparkSession, table: str, version: int | None = None) -> int
         from urllib.parse import urlparse
 
         scheme = urlparse(table).scheme
-        if scheme in ("", "file"):
+        # scheme-less paths are local only if the resolved Hadoop fs is
+        # (same rule as _write_data — pyarrow would read the driver disk)
+        if scheme == "file" or (
+            scheme == "" and _fs(spark, table)[0].getScheme() == "file"
+        ):
             import pyarrow.parquet as pq
 
             local_root = table[len("file:"):] if scheme == "file" else table
@@ -1371,7 +1431,68 @@ def vt_vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> int:
                 and status.getModificationTime() < grace_mtime
             ):
                 fs.delete(status.getPath(), False)
+        # GC orphan data/delete SUBDIRS from aborted commits: every writer
+        # lands its full data/<uuid>/ (or deletes/<uuid>/) set BEFORE the
+        # CAS, so a lost ConcurrentWriteError race leaves a whole subdir
+        # referenced by no manifest ever — on a contended table each lost
+        # race would otherwise leak a COW rewrite's worth of storage
+        # permanently (dropped-version files are handled above; this is
+        # the never-committed tier). Same grace rule as spills: only
+        # subdirs strictly older than the oldest retained manifest — an
+        # in-flight commit's writes are always newer and survive.
+        live_subdirs = {
+            p.split("/", 2)[1]
+            for p in referenced
+            if p.startswith((f"{_DATA_DIR}/", "deletes/"))
+        }
+        for top in (_DATA_DIR, "deletes"):
+            tdir = jvm.org.apache.hadoop.fs.Path(f"{table}/{top}")
+            if not fs.exists(tdir):
+                continue
+            for status in fs.listStatus(tdir):
+                if (
+                    status.isDirectory()
+                    and status.getPath().getName() not in live_subdirs
+                    and status.getModificationTime() < grace_mtime
+                ):
+                    fs.delete(status.getPath(), True)
     return len(doomed)
+
+
+def _write_delete_files(
+    spark: SparkSession, table: str, matches: DataFrame
+) -> tuple[list[str], set, int]:
+    """Write a (__file, __pos) match set as a position-delete file under
+    ``deletes/<uuid>/`` and census it from its OWN kb-sized output (one
+    scan of the data, never a second pass over the table). Returns
+    (delete_paths, files_hit, rows_matched) — all empty/zero when
+    nothing matched, with the empty output directory cleaned up.
+    Shared by the MOR merge and MOR delete writers."""
+    from pyspark.sql import functions as F
+
+    subdir = f"deletes/{uuid.uuid4().hex[:12]}"
+    matches.repartition(1).write.parquet(f"{table}/{subdir}")
+    fs, jvm = _fs(spark, table)
+    listed = fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{table}/{subdir}"))
+    del_paths = [
+        f"{subdir}/{s.getPath().getName()}"
+        for s in listed
+        if s.getPath().getName().endswith(".parquet")
+    ]
+    per_file = (
+        spark.read.parquet(*[f"{table}/{p}" for p in del_paths])
+        .groupBy("__file")
+        .agg(F.count("*").alias("__n"))
+        .collect()
+    )
+    if not per_file:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table}/{subdir}"), True)
+        return [], set(), 0
+    return (
+        del_paths,
+        {r["__file"] for r in per_file},
+        sum(r["__n"] for r in per_file),
+    )
 
 
 def vt_delete(
@@ -1427,8 +1548,17 @@ def vt_delete(
     stats_cols = stats_cols or sorted(
         {c for e in touched for c in e.get("stats", {})}
     )
+    # rewritten files must keep their bloom sidecars too (vt_compact's
+    # rule) or point lookups on them degrade to keep-all until a compact
+    rewrite_bloom = sorted({c for e in touched for c in e.get("bloom", {})})
     new_files = (
-        _write_data(spark, kept, table, stats_cols=stats_cols or None)
+        _write_data(
+            spark,
+            kept,
+            table,
+            stats_cols=stats_cols or None,
+            bloom_cols=rewrite_bloom or None,
+        )
         if not kept.isEmpty()
         else []
     )
@@ -1490,31 +1620,9 @@ def vt_delete_mor(
         .filter(pred)
         .select("__file", "__pos")
     )
-    # write-then-count: one scan of the data; the written delete file is
-    # its own census (per-file counts from KB-sized output, not a second
-    # pass over the table)
-    subdir = f"deletes/{uuid.uuid4().hex[:12]}"
-    matches.repartition(1).write.parquet(f"{table}/{subdir}")
-    fs, jvm = _fs(spark, table)
-    listed = fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{table}/{subdir}"))
-    names = [
-        s.getPath().getName()
-        for s in listed
-        if s.getPath().getName().endswith(".parquet")
-    ]
-    del_paths = [f"{subdir}/{n}" for n in names]
-    per_file = (
-        spark.read.parquet(*[f"{table}/{p}" for p in del_paths])
-        .groupBy("__file")
-        .agg(F.count("*").alias("__n"))
-        .collect()
-    )
-    if not per_file:
-        # nothing matched: drop the empty delete output, no commit
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table}/{subdir}"), True)
-        return parent, 0, 0
-    hit = {r["__file"] for r in per_file}
-    rows_deleted = sum(r["__n"] for r in per_file)
+    del_paths, hit, rows_deleted = _write_delete_files(spark, table, matches)
+    if not del_paths:
+        return parent, 0, 0  # nothing matched: no commit
     modified = []
     for e in entries:
         if e["path"] in hit:
@@ -1634,11 +1742,8 @@ def vt_overwrite_epoch(
     retention caveat as vt_append_epoch.
     """
     table_s = table.rstrip("/")
-    for v in reversed(_list_versions(spark, table_s)):
-        m = read_manifest(spark, table_s, v, resolve=False)
-        tag = m.get("epoch")
-        if tag and tag["run"] == run_id and tag["epoch"] == int(epoch_id):
-            return None  # replayed epoch — already durable
+    if _epoch_already_committed(spark, table_s, run_id, epoch_id):
+        return None  # replayed epoch — already durable
     files = _write_data(spark, df, table_s, stats_cols=stats_cols)
     parent = latest_version(spark, table_s)
     return _commit(
@@ -1697,10 +1802,18 @@ def vt_apply_cdc(
     schema = _snapshot_schema(manifest)
     if schema is None and entries:
         schema = spark.read.parquet(f"{table}/{entries[0]['path']}").schema
-    if schema is None:
-        schema = StructType(
-            [f for f in changes.schema.fields if f.name != "change_type"]
+    # the feed may carry columns the replica predates (the source evolved
+    # additively between the diffed versions): merge them in, vt_merge's
+    # rule, so applying a diff reproduces v_to's schema too — projecting
+    # them away would silently break the documented round-trip identity
+    feed_schema = StructType(
+        [f for f in changes.schema.fields if f.name != "change_type"]
+    )
+    schema = StructType.fromJson(
+        json.loads(
+            _merge_schema(schema.json() if schema is not None else None, feed_schema)
         )
+    )
 
     bounds = changes.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
@@ -1736,7 +1849,18 @@ def vt_apply_cdc(
         ).drop("__prio")
     else:
         merged = dedup_last_write_wins(upserts, keys, "__prio").drop("__prio")
-    new_files = _write_data(spark, merged, table, stats_cols=stats_cols)
+    # carry the parent's recorded stats/bloom columns through the rewrite
+    stats_cols = sorted(
+        set(stats_cols) | {c for e in touched for c in e.get("stats", {})}
+    )
+    rewrite_bloom = sorted({c for e in touched for c in e.get("bloom", {})})
+    new_files = _write_data(
+        spark,
+        merged,
+        table,
+        stats_cols=stats_cols,
+        bloom_cols=rewrite_bloom or None,
+    )
     return _commit(
         spark,
         table,
@@ -1802,8 +1926,21 @@ def vt_merge_mor(
     if order_col is not None:
         new = dedup_last_write_wins(new, keys, order_col)
 
-    bounds = new.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).collect()[0]
+    bounds = new.agg(
+        F.min(k0).alias("lo"),
+        F.max(k0).alias("hi"),
+        F.count("*").alias("n"),
+        F.count(k0).alias("nk"),
+    ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
+    if bounds["n"] != bounds["nk"]:
+        # same contract as vt_merge: an all-NULL-key batch would otherwise
+        # be classified as empty and silently dropped
+        raise ValueError(
+            f"vt_merge_mor: {bounds['n'] - bounds['nk']} batch rows have "
+            f"NULL merge key {k0!r} — filter them or assign surrogate keys "
+            "upstream (NULL keys can never match)"
+        )
     if lo is None:
         return parent, 0, 0  # empty batch: nothing to commit
 
@@ -1855,27 +1992,9 @@ def vt_merge_mor(
     rows_superseded = 0
     del_paths: list[str] = []
     if superseded is not None:
-        subdir = f"deletes/{uuid.uuid4().hex[:12]}"
-        superseded.repartition(1).write.parquet(f"{table}/{subdir}")
-        fs, jvm = _fs(spark, table)
-        listed = fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{table}/{subdir}"))
-        del_paths = [
-            f"{subdir}/{s.getPath().getName()}"
-            for s in listed
-            if s.getPath().getName().endswith(".parquet")
-        ]
-        per_file = (
-            spark.read.parquet(*[f"{table}/{p}" for p in del_paths])
-            .groupBy("__file")
-            .agg(F.count("*").alias("__n"))
-            .collect()
+        del_paths, hit, rows_superseded = _write_delete_files(
+            spark, table, superseded
         )
-        if per_file:
-            hit = {r["__file"] for r in per_file}
-            rows_superseded = sum(r["__n"] for r in per_file)
-        else:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table}/{subdir}"), True)
-            del_paths = []
 
     new_files = (
         []
@@ -2003,11 +2122,8 @@ def vt_merge_mor_epoch(
     snapshot.
     """
     table_s = table.rstrip("/")
-    for v in reversed(_list_versions(spark, table_s)):
-        m = read_manifest(spark, table_s, v, resolve=False)
-        tag = m.get("epoch")
-        if tag and tag["run"] == run_id and tag["epoch"] == epoch_id:
-            return None  # replayed epoch — already durable
+    if _epoch_already_committed(spark, table_s, run_id, epoch_id):
+        return None  # replayed epoch — already durable
     # the tag rides the merge's OWN manifest — one atomic commit, so
     # there is no window where the upsert is durable but unmarked
     tag_meta = {"epoch": {"run": run_id, "epoch": int(epoch_id)}}

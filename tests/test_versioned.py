@@ -1581,3 +1581,102 @@ def test_maintain_ticks_concurrent_with_appends(spark, table):
 
     for v in _list_versions(spark, table):
         assert vt_read(spark, table, version=v).count() >= 0
+
+
+def test_merge_raises_on_null_merge_keys(spark, table):
+    """An all-NULL-key batch used to be classified as empty (min/max skip
+    NULLs) and silently DROPPED by both merge flavors; NULL never equals
+    NULL, so keyed upsert must fail loudly instead."""
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_merge,
+        vt_merge_mor,
+    )
+
+    vt_append(spark, _df(spark, 0, 10).selectExpr("id", "v", "0L AS ts"), table)
+    bad = spark.sql(
+        "SELECT CAST(NULL AS BIGINT) AS id, 99L AS v, 1L AS ts "
+        "UNION ALL SELECT NULL, 98L, 1L"
+    )
+    with pytest.raises(ValueError, match="NULL merge key"):
+        vt_merge(spark, bad, table, keys=["id"], order_col="ts")
+    with pytest.raises(ValueError, match="NULL merge key"):
+        vt_merge_mor(spark, bad, table, keys=["id"], order_col="ts")
+    # a mixed batch fails too (it would write SOME rows and drop none,
+    # but the NULL-key rows would be LWW-collapsed nondeterministically)
+    mixed = spark.sql(
+        "SELECT 3L AS id, 99L AS v, 1L AS ts UNION ALL SELECT NULL, 98L, 1L"
+    )
+    with pytest.raises(ValueError, match="NULL merge key"):
+        vt_merge(spark, mixed, table, keys=["id"], order_col="ts")
+
+
+def test_apply_cdc_carries_evolved_columns(spark, table):
+    """A change feed carrying a column the replica predates (the source
+    evolved additively between the diffed versions) must evolve the
+    replica too — projecting it away broke the documented vt_diff
+    round-trip identity."""
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_apply_cdc
+
+    vt_append(spark, _df(spark, 0, 5), table)
+    feed = spark.sql(
+        "SELECT 1L AS id, 100L AS v, 'x' AS tag, 'update' AS change_type "
+        "UNION ALL SELECT 7L, 700L, 'y', 'insert'"
+    )
+    vt_apply_cdc(spark, feed, table, keys=["id"])
+    got = {r["id"]: (r["v"], r["tag"]) for r in vt_read(spark, table).collect()}
+    assert got[1] == (100, "x") and got[7] == (700, "y")
+    assert got[0] == (0, None)  # untouched rows gain a typed NULL
+
+
+def test_vacuum_collects_aborted_commit_data_dirs(spark, table):
+    """A writer lands data/<uuid>/ BEFORE the CAS; a lost race leaves the
+    whole subdir referenced by no manifest. Vacuum reclaims it once it is
+    older than the oldest retained manifest; an in-flight (fresh) one
+    survives the same tick."""
+    import os
+    import time
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import _write_data
+
+    vt_append(spark, _df(spark, 0, 10), table)
+    vt_append(spark, _df(spark, 10, 20), table)
+    aborted = _write_data(spark, _df(spark, 90, 99), table)
+    in_flight = _write_data(spark, _df(spark, 80, 89), table)
+    aborted_dir = os.path.join(table, aborted[0]["path"].rsplit("/", 1)[0])
+    in_flight_dir = os.path.join(table, in_flight[0]["path"].rsplit("/", 1)[0])
+    os.utime(aborted_dir, (time.time() - 3600, time.time() - 3600))
+    vt_vacuum(spark, table, keep_last=1)
+    assert not os.path.exists(aborted_dir)  # old orphan reclaimed
+    assert os.path.exists(in_flight_dir)  # fresh write spared (grace)
+    # committed data untouched
+    assert sorted(r["id"] for r in vt_read(spark, table).collect()) == list(range(20))
+
+
+def test_epoch_replay_detection_normalizes_types(spark, table):
+    """A string epoch_id (parsed checkpoint metadata) must still match the
+    stored int tag — '5' != 5 used to silently defeat exactly-once."""
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_append_epoch
+
+    assert vt_append_epoch(spark, _df(spark, 0, 5), table, "run1", 5) is not None
+    assert vt_append_epoch(spark, _df(spark, 0, 5), table, "run1", "5") is None
+    assert vt_append_epoch(spark, _df(spark, 5, 8), table, "run1", "6") is not None
+    assert vt_append_epoch(spark, _df(spark, 5, 8), table, "run1", 6) is None
+    assert sorted(r["id"] for r in vt_read(spark, table).collect()) == list(range(8))
+
+
+def test_delete_rewrite_keeps_bloom_sidecars(spark, table):
+    """COW delete rewrites must rebuild bloom sidecars for the new file
+    boundaries (vt_compact's rule) — dropping them silently degrades
+    point-lookup pruning to keep-all."""
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_delete
+
+    vt_append(
+        spark, _df(spark, 0, 100), table, stats_cols=["id"], bloom_cols=["v"]
+    )
+    from pyspark.sql import functions as F
+
+    version, touched, deleted = vt_delete(spark, table, F.col("id") < 10)
+    assert deleted == 10 and touched >= 1
+    entries = read_manifest(spark, table, version)["files"]
+    assert entries and all("v" in e.get("bloom", {}) for e in entries)
+    assert all("id" in e.get("stats", {}) for e in entries)
