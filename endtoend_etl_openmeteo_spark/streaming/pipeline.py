@@ -29,6 +29,60 @@ from endtoend_etl_openmeteo_spark.session import release_checkpoint
 from endtoend_etl_openmeteo_spark.sources.bronze import BRONZE_READ_SCHEMA
 
 
+def _lineage_run_id(spark: SparkSession, checkpoint_path: str) -> str:
+    """Run id scoped to the checkpoint LINEAGE, not the checkpoint path: a
+    uuid marker persisted inside the checkpoint directory. Wiping the
+    checkpoint to reprocess from scratch (the standard operator move)
+    destroys the marker, so the restarted stream gets a FRESH run id —
+    its epoch 0..N tags and (run, epoch) output partitions can never
+    collide with the old lineage's. A path-derived id (md5 of the
+    string) reused across lineages would make the new run's epochs hit
+    the old run's vt epoch tags (batches silently skipped) or
+    dynamically overwrite the old run's same-numbered partitions
+    (old/new mixed output). Hadoop FS, so remote checkpoints work."""
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_path}/_engine_run_id")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            return bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            ).decode("ascii").strip()
+        finally:
+            stream.close()
+    import uuid as _uuid
+
+    run_id = _uuid.uuid4().hex[:12]
+    out = fs.create(marker, True)
+    out.write(run_id.encode("ascii"))
+    out.close()
+    return run_id
+
+
+def _start_foreach_batch(
+    stream: DataFrame,
+    fn,
+    checkpoint_path: str,
+    available_now: bool,
+    interval: str = "1 hour",
+) -> StreamingQuery:
+    """Shared writeStream tail for the three foreachBatch pipelines: one
+    place for the checkpoint/trigger policy instead of three drifting
+    copies. ``available_now`` drains pending input then stops (tests /
+    backfills); production passes False for a processingTime trigger."""
+    writer = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=interval)
+    return writer.start()
+
+
 def stream_bronze(
     spark: SparkSession, bronze_path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -92,6 +146,12 @@ def stream_stream_join(
     stream-stream join state grows forever. Outer modes emit the
     unmatched row only after the opposing watermark proves no match can
     still arrive (correct, watermark-delayed nulls).
+
+    Column contract: the result keeps BOTH sides' columns under the
+    ``l.`` / ``r.`` alias qualifiers (select ``F.col("l.<key>")`` etc.);
+    bare key names are ambiguous by design — an expr join does not
+    coalesce key columns, and which side's key a consumer wants depends
+    on the join mode (outer rows carry NULL on the unmatched side).
     """
     l_wm = left.withWatermark(left_ts, left_delay).alias("l")
     r_wm = right.withWatermark(right_ts, right_delay).alias("r")
@@ -126,6 +186,7 @@ def streaming_sessionize(
     watermark: str = "1 hour",
     ts_col: str = "ts",
     key_col: str = "user_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Per-key session aggregation with the BUILT-IN session_window — the
     streaming form of q_sessionize. Sessions extend while events arrive
@@ -143,7 +204,7 @@ def streaming_sessionize(
         .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(value_col).alias("sum_value"),
         )
         .select(
             key_col,
@@ -207,9 +268,7 @@ def run_streaming_corpus_ingest(
     O(batch + touched buckets) — never O(corpus) — so ingest cost tracks
     arrival rate even as the corpus grows unboundedly.
     """
-    import hashlib
-
-    run_id = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
+    run_id = _lineage_run_id(spark, checkpoint_path)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -249,7 +308,9 @@ def run_streaming_corpus_ingest(
             )
         # pairs is eagerly checkpointed inside the operator (it must
         # materialize BEFORE the index append), so reusing it twice below
-        # re-reads checkpoint blocks, not the landing files.
+        # re-reads checkpoint blocks, not the landing files. The CALLER
+        # owns the release — done after the sinks, or a long-lived ingest
+        # pins one pairs copy per epoch forever.
         dup_ids = (
             pairs.filter(~F.col("match_is_new"))
             .select(F.col("new_id").alias("__dup_id"))
@@ -267,6 +328,16 @@ def run_streaming_corpus_ingest(
             annotated.withColumn("_run_id", F.lit(run_id))
             .withColumn("_epoch_id", F.lit(int(epoch_id)))
         )
+        # with a quarantine, TWO sinks consume `stamped` — checkpoint it
+        # so the landing files and the dedup join evaluate once per
+        # epoch, not once per sink; released with `pairs` below
+        stamped_ck = (
+            stamped.localCheckpoint(eager=True)
+            if quarantine_path is not None
+            else None
+        )
+        if stamped_ck is not None:
+            stamped = stamped_ck
 
         def sink(df: DataFrame, path: str) -> None:
             (
@@ -277,25 +348,21 @@ def run_streaming_corpus_ingest(
                 .parquet(path)
             )
 
-        sink(stamped.filter(F.col("__dup_id").isNull()), corpus_path)
-        if quarantine_path is not None:
-            sink(
-                stamped.filter(F.col("__dup_id").isNotNull()).withColumn(
-                    "_quarantined_at", F.current_timestamp()
-                ),
-                quarantine_path,
-            )
+        try:
+            sink(stamped.filter(F.col("__dup_id").isNull()), corpus_path)
+            if quarantine_path is not None:
+                sink(
+                    stamped.filter(F.col("__dup_id").isNotNull()).withColumn(
+                        "_quarantined_at", F.current_timestamp()
+                    ),
+                    quarantine_path,
+                )
+        finally:
+            release_checkpoint(pairs)
+            if stamped_ck is not None:
+                release_checkpoint(stamped_ck)
 
-    writer = (
-        docs.writeStream.foreachBatch(screen_batch)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime="1 hour")
-    return writer.start()
+    return _start_foreach_batch(docs, screen_batch, checkpoint_path, available_now)
 
 
 def run_streaming_elt(
@@ -326,14 +393,13 @@ def run_streaming_elt(
     gold daily mart incrementally for the cities it touched (streaming
     bronze → silver → gold end-to-end).
     """
-    import hashlib
-
     hourly = streaming_hourly(stream_bronze(spark, bronze_path), policy=policy)
     # Epoch ids are only unique WITHIN one checkpoint lineage; scope the
-    # quarantine partitions by a run id derived from the checkpoint path so
-    # a fresh-checkpoint rerun (epochs restart at 0) appends a new run's
-    # history instead of clobbering the old run's epoch-0 partition.
-    run_id = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
+    # quarantine partitions by the LINEAGE run id (marker inside the
+    # checkpoint dir) so a fresh-checkpoint rerun — same path or not —
+    # appends a new run's history instead of clobbering the old run's
+    # epoch-0 partition.
+    run_id = _lineage_run_id(spark, checkpoint_path)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         from endtoend_etl_openmeteo_spark.operators.dq import dq_gate, split_valid
@@ -383,16 +449,7 @@ def run_streaming_elt(
                 gold_path,
             )
 
-    writer = (
-        hourly.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime="1 hour")
-    return writer.start()
+    return _start_foreach_batch(hourly, merge_batch, checkpoint_path, available_now)
 
 
 def run_streaming_mart_maintenance(
@@ -433,8 +490,6 @@ def run_streaming_mart_maintenance(
       ``finalize_agg_state`` over ``vt_read(mart)`` is always a complete,
       consistent mart.
     """
-    import hashlib
-
     from endtoend_etl_openmeteo_spark.operators.merge import (
         agg_state,
         merge_agg_states,
@@ -447,7 +502,12 @@ def run_streaming_mart_maintenance(
         vt_read,
     )
 
-    run_id = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
+    # LINEAGE-scoped, not path-scoped: wiping the checkpoint to reprocess
+    # restarts epochs at 0, and a path-derived run id would make those
+    # epochs hit the OLD lineage's (run, epoch) tags in the mart — every
+    # replayed-looking batch silently skipped (data loss), despite
+    # bundling different files than the old epochs did.
+    run_id = _lineage_run_id(spark, checkpoint_path)
     vt_init_needed = True
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -491,13 +551,4 @@ def run_streaming_mart_maintenance(
         finally:
             release_checkpoint(merged_ck)
 
-    writer = (
-        events.writeStream.foreachBatch(maintain)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime="1 hour")
-    return writer.start()
+    return _start_foreach_batch(events, maintain, checkpoint_path, available_now)

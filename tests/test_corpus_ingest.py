@@ -142,9 +142,12 @@ def test_corpus_ingest_crash_after_index_write_is_idempotent(spark, workdir):
     _land(spark, landing, batch_a)
 
     # Flaky first attempt: reproduce run_streaming_corpus_ingest's screen
-    # step (identical run_id derivation and batch_id scheme, same
-    # checkpoint), then die before any sink write.
-    run_id = hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    # step (identical run_id derivation — the LINEAGE marker persisted in
+    # the checkpoint dir, which a crash leaves intact — and batch_id
+    # scheme, same checkpoint), then die before any sink write.
+    from endtoend_etl_openmeteo_spark.streaming.pipeline import _lineage_run_id
+
+    run_id = _lineage_run_id(spark, ckpt)
 
     def crash_after_index(batch, epoch_id):
         incremental_neardup(

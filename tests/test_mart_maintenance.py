@@ -104,14 +104,32 @@ def test_replayed_epoch_cannot_double_count(spark, workdir):
     _run(spark, landing, mart, ckpt)
     v = latest_version(spark, mart)
     tag = read_manifest(spark, mart, v)["epoch"]
-    # simulate the crash window: checkpoint lost AFTER the mart commit —
-    # the restarted run re-delivers the same files as a fresh epoch 0
-    shutil.rmtree(ckpt)
+    # the TRUE crash window: the mart commit is durable but the stream
+    # died before the checkpoint's commit marker landed — the offsets
+    # survive, so the restart replays the SAME epoch with the SAME file
+    # set under the SAME lineage run id (the marker file in the
+    # checkpoint dir survives a crash; only wiping the dir resets it)
+    commits = sorted(
+        p for p in (Path(ckpt) / "commits").iterdir()
+        if not p.name.startswith(".")
+    )
+    commits[-1].unlink()
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():  # stale checksum blocks the atomic re-create on LocalFS
+        crc.unlink()
     _run(spark, landing, mart, ckpt)
     # same (run, epoch) tag -> vt_overwrite_epoch no-op; mart unchanged
     assert read_manifest(spark, mart, latest_version(spark, mart))["epoch"] == tag
     assert latest_version(spark, mart) == v
     assert _mart(spark, mart) == _full_recompute(spark, landing)
+    # by contrast, WIPING the checkpoint is a new lineage: epochs restart
+    # at 0 under a FRESH run id, so reprocessing is deliberate — the old
+    # path-derived id would have matched the dead lineage's tags and
+    # silently skipped every batch (including ones bundling new files)
+    shutil.rmtree(ckpt)
+    _run(spark, landing, mart, ckpt)
+    new_tag = read_manifest(spark, mart, latest_version(spark, mart))["epoch"]
+    assert new_tag["run"] != tag["run"]
 
 
 def test_every_epoch_commit_is_tagged_stream_overwrite(spark, workdir):

@@ -254,9 +254,9 @@ def test_streaming_dq_quarantine_diverts_bad_rows(spark, workdir):
     from endtoend_etl_openmeteo_spark.streaming.pipeline import (
         streaming_hourly,
     )
-    import hashlib
+    from endtoend_etl_openmeteo_spark.streaming.pipeline import _lineage_run_id
 
-    run_id = hashlib.md5(str(workdir / "ckpt1").encode()).hexdigest()[:12]
+    run_id = _lineage_run_id(spark, str(workdir / "ckpt1"))
     hourly = streaming_hourly(_bronze_df(spark, rows))
     _, bad = split_valid(hourly, suite)
     (
