@@ -29,6 +29,37 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: Environment-calibration anchor. Three sentinel queries whose SOURCE has
+#: been frozen since round 2 (plans/relational.py q_scan, plans/advanced.py
+#: q_tpch_q18, plans/sketches.py q_sketch_rollup), with their sf0.1 times
+#: from the round-8 clean reference run (BENCH_LOCAL.json at 3f383e1).
+#: `sentinel_ratio` = geometric mean of current/baseline over these three:
+#: ~1.0 means the machine matches the reference environment; a uniform
+#: inflation (e.g. round 8's 1.4× drift) shows up here instead of reading
+#: as a plan regression. Update the baselines ONLY when the sentinels'
+#: source changes (and say so in the commit).
+SENTINEL_BASELINE_S: dict[str, float] = {
+    "q_scan": 0.1835,
+    "q_tpch_q18": 1.1209,
+    "q_sketch_rollup": 1.2447,
+}
+
+
+def sentinel_ratio(timings: dict[str, float]) -> float | None:
+    """Geomean of current/baseline over the sentinel queries (None if any
+    sentinel failed or is missing)."""
+    ratios = []
+    for name, base in SENTINEL_BASELINE_S.items():
+        t = timings.get(name, -1.0)
+        if t <= 0:
+            return None
+        ratios.append(t / base)
+    prod = 1.0
+    for r in ratios:
+        prod *= r
+    return round(prod ** (1.0 / len(ratios)), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -88,12 +119,18 @@ def main() -> None:
     # as null, losing half the suite's timings. The driver line carries the
     # 50 driver-prefix queries at 2 dp (~1.2 KB) + suite totals; everything
     # else is recoverable from BENCH_LOCAL.json.
+    # The baseline times are sf0.1-specific — at any other SF the ratio
+    # would read as machine drift when it's really data-scale, so emit
+    # null there.
+    ratio = sentinel_ratio(timings) if abs(sf - 0.1) < 1e-9 else None
     full = {
         "metric": "declared_query_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "sentinel_ratio": ratio,
+        "sentinel_baseline_s": SENTINEL_BASELINE_S,
     }
     (REPO / "BENCH_LOCAL.json").write_text(json.dumps(full, indent=1) + "\n")
     prefix = [n for n in plans.PRIORITY if n in timings][:50]
@@ -109,6 +146,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_errors": n_err,
+                "sentinel_ratio": ratio,
                 "tail_sec": round(
                     sum(t for n, t in timings.items() if t >= 0 and n not in compact_q), 2
                 ),

@@ -87,20 +87,19 @@ PRIORITY: list[str] = [
     "q_multimodal_features",
     # --- oracle-backed extension rows rotated per round so every family
     # eventually earns a driver-witnessed CORRECTNESS row (round-7 verdict
-    # task 2). Round 8: q_dedup_exact / q_ngram_jaccard /
-    # q_boilerplate_ngrams / q_multimodal_frames (stable green since
-    # rounds 1-3, still covered by check_oracle + CI) yield their slots to
-    # the four never-witnessed rows — the exactly-once streaming corpus
-    # ingest (newly exact-oracle-backed in r7), the stream-stream interval
-    # join, and the versioned-table-format pair (merge-on-read, time
-    # travel). q_substring_dup / q_semdedup keep the rows they earned in
-    # round 7. ---
+    # task 2). Round 9: q_corpus_ingest / q_stream_join / q_merge_mor /
+    # q_time_travel earned green rows in CORRECTNESS_r08 and yield their
+    # slots to the four never-witnessed stored-index serving/maintenance
+    # rows — the full build→append→compact→serve lifecycle
+    # (q_index_compact), BM25 ranked retrieval, hybrid RRF fusion, and
+    # the bloom point-lookup pruning proof. q_substring_dup / q_semdedup
+    # keep the rows they earned in round 7. ---
     "q_substring_dup",
     "q_semdedup",
-    "q_corpus_ingest",
-    "q_stream_join",
-    "q_merge_mor",
-    "q_time_travel",
+    "q_index_compact",
+    "q_bm25_search",
+    "q_hybrid_search",
+    "q_bloom_lookup",
     # --- approximate-family floor contracts + streaming parity (round 7):
     # the driver itself witnesses the dedup/ANN recall floors and the
     # streaming-equals-batch hash. ---
@@ -109,10 +108,17 @@ PRIORITY: list[str] = [
     "q_stream_window",
     "q_ann_ivf_stored",
     # ------------------------- 50-entry line -------------------------
-    # Next rotation candidates (never driver-witnessed): q_index_compact
-    # (new in round 8 — stored-index maintenance lifecycle), q_bm25_search,
-    # q_hybrid_search, q_bloom_lookup.
-    "q_index_compact",
+    # Next rotation candidates (never driver-witnessed, queued for round
+    # 10): q_semdedup_prune (plans/text.py — SemDeDup keep/drop verdicts),
+    # q_multimodal_video (plans/multimodal.py — MP4/OGG header parsing),
+    # then q_optimize_cluster / q_rename_count / q_snapshot_diff (the rest
+    # of the versioned family).
+    # Displaced from the prefix in round 9 (witnessed green in
+    # CORRECTNESS_r08; still check_oracle + CI green).
+    "q_corpus_ingest",
+    "q_stream_join",
+    "q_merge_mor",
+    "q_time_travel",
     # Displaced from the prefix in round 8 (still check_oracle + CI green).
     "q_dedup_exact",
     "q_ngram_jaccard",
@@ -219,10 +225,8 @@ PRIORITY: list[str] = [
     "q_repetition_filter",
     "q_simhash",
     # Oracle-backed in round 7: the exact-substring (Lee et al.) transform
-    # stage and hybrid retrieval (q_stream_join rotated into the 50-prefix
-    # in round 8)
+    # stage (q_hybrid_search rotated into the 50-prefix in round 9)
     "q_strip_spans",
-    "q_hybrid_search",
     # Oracle-backed in round 8: the stored-index maintenance lifecycle,
     # the SemDeDup keep/drop curation verdict, and the video face of the
     # multimodal codec seam (q_index_compact is pinned at slot 51 above).
