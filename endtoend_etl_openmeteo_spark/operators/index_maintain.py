@@ -27,27 +27,102 @@ Scale shape:
   one giant writer task.
 
 Concurrency contract: compaction must be SERIALIZED with appends to the
-same index (one maintenance owner per index — the vt_maintain
-discipline). Dynamic partition overwrite replaces whole partition
+same index. Dynamic partition overwrite replaces whole partition
 directories; an append racing the overwrite window could land a file
-that the commit then clobbers. Readers racing a tick may briefly see a
-fragmented partition mid-replace — the versioned table format
-(operators/versioned.py) is the transactional story; these layouts
-trade that for zero-manifest serving simplicity.
+that the commit then clobbers, and the BM25 append's stats-sidecar
+merge is a read-modify-write that a concurrent writer would lose. The
+serialization is ENFORCED, not documented: every writer (append tick or
+compaction tick) takes the index's ``_maintenance.lock`` via
+:func:`index_lease` — an atomic create-fails-if-exists marker, the same
+CAS primitive the versioned format's manifest rename uses
+(operators/versioned.py:14-18) — so the losing writer raises
+:class:`LeaseConflictError` immediately and retries, instead of being
+silently clobbered. Readers never take the lease: a reader racing a
+tick may briefly see a fragmented partition mid-replace — the versioned
+table format (operators/versioned.py) is the transactional story; these
+layouts trade reader snapshots (not writer safety) for zero-manifest
+serving simplicity.
 """
 
 from __future__ import annotations
 
 import math
+import time
+import uuid
+from contextlib import contextmanager
+from urllib.parse import unquote
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+#: Hive's directory-name sentinel for a NULL partition value.
+_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+class LeaseConflictError(RuntimeError):
+    """Another writer holds the index's maintenance lease. Retry after it
+    releases (appends and compaction ticks are short; the holder id and
+    acquisition time are in the message)."""
 
 
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _lease_path(path: str) -> str:
+    return f"{path.rstrip('/')}/_maintenance.lock"
+
+
+@contextmanager
+def index_lease(spark: SparkSession, path: str, owner: str | None = None):
+    """Exclusive writer lease on a stored-index root: atomically create
+    ``_maintenance.lock`` (``fs.create(overwrite=False)`` — one writer
+    wins, the loser gets :class:`LeaseConflictError`), yield, delete on
+    exit. Underscore-prefixed, so Spark's data-file discovery never sees
+    it. The lease guards WRITERS against each other (append vs append on
+    the shared stats sidecar, append vs compaction's partition
+    overwrite); readers don't take it.
+
+    No auto-expiry: a crashed holder leaves the marker, and the operator
+    decision to break it is :func:`break_lease` — silent TTL expiry could
+    revoke a live-but-slow writer mid-commit, the one failure mode the
+    lease exists to prevent.
+    """
+    fs, jvm = _fs(spark, path)
+    lock = jvm.org.apache.hadoop.fs.Path(_lease_path(path))
+    payload = f"{owner or 'writer'}:{uuid.uuid4().hex}:{int(time.time())}"
+    try:
+        out = fs.create(lock, False)  # atomic create-fails-if-exists
+    except Exception as e:
+        held = ""
+        try:
+            stream = fs.open(lock)
+            held = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            ).decode("utf-8", "replace")
+            stream.close()
+        except Exception:
+            pass
+        raise LeaseConflictError(
+            f"index {path} is being maintained by another writer"
+            f"{f' ({held})' if held else ''} — retry after it releases, or "
+            f"break_lease() if the holder is known dead"
+        ) from e
+    out.write(payload.encode("utf-8"))
+    out.close()
+    try:
+        yield
+    finally:
+        fs.delete(lock, False)
+
+
+def break_lease(spark: SparkSession, path: str) -> bool:
+    """Forcibly remove a dead holder's lease marker (operator action after
+    confirming the holder crashed). Returns True if a marker was removed."""
+    fs, jvm = _fs(spark, path)
+    return bool(fs.delete(jvm.org.apache.hadoop.fs.Path(_lease_path(path)), False))
 
 
 def _is_data_file(name: str) -> bool:
@@ -60,8 +135,12 @@ def partition_file_counts(
     """Data-file count per ``part_col=<value>`` directory — the
     fragmentation signal, read from directory listings only (no data
     scan; measured 0.04 s for a 16-bucket index — listing is never the
-    tick's cost). Keys are the RAW partition-value strings as encoded in
-    the directory names."""
+    tick's cost). Keys are the DECODED partition values: Spark
+    URI-escapes special characters in directory names (space → %20,
+    colon → %3A, ...), but the scan's DataFrame carries the unescaped
+    values, so matching/``isin`` must happen on the decoded form. The
+    Hive NULL sentinel ``__HIVE_DEFAULT_PARTITION__`` is kept verbatim
+    (it is not an escape)."""
     fs, jvm = _fs(spark, path)
     root = jvm.org.apache.hadoop.fs.Path(path)
     prefix = f"{part_col}="
@@ -75,18 +154,29 @@ def partition_file_counts(
             for f in fs.listStatus(status.getPath())
             if _is_data_file(f.getPath().getName())
         )
-        counts[name[len(prefix):]] = n
+        raw = name[len(prefix):]
+        counts[raw if raw == _NULL_PARTITION else unquote(raw)] = n
     return counts
 
 
-def _typed_values(df, part_col: str, raw_values: list[str]):
+def _typed_values(df, part_col: str, values: list[str]):
     """Partition-value literals in the SCAN's own type (Spark infers int
     partition columns), so the ``isin`` prunes partitions statically
-    instead of casting the partition column and pruning never."""
+    instead of casting the partition column and pruning never. A value
+    that doesn't parse in the scan's type means the directory layout and
+    the inferred schema disagree — raise with the offender named instead
+    of letting ``int()`` produce a bare ValueError mid-plan."""
     dtype = dict(df.dtypes)[part_col]
     if dtype in ("int", "bigint", "smallint", "tinyint"):
-        return [int(v) for v in raw_values]
-    return raw_values
+        try:
+            return [int(v) for v in values]
+        except ValueError as e:
+            raise ValueError(
+                f"partition value {e.args[0].split(':')[-1].strip()} under "
+                f"{part_col}= is not parseable as the scan's inferred "
+                f"{dtype} partition type"
+            ) from e
+    return values
 
 
 def compact_partitions(
@@ -95,6 +185,7 @@ def compact_partitions(
     part_col: str,
     max_files: int = 4,
     target_rows_per_file: int = 4_000_000,
+    lease: bool = True,
 ) -> dict:
     """Rewrite every partition holding more than ``max_files`` data files
     into ceil(rows / target_rows_per_file) files; leave every other
@@ -103,14 +194,39 @@ def compact_partitions(
     (``_stats.json``, ``_quantizer.json``) are invisible to the
     partition overwrite and survive as-is.
 
-    Returns {"partitions_compacted", "files_before", "files_after"}
-    (file counts over the compacted partitions only; a no-op tick
-    returns zeros).
+    Takes the index's maintenance lease for the whole tick (see
+    :func:`index_lease`) so an append can't land a file inside the
+    overwrite window; pass ``lease=False`` only when the caller already
+    holds it. A ``__HIVE_DEFAULT_PARTITION__`` directory (null partition
+    key — no current producer emits one: IVF cells and BM25 term buckets
+    are non-null by construction) is left untouched and counted in
+    ``partitions_skipped_null`` rather than crashing the int cast or
+    silently matching nothing.
+
+    Returns {"partitions_compacted", "files_before", "files_after",
+    "partitions_skipped_null"} (file counts over the compacted
+    partitions only; a no-op tick returns zeros).
     """
+    if lease:
+        with index_lease(spark, path, owner=f"compact:{part_col}"):
+            return compact_partitions(
+                spark, path, part_col, max_files, target_rows_per_file,
+                lease=False,
+            )
     counts = partition_file_counts(spark, path, part_col)
-    fragmented = sorted(v for v, n in counts.items() if n > max_files)
+    fragmented = sorted(
+        v for v, n in counts.items() if n > max_files and v != _NULL_PARTITION
+    )
+    skipped_null = sum(
+        1 for v, n in counts.items() if n > max_files and v == _NULL_PARTITION
+    )
     if not fragmented:
-        return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+        return {
+            "partitions_compacted": 0,
+            "files_before": 0,
+            "files_after": 0,
+            "partitions_skipped_null": skipped_null,
+        }
 
     df = spark.read.parquet(path)
     vals = _typed_values(df, part_col, fragmented)
@@ -159,4 +275,5 @@ def compact_partitions(
         "partitions_compacted": len(fragmented),
         "files_before": sum(counts[v] for v in fragmented),
         "files_after": sum(after.get(v, 0) for v in fragmented),
+        "partitions_skipped_null": skipped_null,
     }

@@ -247,6 +247,7 @@ def append_inverted_index(
     index_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lease: bool = True,
 ) -> tuple[int, float]:
     """Add a batch of new documents to a stored index — incremental
     index maintenance: the batch's postings land under their term-bucket
@@ -259,10 +260,25 @@ def append_inverted_index(
 
     Caller owns dedup (append the same batch twice and its postings count
     twice — pair with the ingest-log / epoch-tag patterns used elsewhere).
+
+    The whole read-stats → write-postings → merge-stats sequence runs
+    under the index's maintenance lease (index_maintain.index_lease):
+    the sidecar merge is a read-modify-write, so an unserialized
+    concurrent append would lose one batch's counts, and an append
+    racing a compaction tick's partition overwrite would lose its
+    posting files. A losing writer gets LeaseConflictError and retries;
+    ``lease=False`` only when the caller already holds it.
     """
     import json as _json
 
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import index_lease
+
     spark = docs.sparkSession
+    if lease:
+        with index_lease(spark, index_path, owner="append_bm25"):
+            return append_inverted_index(
+                docs, index_path, id_col, text_col, lease=False
+            )
     stats = read_index_stats(spark, index_path)
     if "total_tokens" not in stats:
         raise ValueError(
@@ -279,7 +295,15 @@ def append_inverted_index(
     ).parquet(index_path)
     n_docs = stats["n_docs"] + b_docs
     total_tokens = stats["total_tokens"] + b_tokens
-    # pre-n_text_docs sidecars had no NULL-text docs, so n_docs is exact
+    # Back-compat CONTRACT for pre-n_text_docs sidecars: assume the
+    # legacy corpus had zero NULL-text docs (n_text_docs := n_docs).
+    # This cannot be recomputed from the stored postings — a NULL-text
+    # doc and an empty-string doc (dl=0, counted in avgdl's denominator)
+    # are both posting-less, so they are indistinguishable after the
+    # fact. If a legacy index did hold NULL-text docs its avgdl drifts
+    # low after the first append (denominator too large); the remedy is
+    # a one-time write_inverted_index rebuild, which stamps the exact
+    # n_text_docs going forward.
     n_text_docs = stats.get("n_text_docs", stats["n_docs"]) + b_text_docs
     avgdl = (
         _rounded_avgdl(spark, total_tokens, n_text_docs) if n_text_docs else 0.0

@@ -804,6 +804,7 @@ def append_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lease: bool = True,
 ) -> None:
     """Add a batch of new vectors to a stored :func:`write_ivf_index`
     layout — the FAISS ``add`` half of build-once/serve-many: the
@@ -817,23 +818,28 @@ def append_ivf_index(
     map-side argmin + one cell-keyed exchange; existing cell files are
     never rewritten. (Quantizer drift under a shifting distribution is
     the signal to rebuild — the offline retrain path.)
+
+    Takes the index's maintenance lease for the write (raises
+    LeaseConflictError if a compaction tick or another append holds it —
+    retry after it releases); ``lease=False`` only when the caller
+    already holds it.
     """
     from endtoend_etl_openmeteo_spark.operators.clusters import kmeans_assign
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import index_lease
 
     cents = read_ivf_quantizer(spark, path)
     assigned = kmeans_assign(vectors, cents, id_col=id_col, vec_col=vec_col,
                              keep_vec=True)
-    (
-        assigned.select(
-            F.col("id").alias("vec_id"),
-            F.col("vec").alias("embedding"),
-            F.col("cluster").alias("cell"),
-        )
-        .repartition(F.col("cell"))
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(path)
-    )
+    out = assigned.select(
+        F.col("id").alias("vec_id"),
+        F.col("vec").alias("embedding"),
+        F.col("cluster").alias("cell"),
+    ).repartition(F.col("cell"))
+    if lease:
+        with index_lease(spark, path, owner="append_ivf"):
+            out.write.mode("append").partitionBy("cell").parquet(path)
+    else:
+        out.write.mode("append").partitionBy("cell").parquet(path)
 
 
 def compact_ivf_index(

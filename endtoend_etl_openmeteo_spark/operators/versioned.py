@@ -1439,7 +1439,14 @@ def vt_vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> int:
         # permanently (dropped-version files are handled above; this is
         # the never-committed tier). Same grace rule as spills: only
         # subdirs strictly older than the oldest retained manifest — an
-        # in-flight commit's writes are always newer and survive.
+        # in-flight commit's writes are always newer and survive. The
+        # subdir's age comes from the newest FILE inside it, never the
+        # directory status: object-store filesystems (S3A-style) return
+        # synthetic directory statuses with epoch/meaningless mtimes, and
+        # trusting one would delete an in-flight commit's data before its
+        # CAS lands (committed manifest referencing deleted files). A
+        # file-less subdir (a writer that created the dir but hasn't
+        # landed a file yet) is skipped — it holds zero bytes.
         live_subdirs = {
             p.split("/", 2)[1]
             for p in referenced
@@ -1451,12 +1458,28 @@ def vt_vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> int:
                 continue
             for status in fs.listStatus(tdir):
                 if (
-                    status.isDirectory()
-                    and status.getPath().getName() not in live_subdirs
-                    and status.getModificationTime() < grace_mtime
+                    not status.isDirectory()
+                    or status.getPath().getName() in live_subdirs
                 ):
+                    continue
+                newest = _newest_file_mtime(fs, status.getPath())
+                if newest is not None and newest < grace_mtime:
                     fs.delete(status.getPath(), True)
     return len(doomed)
+
+
+def _newest_file_mtime(fs, hpath) -> int | None:
+    """Max modification time over the FILES under ``hpath`` (recursive);
+    None when no files exist. File mtimes are real on every Hadoop
+    filesystem including object stores — directory mtimes are not, which
+    is why vt_vacuum's subdir grace window keys on this."""
+    it = fs.listFiles(hpath, True)
+    newest = None
+    while it.hasNext():
+        m = it.next().getModificationTime()
+        if newest is None or m > newest:
+            newest = m
+    return newest
 
 
 def _write_delete_files(

@@ -1630,9 +1630,12 @@ def test_apply_cdc_carries_evolved_columns(spark, table):
 
 def test_vacuum_collects_aborted_commit_data_dirs(spark, table):
     """A writer lands data/<uuid>/ BEFORE the CAS; a lost race leaves the
-    whole subdir referenced by no manifest. Vacuum reclaims it once it is
-    older than the oldest retained manifest; an in-flight (fresh) one
-    survives the same tick."""
+    whole subdir referenced by no manifest. Vacuum reclaims it once its
+    newest FILE is older than the oldest retained manifest; an in-flight
+    (fresh) one survives the same tick — even when its DIRECTORY status
+    carries a synthetic epoch mtime, the object-store case (round-8
+    ADVICE): S3A-style filesystems fabricate directory statuses, so the
+    grace window must never key on them."""
     import os
     import time
 
@@ -1644,12 +1647,33 @@ def test_vacuum_collects_aborted_commit_data_dirs(spark, table):
     in_flight = _write_data(spark, _df(spark, 80, 89), table)
     aborted_dir = os.path.join(table, aborted[0]["path"].rsplit("/", 1)[0])
     in_flight_dir = os.path.join(table, in_flight[0]["path"].rsplit("/", 1)[0])
-    os.utime(aborted_dir, (time.time() - 3600, time.time() - 3600))
+    # age the aborted commit: every file inside goes past the grace window
+    old = time.time() - 3600
+    for root, _dirs, files in os.walk(aborted_dir):
+        for f in files:
+            os.utime(os.path.join(root, f), (old, old))
+    # the in-flight dir's STATUS lies (epoch mtime) but its files are fresh
+    os.utime(in_flight_dir, (0, 0))
     vt_vacuum(spark, table, keep_last=1)
     assert not os.path.exists(aborted_dir)  # old orphan reclaimed
-    assert os.path.exists(in_flight_dir)  # fresh write spared (grace)
+    assert os.path.exists(in_flight_dir)  # fresh FILES spare it (grace)
     # committed data untouched
     assert sorted(r["id"] for r in vt_read(spark, table).collect()) == list(range(20))
+
+
+def test_vacuum_skips_fileless_orphan_subdirs(spark, table):
+    """A subdir with no files yet (writer created the dir, hasn't landed a
+    file) holds zero bytes and has no trustworthy age — vacuum must leave
+    it alone rather than guess from the directory status."""
+    import os
+
+    vt_append(spark, _df(spark, 0, 10), table)
+    vt_append(spark, _df(spark, 10, 20), table)
+    empty = os.path.join(table, "data", "justborn00")
+    os.makedirs(empty)
+    os.utime(empty, (0, 0))  # even with an ancient-looking status
+    vt_vacuum(spark, table, keep_last=1)
+    assert os.path.isdir(empty)
 
 
 def test_epoch_replay_detection_normalizes_types(spark, table):
