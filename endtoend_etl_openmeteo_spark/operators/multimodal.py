@@ -275,7 +275,17 @@ def parse_ogg_header(
     (granule / rate), 48 kHz units minus pre-skip for Opus — the
     spec-defined end-of-stream bookkeeping, so no packet decode is
     needed. Pure stdlib, the parse_flac_streaminfo shape; waveform
-    decode stays at the injectable codec seam."""
+    decode stays at the injectable codec seam.
+
+    Duration contract: the tail scan validates page-structure bytes
+    (version == 0, no reserved header-type flags) before trusting a
+    capture match, so an ``OggS`` byte string inside packet PAYLOAD
+    can't false-sync to a garbage granule; an invalid match continues
+    the backward scan. For CHAINED Ogg files (multiple concatenated
+    logical streams) the value is an ESTIMATE: it reads the last chained
+    stream's final granule under the FIRST stream's codec parameters —
+    exact for the common single-stream file, per-chain-segment parsing
+    is the known extension."""
     import struct
 
     if payload is None or len(payload) < 58 or payload[0:4] != b"OggS":
@@ -296,14 +306,22 @@ def parse_ogg_header(
     if not rate or not channels:
         return None
     # last page's granule position: scan capture patterns from the tail
-    # (pages are unindexed; -1 granule marks a continued-packet page)
+    # (pages are unindexed; -1 granule marks a continued-packet page).
+    # A match is only trusted if the page-structure bytes hold — stream
+    # version must be 0 and the header-type byte has only the low three
+    # flag bits (continued/BOS/EOS) defined — otherwise it's 'OggS'
+    # occurring inside packet payload and the scan continues backwards.
     granule = 0
     search_end = len(payload)
     while search_end > 0:
         pos = payload.rfind(b"OggS", 0, search_end)
         if pos < 0:
             break
-        if pos + 14 <= len(payload):
+        if (
+            pos + 14 <= len(payload)
+            and payload[pos + 4] == 0  # stream_structure_version
+            and payload[pos + 5] & 0xF8 == 0  # reserved flags clear
+        ):
             (g,) = struct.unpack("<q", payload[pos + 6:pos + 14])
             if g >= 0:
                 granule = g

@@ -1199,14 +1199,26 @@ def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not f.startswith("_"):
                 off = 0 if f in wave1 else 10
                 os.utime(f"{landing}/{f}", (now + off, now + off))
-        q = run_streaming_corpus_ingest(
-            spark, landing, corpus, f"{work}/index",
-            f"{work}/ckpt", "doc_id bigint, text string",
-            quarantine_path=quarantine,
-            max_files_per_trigger=1,
-            screen="exact",
-        )
-        q.awaitTermination(600)
+        # The q_stream_join / q_stream_window cure applied to the ingest
+        # harness: each screening epoch pays per-shuffle-partition fixed
+        # costs (exchange tasks, state/sink commits) in its foreachBatch
+        # joins and groupBys — 32 partitions × 2 epochs is pure overhead
+        # for a screen whose batches are metadata-sized here. Pin 4 for
+        # the streaming lifecycle only; a production deployment sizes
+        # this to the arrival rate instead.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = run_streaming_corpus_ingest(
+                spark, landing, corpus, f"{work}/index",
+                f"{work}/ckpt", "doc_id bigint, text string",
+                quarantine_path=quarantine,
+                max_files_per_trigger=1,
+                screen="exact",
+            )
+            q.awaitTermination(600)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         kept = spark.read.parquet(corpus).select("doc_id", F.lit(True).alias("kept"))
         dupd = spark.read.parquet(quarantine).select(
             "doc_id", F.lit(False).alias("kept")

@@ -473,6 +473,31 @@ def test_decode_real_parses_ogg_headers(spark):
     assert feats[2].duration_s == pytest.approx(2.0)
 
 
+def test_ogg_tail_scan_rejects_false_sync_in_payload(ogg_false_sync=None):
+    """Round-8 ADVICE: 'OggS' occurring INSIDE packet payload after the
+    real last page must not be trusted — the page-structure bytes
+    (version != 0 / reserved flags set) disqualify it and the scan
+    continues backwards to the genuine page header."""
+    import struct
+
+    from endtoend_etl_openmeteo_spark.operators.multimodal import parse_ogg_header
+
+    real = _ogg_vorbis_bytes(44100, 2, 88200)  # true duration 2.0 s
+    # payload bytes that look like a page start with a HUGE positive
+    # granule, but with a non-zero version byte — a decoder false-sync
+    fake = b"OggS" + b"\x07\x00" + struct.pack("<q", 44100 * 3600) + b"\x00" * 12
+    assert parse_ogg_header(real + fake) == (44100, 2, 2.0)
+    # reserved header-type flags set (0xF0) — also rejected
+    fake2 = b"OggS" + b"\x00\xf0" + struct.pack("<q", 44100 * 7200) + b"\x00" * 12
+    assert parse_ogg_header(real + fake2) == (44100, 2, 2.0)
+    # a VALID trailing page (chained-stream shape) is still honored
+    assert parse_ogg_header(real + _ogg_page(b"\x00", granule=44100 * 4, seq=2)) == (
+        44100,
+        2,
+        4.0,
+    )
+
+
 def _mp4_box(btype, body):
     return (8 + len(body)).to_bytes(4, "big") + btype + body
 

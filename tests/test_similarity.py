@@ -148,6 +148,50 @@ def test_trained_model_cache_invalidates_on_data_change(spark, tmp_path):
     assert len(builds) == 2
 
 
+def test_trained_model_disk_tier_survives_process_cache_clear(spark, tmp_path):
+    """Round-8 verdict task 7: the trained quantizer persists to a disk
+    sidecar keyed by (kind, table, params, content fingerprint), so a
+    fresh process LOADS instead of retrains — and a changed fingerprint
+    or corrupt sidecar falls back to training."""
+    from endtoend_etl_openmeteo_spark.plans import similarity as S
+
+    sf = str(tmp_path)
+    p = tmp_path / "embeddings.parquet"
+    spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(str(p))
+
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.createDataFrame(
+            [(0, [1.25, -2.0]), (1, [0.5, 3.5])],
+            "cluster int, centroid array<double>",
+        )
+
+    key = ("disk_kind", sf, 7)
+    first = S._cached_model(spark, key, build).collect()
+    assert len(builds) == 1
+
+    # simulate a fresh process: wipe the in-memory tier only
+    S._TRAINED.clear()
+    again = S._cached_model(spark, key, build).collect()
+    assert len(builds) == 1  # loaded from disk, not retrained
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+
+    # a corrupt sidecar must fall back to training, then self-heal
+    S._TRAINED.clear()
+    fp = S._table_fingerprint(sf)
+    S._model_cache_file(key + (fp,)).write_text("{not json")
+    S._cached_model(spark, key, build)
+    assert len(builds) == 2
+    S._TRAINED.clear()
+    S._cached_model(spark, key, build)
+    assert len(builds) == 2  # rewritten sidecar serves again
+
+
 def test_stored_ivf_prunes_unprobed_cells_and_matches_inplan(spark, emb, tmp_path):
     """The stored-index serving contract at the plan level: the scan
     carries PartitionFilters on `cell`, reads ONLY the probed cells'
