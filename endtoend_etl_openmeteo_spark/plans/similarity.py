@@ -443,32 +443,39 @@ def q_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     idx_dir = scratch_dir(prefix="ivf_idx_")
     try:
-        write_ivf_index(cells, centroids, idx_dir, cell_col="cluster")
-        # materialize each side ONCE: the two-way exceptAll otherwise
-        # evaluates every branch twice (4 IVF scans where 2 suffice) —
-        # both results are k·|queries| rows, checkpoint-sized
-        stored = stored_ivf_topk(
-            spark, idx_dir, queries, k=10, nprobe=2
-        ).localCheckpoint(eager=True)
-        inplan = ivf_topk(
-            cells,
-            queries,
-            cell_col="cluster",
-            k=10,
-            nprobe=2,
-            centroids=centroids.withColumnRenamed("cluster", "cell"),
-        ).localCheckpoint(eager=True)
-        diff = stored.exceptAll(inplan).unionByName(inplan.exceptAll(stored))
-        out = (
-            diff.groupBy()
-            .agg((F.count("*") == 0).alias("ok"))
-            .select(F.lit("stored_equals_inplan").alias("contract"), "ok")
-            # the scratch index is deleted on return — materialize first
-            .localCheckpoint(eager=True)
-        )
-        release_checkpoint(stored)
-        release_checkpoint(inplan)
-        return out
+        from endtoend_etl_openmeteo_spark.session import bounded_shuffle
+
+        # Harness shuffle pin: the whole lifecycle materializes inside
+        # (every branch localCheckpoint'ed), and the embeddings table is
+        # fixed-size across SFs, so every exchange at the session's 32
+        # partitions is per-task fixed cost (measured 3.9 -> 3.5 s warm).
+        with bounded_shuffle(spark, 8):
+            write_ivf_index(cells, centroids, idx_dir, cell_col="cluster")
+            # materialize each side ONCE: the two-way exceptAll otherwise
+            # evaluates every branch twice (4 IVF scans where 2 suffice) —
+            # both results are k·|queries| rows, checkpoint-sized
+            stored = stored_ivf_topk(
+                spark, idx_dir, queries, k=10, nprobe=2
+            ).localCheckpoint(eager=True)
+            inplan = ivf_topk(
+                cells,
+                queries,
+                cell_col="cluster",
+                k=10,
+                nprobe=2,
+                centroids=centroids.withColumnRenamed("cluster", "cell"),
+            ).localCheckpoint(eager=True)
+            diff = stored.exceptAll(inplan).unionByName(inplan.exceptAll(stored))
+            out = (
+                diff.groupBy()
+                .agg((F.count("*") == 0).alias("ok"))
+                .select(F.lit("stored_equals_inplan").alias("contract"), "ok")
+                # the scratch index is deleted on return — materialize first
+                .localCheckpoint(eager=True)
+            )
+            release_checkpoint(stored)
+            release_checkpoint(inplan)
+            return out
     finally:
         release_checkpoint(cells)
         shutil.rmtree(idx_dir, ignore_errors=True)

@@ -1714,26 +1714,33 @@ def q_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 2000)
         .select("doc_id", "text")
     )
+    from endtoend_etl_openmeteo_spark.session import bounded_shuffle
+
     root = scratch_dir(prefix="bm25_maint_")
     path = root + "/postings"
     try:
         # 16 buckets, not the 64 serving default: the per-directory write/
         # list/commit overhead of three builds dominates this bounded
-        # lifecycle query; bucket count changes layout, never results
-        write_inverted_index(
-            docs.filter(F.col("doc_id") % 3 == 0), path, n_buckets=16
-        )
-        append_inverted_index(docs.filter(F.col("doc_id") % 3 == 1), path)
-        append_inverted_index(docs.filter(F.col("doc_id") % 3 == 2), path)
-        res = compact_inverted_index(spark, path, max_files_per_bucket=1)
-        worst_after = max(partition_file_counts(spark, path, "bkt").values())
-        maintained = res["partitions_compacted"] >= 1 and worst_after == 1
-        return (
-            stored_bm25_topk(spark, path, MAINT_TERMS, k=10)
-            .withColumn("maintained", F.lit(bool(maintained)))
-            # the scratch index is deleted on return — materialize first
-            .localCheckpoint(eager=True)
-        )
+        # lifecycle query; bucket count changes layout, never results.
+        # Same reasoning for the 8-partition shuffle pin: the 2000-doc
+        # slice's three builds are all exchange fixed cost at 32
+        # (measured 5.5 -> 4.5 s warm), and the slice is
+        # corpus-size-independent so the pin is scale-neutral.
+        with bounded_shuffle(spark, 8):
+            write_inverted_index(
+                docs.filter(F.col("doc_id") % 3 == 0), path, n_buckets=16
+            )
+            append_inverted_index(docs.filter(F.col("doc_id") % 3 == 1), path)
+            append_inverted_index(docs.filter(F.col("doc_id") % 3 == 2), path)
+            res = compact_inverted_index(spark, path, max_files_per_bucket=1)
+            worst_after = max(partition_file_counts(spark, path, "bkt").values())
+            maintained = res["partitions_compacted"] >= 1 and worst_after == 1
+            return (
+                stored_bm25_topk(spark, path, MAINT_TERMS, k=10)
+                .withColumn("maintained", F.lit(bool(maintained)))
+                # the scratch index is deleted on return — materialize first
+                .localCheckpoint(eager=True)
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1824,6 +1831,18 @@ def q_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "approx"),
 )
 def q_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.session import bounded_shuffle
+
+    # Harness shuffle pin (the q_stream_join treatment): every exchange
+    # in the contract's truth joins / screens runs over the bounded
+    # 500-doc slice, so 32 partitions is per-task fixed cost (measured
+    # 7.4 -> 6.7 s warm). The eager checkpoint puts EXECUTION inside the
+    # pin — the five contract rows are 5 booleans.
+    with bounded_shuffle(spark, 8):
+        return _dedup_contract_body(spark, sf_dir).localCheckpoint(eager=True)
+
+
+def _dedup_contract_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     # contract-specific slice: 500 docs keeps dozens of true pairs at

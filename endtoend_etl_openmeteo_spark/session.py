@@ -109,6 +109,28 @@ def scratch_dir(prefix: str = "scratch_") -> str:
     return tempfile.mkdtemp(prefix=prefix)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def bounded_shuffle(spark: SparkSession, n: int):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` to ``n``.
+
+    For HARNESS-SHAPED query bodies only: lifecycle proofs that operate
+    on bounded slices (q_index_compact's 2000-doc corpus, the contract
+    rows' fixed embeddings table, streaming epochs over metadata-sized
+    batches), where every exchange at the session's 32 partitions is
+    pure per-task fixed cost. A production-scale operator must NOT use
+    this — it sizes shuffles to data via AQE instead. Restores the
+    previous value on exit."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an existing session."""
     for key, value in RUNTIME_CONF.items():
