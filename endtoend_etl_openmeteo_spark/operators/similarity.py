@@ -540,6 +540,269 @@ def pq_topk_rerank(
     )
 
 
+def ivfpq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 10,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 4,
+    coarse_iterations: int = 4,
+    max_sample: int = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the two-level IVF-PQ quantizer (Jégou et al. 2011 §V, the
+    FAISS ``IndexIVFPQ`` layout): a coarse k-means over the UNIT-normalized
+    vector space, then m product-quantization sub-codebooks over the
+    RESIDUALS (vec - its cell centroid). Residual encoding is what makes
+    PQ codes sharp inside a cell — the coarse quantizer absorbs the
+    between-cell variance, so the k* sub-centroids only have to model the
+    within-cell spread (measured here: residual ADC candidates beat
+    plain-PQ candidates at equal code size).
+
+    Driver-side on a bounded smallest-id sample with fixed iterations
+    (the kmeans_train_sampled / pq_train discipline — deterministic, no
+    RNG). Returns (coarse, codebooks): coarse(cell int, centroid
+    array<double>), codebooks(block int, cluster int, centroid
+    array<double>) — n_cells + m*k rows, broadcastable anywhere.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+        )
+        .orderBy("id")
+        .limit(max_sample)
+        .collect()
+    )
+    x = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    x = x / nrm
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    cent = x[:n_cells].copy()  # smallest-id seeds, Lloyd's in numpy
+    for _ in range(coarse_iterations):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    assign = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    res = x - cent[assign]
+    d = dim // m
+    books = []
+    for b in range(m):
+        xb = res[:, b * d : (b + 1) * d]
+        cb = xb[:k].copy()
+        for _ in range(iterations):
+            d2 = ((xb[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                members = xb[a == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books.extend((b, c, [float(v) for v in cb[c]]) for c in range(k))
+    spark = corpus.sparkSession
+    coarse = spark.createDataFrame(
+        [(int(c), [float(v) for v in cent[c]]) for c in range(n_cells)],
+        "cell int, centroid array<double>",
+    )
+    codebooks = spark.createDataFrame(
+        books, "block int, cluster int, centroid array<double>"
+    )
+    return coarse, codebooks
+
+
+def _coarse_row(coarse: DataFrame) -> DataFrame:
+    """ONE packed row: cents array<struct<cell:int,centroid:array<double>>>
+    sorted by cell — the ivf_topk broadcast shape for a driver-resident
+    coarse quantizer."""
+    local = sorted((int(r["cell"]), list(r["centroid"])) for r in coarse.collect())
+    return coarse.sparkSession.createDataFrame(
+        [(local,)], "cents array<struct<cell:int,centroid:array<double>>>"
+    )
+
+
+def _dist2(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as (cell, m residual codes) — the IVF-PQ corpus
+    layout: cell for the probe-time partition prune, m small codes for the
+    ADC scan, raw vectors touched only by the refine stage. Map-only: both
+    quantizer levels ride as one-row broadcasts, assignment and residual
+    encoding are codegen folds, the corpus never shuffles. At rest this is
+    the layout ``write_ivf_index`` would persist partitionBy(cell) with the
+    codebooks in the ``_quantizer.json`` sidecar.
+
+    Returns (id, cell, codes array<int>).
+    """
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    v = cpu_parallelize(corpus).select(
+        F.col(id_col).alias("id"), _pq_norm_vec(vec_col).alias("vec")
+    )
+    # nearest cell, centroid carried along: struct(d2, cell, centroid)
+    # min — the array field only breaks ties after the unique cell id,
+    # so it is never compared
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                _dist2(F.col("vec"), s["centroid"]).alias("d2"),
+                s["cell"].alias("cell"),
+                s["centroid"].alias("centroid"),
+            ),
+        )
+    )
+    withcell = (
+        v.crossJoin(F.broadcast(_coarse_row(coarse)))
+        .select(
+            "id",
+            "vec",
+            best["cell"].alias("cell"),
+            F.zip_with("vec", best["centroid"], lambda x, c: x - c).alias("res"),
+        )
+    )
+    d = F.size(F.col("res")) / F.size(F.col("blocks"))
+    codes = F.transform(
+        F.col("blocks"),
+        lambda cents, bi: F.array_min(
+            F.transform(
+                cents,
+                lambda c, ci: F.struct(
+                    _dist2(
+                        F.slice(F.col("res"), (bi * d + 1).cast("int"), d.cast("int")),
+                        c,
+                    ).alias("d2"),
+                    ci.alias("code"),
+                ),
+            )
+        )["code"],
+    )
+    return withcell.crossJoin(F.broadcast(_pq_codebook_row(codebooks))).select(
+        "id", "cell", codes.alias("codes")
+    )
+
+
+def ivfpq_topk_rerank(
+    encoded: DataFrame,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """IVF-PQ retrieval with exact refine — the FAISS ``IndexIVFPQ`` +
+    refine search path, the memory-bound 100 TB serving combo: probe
+    ``nprobe`` cells per query (IVF prune: only those cells' code lists
+    are scanned), score candidates by asymmetric distance against the
+    query's RESIDUAL in each probed cell (per-(query, cell) m x k* LUT —
+    the residual trick means one LUT per probe, not per corpus row),
+    nominate ``n_candidates``, then re-rank those rows alone with exact
+    cosine. Work per query: nprobe/n_cells of the code scan at m
+    lookups+adds per row, plus a candidate-bounded raw fetch.
+
+    Returns (q_id, n_id, cos_sim, rank) — the cosine_topk shape.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _pq_norm_vec(vec_col).alias("q_vec")
+    )
+    ranked = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            F.round(_dist2(F.col("q_vec"), s["centroid"]), 9).alias("d2"),
+            s["cell"].alias("cell"),
+            s["centroid"].alias("centroid"),
+        ),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(_coarse_row(coarse)))
+        .select(
+            "q_id",
+            "q_vec",
+            F.explode(F.slice(F.array_sort(ranked), 1, nprobe)).alias("p"),
+        )
+        .select(
+            "q_id",
+            F.col("p.cell").alias("cell"),
+            F.zip_with("q_vec", F.col("p.centroid"), lambda x, c: x - c).alias("qr"),
+        )
+    )
+    d = F.size(F.col("qr")) / F.size(F.col("blocks"))
+    lut = F.transform(
+        F.col("blocks"),
+        lambda cents, bi: F.transform(
+            cents,
+            lambda c: _dist2(
+                F.slice(F.col("qr"), (bi * d + 1).cast("int"), d.cast("int")), c
+            ),
+        ),
+    )
+    qlut = probes.crossJoin(F.broadcast(_pq_codebook_row(codebooks))).select(
+        "q_id", "cell", lut.alias("lut")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("lut"), F.col("codes"), lambda t, c: F.element_at(t, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("n_id"))
+    cand = (
+        encoded.withColumnRenamed("id", "n_id")
+        # per-(query, probed-cell) LUTs are nprobe rows/query — broadcast;
+        # the join on cell IS the IVF prune: unprobed cells never score
+        .join(F.broadcast(qlut), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.round(adc, 9).alias("adc"))
+        .withColumn("rank", F.row_number().over(wc))
+        .filter(F.col("rank") <= n_candidates)
+        .select("q_id", "n_id")
+    )
+    raw = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
+    )
+    qraw = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    rescored = (
+        cand.join(raw, "n_id")
+        .join(F.broadcast(qraw), "q_id")
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return rescored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def _quantizer_path(spark, index_path: str):
     """(Path, FileSystem) for the stored-IVF quantizer sidecar — Hadoop FS
     so the index works on any scheme the data does (file:/hdfs:/s3:)."""

@@ -241,6 +241,7 @@ PRIORITY: list[str] = [
     "q_ann_ivf",
     "q_ann_lsh",
     "q_ann_pq",
+    "q_ann_ivfpq",
 ]
 
 

@@ -344,6 +344,81 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_ivfpq(trained) -> "DataFrame":
+    """Flatten (coarse, codebooks) into ONE cacheable DataFrame —
+    (part, a, b, centroid) — so the two-level quantizer shares a single
+    _cached_model entry (one training, one disk sidecar)."""
+    coarse, codebooks = trained
+    c = coarse.select(
+        F.lit("coarse").alias("part"),
+        F.col("cell").alias("a"),
+        F.lit(0).alias("b"),
+        "centroid",
+    )
+    p = codebooks.select(
+        F.lit("pq").alias("part"),
+        F.col("block").alias("a"),
+        F.col("cluster").alias("b"),
+        "centroid",
+    )
+    return c.unionByName(p)
+
+
+def _unpack_ivfpq(packed):
+    coarse = packed.filter(F.col("part") == "coarse").select(
+        F.col("a").alias("cell"), "centroid"
+    )
+    codebooks = packed.filter(F.col("part") == "pq").select(
+        F.col("a").alias("block"), F.col("b").alias("cluster"), "centroid"
+    )
+    return coarse, codebooks
+
+
+@register(
+    "q_ann_ivfpq",
+    oracle=None,  # approximate recall by design — rows-only + recall floor
+    doc="IVF-PQ ANN with exact refine (operators/similarity.ivfpq_train/"
+    "ivfpq_encode/ivfpq_topk_rerank) — the FAISS IndexIVFPQ combo and the "
+    "actual memory-bound 100 TB serving layout: a 10-cell coarse "
+    "quantizer prunes the scan to nprobe=2 cells, m=8 sub-codebooks of "
+    "32 centroids encode each vector's RESIDUAL (vs its cell centroid — "
+    "the coarse level absorbs between-cell variance so the codes model "
+    "only within-cell spread), ADC over the probed cells' codes "
+    "nominates 50 candidates, exact cosine re-ranks candidates only. "
+    "Work per query = nprobe/n_cells of the code scan at m lookups/row; "
+    "raw vectors touched for candidates alone. tools/check_oracle.py "
+    "enforces the 0.5 recall floor vs q_ann_cosine.",
+    tags=("similarity", "approx"),
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk_rerank,
+        ivfpq_train,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    packed = _cached_model(
+        spark,
+        ("ivfpq", sf_dir, 10, 8, 32, 4),
+        lambda: _pack_ivfpq(
+            ivfpq_train(emb, n_cells=10, m=8, k=32, iterations=4)
+        ),
+    )
+    coarse, codebooks = _unpack_ivfpq(packed)
+    enc = ivfpq_encode(emb, coarse, codebooks)
+    return ivfpq_topk_rerank(
+        enc,
+        coarse,
+        codebooks,
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        nprobe=2,
+        n_candidates=50,
+    )
+
+
 @register(
     "q_ann_recall_contract",
     # The ANN outputs themselves are hash-specific (rows-only queries);
@@ -355,20 +430,22 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # error-bound pattern applied to the ANN family).
     oracle="""
     SELECT 'ivf' AS method, TRUE AS recall_ok
+    UNION ALL SELECT 'ivfpq', TRUE
     UNION ALL SELECT 'lsh', TRUE
     UNION ALL SELECT 'pq', TRUE
     """,
-    doc="ANN recall contract: IVF / LSH / PQ top-10 vs the exact cosine "
-    "top-10 for the same 5 queries, recall@10 >= 0.5 per method emitted "
-    "as a hash-checked boolean — driver-recorded evidence for the three "
-    "rows-only ANN paths (floors also enforced per-query by "
-    "tools/check_oracle.py at 0.86/0.62/0.78 measured recall).",
+    doc="ANN recall contract: IVF / IVF-PQ / LSH / PQ top-10 vs the exact "
+    "cosine top-10 for the same 5 queries, recall@10 >= 0.5 per method "
+    "emitted as a hash-checked boolean — driver-recorded evidence for the "
+    "four rows-only ANN paths (floors also enforced per-query by "
+    "tools/check_oracle.py).",
     tags=("similarity", "approx"),
 )
 def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = q_ann_cosine(spark, sf_dir).select("q_id", "n_id")
     methods = [
         ("ivf", q_ann_ivf),
+        ("ivfpq", q_ann_ivfpq),
         ("lsh", q_ann_lsh),
         ("pq", q_ann_pq),
     ]

@@ -98,6 +98,79 @@ def test_pq_rerank_recall_vs_brute_force(spark, emb):
     assert r_rerank >= r_adc, f"re-rank must not lose recall: {r_adc} -> {r_rerank}"
 
 
+def test_ivfpq_recall_shape_and_determinism(spark, emb):
+    """IVF-PQ (residual encoding): codes are (cell, m codes); recall@10
+    with exact refine clears the family floor; probing every cell with a
+    full candidate pool recovers the exact result (quantization error is
+    fully absorbed by the refine stage); retraining is deterministic."""
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk_rerank,
+        ivfpq_train,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(cosine_topk(emb, queries, k=10))
+    coarse, cb = ivfpq_train(emb, n_cells=10, m=8, k=32, iterations=4)
+    assert coarse.count() == 10 and cb.count() == 8 * 32
+    enc = ivfpq_encode(emb, coarse, cb)
+    rows = {r["id"]: (r["cell"], r["codes"]) for r in enc.collect()}
+    assert all(
+        0 <= cell < 10 and len(c) == 8 and all(0 <= x < 32 for x in c)
+        for cell, c in rows.values()
+    )
+
+    def mean_recall(df):
+        approx = _topk_sets(df)
+        return sum(
+            len(exact[q] & approx.get(q, set())) / 10 for q in exact
+        ) / len(exact)
+
+    r = mean_recall(
+        ivfpq_topk_rerank(enc, coarse, cb, emb, queries, k=10, nprobe=2,
+                          n_candidates=50)
+    )
+    assert r >= 0.5, f"IVF-PQ recall too low: {r}"
+    n = emb.count()
+    r_all = mean_recall(
+        ivfpq_topk_rerank(enc, coarse, cb, emb, queries, k=10, nprobe=10,
+                          n_candidates=n)
+    )
+    assert r_all == 1.0, f"all cells + full pool must equal brute force: {r_all}"
+
+    coarse2, cb2 = ivfpq_train(emb, n_cells=10, m=8, k=32, iterations=4)
+    rows2 = {
+        r["id"]: (r["cell"], r["codes"])
+        for r in ivfpq_encode(emb, coarse2, cb2).collect()
+    }
+    assert rows == rows2
+
+
+def test_ivfpq_encode_is_map_only(spark, emb):
+    """Both quantizer levels ride one-row broadcasts: encoding must not
+    key-shuffle the corpus (cpu_parallelize's round-robin is the only
+    allowed exchange — the 100 TB claim that codes come from a narrow
+    pass)."""
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    coarse, cb = ivfpq_train(emb, n_cells=10, m=8, k=16, iterations=1)
+    plan = (
+        ivfpq_encode(emb, coarse, cb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Any hash exchange may only touch the m*k-row codebook packing
+    # (keyed on `block`, the pq_encode rule); the corpus side is
+    # round-robin spread + broadcast joins only.
+    assert plan.count("hashpartitioning") == plan.count("hashpartitioning(block")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_neardup_pairs_symmetric_and_thresholded(spark, emb):
     pairs = embedding_neardup_pairs(emb, threshold=0.5, max_id=100).collect()
     assert all(r.id_a < r.id_b for r in pairs)

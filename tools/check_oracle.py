@@ -177,6 +177,7 @@ def main() -> int:
         if name in (
             "q_ann_cosine",
             "q_ann_ivf",
+            "q_ann_ivfpq",
             "q_ann_lsh",
             "q_ann_pq",
             "q_minhash_neardup",
@@ -210,7 +211,7 @@ def main() -> int:
     RECALL_FLOOR = 0.5
     if "q_ann_cosine" in ann_results:
         exact = {(r["q_id"], r["n_id"]) for r in ann_results["q_ann_cosine"]}
-        for approx_name in ("q_ann_ivf", "q_ann_lsh", "q_ann_pq"):
+        for approx_name in ("q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_pq"):
             if approx_name not in ann_results:
                 continue
             approx = {(r["q_id"], r["n_id"]) for r in ann_results[approx_name]}
