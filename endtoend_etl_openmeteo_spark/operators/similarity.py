@@ -386,6 +386,73 @@ def _pq_codebook_row(codebooks: DataFrame) -> DataFrame:
     )
 
 
+def _codebooks_local(codebooks: DataFrame) -> list[list[list[float]]]:
+    """Collect the m*k-row codebook frame into blocks[b][c] = centroid —
+    the driver-side shape the Arrow encode op broadcasts (quantizers are
+    model-sized by contract: m*k rows regardless of corpus size)."""
+    blocks: dict[int, dict[int, list[float]]] = {}
+    for r in codebooks.collect():
+        blocks.setdefault(int(r["block"]), {})[int(r["cluster"])] = list(r["centroid"])
+    return [[blocks[b][c] for c in sorted(blocks[b])] for b in sorted(blocks)]
+
+
+def _pq_assign_op(books: list, cents: list | None):
+    """Arrow-batched PQ code assignment (optionally preceded by the IVF
+    coarse assign) — the same "Pandas UDF beats built-ins" case as the LSH
+    hyperplane matmul: per-element JVM folds traverse each vector m*k
+    times (12M+ interpreted lambda evaluations per 2k rows at m=8/k*=32),
+    numpy does the whole batch as dense (n x k x d) broadcasts. Distance
+    formulation, normalization, and argmin-ties-to-lowest-code all match
+    the trainers (ivfpq_train/pq_train) bit-for-bit, so codes are
+    deterministic and identical across runs.
+
+    Returns (op, schema) for mapInPandas over (id, vec) batches; output is
+    (id, codes) or (id, cell, codes) when ``cents`` is given.
+    """
+    import numpy as np
+
+    books_a = np.asarray(books, dtype=np.float64)  # (m, k, d)
+    # cents: [(cell_id, centroid), ...] — ids need not be contiguous;
+    # sorted order makes argmin ties resolve to the lowest cell id
+    cents_a = cell_ids = None
+    if cents is not None:
+        pairs = sorted((int(i), list(c)) for i, c in cents)
+        cell_ids = np.asarray([i for i, _ in pairs], dtype=np.int32)
+        cents_a = np.asarray([c for _, c in pairs], dtype=np.float64)
+    m, _, d = books_a.shape
+    schema = (
+        "id long, codes array<int>"
+        if cents_a is None
+        else "id long, cell int, codes array<int>"
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)  # (n, dim)
+            nrm = np.linalg.norm(x, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0
+            x = x / nrm
+            out = {"id": pdf["id"].to_numpy()}
+            if cents_a is not None:
+                d2 = ((x[:, None, :] - cents_a[None, :, :]) ** 2).sum(axis=2)
+                nearest = d2.argmin(axis=1)  # ties -> lowest cell id
+                x = x - cents_a[nearest]
+                out["cell"] = cell_ids[nearest]
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for b in range(m):
+                xb = x[:, b * d : (b + 1) * d]
+                d2 = ((xb[:, None, :] - books_a[b][None, :, :]) ** 2).sum(axis=2)
+                codes[:, b] = d2.argmin(axis=1)  # ties -> lowest code
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
+
+    return op, schema
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame,
@@ -395,37 +462,19 @@ def pq_encode(
     """Encode every vector to m small codes (nearest sub-centroid per block)
     — 32x compression at m=8/k=16 vs float64, which is what makes a 100 TB
     embedding corpus scannable: the ADC search path reads codes, never raw
-    vectors. Map-only: codebooks ride as a one-row broadcast, encoding is a
-    codegen argmin per block, the corpus never shuffles.
+    vectors. Map-only: the codebooks ride driver-side into one Arrow-batched
+    numpy pass (_pq_assign_op — the allowlisted dense-linear-algebra seam,
+    same rationale as the LSH matmul), the corpus never shuffles.
 
     Returns (id, codes array<int>) with codes[b] in [0, k).
     """
     from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
 
-    dist2 = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    op, schema = _pq_assign_op(_codebooks_local(codebooks), None)
     v = cpu_parallelize(corpus).select(
-        F.col(id_col).alias("id"), _pq_norm_vec(vec_col).alias("vec")
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    d = F.size(F.col("vec")) / F.size(F.col("blocks"))
-    codes = F.transform(
-        F.col("blocks"),
-        lambda cents, bi: F.array_min(
-            F.transform(
-                cents,
-                lambda c, ci: F.struct(
-                    dist2(F.slice(F.col("vec"), (bi * d + 1).cast("int"), d.cast("int")), c).alias("d2"),
-                    ci.alias("code"),
-                ),
-            )
-        )["code"],
-    )
-    return v.crossJoin(F.broadcast(_pq_codebook_row(codebooks))).select(
-        "id", codes.alias("codes")
-    )
+    return v.mapInPandas(op, schema=schema)
 
 
 def pq_topk(
@@ -645,59 +694,23 @@ def ivfpq_encode(
     """Encode every vector as (cell, m residual codes) — the IVF-PQ corpus
     layout: cell for the probe-time partition prune, m small codes for the
     ADC scan, raw vectors touched only by the refine stage. Map-only: both
-    quantizer levels ride as one-row broadcasts, assignment and residual
-    encoding are codegen folds, the corpus never shuffles. At rest this is
-    the layout ``write_ivf_index`` would persist partitionBy(cell) with the
-    codebooks in the ``_quantizer.json`` sidecar.
+    quantizer levels ride driver-side into ONE Arrow-batched numpy pass
+    (_pq_assign_op: coarse argmin, residual subtraction, and per-block code
+    argmin as dense batch matmuls — the allowlisted linear-algebra seam),
+    the corpus never shuffles. At rest this is the layout
+    ``write_ivf_index`` would persist partitionBy(cell) with the codebooks
+    in the ``_quantizer.json`` sidecar.
 
     Returns (id, cell, codes array<int>).
     """
     from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
 
+    cents = [(int(r["cell"]), list(r["centroid"])) for r in coarse.collect()]
+    op, schema = _pq_assign_op(_codebooks_local(codebooks), cents)
     v = cpu_parallelize(corpus).select(
-        F.col(id_col).alias("id"), _pq_norm_vec(vec_col).alias("vec")
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    # nearest cell, centroid carried along: struct(d2, cell, centroid)
-    # min — the array field only breaks ties after the unique cell id,
-    # so it is never compared
-    best = F.array_min(
-        F.transform(
-            F.col("cents"),
-            lambda s: F.struct(
-                _dist2(F.col("vec"), s["centroid"]).alias("d2"),
-                s["cell"].alias("cell"),
-                s["centroid"].alias("centroid"),
-            ),
-        )
-    )
-    withcell = (
-        v.crossJoin(F.broadcast(_coarse_row(coarse)))
-        .select(
-            "id",
-            "vec",
-            best["cell"].alias("cell"),
-            F.zip_with("vec", best["centroid"], lambda x, c: x - c).alias("res"),
-        )
-    )
-    d = F.size(F.col("res")) / F.size(F.col("blocks"))
-    codes = F.transform(
-        F.col("blocks"),
-        lambda cents, bi: F.array_min(
-            F.transform(
-                cents,
-                lambda c, ci: F.struct(
-                    _dist2(
-                        F.slice(F.col("res"), (bi * d + 1).cast("int"), d.cast("int")),
-                        c,
-                    ).alias("d2"),
-                    ci.alias("code"),
-                ),
-            )
-        )["code"],
-    )
-    return withcell.crossJoin(F.broadcast(_pq_codebook_row(codebooks))).select(
-        "id", "cell", codes.alias("codes")
-    )
+    return v.mapInPandas(op, schema=schema)
 
 
 def ivfpq_topk_rerank(

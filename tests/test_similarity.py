@@ -147,10 +147,10 @@ def test_ivfpq_recall_shape_and_determinism(spark, emb):
 
 
 def test_ivfpq_encode_is_map_only(spark, emb):
-    """Both quantizer levels ride one-row broadcasts: encoding must not
-    key-shuffle the corpus (cpu_parallelize's round-robin is the only
-    allowed exchange — the 100 TB claim that codes come from a narrow
-    pass)."""
+    """Both quantizer levels ride driver-side into the Arrow seam: encoding
+    must not key-shuffle or join the corpus at all (cpu_parallelize's
+    round-robin is the only allowed exchange — the 100 TB claim that codes
+    come from a single narrow pass)."""
     from endtoend_etl_openmeteo_spark.operators.similarity import (
         ivfpq_encode,
         ivfpq_train,
@@ -163,12 +163,10 @@ def test_ivfpq_encode_is_map_only(spark, emb):
         .executedPlan()
         .toString()
     )
-    # Any hash exchange may only touch the m*k-row codebook packing
-    # (keyed on `block`, the pq_encode rule); the corpus side is
-    # round-robin spread + broadcast joins only.
-    assert plan.count("hashpartitioning") == plan.count("hashpartitioning(block")
-    assert "SortMergeJoin" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no key shuffle, no join of any kind — one scan, one Arrow pass
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
 
 
 def test_neardup_pairs_symmetric_and_thresholded(spark, emb):
