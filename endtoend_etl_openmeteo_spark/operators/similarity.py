@@ -1144,3 +1144,185 @@ def compact_ivf_index(
         max_files=max_files_per_cell,
         target_rows_per_file=target_rows_per_file,
     )
+
+
+def write_ivfpq_index(
+    encoded: DataFrame,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+) -> None:
+    """Materialize an IVF-PQ index: the :func:`ivfpq_encode` codes stored
+    ``partitionBy("cell")`` plus a ``_quantizer.json`` sidecar holding BOTH
+    quantizer levels (coarse centroids + PQ codebooks) — the on-disk FAISS
+    ``IndexIVFPQ``, and the layout that makes a 100 TB embedding corpus
+    servable from RAM-sized scans: each partition holds m small codes per
+    vector (32x compression), probe pruning skips unprobed cells entirely,
+    and raw vectors stay in the corpus table, fetched only for the
+    candidate refine. Same layout discipline as :func:`write_ivf_index`
+    (repartition-before-partitionBy so each task owns whole cells; the
+    underscore sidecar is invisible to data-file discovery)."""
+    import json
+
+    spark = encoded.sparkSession
+    (
+        encoded.select("id", "codes", "cell")
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    cents = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in coarse.collect()
+    )
+    books = _codebooks_local(codebooks)
+    p, fs = _quantizer_path(spark, path)
+    out = fs.create(p, True)
+    out.write(
+        json.dumps({"centroids": cents, "codebooks": books}).encode("utf-8")
+    )
+    out.close()
+
+
+def read_ivfpq_quantizer(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """The stored IVF-PQ index's two quantizer levels as (coarse,
+    codebooks) DataFrames — byte-identical to what the writer trained, so
+    append/serve re-encode and probe exactly like the build did."""
+    import json
+
+    p, fs = _quantizer_path(spark, path)
+    stream = fs.open(p)
+    try:
+        raw = bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    payload = json.loads(raw.decode("utf-8"))
+    coarse = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in payload["centroids"]],
+        "cell int, centroid array<double>",
+    )
+    books = payload["codebooks"]
+    codebooks = spark.createDataFrame(
+        [
+            (b, c, [float(x) for x in cent])
+            for b, block in enumerate(books)
+            for c, cent in enumerate(block)
+        ],
+        "block int, cluster int, centroid array<double>",
+    )
+    return coarse, codebooks
+
+
+def append_ivfpq_index(
+    spark,
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lease: bool = True,
+) -> None:
+    """FAISS ``add`` for the stored IVF-PQ layout: encode the batch with
+    the index's OWN sidecar quantizers (never retrained — drift is the
+    offline-rebuild signal) and append under its ``cell=`` partitions.
+    Cost is O(batch): one Arrow encode pass + one cell-keyed exchange;
+    existing files are never rewritten, serving needs no change. Takes
+    the maintenance lease (the append_ivf_index discipline)."""
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import index_lease
+
+    coarse, codebooks = read_ivfpq_quantizer(spark, path)
+    out = ivfpq_encode(
+        vectors, coarse, codebooks, id_col=id_col, vec_col=vec_col
+    ).repartition(F.col("cell"))
+    if lease:
+        with index_lease(spark, path, owner="append_ivfpq"):
+            out.write.mode("append").partitionBy("cell").parquet(path)
+    else:
+        out.write.mode("append").partitionBy("cell").parquet(path)
+
+
+def stored_ivfpq_topk(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """Serve IVF-PQ top-k from a :func:`write_ivfpq_index` layout,
+    scanning only the probed cells' code partitions.
+
+    Probe selection, the per-(query, cell) residual ADC LUT, candidate
+    nomination, and the exact cosine refine all match
+    :func:`ivfpq_topk_rerank` operation for operation (same rounding,
+    same tie-breaks), so serving from the stored index returns
+    row-for-row the in-plan result for the same quantizer and codes. The
+    distinct probed cells come back as literals for the scan's
+    ``cell IN (...)`` predicate — Catalyst prunes the unprobed
+    partitions statically (the stored_ivf_topk discipline); raw vectors
+    are fetched from ``corpus`` for the nominated candidates alone."""
+    coarse, codebooks = read_ivfpq_quantizer(spark, path)
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _pq_norm_vec(vec_col).alias("q_vec")
+    )
+    ranked = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            F.round(_dist2(F.col("q_vec"), s["centroid"]), 9).alias("d2"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    probe_cells = sorted(
+        {
+            int(p["cell"])
+            for r in q.crossJoin(F.broadcast(_coarse_row(coarse)))
+            .select(
+                F.slice(F.array_sort(ranked), 1, nprobe).alias("probes")
+            )
+            .collect()
+            for p in r["probes"]
+        }
+    )
+    encoded = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select("id", F.col("cell").cast("int").alias("cell"), "codes")
+    )
+    return ivfpq_topk_rerank(
+        encoded,
+        coarse,
+        codebooks,
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        nprobe=nprobe,
+        n_candidates=n_candidates,
+    )
+
+
+def compact_ivfpq_index(
+    spark,
+    path: str,
+    max_files_per_cell: int = 4,
+    target_rows_per_file: int = 2_000_000,
+) -> dict:
+    """Maintenance tick for a stored IVF-PQ layout — identical contract to
+    :func:`compact_ivf_index` (codes move between files, never between
+    cells; sidecar untouched; serving bit-for-bit unchanged), with a
+    higher rows-per-file target because code rows are m bytes, not
+    dim*8."""
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        compact_partitions,
+    )
+
+    return compact_partitions(
+        spark,
+        path,
+        "cell",
+        max_files=max_files_per_cell,
+        target_rows_per_file=target_rows_per_file,
+    )

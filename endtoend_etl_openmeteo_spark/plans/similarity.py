@@ -556,3 +556,81 @@ def q_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         release_checkpoint(cells)
         shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+@register(
+    "q_ann_ivfpq_stored",
+    # Same exact-equivalence discipline as q_ann_ivf_stored: given one
+    # quantizer and one set of codes, the stored serving path must return
+    # row-for-row the in-plan ivfpq_topk_rerank result (same rounding,
+    # same tie-breaks), so the contract is hash-checkable.
+    oracle="SELECT 'stored_equals_inplan' AS contract, TRUE AS ok",
+    doc="IVF-PQ serving from a STORED index (operators/similarity."
+    "write_ivfpq_index / stored_ivfpq_topk): the ivfpq_encode codes "
+    "persisted partitionBy(cell) with BOTH quantizer levels in the "
+    "_quantizer.json sidecar — the on-disk FAISS IndexIVFPQ and the "
+    "memory-bound 100 TB serving combo: probed cells' code partitions "
+    "are the only data read (PartitionFilters prune the rest), raw "
+    "vectors stay in the corpus table and are fetched for nominated "
+    "candidates alone. The contract asserts stored serving equals the "
+    "in-plan result row-for-row; append (sidecar re-encode, O(batch)) "
+    "and compaction (file moves, never cell moves) are proven "
+    "serving-equal in tests/test_similarity.py.",
+    tags=("similarity", "approx"),
+)
+def q_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk_rerank,
+        ivfpq_train,
+        stored_ivfpq_topk,
+        write_ivfpq_index,
+    )
+    from endtoend_etl_openmeteo_spark.session import (
+        bounded_shuffle,
+        release_checkpoint,
+        scratch_dir,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    packed = _cached_model(
+        spark,
+        ("ivfpq", sf_dir, 10, 8, 32, 4),
+        lambda: _pack_ivfpq(
+            ivfpq_train(emb, n_cells=10, m=8, k=32, iterations=4)
+        ),
+    )
+    coarse, codebooks = _unpack_ivfpq(packed)
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx_dir = scratch_dir(prefix="ivfpq_idx_")
+    # one Arrow encode pass feeds BOTH the index write and the in-plan
+    # comparator (lazily each consumer would re-encode)
+    enc = ivfpq_encode(emb, coarse, codebooks).localCheckpoint(eager=True)
+    try:
+        # Harness shuffle pin: embeddings is fixed-size across SFs and
+        # every branch materializes inside the pin (the q_ann_ivf_stored
+        # rationale).
+        with bounded_shuffle(spark, 8):
+            write_ivfpq_index(enc, coarse, codebooks, idx_dir)
+            stored = stored_ivfpq_topk(
+                spark, idx_dir, emb, queries, k=10, nprobe=2, n_candidates=50
+            ).localCheckpoint(eager=True)
+            inplan = ivfpq_topk_rerank(
+                enc, coarse, codebooks, emb, queries,
+                k=10, nprobe=2, n_candidates=50,
+            ).localCheckpoint(eager=True)
+            diff = stored.exceptAll(inplan).unionByName(inplan.exceptAll(stored))
+            out = (
+                diff.groupBy()
+                .agg((F.count("*") == 0).alias("ok"))
+                .select(F.lit("stored_equals_inplan").alias("contract"), "ok")
+                .localCheckpoint(eager=True)  # scratch index deleted on return
+            )
+            release_checkpoint(stored)
+            release_checkpoint(inplan)
+            return out
+    finally:
+        release_checkpoint(enc)
+        shutil.rmtree(idx_dir, ignore_errors=True)

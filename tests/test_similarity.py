@@ -456,3 +456,91 @@ def test_semdedup_sampled_train_auto_k(spark):
 
     with _pytest.raises(ValueError, match="train"):
         semdedup_pairs(emb, train="bogus")
+
+
+def test_stored_ivfpq_prunes_unprobed_cells_and_matches_inplan(spark, emb, tmp_path):
+    """Stored IVF-PQ serving: the code scan carries PartitionFilters on
+    `cell` naming strictly fewer cells than the index holds, and serving
+    returns row-for-row the in-plan ivfpq_topk_rerank result."""
+    import re
+
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk_rerank,
+        ivfpq_train,
+        stored_ivfpq_topk,
+        write_ivfpq_index,
+    )
+
+    coarse, cb = ivfpq_train(emb, n_cells=10, m=8, k=16, iterations=2)
+    enc = ivfpq_encode(emb, coarse, cb)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(enc, coarse, cb, path)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    stored = stored_ivfpq_topk(spark, path, emb, queries, k=10, nprobe=1)
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    in_list = re.search(r"IN \(([^)]*)\)", pf)
+    assert in_list, f"no IN partition filter: {pf}"
+    assert len({c.strip() for c in in_list.group(1).split(",")}) <= 5 < 10
+
+    inplan = ivfpq_topk_rerank(
+        enc, coarse, cb, emb, queries, k=10, nprobe=1, n_candidates=50
+    )
+    s_rows = {tuple(r) for r in stored.collect()}
+    i_rows = {tuple(r) for r in inplan.collect()}
+    assert s_rows == i_rows and s_rows
+
+
+def test_stored_ivfpq_append_and_compact_serving_equal(spark, emb, tmp_path):
+    """FAISS `add` + maintenance for the code layout: appends re-encode
+    through the sidecar quantizers (index equals a from-scratch build of
+    the full corpus), and a compaction tick moves rows between files
+    without changing a single served row."""
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        append_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_encode,
+        ivfpq_topk_rerank,
+        ivfpq_train,
+        stored_ivfpq_topk,
+        write_ivfpq_index,
+    )
+
+    coarse, cb = ivfpq_train(emb, n_cells=10, m=8, k=16, iterations=2)
+    path = str(tmp_path / "ivfpq_inc")
+    first = emb.filter(F.col("vec_id") < 300)
+    write_ivfpq_index(ivfpq_encode(first, coarse, cb), coarse, cb, path)
+    append_ivfpq_index(
+        spark, emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), path
+    )
+    append_ivfpq_index(spark, emb.filter(F.col("vec_id") >= 400), path)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    served = {
+        tuple(r)
+        for r in stored_ivfpq_topk(
+            spark, path, emb, queries, k=10, nprobe=3
+        ).collect()
+    }
+    full_inplan = {
+        tuple(r)
+        for r in ivfpq_topk_rerank(
+            ivfpq_encode(emb, coarse, cb), coarse, cb, emb, queries,
+            k=10, nprobe=3, n_candidates=50,
+        ).collect()
+    }
+    assert served == full_inplan and served
+
+    stats = compact_ivfpq_index(spark, path, max_files_per_cell=1)
+    assert stats["partitions_compacted"] > 0
+    after = {
+        tuple(r)
+        for r in stored_ivfpq_topk(
+            spark, path, emb, queries, k=10, nprobe=3
+        ).collect()
+    }
+    assert after == served
