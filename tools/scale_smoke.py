@@ -492,6 +492,48 @@ def index_maintenance_smoke(spark, src: str, scratch: Path, replicas: int) -> li
     if not (ok_files and ok_serve):
         failures.append("ivf_maintain")
 
+    # --- IVF-PQ: same discipline over the compressed-code layout ---
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        append_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_encode,
+        ivfpq_train,
+        stored_ivfpq_topk,
+        write_ivfpq_index,
+    )
+
+    coarse, books = ivfpq_train(base, n_cells=8, m=8, k=16, iterations=2)
+    pq = str(scratch / "ivfpq_maint")
+    write_ivfpq_index(ivfpq_encode(base, coarse, books), coarse, books, pq)
+    worst = 0
+    for m in range(1, n_batches + 1):
+        append_ivfpq_index(spark, emb.filter(F.col("vec_id") % mod == m), pq)
+        if m % 3 == 0:
+            compact_ivfpq_index(spark, pq, max_files_per_cell=max_files)
+        worst = max(worst, max(partition_file_counts(spark, pq, "cell").values()))
+    compact_ivfpq_index(spark, pq, max_files_per_cell=max_files)
+    final = max(partition_file_counts(spark, pq, "cell").values())
+    ok_files = worst <= bound and final <= max_files
+    full_pq = str(scratch / "ivfpq_full")
+    write_ivfpq_index(ivfpq_encode(emb, coarse, books), coarse, books, full_pq)
+    got = sorted(
+        tuple(r)
+        for r in stored_ivfpq_topk(spark, pq, emb, q, k=10, nprobe=2).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in stored_ivfpq_topk(spark, full_pq, emb, q, k=10, nprobe=2).collect()
+    )
+    ok_serve = got == want and len(got) > 0
+    status = "ok  " if ok_files and ok_serve else "FAIL"
+    print(
+        f"{status} ivfpq_maintain[{n_batches} appends, tick every 3]: "
+        f"worst files/cell={worst} (bound {bound}) final={final} "
+        f"(bound {max_files}) serving_equal={ok_serve}"
+    )
+    if not (ok_files and ok_serve):
+        failures.append("ivfpq_maintain")
+
     # --- BM25: same discipline over term buckets ---
     docs = spark.read.parquet(f"{src}/documents.parquet").select("doc_id", "text")
     bm = str(scratch / "bm25_maint")
