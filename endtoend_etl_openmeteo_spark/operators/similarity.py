@@ -1184,10 +1184,9 @@ def write_ivfpq_index(
     out.close()
 
 
-def read_ivfpq_quantizer(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """The stored IVF-PQ index's two quantizer levels as (coarse,
-    codebooks) DataFrames — byte-identical to what the writer trained, so
-    append/serve re-encode and probe exactly like the build did."""
+def _ivfpq_quantizer_payload(spark, path: str) -> tuple[list, list]:
+    """(centroid pairs, codebook blocks) straight from the sidecar JSON —
+    the driver-side shape _pq_assign_op consumes, no Spark frames."""
     import json
 
     p, fs = _quantizer_path(spark, path)
@@ -1197,20 +1196,43 @@ def read_ivfpq_quantizer(spark, path: str) -> tuple[DataFrame, DataFrame]:
     finally:
         stream.close()
     payload = json.loads(raw.decode("utf-8"))
-    coarse = spark.createDataFrame(
-        [(int(c), [float(x) for x in v]) for c, v in payload["centroids"]],
-        "cell int, centroid array<double>",
-    )
-    books = payload["codebooks"]
+    cents = [(int(c), [float(x) for x in v]) for c, v in payload["centroids"]]
+    books = [
+        [[float(x) for x in cent] for cent in block]
+        for block in payload["codebooks"]
+    ]
+    return cents, books
+
+
+def read_ivfpq_quantizer(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """The stored IVF-PQ index's two quantizer levels as (coarse,
+    codebooks) DataFrames — byte-identical to what the writer trained, so
+    append/serve re-encode and probe exactly like the build did."""
+    cents, books = _ivfpq_quantizer_payload(spark, path)
+    coarse = spark.createDataFrame(cents, "cell int, centroid array<double>")
     codebooks = spark.createDataFrame(
         [
-            (b, c, [float(x) for x in cent])
+            (b, c, cent)
             for b, block in enumerate(books)
             for c, cent in enumerate(block)
         ],
         "block int, cluster int, centroid array<double>",
     )
     return coarse, codebooks
+
+
+def _encode_with_payload(
+    corpus: DataFrame, cents: list, books: list, id_col: str, vec_col: str
+) -> DataFrame:
+    """ivfpq_encode against driver-side quantizer values (the sidecar
+    payload) — skips the Spark-frame round-trip the DataFrame API pays."""
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    op, schema = _pq_assign_op(books, cents)
+    v = cpu_parallelize(corpus).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    return v.mapInPandas(op, schema=schema)
 
 
 def append_ivfpq_index(
@@ -1229,10 +1251,10 @@ def append_ivfpq_index(
     the maintenance lease (the append_ivf_index discipline)."""
     from endtoend_etl_openmeteo_spark.operators.index_maintain import index_lease
 
-    coarse, codebooks = read_ivfpq_quantizer(spark, path)
-    out = ivfpq_encode(
-        vectors, coarse, codebooks, id_col=id_col, vec_col=vec_col
-    ).repartition(F.col("cell"))
+    cents, books = _ivfpq_quantizer_payload(spark, path)
+    out = _encode_with_payload(vectors, cents, books, id_col, vec_col).repartition(
+        F.col("cell")
+    )
     if lease:
         with index_lease(spark, path, owner="append_ivfpq"):
             out.write.mode("append").partitionBy("cell").parquet(path)
@@ -1326,3 +1348,141 @@ def compact_ivfpq_index(
         max_files=max_files_per_cell,
         target_rows_per_file=target_rows_per_file,
     )
+
+
+def init_streamed_ivfpq_index(
+    encoded: DataFrame | None,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+) -> None:
+    """Create a STREAM-MANAGED IVF-PQ index: same quantizer sidecar as
+    :func:`write_ivfpq_index`, but codes live under a two-level
+    ``_epoch=<tag>/cell=<n>`` Hive layout — the incremental-dedup-index
+    ``batch=`` discipline applied to ANN serving. Each streaming epoch
+    owns its ``_epoch`` partitions, so a replayed epoch's dynamic
+    overwrite REPLACES its own output instead of appending duplicates
+    (exactly-once without a commit sidecar); serving still prunes on
+    ``cell`` (Spark plans PartitionFilters on any partition column,
+    nested or not). ``encoded=None`` starts empty — the train-offline /
+    add-forever split."""
+    import json
+
+    spark = coarse.sparkSession
+    if encoded is not None:
+        (
+            encoded.select("id", "codes", F.lit("__base__").alias("_epoch"), "cell")
+            .repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("_epoch", "cell")
+            .parquet(path)
+        )
+    cents = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in coarse.collect()
+    )
+    books = _codebooks_local(codebooks)
+    p, fs = _quantizer_path(spark, path)
+    out = fs.create(p, True)
+    out.write(json.dumps({"centroids": cents, "codebooks": books}).encode("utf-8"))
+    out.close()
+
+
+def append_streamed_ivfpq(
+    spark,
+    vectors: DataFrame,
+    path: str,
+    epoch_tag: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lease: bool = True,
+) -> None:
+    """One epoch's append to a stream-managed IVF-PQ index: encode through
+    the sidecar quantizers (never retrained) and dynamically overwrite the
+    epoch's OWN ``_epoch=<tag>`` partitions — idempotent under Structured
+    Streaming's replay contract (encode is deterministic, so a retry
+    rewrites byte-identical partitions). Takes the maintenance lease so an
+    epoch write and a consolidation tick serialize."""
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import index_lease
+
+    cents, books = _ivfpq_quantizer_payload(spark, path)
+    out = (
+        _encode_with_payload(vectors, cents, books, id_col, vec_col)
+        .select("id", "codes", F.lit(epoch_tag).alias("_epoch"), "cell")
+        .repartition(F.col("cell"))
+    )
+
+    def write():
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch", "cell")
+            .parquet(path)
+        )
+
+    if lease:
+        with index_lease(spark, path, owner=f"stream_epoch_{epoch_tag}"):
+            write()
+    else:
+        write()
+
+
+def compact_streamed_ivfpq_index(
+    spark,
+    path: str,
+    keep_last: int = 2,
+    rows_per_file: int = 2_000_000,
+) -> dict:
+    """Consolidate old ``_epoch=`` directories of a stream-managed IVF-PQ
+    index into one segment — the compact_dedup_index discipline: the
+    ``keep_last`` newest REAL epoch dirs survive (the replay-idempotency
+    window — size it to the stream's maximum retry horizon), everything
+    older (plus prior segments, which rank oldest) folds into
+    ``_epoch=__seg_<n>`` re-partitioned by cell. Codes are deterministic
+    per id, so dropDuplicates(id) at merge folds any copies a crashed
+    earlier tick left — ticks are self-healing. ``__base__`` consolidates
+    like any old epoch. Serving is set-identical before and after. Takes
+    the maintenance lease. Returns {"epochs_merged", "rows_merged"}."""
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import index_lease
+    from endtoend_etl_openmeteo_spark.session import release_checkpoint
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return {"epochs_merged": 0, "rows_merged": 0}
+    with index_lease(spark, path, owner="compact_streamed_ivfpq"):
+        epoch_dirs = sorted(
+            s.getPath().getName()
+            for s in fs.listStatus(root)
+            if s.isDirectory() and s.getPath().getName().startswith("_epoch=")
+        )
+        segs = [d for d in epoch_dirs if d.startswith("_epoch=__seg_")]
+        base = [d for d in epoch_dirs if d == "_epoch=__base__"]
+        real = [d for d in epoch_dirs if d not in segs and d not in base]
+        doomed = segs + base + (real[:-keep_last] if keep_last > 0 else real)
+        if len(doomed) < 2:
+            return {"epochs_merged": 0, "rows_merged": 0}
+        seg_n = 1 + max(
+            (int(d.rsplit("_", 1)[-1]) for d in segs), default=-1
+        )
+        seg = f"{path}/_epoch=__seg_{seg_n:06d}"
+        # basePath keeps `cell` a partition column when reading subdirs
+        merged = (
+            spark.read.option("basePath", path)
+            .parquet(*[f"{path}/{d}" for d in doomed])
+            .select("id", "codes", "cell")
+            .dropDuplicates(["id"])
+            .localCheckpoint(eager=True)  # outlive the source dirs
+        )
+        rows = merged.count()
+        files = max(1, rows // rows_per_file)
+        (
+            merged.repartition(files, F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(seg)
+        )
+        release_checkpoint(merged)
+        for d in doomed:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{d}"), True)
+        return {"epochs_merged": len(doomed), "rows_merged": int(rows)}

@@ -634,3 +634,130 @@ def q_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         release_checkpoint(enc)
         shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+@register(
+    "q_ann_stream_ingest",
+    # Streaming-equals-batch is exactly checkable: the sidecar quantizers
+    # are fixed, encode is deterministic, and serving tie-breaks are
+    # pinned — so the streamed index must serve row-for-row what one
+    # batch encode of the same vectors serves.
+    oracle="""
+    SELECT 'ingested_complete' AS contract, TRUE AS ok
+    UNION ALL SELECT 'stream_equals_batch', TRUE
+    """,
+    doc="Continuous embedding ingestion into a servable ANN index "
+    "(streaming/pipeline.run_streaming_ann_ingest + operators/similarity."
+    "init_streamed_ivfpq_index/append_streamed_ivfpq): two landing waves "
+    "stream through one exactly-once lifecycle (maxFilesPerTrigger=1) "
+    "into the stream-managed IVF-PQ layout — each epoch dynamically "
+    "overwrites its own _epoch partitions, so replays rewrite instead of "
+    "duplicating. Contracts: every landed vector is ingested exactly "
+    "once, and the streamed index's (id, cell, codes) content equals one "
+    "batch encode of the same vectors (serving equality then follows via "
+    "q_ann_ivfpq_stored's stored-equals-inplan row) — the train-offline/"
+    "add-forever retrieval-pipeline shape, kill-and-resume, replay "
+    "idempotence, and consolidation pinned in tests/test_ann_ingest.py.",
+    tags=("similarity", "streaming"),
+)
+def q_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import time as _time
+
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        init_streamed_ivfpq_index,
+        ivfpq_encode,
+        ivfpq_train,
+    )
+    from endtoend_etl_openmeteo_spark.session import (
+        release_checkpoint,
+        scratch_dir,
+    )
+    from endtoend_etl_openmeteo_spark.streaming import run_streaming_ann_ingest
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    packed = _cached_model(
+        spark,
+        ("ivfpq", sf_dir, 10, 8, 32, 4),
+        lambda: _pack_ivfpq(
+            ivfpq_train(emb, n_cells=10, m=8, k=32, iterations=4)
+        ),
+    )
+    coarse, codebooks = _unpack_ivfpq(packed)
+    half = emb.agg((F.max("vec_id") / 2).cast("long")).collect()[0][0]
+    work = scratch_dir(prefix="ann_ingest_")
+    landing, index = f"{work}/landing", f"{work}/index"
+    try:
+        init_streamed_ivfpq_index(None, coarse, codebooks, index)
+        vecs = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        # two single-file waves -> two micro-batches of one lifecycle;
+        # wave order pinned with explicit mtimes (the q_corpus_ingest
+        # harness shape)
+        vecs.filter(F.col("vec_id") <= half).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        wave1 = set(os.listdir(landing))
+        vecs.filter(F.col("vec_id") > half).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        now = _time.time()
+        for f in os.listdir(landing):
+            if not f.startswith("_"):
+                off = 0 if f in wave1 else 10
+                os.utime(f"{landing}/{f}", (now + off, now + off))
+        # epochs are metadata-sized here — pin the streaming lifecycle's
+        # shuffle width (the q_corpus_ingest treatment); production sizes
+        # this to the arrival rate
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            run_streaming_ann_ingest(
+                spark, landing, index, f"{work}/ckpt",
+                "vec_id bigint, embedding array<double>",
+                max_files_per_trigger=1,
+            ).awaitTermination(600)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        from endtoend_etl_openmeteo_spark.session import bounded_shuffle
+
+        with bounded_shuffle(spark, 8):
+            # INDEX-CONTENT equality, the sharp form of stream-equals-
+            # batch: encode is deterministic given the sidecar quantizers,
+            # so the streamed index's (id, cell, codes) set must equal one
+            # batch encode of the same vectors — and serving equality
+            # follows via q_ann_ivfpq_stored's stored-equals-inplan
+            # contract (no need to run two full rerank pipelines here).
+            streamed = (
+                spark.read.parquet(index)
+                .select("id", F.col("cell").cast("int").alias("cell"), "codes")
+                .localCheckpoint(eager=True)
+            )
+            batch = ivfpq_encode(emb, coarse, codebooks).localCheckpoint(
+                eager=True
+            )
+            n_total = emb.count()
+            complete = (
+                streamed.groupBy()
+                .agg(
+                    (
+                        (F.count("*") == F.lit(n_total))
+                        & (F.count_distinct("id") == F.lit(n_total))
+                    ).alias("ok")
+                )
+                .select(F.lit("ingested_complete").alias("contract"), "ok")
+            )
+            diff = streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+            equal = (
+                diff.groupBy()
+                .agg((F.count("*") == 0).alias("ok"))
+                .select(F.lit("stream_equals_batch").alias("contract"), "ok")
+            )
+            out = complete.unionByName(equal).localCheckpoint(eager=True)
+            release_checkpoint(streamed)
+            release_checkpoint(batch)
+            return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

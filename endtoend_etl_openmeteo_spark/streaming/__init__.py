@@ -1,4 +1,5 @@
 from endtoend_etl_openmeteo_spark.streaming.pipeline import (
+    run_streaming_ann_ingest,
     run_streaming_corpus_ingest,
     run_streaming_elt,
     run_streaming_mart_maintenance,
@@ -11,6 +12,7 @@ from endtoend_etl_openmeteo_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "run_streaming_ann_ingest",
     "run_streaming_corpus_ingest",
     "run_streaming_elt",
     "run_streaming_mart_maintenance",

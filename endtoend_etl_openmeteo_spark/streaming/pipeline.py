@@ -365,6 +365,66 @@ def run_streaming_corpus_ingest(
     return _start_foreach_batch(docs, screen_batch, checkpoint_path, available_now)
 
 
+def run_streaming_ann_ingest(
+    spark: SparkSession,
+    landing_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    schema: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous embedding ingestion into a servable ANN index: landing
+    vectors stream → sidecar-quantizer IVF-PQ encode → the stream-managed
+    index (operators/similarity.init_streamed_ivfpq_index) — the
+    retrieval-pipeline production shape: train the quantizer offline
+    once, then `add` forever while the index stays queryable
+    (stored_ivfpq_topk) and bounded (compact_streamed_ivfpq_index folds
+    epochs older than the retry horizon into segments).
+
+    Exactly-once composition, reusing the corpus-ingest machinery:
+
+    - file consumption is exactly-once via the streaming checkpoint (T3);
+    - each epoch appends under its own ``_epoch={run_id}-{epoch}``
+      partitions with dynamic overwrite — encode is deterministic given
+      the sidecar quantizers, so a REPLAYED epoch rewrites byte-identical
+      partitions instead of appending duplicates (no commit sidecar, no
+      dedup pass);
+    - run ids are checkpoint-LINEAGE-scoped (_lineage_run_id), so wiping
+      the checkpoint to reprocess can never overwrite the old lineage's
+      epoch partitions;
+    - the per-epoch write takes the index maintenance lease, serializing
+      appends against consolidation ticks (index_maintain.index_lease).
+
+    The index must exist (init_streamed_ivfpq_index — empty is fine);
+    work per epoch is O(batch): one Arrow encode pass + one cell-keyed
+    exchange, never O(index).
+    """
+    run_id = _lineage_run_id(spark, checkpoint_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    vectors = reader.parquet(landing_path)
+
+    def append_epoch(batch: DataFrame, epoch_id: int) -> None:
+        from endtoend_etl_openmeteo_spark.operators.similarity import (
+            append_streamed_ivfpq,
+        )
+
+        append_streamed_ivfpq(
+            batch.sparkSession,
+            batch,
+            index_path,
+            epoch_tag=f"{run_id}-{int(epoch_id)}",
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    return _start_foreach_batch(vectors, append_epoch, checkpoint_path, available_now)
+
+
 def run_streaming_elt(
     spark: SparkSession,
     bronze_path: str,

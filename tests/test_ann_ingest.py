@@ -1,0 +1,147 @@
+"""Streaming embedding ingestion into the stream-managed IVF-PQ index:
+train-offline / add-forever with exactly-once epochs, replay-idempotent
+appends, bounded epoch dirs via consolidation, and serving always equal
+to a from-scratch encode of everything ingested."""
+
+import shutil
+import uuid
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from endtoend_etl_openmeteo_spark.operators.similarity import (
+    append_streamed_ivfpq,
+    compact_streamed_ivfpq_index,
+    init_streamed_ivfpq_index,
+    ivfpq_encode,
+    ivfpq_topk_rerank,
+    ivfpq_train,
+    stored_ivfpq_topk,
+)
+from endtoend_etl_openmeteo_spark.streaming import run_streaming_ann_ingest
+
+SF = "/root/testdata/sf0.001"
+TMP = Path(__file__).resolve().parent.parent / ".tmp"
+VEC_SCHEMA = "vec_id long, embedding array<double>"
+
+
+@pytest.fixture()
+def workdir():
+    d = TMP / f"ann_ingest_{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def _land(emb, landing: str, lo: int, hi: int) -> None:
+    emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+        1
+    ).write.mode("append").parquet(landing)
+
+
+def _served(spark, path, emb, queries):
+    return {
+        tuple(r)
+        for r in stored_ivfpq_topk(
+            spark, path, emb, queries, k=10, nprobe=3
+        ).collect()
+    }
+
+
+def test_streaming_ann_ingest_serves_and_resumes(spark, emb, workdir):
+    landing = str(workdir / "landing")
+    index = str(workdir / "index")
+    ckpt = str(workdir / "ckpt")
+    coarse, books = ivfpq_train(emb, n_cells=10, m=8, k=16, iterations=2)
+    init_streamed_ivfpq_index(None, coarse, books, index)  # empty start
+
+    _land(emb, landing, 0, 300)
+    run_streaming_ann_ingest(
+        spark, landing, index, ckpt, VEC_SCHEMA
+    ).awaitTermination()
+    ids = sorted(r.id for r in spark.read.parquet(index).select("id").collect())
+    assert ids == list(range(300))
+
+    # resume from the same checkpoint: only the new file is processed
+    _land(emb, landing, 300, 500)
+    run_streaming_ann_ingest(
+        spark, landing, index, ckpt, VEC_SCHEMA
+    ).awaitTermination()
+    ids = sorted(r.id for r in spark.read.parquet(index).select("id").collect())
+    assert ids == list(range(500))
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    want = {
+        tuple(r)
+        for r in ivfpq_topk_rerank(
+            ivfpq_encode(emb, coarse, books), coarse, books, emb, queries,
+            k=10, nprobe=3, n_candidates=50,
+        ).collect()
+    }
+    assert _served(spark, index, emb, queries) == want and want
+
+
+def test_streamed_epoch_replay_is_idempotent(spark, emb, workdir):
+    index = str(workdir / "index")
+    coarse, books = ivfpq_train(emb, n_cells=10, m=8, k=16, iterations=2)
+    init_streamed_ivfpq_index(
+        ivfpq_encode(emb.filter(F.col("vec_id") < 300), coarse, books),
+        coarse, books, index,
+    )
+    batch = emb.filter(F.col("vec_id") >= 300)
+    append_streamed_ivfpq(spark, batch, index, epoch_tag="run1-0")
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = _served(spark, index, emb, queries)
+    # replay: Structured Streaming re-delivers the SAME epoch after a
+    # crash — the dynamic overwrite must rewrite, not duplicate
+    append_streamed_ivfpq(spark, batch, index, epoch_tag="run1-0")
+    ids = [r.id for r in spark.read.parquet(index).select("id").collect()]
+    assert len(ids) == len(set(ids)) == 500
+    assert _served(spark, index, emb, queries) == before
+
+
+def test_streamed_consolidation_bounds_epoch_dirs(spark, emb, workdir):
+    index = str(workdir / "index")
+    coarse, books = ivfpq_train(emb, n_cells=10, m=8, k=16, iterations=2)
+    init_streamed_ivfpq_index(None, coarse, books, index)
+    for i in range(6):
+        append_streamed_ivfpq(
+            spark,
+            emb.filter(
+                (F.col("vec_id") >= 80 * i) & (F.col("vec_id") < 80 * (i + 1))
+            ),
+            index,
+            epoch_tag=f"run1-{i}",
+        )
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = _served(spark, index, emb, queries)
+
+    def epoch_dirs():
+        return sorted(
+            p.name for p in Path(index).iterdir() if p.name.startswith("_epoch=")
+        )
+
+    assert len(epoch_dirs()) == 6
+    stats = compact_streamed_ivfpq_index(spark, index, keep_last=2)
+    assert stats["epochs_merged"] == 4
+    dirs = epoch_dirs()
+    assert len(dirs) == 3 and dirs[0] == "_epoch=__seg_000000"
+    ids = [r.id for r in spark.read.parquet(index).select("id").collect()]
+    assert len(ids) == len(set(ids)) == 480  # 6 epochs x 80, no copies
+    assert _served(spark, index, emb, queries) == before
+    # a later tick folds the previous segment + aged epochs again
+    append_streamed_ivfpq(
+        spark, emb.filter(F.col("vec_id") >= 480), index, epoch_tag="run1-6"
+    )
+    stats = compact_streamed_ivfpq_index(spark, index, keep_last=1)
+    assert stats["epochs_merged"] == 3  # seg + 2 aged epochs
+    ids = [r.id for r in spark.read.parquet(index).select("id").collect()]
+    assert len(ids) == len(set(ids)) == 500
