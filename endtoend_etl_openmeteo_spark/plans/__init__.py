@@ -112,8 +112,10 @@ PRIORITY: list[str] = [
     # 10): q_semdedup_prune (plans/text.py — SemDeDup keep/drop verdicts),
     # q_multimodal_video (plans/multimodal.py — MP4/OGG header parsing),
     # then q_optimize_cluster / q_rename_count / q_snapshot_diff (the rest
-    # of the versioned family) and q_ann_ivfpq_stored (plans/similarity.py
-    # — the stored-codes serving contract, new in round 9).
+    # of the versioned family), q_ann_ivfpq_stored (plans/similarity.py —
+    # the stored-codes serving contract, new in round 9), and
+    # q_ann_stream_ingest (streaming embedding ingest into the servable
+    # IVF-PQ index, new in round 9).
     # Displaced from the prefix in round 9 (witnessed green in
     # CORRECTNESS_r08; still check_oracle + CI green).
     "q_corpus_ingest",
