@@ -145,3 +145,32 @@ def test_streamed_consolidation_bounds_epoch_dirs(spark, emb, workdir):
     assert stats["epochs_merged"] == 3  # seg + 2 aged epochs
     ids = [r.id for r in spark.read.parquet(index).select("id").collect()]
     assert len(ids) == len(set(ids)) == 500
+
+
+def test_streamed_layout_still_prunes_on_cell(spark, emb, workdir):
+    """Serving must prune unprobed cells through the two-level
+    _epoch/cell layout exactly like the single-level stored index —
+    PartitionFilters on `cell` name strictly fewer cells than exist."""
+    import re
+
+    index = str(workdir / "index")
+    coarse, books = ivfpq_train(emb, n_cells=10, m=8, k=16, iterations=2)
+    init_streamed_ivfpq_index(None, coarse, books, index)
+    for i in range(2):
+        append_streamed_ivfpq(
+            spark,
+            emb.filter(
+                (F.col("vec_id") >= 250 * i) & (F.col("vec_id") < 250 * (i + 1))
+            ),
+            index,
+            epoch_tag=f"run1-{i}",
+        )
+    queries = emb.filter(F.col("vec_id") < 5)
+    stored = stored_ivfpq_topk(spark, index, emb, queries, k=10, nprobe=1)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    in_list = re.search(r"IN \(([^)]*)\)", pf)
+    assert in_list, f"no IN partition filter: {pf}"
+    assert len({c.strip() for c in in_list.group(1).split(",")}) <= 5 < 10
+    assert len(stored.collect()) == 50
