@@ -713,6 +713,44 @@ def ivfpq_encode(
     return v.mapInPandas(op, schema=schema)
 
 
+def _coarse_row_from_local(spark, cents: list) -> DataFrame:
+    """The _coarse_row one-row broadcast frame built from driver-side
+    (cell, centroid) pairs — no collect job."""
+    local = sorted((int(c), list(v)) for c, v in cents)
+    return spark.createDataFrame(
+        [(local,)], "cents array<struct<cell:int,centroid:array<double>>>"
+    )
+
+
+def _codebook_row_from_local(spark, books: list) -> DataFrame:
+    """The _pq_codebook_row one-row broadcast frame built from driver-side
+    blocks[b][c] centroids — no aggregation job."""
+    return spark.createDataFrame(
+        [(books,)], "blocks array<array<array<double>>>"
+    )
+
+
+def _ivfpq_probes(q: DataFrame, coarse_row: DataFrame, nprobe: int) -> DataFrame:
+    """THE probe-selection expression — (q_id, q_vec, p struct<d2, cell,
+    centroid>) with one row per (query, probed cell). Shared by
+    ivfpq_topk_rerank and stored_ivfpq_topk so the stored scan's partition
+    prune can never diverge from the rerank's probe set (a one-sided edit
+    would silently drop probed cells from serving)."""
+    ranked = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            F.round(_dist2(F.col("q_vec"), s["centroid"]), 9).alias("d2"),
+            s["cell"].alias("cell"),
+            s["centroid"].alias("centroid"),
+        ),
+    )
+    return q.crossJoin(F.broadcast(coarse_row)).select(
+        "q_id",
+        "q_vec",
+        F.explode(F.slice(F.array_sort(ranked), 1, nprobe)).alias("p"),
+    )
+
+
 def ivfpq_topk_rerank(
     encoded: DataFrame,
     coarse: DataFrame,
@@ -724,6 +762,8 @@ def ivfpq_topk_rerank(
     k: int = 10,
     nprobe: int = 2,
     n_candidates: int = 50,
+    coarse_row: DataFrame | None = None,
+    codebook_row: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ retrieval with exact refine — the FAISS ``IndexIVFPQ`` +
     refine search path, the memory-bound 100 TB serving combo: probe
@@ -742,26 +782,12 @@ def ivfpq_topk_rerank(
     q = queries.select(
         F.col(id_col).alias("q_id"), _pq_norm_vec(vec_col).alias("q_vec")
     )
-    ranked = F.transform(
-        F.col("cents"),
-        lambda s: F.struct(
-            F.round(_dist2(F.col("q_vec"), s["centroid"]), 9).alias("d2"),
-            s["cell"].alias("cell"),
-            s["centroid"].alias("centroid"),
-        ),
-    )
-    probes = (
-        q.crossJoin(F.broadcast(_coarse_row(coarse)))
-        .select(
-            "q_id",
-            "q_vec",
-            F.explode(F.slice(F.array_sort(ranked), 1, nprobe)).alias("p"),
-        )
-        .select(
-            "q_id",
-            F.col("p.cell").alias("cell"),
-            F.zip_with("q_vec", F.col("p.centroid"), lambda x, c: x - c).alias("qr"),
-        )
+    cr = coarse_row if coarse_row is not None else _coarse_row(coarse)
+    cbr = codebook_row if codebook_row is not None else _pq_codebook_row(codebooks)
+    probes = _ivfpq_probes(q, cr, nprobe).select(
+        "q_id",
+        F.col("p.cell").alias("cell"),
+        F.zip_with("q_vec", F.col("p.centroid"), lambda x, c: x - c).alias("qr"),
     )
     d = F.size(F.col("qr")) / F.size(F.col("blocks"))
     lut = F.transform(
@@ -773,7 +799,7 @@ def ivfpq_topk_rerank(
             ),
         ),
     )
-    qlut = probes.crossJoin(F.broadcast(_pq_codebook_row(codebooks))).select(
+    qlut = probes.crossJoin(F.broadcast(cbr)).select(
         "q_id", "cell", lut.alias("lut")
     )
     adc = F.aggregate(
@@ -1162,8 +1188,6 @@ def write_ivfpq_index(
     candidate refine. Same layout discipline as :func:`write_ivf_index`
     (repartition-before-partitionBy so each task owns whole cells; the
     underscore sidecar is invisible to data-file discovery)."""
-    import json
-
     spark = encoded.sparkSession
     (
         encoded.select("id", "codes", "cell")
@@ -1172,15 +1196,21 @@ def write_ivfpq_index(
         .partitionBy("cell")
         .parquet(path)
     )
+    _write_ivfpq_sidecar(spark, path, coarse, codebooks)
+
+
+def _write_ivfpq_sidecar(spark, path: str, coarse, codebooks) -> None:
+    """ONE sidecar serializer for every IVF-PQ layout (batch + streamed),
+    so the format can never fork between writers."""
+    import json
+
     cents = sorted(
         (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in coarse.collect()
     )
     books = _codebooks_local(codebooks)
     p, fs = _quantizer_path(spark, path)
     out = fs.create(p, True)
-    out.write(
-        json.dumps({"centroids": cents, "codebooks": books}).encode("utf-8")
-    )
+    out.write(json.dumps({"centroids": cents, "codebooks": books}).encode("utf-8"))
     out.close()
 
 
@@ -1284,33 +1314,44 @@ def stored_ivfpq_topk(
     distinct probed cells come back as literals for the scan's
     ``cell IN (...)`` predicate — Catalyst prunes the unprobed
     partitions statically (the stored_ivf_topk discipline); raw vectors
-    are fetched from ``corpus`` for the nominated candidates alone."""
-    coarse, codebooks = read_ivfpq_quantizer(spark, path)
+    are fetched from ``corpus`` for the nominated candidates alone.
+
+    The sidecar payload is parsed ONCE driver-side and fed to both the
+    probe prune and the rerank as prebuilt one-row broadcast frames — no
+    createDataFrame→collect round trips per serve call. An initialized
+    index with no committed epoch yet (the add-forever deploy window)
+    serves an empty result instead of failing schema inference."""
+    from pyspark.errors import AnalysisException
+
+    cents, books = _ivfpq_quantizer_payload(spark, path)
+    cr = _coarse_row_from_local(spark, cents)
+    cbr = _codebook_row_from_local(spark, books)
     q = queries.select(
         F.col(id_col).alias("q_id"), _pq_norm_vec(vec_col).alias("q_vec")
     )
-    ranked = F.transform(
-        F.col("cents"),
-        lambda s: F.struct(
-            F.round(_dist2(F.col("q_vec"), s["centroid"]), 9).alias("d2"),
-            s["cell"].alias("cell"),
-        ),
-    )
     probe_cells = sorted(
         {
-            int(p["cell"])
-            for r in q.crossJoin(F.broadcast(_coarse_row(coarse)))
-            .select(
-                F.slice(F.array_sort(ranked), 1, nprobe).alias("probes")
-            )
+            int(r["cell"])
+            for r in _ivfpq_probes(q, cr, nprobe)
+            .select(F.col("p.cell").alias("cell"))
+            .distinct()
             .collect()
-            for p in r["probes"]
         }
     )
-    encoded = (
-        spark.read.parquet(path)
-        .filter(F.col("cell").isin(probe_cells))
-        .select("id", F.col("cell").cast("int").alias("cell"), "codes")
+    try:
+        scan = spark.read.parquet(path)
+    except AnalysisException:
+        # quantizer sidecar present, zero data files committed yet
+        scan = spark.createDataFrame([], "id long, cell int, codes array<int>")
+    encoded = scan.filter(F.col("cell").isin(probe_cells)).select(
+        "id", F.col("cell").cast("int").alias("cell"), "codes"
+    )
+    # lazy frames from the same payload (rerank's packed-frame overrides
+    # make these unused; kept for signature clarity, they cost no job)
+    coarse = spark.createDataFrame(cents, "cell int, centroid array<double>")
+    codebooks = spark.createDataFrame(
+        [(b, c, cent) for b, blk in enumerate(books) for c, cent in enumerate(blk)],
+        "block int, cluster int, centroid array<double>",
     )
     return ivfpq_topk_rerank(
         encoded,
@@ -1323,6 +1364,8 @@ def stored_ivfpq_topk(
         k=k,
         nprobe=nprobe,
         n_candidates=n_candidates,
+        coarse_row=cr,
+        codebook_row=cbr,
     )
 
 
@@ -1366,8 +1409,6 @@ def init_streamed_ivfpq_index(
     ``cell`` (Spark plans PartitionFilters on any partition column,
     nested or not). ``encoded=None`` starts empty — the train-offline /
     add-forever split."""
-    import json
-
     spark = coarse.sparkSession
     if encoded is not None:
         (
@@ -1377,14 +1418,7 @@ def init_streamed_ivfpq_index(
             .partitionBy("_epoch", "cell")
             .parquet(path)
         )
-    cents = sorted(
-        (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in coarse.collect()
-    )
-    books = _codebooks_local(codebooks)
-    p, fs = _quantizer_path(spark, path)
-    out = fs.create(p, True)
-    out.write(json.dumps({"centroids": cents, "codebooks": books}).encode("utf-8"))
-    out.close()
+    _write_ivfpq_sidecar(spark, path, coarse, codebooks)
 
 
 def append_streamed_ivfpq(
@@ -1441,7 +1475,17 @@ def compact_streamed_ivfpq_index(
     per id, so dropDuplicates(id) at merge folds any copies a crashed
     earlier tick left — ticks are self-healing. ``__base__`` consolidates
     like any old epoch. Serving is set-identical before and after. Takes
-    the maintenance lease. Returns {"epochs_merged", "rows_merged"}."""
+    the maintenance lease. Returns {"epochs_merged", "rows_merged"}.
+
+    Recency is the newest FILE mtime inside each epoch dir — epoch tags
+    are '{run_id}-{epoch}' with random run ids and unpadded epoch
+    numbers, so NAME order is unrelated to recency ('-10' sorts before
+    '-2', and a dead lineage's tags can sort anywhere); folding a
+    still-in-the-replay-window epoch by name would let its replay
+    re-append rows the segment already holds. File mtimes, never
+    directory statuses (synthetic on object stores — the vt_vacuum
+    lesson); a file-less epoch dir ranks oldest (it holds no data, so
+    folding it is a no-op on the index SET)."""
     from endtoend_etl_openmeteo_spark.operators.index_maintain import index_lease
     from endtoend_etl_openmeteo_spark.session import release_checkpoint
 
@@ -1450,6 +1494,14 @@ def compact_streamed_ivfpq_index(
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return {"epochs_merged": 0, "rows_merged": 0}
+
+    def newest_file_mtime(dirname: str) -> int:
+        it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(f"{path}/{dirname}"), True)
+        newest = -1
+        while it.hasNext():
+            newest = max(newest, it.next().getModificationTime())
+        return newest
+
     with index_lease(spark, path, owner="compact_streamed_ivfpq"):
         epoch_dirs = sorted(
             s.getPath().getName()
@@ -1458,7 +1510,10 @@ def compact_streamed_ivfpq_index(
         )
         segs = [d for d in epoch_dirs if d.startswith("_epoch=__seg_")]
         base = [d for d in epoch_dirs if d == "_epoch=__base__"]
-        real = [d for d in epoch_dirs if d not in segs and d not in base]
+        real = sorted(
+            (d for d in epoch_dirs if d not in segs and d not in base),
+            key=lambda d: (newest_file_mtime(d), d),
+        )
         doomed = segs + base + (real[:-keep_last] if keep_last > 0 else real)
         if len(doomed) < 2:
             return {"epochs_merged": 0, "rows_merged": 0}
@@ -1475,7 +1530,9 @@ def compact_streamed_ivfpq_index(
             .localCheckpoint(eager=True)  # outlive the source dirs
         )
         rows = merged.count()
-        files = max(1, rows // rows_per_file)
+        import math
+
+        files = max(1, math.ceil(rows / rows_per_file))
         (
             merged.repartition(files, F.col("cell"))
             .write.mode("overwrite")

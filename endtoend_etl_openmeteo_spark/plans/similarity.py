@@ -708,20 +708,17 @@ def q_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not f.startswith("_"):
                 off = 0 if f in wave1 else 10
                 os.utime(f"{landing}/{f}", (now + off, now + off))
+        from endtoend_etl_openmeteo_spark.session import bounded_shuffle
+
         # epochs are metadata-sized here — pin the streaming lifecycle's
         # shuffle width (the q_corpus_ingest treatment); production sizes
         # this to the arrival rate
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
+        with bounded_shuffle(spark, 4):
             run_streaming_ann_ingest(
                 spark, landing, index, f"{work}/ckpt",
                 "vec_id bigint, embedding array<double>",
                 max_files_per_trigger=1,
             ).awaitTermination(600)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        from endtoend_etl_openmeteo_spark.session import bounded_shuffle
 
         with bounded_shuffle(spark, 8):
             # INDEX-CONTENT equality, the sharp form of stream-equals-

@@ -174,3 +174,48 @@ def test_streamed_layout_still_prunes_on_cell(spark, emb, workdir):
     assert in_list, f"no IN partition filter: {pf}"
     assert len({c.strip() for c in in_list.group(1).split(",")}) <= 5 < 10
     assert len(stored.collect()) == 50
+
+
+def test_consolidation_keeps_newest_epochs_by_mtime_not_name(spark, emb, workdir):
+    """Epoch tags are '{run}-{epoch}' — random run ids, unpadded numbers —
+    so NAME order is unrelated to recency. keep_last must protect the
+    newest epochs by data mtime: folding a still-in-the-replay-window
+    epoch would let its replay re-append rows the segment already holds."""
+    index = str(workdir / "index")
+    coarse, books = ivfpq_train(emb, n_cells=10, m=8, k=16, iterations=2)
+    init_streamed_ivfpq_index(None, coarse, books, index)
+    # write order = recency order; names sort the OTHER way round
+    for i, tag in enumerate(("z-0", "y-1", "a-2")):
+        append_streamed_ivfpq(
+            spark,
+            emb.filter(
+                (F.col("vec_id") >= 150 * i) & (F.col("vec_id") < 150 * (i + 1))
+            ),
+            index,
+            epoch_tag=tag,
+        )
+    stats = compact_streamed_ivfpq_index(spark, index, keep_last=1)
+    assert stats["epochs_merged"] == 2  # z-0 and y-1, never a-2
+    dirs = {p.name for p in Path(index).iterdir() if p.name.startswith("_epoch=")}
+    assert "_epoch=a-2" in dirs and "_epoch=z-0" not in dirs
+    # the protected epoch replays (the exact case keep_last exists for)
+    append_streamed_ivfpq(
+        spark,
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 450)),
+        index,
+        epoch_tag="a-2",
+    )
+    ids = [r.id for r in spark.read.parquet(index).select("id").collect()]
+    assert len(ids) == len(set(ids)) == 450
+
+
+def test_empty_initialized_index_serves_empty(spark, emb, workdir):
+    """The add-forever deploy window: an initialized index with no epoch
+    committed yet must serve an empty result, not fail schema inference."""
+    index = str(workdir / "index")
+    coarse, books = ivfpq_train(emb, n_cells=10, m=8, k=16, iterations=2)
+    init_streamed_ivfpq_index(None, coarse, books, index)
+    out = stored_ivfpq_topk(
+        spark, index, emb, emb.filter(F.col("vec_id") < 5), k=10, nprobe=2
+    )
+    assert out.collect() == []
