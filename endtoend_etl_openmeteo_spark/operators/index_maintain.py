@@ -88,34 +88,61 @@ def index_lease(spark: SparkSession, path: str, owner: str | None = None):
     No auto-expiry: a crashed holder leaves the marker, and the operator
     decision to break it is :func:`break_lease` — silent TTL expiry could
     revoke a live-but-slow writer mid-commit, the one failure mode the
-    lease exists to prevent.
+    lease exists to prevent. Release is OWNERSHIP-CHECKED: if the lock's
+    payload is no longer ours (an operator broke the lease and a new
+    writer acquired), exit leaves the new holder's lock alone instead of
+    deleting it out from under them.
+
+    Atomicity contract: ``fs.create(overwrite=False)`` is atomic on
+    filesystems with atomic create-no-overwrite (local, HDFS). S3A-style
+    object stores implement it as a racy existence check — there, writer
+    serialization needs an external lock service or the versioned
+    format's manifest CAS (operators/versioned.py); this lease is the
+    single-cluster discipline.
     """
     fs, jvm = _fs(spark, path)
     lock = jvm.org.apache.hadoop.fs.Path(_lease_path(path))
     payload = f"{owner or 'writer'}:{uuid.uuid4().hex}:{int(time.time())}"
+
+    def read_lock() -> str:
+        try:
+            stream = fs.open(lock)
+            try:
+                return bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                ).decode("utf-8", "replace")
+            finally:
+                stream.close()
+        except Exception:
+            return ""
+
     try:
         out = fs.create(lock, False)  # atomic create-fails-if-exists
     except Exception as e:
-        held = ""
-        try:
-            stream = fs.open(lock)
-            held = bytes(
-                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            ).decode("utf-8", "replace")
-            stream.close()
-        except Exception:
-            pass
+        # only an existing lock is a CONFLICT; permission/connectivity
+        # failures must surface as themselves, not as retry-forever advice
+        if not fs.exists(lock):
+            raise
+        held = read_lock()
         raise LeaseConflictError(
             f"index {path} is being maintained by another writer"
             f"{f' ({held})' if held else ''} — retry after it releases, or "
             f"break_lease() if the holder is known dead"
         ) from e
-    out.write(payload.encode("utf-8"))
-    out.close()
+    try:
+        out.write(payload.encode("utf-8"))
+        out.close()
+    except Exception:
+        # never leave a payload-less lock held by nobody
+        fs.delete(lock, False)
+        raise
     try:
         yield
     finally:
-        fs.delete(lock, False)
+        # ownership check: delete only OUR lock — after a break_lease +
+        # re-acquire, the marker belongs to the new holder
+        if read_lock() == payload:
+            fs.delete(lock, False)
 
 
 def break_lease(spark: SparkSession, path: str) -> bool:

@@ -423,6 +423,7 @@ def compact_inverted_index(
     index_path: str,
     max_files_per_bucket: int = 4,
     target_rows_per_file: int = 4_000_000,
+    lease: bool = True,
 ) -> dict:
     """Maintenance tick for a stored BM25 layout: rewrite term buckets
     where :func:`append_inverted_index` batches have accreted more than
@@ -443,4 +444,5 @@ def compact_inverted_index(
         "bkt",
         max_files=max_files_per_bucket,
         target_rows_per_file=target_rows_per_file,
+        lease=lease,
     )

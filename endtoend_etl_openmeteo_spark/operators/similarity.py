@@ -328,6 +328,28 @@ def pq_train(
     Returns codebooks(block int, cluster int, centroid array<double>) —
     m*k rows, broadcastable anywhere.
     """
+    x = _sampled_unit_matrix(corpus, id_col, vec_col, max_sample)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    out = []
+    for b in range(m):
+        cent = _lloyd(x[:, b * d : (b + 1) * d], k, iterations, f"pq block {b}")
+        out.extend(
+            (b, c, [float(v) for v in cent[c]]) for c in range(k)
+        )
+    spark = corpus.sparkSession
+    return spark.createDataFrame(out, "block int, cluster int, centroid array<double>")
+
+
+def _sampled_unit_matrix(
+    corpus: DataFrame, id_col: str, vec_col: str, max_sample: int
+):
+    """The quantizer trainers' shared driver-side sample: smallest-id rows
+    (deterministic, no RNG), unit-normalized so squared-L2 ranking matches
+    cosine. Named error on an empty corpus instead of a numpy shape
+    crash."""
     import numpy as np
 
     rows = (
@@ -338,30 +360,32 @@ def pq_train(
         .limit(max_sample)
         .collect()
     )
+    if not rows:
+        raise ValueError("cannot train a quantizer on an empty corpus")
     x = np.asarray([r["vec"] for r in rows], dtype=np.float64)
     nrm = np.linalg.norm(x, axis=1, keepdims=True)
     nrm[nrm == 0.0] = 1.0
-    x = x / nrm
-    dim = x.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    d = dim // m
-    out = []
-    for b in range(m):
-        xb = x[:, b * d : (b + 1) * d]
-        cent = xb[:k].copy()  # smallest-id seeds per block
-        for _ in range(iterations):
-            d2 = ((xb[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(k):
-                members = xb[assign == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
-        out.extend(
-            (b, c, [float(v) for v in cent[c]]) for c in range(k)
+    return x / nrm
+
+
+def _lloyd(x, k: int, iterations: int, what: str):
+    """Deterministic Lloyd's over a driver-side matrix: smallest-id seeds,
+    fixed iteration count, empty clusters keep their seed — the ONE
+    k-means loop every quantizer trainer shares. Named error when the
+    sample can't seed k centroids (instead of a bare numpy IndexError)."""
+    if len(x) < k:
+        raise ValueError(
+            f"{what}: sample has {len(x)} rows — cannot seed k={k} centroids"
         )
-    spark = corpus.sparkSession
-    return spark.createDataFrame(out, "block int, cluster int, centroid array<double>")
+    cent = x[:k].copy()
+    for _ in range(iterations):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
 
 
 def _pq_norm_vec(vec_col: str) -> Column:
@@ -563,11 +587,28 @@ def pq_topk_rerank(
 
     Returns (q_id, n_id, cos_sim, rank) — same shape as cosine_topk.
     """
-    from pyspark.sql import Window
-
     cand = pq_topk(
         codes, codebooks, queries, id_col=id_col, vec_col=vec_col, k=n_candidates
     ).select("q_id", "n_id")
+    return _exact_refine(cand, corpus, queries, id_col, vec_col, k)
+
+
+def _exact_refine(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """The shared refine stage of every two-stage retrieval path
+    (PQ, IVF-PQ, stored variants): nominated (q_id, n_id) candidates are
+    re-scored with exact cosine against their raw vectors alone — a
+    per-query candidate-bounded fetch, never a corpus scan. Rounding and
+    (cos_sim desc, n_id) tie-breaks are THE serving contract every
+    stored-vs-inplan equality row depends on — one copy, by design."""
+    from pyspark.sql import Window
+
     raw = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
     )
@@ -615,45 +656,17 @@ def ivfpq_train(
     array<double>), codebooks(block int, cluster int, centroid
     array<double>) — n_cells + m*k rows, broadcastable anywhere.
     """
-    import numpy as np
-
-    rows = (
-        corpus.select(
-            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
-        )
-        .orderBy("id")
-        .limit(max_sample)
-        .collect()
-    )
-    x = np.asarray([r["vec"] for r in rows], dtype=np.float64)
-    nrm = np.linalg.norm(x, axis=1, keepdims=True)
-    nrm[nrm == 0.0] = 1.0
-    x = x / nrm
+    x = _sampled_unit_matrix(corpus, id_col, vec_col, max_sample)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    cent = x[:n_cells].copy()  # smallest-id seeds, Lloyd's in numpy
-    for _ in range(coarse_iterations):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(n_cells):
-            members = x[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
+    cent = _lloyd(x, n_cells, coarse_iterations, "ivfpq coarse")
     assign = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
     res = x - cent[assign]
     d = dim // m
     books = []
     for b in range(m):
-        xb = res[:, b * d : (b + 1) * d]
-        cb = xb[:k].copy()
-        for _ in range(iterations):
-            d2 = ((xb[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-            a = d2.argmin(axis=1)
-            for c in range(k):
-                members = xb[a == c]
-                if len(members):
-                    cb[c] = members.mean(axis=0)
+        cb = _lloyd(res[:, b * d : (b + 1) * d], k, iterations, f"ivfpq block {b}")
         books.extend((b, c, [float(v) for v in cb[c]]) for c in range(k))
     spark = corpus.sparkSession
     coarse = spark.createDataFrame(
@@ -821,25 +834,7 @@ def ivfpq_topk_rerank(
         .filter(F.col("rank") <= n_candidates)
         .select("q_id", "n_id")
     )
-    raw = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
-    )
-    qraw = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
-    )
-    rescored = (
-        cand.join(raw, "n_id")
-        .join(F.broadcast(qraw), "q_id")
-        .select(
-            "q_id",
-            "n_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
-    return rescored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= k
-    )
+    return _exact_refine(cand, corpus, queries, id_col, vec_col, k)
 
 
 def _quantizer_path(spark, index_path: str):
@@ -1149,6 +1144,7 @@ def compact_ivf_index(
     path: str,
     max_files_per_cell: int = 4,
     target_rows_per_file: int = 500_000,
+    lease: bool = True,
 ) -> dict:
     """Maintenance tick for a stored IVF layout: rewrite cells where
     :func:`append_ivf_index` batches have accreted more than
@@ -1169,6 +1165,7 @@ def compact_ivf_index(
         "cell",
         max_files=max_files_per_cell,
         target_rows_per_file=target_rows_per_file,
+        lease=lease,
     )
 
 
@@ -1374,6 +1371,7 @@ def compact_ivfpq_index(
     path: str,
     max_files_per_cell: int = 4,
     target_rows_per_file: int = 2_000_000,
+    lease: bool = True,
 ) -> dict:
     """Maintenance tick for a stored IVF-PQ layout — identical contract to
     :func:`compact_ivf_index` (codes move between files, never between
@@ -1390,6 +1388,7 @@ def compact_ivfpq_index(
         "cell",
         max_files=max_files_per_cell,
         target_rows_per_file=target_rows_per_file,
+        lease=lease,
     )
 
 

@@ -230,9 +230,9 @@ PRIORITY: list[str] = [
     # Oracle-backed in round 7: the exact-substring (Lee et al.) transform
     # stage (q_hybrid_search rotated into the 50-prefix in round 9)
     "q_strip_spans",
-    # Oracle-backed in round 8: the stored-index maintenance lifecycle,
-    # the SemDeDup keep/drop curation verdict, and the video face of the
-    # multimodal codec seam (q_index_compact is pinned at slot 51 above).
+    # Oracle-backed in round 8: the SemDeDup keep/drop curation verdict
+    # and the video face of the multimodal codec seam (q_index_compact,
+    # from the same batch, rotated into prefix slot 43 in round 9).
     "q_semdedup_prune",
     "q_multimodal_video",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver

@@ -219,7 +219,10 @@ def _load_model(key: tuple):
 
         schema = StructType.fromJson(payload["schema"])
         return [tuple(r) for r in payload["rows"]], schema
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError, AttributeError):
+        # any malformed sidecar — invalid JSON, valid JSON of the wrong
+        # shape (rows not a list, schema not a StructType json) — is a
+        # cache MISS that retrains and self-heals, never a plan crash
         return None
 
 

@@ -1206,19 +1206,16 @@ def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # for a screen whose batches are metadata-sized here. Pin 4 for
         # the streaming lifecycle only; a production deployment sizes
         # this to the arrival rate instead.
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
-            q = run_streaming_corpus_ingest(
+        from endtoend_etl_openmeteo_spark.session import bounded_shuffle
+
+        with bounded_shuffle(spark, 4):
+            run_streaming_corpus_ingest(
                 spark, landing, corpus, f"{work}/index",
                 f"{work}/ckpt", "doc_id bigint, text string",
                 quarantine_path=quarantine,
                 max_files_per_trigger=1,
                 screen="exact",
-            )
-            q.awaitTermination(600)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            ).awaitTermination(600)
         kept = spark.read.parquet(corpus).select("doc_id", F.lit(True).alias("kept"))
         dupd = spark.read.parquet(quarantine).select(
             "doc_id", F.lit(False).alias("kept")

@@ -5,6 +5,7 @@ byte-identical untouched partitions, sidecar survival."""
 
 from pathlib import Path
 
+import pytest
 from pyspark.sql import functions as F
 
 from endtoend_etl_openmeteo_spark.operators.index_maintain import (
@@ -271,3 +272,34 @@ def test_bm25_append_takes_lease(spark, tmp_path):
     # after release the same call lands, stats exact
     n_docs, _ = append_inverted_index(batch, path)
     assert n_docs == 3 and read_index_stats(spark, path)["n_docs"] == 3
+
+
+def test_broken_then_reacquired_lease_not_deleted_by_stale_holder(spark, tmp_path):
+    """Ownership-checked release: after an operator breaks a stale
+    holder's lease and a new writer acquires, the stale holder's exit
+    must leave the NEW holder's lock in place (deleting it would let a
+    third writer in mid-overwrite — the clobber the lease prevents)."""
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        LeaseConflictError,
+        break_lease,
+        index_lease,
+    )
+
+    path = str(tmp_path / "idx")
+    (tmp_path / "idx").mkdir()
+    lock = tmp_path / "idx" / "_maintenance.lock"
+    stale = index_lease(spark, path, owner="stale")
+    stale.__enter__()
+    assert lock.exists()
+    # operator declares the holder dead and a new writer takes over
+    assert break_lease(spark, path)
+    with index_lease(spark, path, owner="fresh"):
+        new_payload = lock.read_text()
+        # the stale holder finally exits — must NOT delete fresh's lock
+        stale.__exit__(None, None, None)
+        assert lock.exists() and lock.read_text() == new_payload
+        # and the lock still excludes other writers
+        with pytest.raises(LeaseConflictError):
+            with index_lease(spark, path, owner="third"):
+                pass
+    assert not lock.exists()  # fresh's own exit releases normally

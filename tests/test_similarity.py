@@ -185,13 +185,18 @@ def test_zero_norm_vector_does_not_abort_topk(spark):
     assert max(r.rank for r in out) == by_n[2].rank
 
 
-def test_trained_model_cache_invalidates_on_data_change(spark, tmp_path):
+def test_trained_model_cache_invalidates_on_data_change(spark, tmp_path, monkeypatch):
     """Round-5 ADVICE: _TRAINED keyed only by (kind, sf_dir, params) served
     stale models after in-place testdata regeneration. The content
     fingerprint (file mtimes/sizes) must force a rebuild."""
     import os
 
+    from endtoend_etl_openmeteo_spark.plans import similarity as S
     from endtoend_etl_openmeteo_spark.plans.similarity import _cached_model
+
+    # isolate the disk tier: tmp-keyed sidecars must not accrete in the
+    # repo's shared spark-warehouse/_model_cache forever
+    monkeypatch.setattr(S, "_model_cache_dir", lambda: tmp_path / "_mc")
 
     sf = str(tmp_path)
     p = tmp_path / "embeddings.parquet"
@@ -219,12 +224,16 @@ def test_trained_model_cache_invalidates_on_data_change(spark, tmp_path):
     assert len(builds) == 2
 
 
-def test_trained_model_disk_tier_survives_process_cache_clear(spark, tmp_path):
+def test_trained_model_disk_tier_survives_process_cache_clear(
+    spark, tmp_path, monkeypatch
+):
     """Round-8 verdict task 7: the trained quantizer persists to a disk
     sidecar keyed by (kind, table, params, content fingerprint), so a
     fresh process LOADS instead of retrains — and a changed fingerprint
     or corrupt sidecar falls back to training."""
     from endtoend_etl_openmeteo_spark.plans import similarity as S
+
+    monkeypatch.setattr(S, "_model_cache_dir", lambda: tmp_path / "_mc")
 
     sf = str(tmp_path)
     p = tmp_path / "embeddings.parquet"
@@ -544,3 +553,18 @@ def test_stored_ivfpq_append_and_compact_serving_equal(spark, emb, tmp_path):
         ).collect()
     }
     assert after == served
+
+
+def test_quantizer_trainers_raise_named_errors_on_tiny_corpus(spark):
+    """A sample smaller than k (or empty) must raise a named ValueError,
+    not a bare numpy IndexError mid-plan."""
+    from endtoend_etl_openmeteo_spark.operators.similarity import ivfpq_train
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="cannot seed k=10"):
+        ivfpq_train(tiny, n_cells=10, m=8, k=4, iterations=1)
+    with pytest.raises(ValueError, match="empty corpus"):
+        pq_train(tiny.filter("vec_id < 0"), m=8, k=4)
