@@ -170,6 +170,8 @@ def dedup_clusters(
         prev_sig = cur_sig
     if not converged and prev_sig is not None:
         release_checkpoint(edges_ck)
+        if prev_labels is not None:
+            release_checkpoint(prev_labels)  # don't leak the last round
         raise RuntimeError(
             f"dedup_clusters did not converge within {max_iterations} rounds "
             "(a component's diameter exceeds the cap); raise max_iterations — "
@@ -294,7 +296,12 @@ def kmeans_train_sampled(
     shuffle-free pass over the full corpus.
 
     Same algorithm as :func:`kmeans` (k smallest-id seeds, squared-euclidean
-    assignment, tie → lower cluster id, mean update); returns
+    assignment, tie → lower cluster id, mean update) with ONE documented
+    policy difference: a cluster that goes empty mid-iteration RETAINS its
+    seed centroid here (always exactly k rows — the shape IVF cell layouts
+    size to), while the distributed :func:`kmeans` drops it (its groupBy
+    emits no row). Both are deterministic; duplicate seed vectors are the
+    only way to hit the divergence. Returns
     centroids(cluster int, centroid array<double>).
     """
     import numpy as np
@@ -312,7 +319,20 @@ def kmeans_train_sampled(
         rows = ids.orderBy("id").limit(max_sample).collect()
     else:
         rows.sort(key=lambda r: r["id"])
+    if not rows:
+        raise ValueError("kmeans_train_sampled: empty corpus")
+    dims = {len(r["vec"]) if r["vec"] is not None else -1 for r in rows}
+    if len(dims) != 1 or -1 in dims:
+        raise ValueError(
+            "kmeans_train_sampled requires uniform vector dimensionality "
+            f"(saw {sorted(dims)})"
+        )
     x = np.asarray([r["vec"] for r in rows], dtype=np.float64)  # (n, dim)
+    if len(x) < k:
+        raise ValueError(
+            f"kmeans_train_sampled: sample has {len(x)} rows — cannot seed "
+            f"k={k} centroids"
+        )
     cent = x[:k].copy()  # smallest-id seeds, same as kmeans()
     for _ in range(iterations):
         # (n, k) squared distances; argmin ties break to the lower cluster

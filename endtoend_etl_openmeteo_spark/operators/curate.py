@@ -57,7 +57,15 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 def quality_score(text_col: Column | str, *, saturation_tokens: int = 64) -> Column:
     """Composite quality heuristic (same formula as q_quality_score):
     token-count saturation x (1 - punctuation ratio), rounded to 6dp so
-    threshold comparisons are deterministic across engines."""
+    threshold comparisons are deterministic across engines.
+
+    ASCII-centric by contract: the punctuation class keeps only
+    ``[A-Za-z0-9 ]``, so accented letters (ü, é, ß) count as punctuation
+    and accent-heavy de/fr/es prose scores lower than equivalent English.
+    Fine for the synthetic corpus and the cross-engine oracle (Java regex
+    and RE2 agree on this exact class); an accented-corpus deployment
+    should widen the class to Unicode letters IN BOTH the operator and
+    the q_quality_score oracle together — the two must stay identical."""
     text = F.col(text_col) if isinstance(text_col, str) else text_col
     n_chars = F.greatest(F.length(text), F.lit(1))
     punct_ratio = F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", "")) / n_chars
@@ -117,6 +125,16 @@ def curate_corpus(
     (derived from existing columns, identically re-derivable by an
     oracle). Enrichment happens AFTER dedup so it cannot perturb content
     digests or Jaccard sets.
+
+    Evaluation contract: the score/gate/exact-dedup pipeline runs TWICE —
+    once eagerly to feed pair generation (dedup_clusters materializes its
+    labels), once when the returned plan executes. That is deliberate: the
+    intermediate survivor set is corpus-sized, and pinning it in executor
+    memory is the wrong default at warehouse scale — recompute is one
+    map-side scoring pass plus one digest shuffle. Callers needing one
+    pass should persist/checkpoint ``docs`` (or the result) themselves;
+    ``docs`` must be deterministic under re-evaluation (no un-materialized
+    sample/limit — the weighted_mixture_index caveat).
     """
     # Stage 1-3: score + gates, map-only. Cheap filters first: every
     # downstream exchange carries only the surviving fraction.

@@ -18,6 +18,28 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _bucket_prefix_offsets(keyed: "DataFrame", agg) -> "Column | None":
+    """Driver-side prefix offsets over per-``__b``-bucket totals, returned
+    as a broadcast ``create_map`` column — the shared mechanism behind
+    every global-order operator here (global_shuffle_index counts rows,
+    sequence_pack sums tokens, weighted_mixture_index counts rows): the
+    only driver state is n_buckets (bucket, total) pairs. Returns None on
+    empty input (a map literal cannot resolve a type from zero entries —
+    callers emit their typed-null shape instead)."""
+    totals = sorted(
+        (r["__b"], r["__t"])
+        for r in keyed.groupBy("__b").agg(agg.alias("__t")).collect()
+    )
+    if not totals:
+        return None
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bucket, t in totals:
+        offsets[bucket] = acc
+        acc += int(t)
+    return F.create_map(*[F.lit(x) for bc in offsets.items() for x in bc])
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -243,20 +265,9 @@ def global_shuffle_index(
         F.conv(F.substring(s, 1, 2), 16, 10).cast("int"), F.lit(n_buckets)
     ).cast("int")
     keyed = df.withColumn("__s", s).withColumn("__b", b)
-    counts = sorted(
-        (r["__b"], r["cnt"])
-        for r in keyed.groupBy("__b").agg(F.count("*").alias("cnt")).collect()
-    )
-    if not counts:  # empty input: map literal can't resolve a type
+    off_map = _bucket_prefix_offsets(keyed, F.count("*"))
+    if off_map is None:  # empty input
         return df.withColumn(idx_col, F.lit(None).cast("long"))
-    offsets: dict[int, int] = {}
-    acc = 0
-    for bucket, cnt in counts:
-        offsets[bucket] = acc
-        acc += cnt
-    off_map = F.create_map(
-        *[F.lit(x) for bc in offsets.items() for x in bc]
-    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("__b").orderBy("__s", id_col)
@@ -318,7 +329,11 @@ def sequence_pack(
     after the bucket exchange.
     """
     n_eff = (F.col(n_tokens_col).cast("long") + F.lit(int(eos))).alias("__n")
-    base = docs.select(F.col(id_col), n_eff)
+    # zero-effective-token docs (n_tokens=0 with eos=0) contribute no
+    # spans — without this, sequence(first_seq, last_seq) at a boundary
+    # would step DOWN (Spark defaults to -1 when start > stop) and emit
+    # spurious zero/negative-length spans
+    base = docs.select(F.col(id_col), n_eff).filter(F.col("__n") > 0)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts_row = base.select(
         F.percentile_approx(id_col, qs, 10_000).alias("c")
@@ -335,16 +350,9 @@ def sequence_pack(
     keyed = base.withColumn(
         "__b", F.size(F.filter(cuts, lambda c: c < F.col(id_col)))
     )
-    sums = sorted(
-        (r["__b"], r["s"])
-        for r in keyed.groupBy("__b").agg(F.sum("__n").alias("s")).collect()
-    )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for bucket, s in sums:
-        offsets[bucket] = acc
-        acc += int(s)
-    off_map = F.create_map(*[F.lit(x) for bc in offsets.items() for x in bc])
+    off_map = _bucket_prefix_offsets(keyed, F.sum("__n"))
+    if off_map is None:  # all-empty docs filtered away
+        off_map = F.create_map(F.lit(0), F.lit(0))
     from pyspark.sql import Window
 
     w = (
@@ -426,7 +434,10 @@ def weighted_mixture_index(
         F.lit(4294967296),
     )
     u = (unif + 1) / F.lit(4294967296.0)
-    base = df.filter(w.isNotNull()).withColumn(
+    # unweighted AND zero-weighted sources are excluded — mixture is
+    # selection + weighting, and -ln(u)/0 would smuggle weight-0 rows in
+    # at the tail with +Inf/NaN keys
+    base = df.filter(w.isNotNull() & (w > 0)).withColumn(
         "__mkey", F.round(-F.log(u) / w, 9)
     )
     qs = [i / n_buckets for i in range(1, n_buckets)]
@@ -439,16 +450,11 @@ def weighted_mixture_index(
     keyed = base.withColumn(
         "__b", F.size(F.filter(cuts, lambda c: c < F.col("__mkey")))
     )
-    counts = sorted(
-        (r["__b"], r["cnt"])
-        for r in keyed.groupBy("__b").agg(F.count("*").alias("cnt")).collect()
-    )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for bucket, cnt in counts:
-        offsets[bucket] = acc
-        acc += cnt
-    off_map = F.create_map(*[F.lit(x) for bc in offsets.items() for x in bc])
+    off_map = _bucket_prefix_offsets(keyed, F.count("*"))
+    if off_map is None:  # no weighted rows survive the gate
+        return base.withColumn(pos_col, F.lit(None).cast("long")).drop(
+            "__mkey", "__b"
+        )
     from pyspark.sql import Window
 
     wloc = Window.partitionBy("__b").orderBy("__mkey", source_col, id_col)

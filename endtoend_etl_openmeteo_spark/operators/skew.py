@@ -89,8 +89,15 @@ def chunked_running_sum(
         .orderBy("__chunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # type-preserving zero: a bare 0.0 literal would promote integral
+    # running sums to double (losing exactness past 2^53 and changing the
+    # output type vs the plain window this decomposes)
     offsets = totals.withColumn(
-        "__off", F.coalesce(F.sum("__ctot").over(w_off), F.lit(0.0))
+        "__off",
+        F.coalesce(
+            F.sum("__ctot").over(w_off),
+            F.lit(0).cast(totals.schema["__ctot"].dataType),
+        ),
     ).drop("__ctot")
     return (
         within.join(offsets, [*key_cols, "__chunk"])
