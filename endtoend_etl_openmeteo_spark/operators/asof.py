@@ -43,20 +43,27 @@ def asof_join(
 
     Output: all left columns + asof_* columns (null when nothing precedes
     or follows, per direction).
+
+    The carry rides as ONE struct per right row, not per-column: an
+    independent ``last(col, ignorenulls)`` per carry column would see
+    THROUGH a genuinely-null field to an older right row, stitching
+    asof_* values from different right rows into a combination that never
+    existed (and returning stale data where the nearest row says null).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    carried = [f"asof_{c}" for c in carry_cols]
     left_payload = [c for c in left.columns if c not in key_cols]
+    rtypes = dict(right.dtypes)
+    carry_t = ", ".join(f"`asof_{c}`:{rtypes[c]}" for c in carry_cols)
 
     l = left.select(
         *key_cols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast("long").alias("__tb") if tiebreak is None
-        else F.lit(None).cast(dict(right.dtypes)[tiebreak]).alias("__tb"),
+        else F.lit(None).cast(rtypes[tiebreak]).alias("__tb"),
         *left_payload,
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"asof_{c}") for c in carry_cols],
+        F.lit(None).cast(f"struct<{carry_t}>").alias("__carry"),
     )
     r = right.select(
         *key_cols,
@@ -70,7 +77,9 @@ def asof_join(
             else F.col(tiebreak)
         ).alias("__tb"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_payload],
-        *[F.col(c).alias(f"asof_{c}") for c in carry_cols],
+        F.struct(
+            *[F.col(c).alias(f"asof_{c}") for c in carry_cols]
+        ).alias("__carry"),
     )
 
     order_ts = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
@@ -79,10 +88,11 @@ def asof_join(
         .orderBy(order_ts, F.col("__side"), F.col("__tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carried = F.last("__carry", ignorenulls=True).over(w)
     spine = l.unionByName(r).select(
         *key_cols,
         "__side",
         *left_payload,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        *[carried[f"asof_{c}"].alias(f"asof_{c}") for c in carry_cols],
     )
     return spine.filter(F.col("__side") == 1).drop("__side")

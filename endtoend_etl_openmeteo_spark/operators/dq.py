@@ -11,7 +11,10 @@ single-pass aggregate compiler:
 - ``between`` ignores nulls, exactly like GE: a null value passes a bounds
   check and only fails an explicit ``not_null`` (parity detail, SURVEY §2.11);
 - ``mostly`` thresholds generalize pass/fail to
-  ``violations / total <= 1 - mostly``;
+  ``violations / element_count <= 1 - mostly`` where ``element_count``
+  follows GE's unexpected_percent denominator: NON-NULL values for
+  value-based checks (between/in_set/unique — nulls are not elements of
+  those domains), all rows for ``not_null``;
 - on failure, :func:`dq_gate` raises :class:`DQValidationError` so the
   downstream load never runs — the blocking semantics of
   ``etl_openmeteo.py:135-149`` (T6).
@@ -78,6 +81,18 @@ def _violation_count(e: Expectation) -> Column:
     return F.count(F.when(cond, 1))
 
 
+def _element_count(e: Expectation) -> Column:
+    """GE's unexpected_percent denominator: value-based checks measure
+    over NON-NULL values (a null is not an element of the bounds/set
+    domain — it neither passes nor fails); not_null measures over all
+    rows. Dividing by total row count instead would make `mostly` gates
+    LAXER than the GE suite they claim parity with whenever the column
+    has nulls."""
+    if e.kind == "not_null":
+        return F.count(F.lit(1))
+    return F.count(F.col(e.column))
+
+
 def compile_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     """Compile a suite into ONE aggregate pass.
 
@@ -85,9 +100,11 @@ def compile_expectations(df: DataFrame, expectations: list[Expectation]) -> Data
     (expectation string, col_name string, violations long, n_rows long,
     passed boolean) — one row per expectation.
     """
-    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-        _violation_count(e).alias(f"v{i}") for i, e in enumerate(expectations)
-    ]
+    aggs = (
+        [F.count(F.lit(1)).alias("n_rows")]
+        + [_violation_count(e).alias(f"v{i}") for i, e in enumerate(expectations)]
+        + [_element_count(e).alias(f"n{i}") for i, e in enumerate(expectations)]
+    )
     metrics = df.agg(*aggs)
 
     stack_args: list[Column] = []
@@ -97,20 +114,29 @@ def compile_expectations(df: DataFrame, expectations: list[Expectation]) -> Data
             F.lit(e.column),
             F.col(f"v{i}"),
             F.lit(e.mostly),
+            F.col(f"n{i}"),
         ]
     n = len(expectations)
     return metrics.select(
-        F.stack(F.lit(n), *stack_args).alias("expectation", "col_name", "violations", "mostly"),
+        F.stack(
+            F.lit(n), *stack_args
+        ).alias("expectation", "col_name", "violations", "mostly", "elements"),
         "n_rows",
     ).select(
         "expectation",
         "col_name",
         "violations",
         "n_rows",
-        # violations/total <= 1 - mostly  (strict when mostly=1.0)
+        # violations/elements <= 1 - mostly (strict when mostly=1.0);
+        # the threshold rounds to 9dp so binary-float artifacts of
+        # 1.0 - mostly (1-0.8 = 0.19999...96) can't flip an exact-boundary
+        # verdict
         (
-            (F.col("violations").cast("double") / F.greatest(F.col("n_rows"), F.lit(1)))
-            <= (1.0 - F.col("mostly"))
+            (
+                F.col("violations").cast("double")
+                / F.greatest(F.col("elements"), F.lit(1))
+            )
+            <= F.round(F.lit(1.0) - F.col("mostly"), 9)
         ).alias("passed"),
     )
 
@@ -174,15 +200,17 @@ def observe_expectations(
     if any(e.kind == "unique" for e in expectations):
         raise ValueError("unique needs a distinct aggregate; observe() cannot")
     obs = Observation(name)
-    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-        _violation_count(e).alias(f"v{i}") for i, e in enumerate(expectations)
-    ]
+    aggs = (
+        [F.count(F.lit(1)).alias("n_rows")]
+        + [_violation_count(e).alias(f"v{i}") for i, e in enumerate(expectations)]
+        + [_element_count(e).alias(f"n{i}") for i, e in enumerate(expectations)]
+    )
     return df.observe(obs, *aggs), obs
 
 
 def observation_results(obs, expectations: list[Expectation]) -> list[dict]:
     """Decode an Observation (after its action ran) into the same row shape
-    compile_expectations produces."""
+    compile_expectations produces (same GE element-count denominator)."""
     got = obs.get
     n = got["n_rows"]
     return [
@@ -191,7 +219,8 @@ def observation_results(obs, expectations: list[Expectation]) -> list[dict]:
             "col_name": e.column,
             "violations": got[f"v{i}"],
             "n_rows": n,
-            "passed": (got[f"v{i}"] / max(n, 1)) <= (1.0 - e.mostly),
+            "passed": (got[f"v{i}"] / max(got[f"n{i}"], 1))
+            <= round(1.0 - e.mostly, 9),
         }
         for i, e in enumerate(expectations)
     ]

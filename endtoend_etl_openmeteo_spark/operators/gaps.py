@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -66,7 +66,24 @@ def find_missing_hours(
     """
     key_src = keys if keys is not None else existing
     expected = expected_hours(key_src, start, end, key_cols)
-    present = existing.select(
+    # Bound the fact scan to the checked window BEFORE the distinct: rows
+    # outside [start, end+1h) can never match the expected series, so the
+    # raw-ts range filter (pushdown-eligible, unlike a filter on the
+    # truncated column) keeps a last-week gap check from shuffling ten
+    # years of history. +1h on the upper bound covers rows inside end's
+    # hour-truncation bucket.
+    lo, hi = start, end
+    if lo.tzinfo is not None:  # same normalize-then-truncate order as
+        lo = lo.astimezone(dt.timezone.utc).replace(tzinfo=None)  # expected_hours
+    if hi.tzinfo is not None:
+        hi = hi.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    lo = lo.replace(minute=0, second=0, microsecond=0)
+    hi = hi.replace(minute=0, second=0, microsecond=0) + dt.timedelta(hours=1)
+    windowed = existing.filter(
+        (F.col(ts_col) >= F.lit(lo.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"))
+        & (F.col(ts_col) < F.lit(hi.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"))
+    )
+    present = windowed.select(
         *key_cols, F.date_trunc("hour", F.col(ts_col)).alias("expected_hour")
     ).distinct()
     # No broadcast hint on `present`: it derives from the FACT table and can
@@ -100,11 +117,7 @@ def filter_new_files(
     )
 
 
-def log_ingested(
-    spark: SparkSession,
-    processed: DataFrame,
-    log_path: str,
-) -> None:
+def log_ingested(processed: DataFrame, log_path: str) -> None:
     """Append processed-file records (bucket, key, etag, rows_inserted,
     ingested_at) to the ingest log — load_to_postgres.py:174-185."""
     processed.write.mode("append").parquet(log_path)

@@ -30,11 +30,19 @@ from pyspark.sql import functions as F
 
 
 def dedup_last_write_wins(
-    df: DataFrame, keys: list[str], order_col: str
+    df: DataFrame, keys: list[str], order_col: str,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Keep the newest row per key (ties broken arbitrarily-but-
-    deterministically by the remaining columns being equal in practice)."""
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    """Keep the newest row per key. ``tiebreak_cols`` (descending, after
+    ``order_col``) make equal-``order_col`` conflicts deterministic —
+    merge_upsert passes a source tag so a re-ingested correction carrying
+    the SAME order value as the stored row still wins (ON CONFLICT DO
+    UPDATE semantics); without one, equal-order ties fall to Spark's
+    unstable sort."""
+    order = [F.col(order_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -98,20 +106,32 @@ def merge_upsert(
     if exists:
         if partition_cols:
             # Partition-scoped read-back: only partitions the batch touches.
+            # eqNullSafe, not ==: a plain equality against a NULL partition
+            # value never matches, the null partition's existing rows are
+            # excluded from `affected`, and the dynamic overwrite would
+            # replace the whole __HIVE_DEFAULT_PARTITION__ with batch rows
+            # only — silent deletion of every pre-existing key there.
             batch_parts = new.select(*partition_cols).distinct().collect()
             pred = None
             for row in batch_parts:
                 clause = None
                 for c in partition_cols:
-                    eq = F.col(c) == F.lit(row[c])
+                    eq = F.col(c).eqNullSafe(F.lit(row[c]))
                     clause = eq if clause is None else (clause & eq)
                 pred = clause if pred is None else (pred | clause)
             affected = target.filter(pred) if pred is not None else target
         else:
             affected = target
+        # source tag: on an exact order_col tie the BATCH row must win
+        # (the reference's ON CONFLICT DO UPDATE always takes the new row)
         merged = dedup_last_write_wins(
-            affected.unionByName(new.select(*affected.columns)), keys, order_col
-        )
+            affected.withColumn("__src", F.lit(0)).unionByName(
+                new.select(*affected.columns).withColumn("__src", F.lit(1))
+            ),
+            keys,
+            order_col,
+            tiebreak_cols=["__src"],
+        ).drop("__src")
     else:
         merged = dedup_last_write_wins(new, keys, order_col)
 
@@ -122,12 +142,20 @@ def merge_upsert(
     staging = None
     if exists:
         merged, staging = _stage_and_reread(spark, merged, target_path)
+    # Pin dynamic overwrite for THIS write instead of trusting the ambient
+    # session conf: under Spark's static default, overwrite+partitionBy
+    # deletes every partition NOT in the batch — near-total data loss from
+    # a one-partition merge (the index_maintain set-and-restore pattern).
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
+        if partition_cols:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         writer = merged.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(target_path)
     finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         if staging is not None:
             _delete_path(spark, staging)
 

@@ -50,14 +50,20 @@ def interval_join(
 
     # trunc(end) is included on purpose: an interval ending mid-chunk still
     # owns points in that chunk's early part (ts < end re-checks exactness).
+    # Inverted intervals (end < start — malformed upstream rows) yield an
+    # empty chunk list and match nothing: a bare sequence() would raise
+    # 'Illegal sequence boundaries' and fail the WHOLE join for one bad row.
     exploded = intervals.withColumn(
         "__chunk",
         F.explode(
-            F.sequence(
-                F.date_trunc(trunc_unit, F.col(start_col)),
-                F.date_trunc(trunc_unit, F.col(end_col)),
-                step,
-            )
+            F.when(
+                F.col(end_col) >= F.col(start_col),
+                F.sequence(
+                    F.date_trunc(trunc_unit, F.col(start_col)),
+                    F.date_trunc(trunc_unit, F.col(end_col)),
+                    step,
+                ),
+            ).otherwise(F.array())
         ),
     )
     keyed = points.withColumn("__chunk", F.date_trunc(trunc_unit, F.col(ts_col)))

@@ -80,3 +80,25 @@ def test_asof_rejects_unknown_direction(spark):
     )
     with _pytest.raises(ValueError, match="backward|forward"):
         asof_join(df, df, ["user_id"], "ts", "ts", ["event_id"], direction="nearest")
+
+
+def test_asof_null_carry_field_not_stitched_from_older_row(spark):
+    """A genuinely-null field in the nearest right row must surface as
+    null — per-column carry would see THROUGH it to an older row,
+    returning a (a from R2, b from R1) combination that never existed."""
+    from endtoend_etl_openmeteo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2026-01-01 12:30:00")], "key string, ts string"
+    ).selectExpr("key", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [
+            ("k", "2026-01-01 11:00:00", 3.0, 7.0),
+            ("k", "2026-01-01 12:00:00", 5.0, None),
+        ],
+        "key string, ts string, a double, b double",
+    ).selectExpr("key", "cast(ts as timestamp) ts", "a", "b")
+    out = asof_join(left, right, ["key"], "ts", "ts", ["a", "b"]).collect()
+    assert len(out) == 1
+    assert out[0]["asof_a"] == 5.0
+    assert out[0]["asof_b"] is None  # the nearest ROW's value, not R1's 7.0

@@ -131,3 +131,25 @@ def test_observe_expectations_metrics_ride_the_action(spark):
 
     with _pytest.raises(ValueError, match="unique"):
         observe_expectations(df, [Expectation("unique", "id")])
+
+
+def test_mostly_denominator_is_nonnull_elements_like_ge(spark):
+    """GE parity: unexpected_percent for value checks is over NON-NULL
+    elements. 50% nulls + 20%-of-non-null violations at mostly=0.85 must
+    FAIL (20% > 15%); the old total-rows denominator saw 10% and passed."""
+    rows = [(None,)] * 10 + [(5.0,)] * 8 + [(99.0,)] * 2
+    df = spark.createDataFrame(rows, "x double")
+    res = {
+        r["expectation"]: r
+        for r in compile_expectations(
+            df, [Expectation("between", "x", lo=0.0, hi=10.0, mostly=0.85)]
+        ).collect()
+    }
+    r = res["between_x_0.0_10.0"]
+    assert r["violations"] == 2 and r["n_rows"] == 20
+    assert r["passed"] is False  # 2/10 non-null = 20% > 15%
+    # and at mostly=0.8 (20% allowed) the same data passes
+    res2 = compile_expectations(
+        df, [Expectation("between", "x", lo=0.0, hi=10.0, mostly=0.8)]
+    ).collect()[0]
+    assert res2["passed"] is True

@@ -413,9 +413,8 @@ def test_ingest_log_append_and_skip(spark, tmp_path):
         [("b", "k1", "e1", 10), ("b", "k2", "e2", 20)],
         "bucket string, key string, etag string, rows_inserted long",
     )
-    log_ingested(spark, batch1, log_path)
+    log_ingested(batch1, log_path)
     log_ingested(  # second batch appends, never overwrites
-        spark,
         spark.createDataFrame(
             [("b", "k3", "e3", 5)],
             "bucket string, key string, etag string, rows_inserted long",

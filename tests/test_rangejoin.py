@@ -59,3 +59,21 @@ def test_bad_chunk_rejected(spark, frames):
     points, intervals = frames
     with pytest.raises(ValueError, match="chunk must be one of"):
         interval_join(points, intervals, "ts", "start", "end", chunk="minute")
+
+
+def test_inverted_interval_matches_nothing_instead_of_crashing(spark):
+    """One malformed end<start row must not fail the whole join."""
+    from endtoend_etl_openmeteo_spark.operators.rangejoin import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "2026-01-04 00:00:00")], "id long, ts string"
+    ).selectExpr("id", "cast(ts as timestamp) ts")
+    iv = spark.createDataFrame(
+        [
+            ("good", "2026-01-03 00:00:00", "2026-01-05 00:00:00"),
+            ("bad", "2026-01-05 00:00:00", "2026-01-03 00:00:00"),
+        ],
+        "name string, s string, e string",
+    ).selectExpr("name", "cast(s as timestamp) s", "cast(e as timestamp) e")
+    out = interval_join(pts, iv, "ts", "s", "e", chunk="day").collect()
+    assert [r.name for r in out] == ["good"]

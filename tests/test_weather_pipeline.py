@@ -360,3 +360,49 @@ def test_read_bronze_tolerant_quarantines_corrupt_lines(spark, tmp_path):
     bad_rows = bad.collect()
     assert len(bad_rows) == 1
     assert bad_rows[0]["_corrupt_record"] == broken
+
+
+def test_merge_tie_on_order_col_keeps_batch_row(spark, tmp_path):
+    """ON CONFLICT DO UPDATE parity: a correction re-ingested with the
+    SAME order_col value as the stored row must still win the merge."""
+    import datetime as dt
+
+    from endtoend_etl_openmeteo_spark.operators.merge import merge_upsert
+
+    path = str(tmp_path / "t")
+    ts = dt.datetime(2026, 1, 1, 12)
+    schema = "k long, v string, ord timestamp"
+    merge_upsert(
+        spark, spark.createDataFrame([(1, "stale", ts)], schema), path,
+        ["k"], "ord",
+    )
+    merge_upsert(
+        spark, spark.createDataFrame([(1, "corrected", ts)], schema), path,
+        ["k"], "ord",
+    )
+    assert [r.v for r in spark.read.parquet(path).collect()] == ["corrected"]
+
+
+def test_merge_preserves_null_partition_rows(spark, tmp_path):
+    """eqNullSafe read-back: merging a batch that touches the NULL
+    partition must keep that partition's other existing keys (plain ==
+    never matches null, and dynamic overwrite would wipe them)."""
+    import datetime as dt
+
+    from endtoend_etl_openmeteo_spark.operators.merge import merge_upsert
+
+    path = str(tmp_path / "t")
+    t0 = dt.datetime(2026, 1, 1)
+    schema = "k long, p string, v string, ord timestamp"
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(1, None, "keepme", t0), (2, "x", "other", t0)], schema),
+        path, ["k"], "ord", partition_cols=["p"],
+    )
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(3, None, "new", t0)], schema),
+        path, ["k"], "ord", partition_cols=["p"],
+    )
+    rows = {r.k: (r.p, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {1: (None, "keepme"), 2: ("x", "other"), 3: (None, "new")}
