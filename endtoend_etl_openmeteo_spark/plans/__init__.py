@@ -87,19 +87,20 @@ PRIORITY: list[str] = [
     "q_multimodal_features",
     # --- oracle-backed extension rows rotated per round so every family
     # eventually earns a driver-witnessed CORRECTNESS row (round-7 verdict
-    # task 2). Round 9: q_corpus_ingest / q_stream_join / q_merge_mor /
-    # q_time_travel earned green rows in CORRECTNESS_r08 and yield their
-    # slots to the four never-witnessed stored-index serving/maintenance
-    # rows — the full build→append→compact→serve lifecycle
-    # (q_index_compact), BM25 ranked retrieval, hybrid RRF fusion, and
-    # the bloom point-lookup pruning proof. q_substring_dup / q_semdedup
-    # keep the rows they earned in round 7. ---
+    # task 2). Round 10: q_index_compact / q_bm25_search / q_hybrid_search /
+    # q_bloom_lookup earned green rows in CORRECTNESS_r09 and yield their
+    # slots to the four never-witnessed round-9 flagship rows — the stored
+    # IVF-PQ serving contract (q_ann_ivfpq_stored), streaming embedding
+    # ingest into a servable index (q_ann_stream_ingest), the SemDeDup
+    # keep/drop curation verdict (q_semdedup_prune), and MP4/OGG container
+    # parsing (q_multimodal_video). q_substring_dup / q_semdedup keep the
+    # rows they earned in round 7. ---
     "q_substring_dup",
     "q_semdedup",
-    "q_index_compact",
-    "q_bm25_search",
-    "q_hybrid_search",
-    "q_bloom_lookup",
+    "q_ann_ivfpq_stored",
+    "q_ann_stream_ingest",
+    "q_semdedup_prune",
+    "q_multimodal_video",
     # --- approximate-family floor contracts + streaming parity (round 7):
     # the driver itself witnesses the dedup/ANN recall floors and the
     # streaming-equals-batch hash. ---
@@ -109,13 +110,18 @@ PRIORITY: list[str] = [
     "q_ann_ivf_stored",
     # ------------------------- 50-entry line -------------------------
     # Next rotation candidates (never driver-witnessed, queued for round
-    # 10): q_semdedup_prune (plans/text.py — SemDeDup keep/drop verdicts),
-    # q_multimodal_video (plans/multimodal.py — MP4/OGG header parsing),
-    # then q_optimize_cluster / q_rename_count / q_snapshot_diff (the rest
-    # of the versioned family), q_ann_ivfpq_stored (plans/similarity.py —
-    # the stored-codes serving contract, new in round 9), and
-    # q_ann_stream_ingest (streaming embedding ingest into the servable
-    # IVF-PQ index, new in round 9).
+    # 11): the versioned-table family tail — q_optimize_cluster
+    # (plans/advanced.py — OPTIMIZE ZORDER-style clustering rewrite),
+    # q_rename_count (plans/advanced.py — O(1) metadata rename + count),
+    # q_snapshot_diff (plans/advanced.py — CDC between snapshots) — the
+    # last substantial operator family with zero driver rows ever
+    # (round-9 verdict task 3).
+    # Displaced from the prefix in round 10 (witnessed green in
+    # CORRECTNESS_r09; still check_oracle + CI green).
+    "q_index_compact",
+    "q_bm25_search",
+    "q_hybrid_search",
+    "q_bloom_lookup",
     # Displaced from the prefix in round 9 (witnessed green in
     # CORRECTNESS_r08; still check_oracle + CI green).
     "q_corpus_ingest",
@@ -230,11 +236,8 @@ PRIORITY: list[str] = [
     # Oracle-backed in round 7: the exact-substring (Lee et al.) transform
     # stage (q_hybrid_search rotated into the 50-prefix in round 9)
     "q_strip_spans",
-    # Oracle-backed in round 8: the SemDeDup keep/drop curation verdict
-    # and the video face of the multimodal codec seam (q_index_compact,
-    # from the same batch, rotated into prefix slot 43 in round 9).
-    "q_semdedup_prune",
-    "q_multimodal_video",
+    # (q_semdedup_prune / q_multimodal_video, oracle-backed in round 8,
+    # rotated into the 50-prefix in round 10.)
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",
