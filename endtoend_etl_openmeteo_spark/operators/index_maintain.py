@@ -91,7 +91,15 @@ def index_lease(spark: SparkSession, path: str, owner: str | None = None):
     lease exists to prevent. Release is OWNERSHIP-CHECKED: if the lock's
     payload is no longer ours (an operator broke the lease and a new
     writer acquired), exit leaves the new holder's lock alone instead of
-    deleting it out from under them.
+    deleting it out from under them. A read that keeps FAILING at exit is
+    not a mismatch: after bounded retries the release deletes anyway (we
+    believe we still hold the lock — stranding our own marker would block
+    every future writer until a manual break_lease). The read-then-delete
+    pair is not atomic, so a break_lease + re-acquire landing exactly
+    between our ownership read and the delete can still lose its lock —
+    break_lease is an operator action against a CONFIRMED-dead holder, so
+    a live holder racing it is outside the contract; the versioned
+    format's manifest CAS is the fully-atomic story.
 
     Atomicity contract: ``fs.create(overwrite=False)`` is atomic on
     filesystems with atomic create-no-overwrite (local, HDFS). S3A-style
@@ -104,7 +112,10 @@ def index_lease(spark: SparkSession, path: str, owner: str | None = None):
     lock = jvm.org.apache.hadoop.fs.Path(_lease_path(path))
     payload = f"{owner or 'writer'}:{uuid.uuid4().hex}:{int(time.time())}"
 
-    def read_lock() -> str:
+    def read_lock() -> str | None:
+        """Lock payload, or None when the READ ITSELF failed (missing
+        file, transient FS error) — callers must not conflate 'could not
+        read' with 'someone else's payload'."""
         try:
             stream = fs.open(lock)
             try:
@@ -114,7 +125,7 @@ def index_lease(spark: SparkSession, path: str, owner: str | None = None):
             finally:
                 stream.close()
         except Exception:
-            return ""
+            return None
 
     try:
         out = fs.create(lock, False)  # atomic create-fails-if-exists
@@ -123,7 +134,7 @@ def index_lease(spark: SparkSession, path: str, owner: str | None = None):
         # failures must surface as themselves, not as retry-forever advice
         if not fs.exists(lock):
             raise
-        held = read_lock()
+        held = read_lock() or ""
         raise LeaseConflictError(
             f"index {path} is being maintained by another writer"
             f"{f' ({held})' if held else ''} — retry after it releases, or "
@@ -140,8 +151,17 @@ def index_lease(spark: SparkSession, path: str, owner: str | None = None):
         yield
     finally:
         # ownership check: delete only OUR lock — after a break_lease +
-        # re-acquire, the marker belongs to the new holder
-        if read_lock() == payload:
+        # re-acquire, the marker belongs to the new holder. A read that
+        # keeps FAILING is retried, then treated as "still ours": the
+        # alternative (skip the delete) strands our own marker on any
+        # transient FS error at exit and blocks every future writer.
+        held = None
+        for attempt in range(3):
+            held = read_lock()
+            if held is not None:
+                break
+            time.sleep(0.05 * (attempt + 1))
+        if held is None or held == payload:
             fs.delete(lock, False)
 
 

@@ -431,7 +431,10 @@ def _pq_assign_op(books: list, cents: list | None):
     deterministic and identical across runs.
 
     Returns (op, schema) for mapInPandas over (id, vec) batches; output is
-    (id, codes) or (id, cell, codes) when ``cents`` is given.
+    (id, codes) or (id, cell, codes) when ``cents`` is given. Null or
+    wrong-dimension vectors yield a null codes/cell row (the dirty-corpus
+    contract the per-element JVM folds had: one bad embedding must not
+    fail the whole encode job with an opaque ``np.stack`` ValueError).
     """
     import numpy as np
 
@@ -450,28 +453,44 @@ def _pq_assign_op(books: list, cents: list | None):
         else "id long, cell int, codes array<int>"
     )
 
+    dim = m * d
+
     def op(batches):
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)  # (n, dim)
-            nrm = np.linalg.norm(x, axis=1, keepdims=True)
-            nrm[nrm == 0.0] = 1.0
-            x = x / nrm
+            vecs = pdf["vec"].to_numpy()
+            valid = np.array(
+                [v is not None and len(v) == dim for v in vecs], dtype=bool
+            )
+            n = len(pdf)
+            codes_out = np.full(n, None, dtype=object)
             out = {"id": pdf["id"].to_numpy()}
             if cents_a is not None:
-                d2 = ((x[:, None, :] - cents_a[None, :, :]) ** 2).sum(axis=2)
-                nearest = d2.argmin(axis=1)  # ties -> lowest cell id
-                x = x - cents_a[nearest]
-                out["cell"] = cell_ids[nearest]
-            codes = np.empty((len(x), m), dtype=np.int32)
-            for b in range(m):
-                xb = x[:, b * d : (b + 1) * d]
-                d2 = ((xb[:, None, :] - books_a[b][None, :, :]) ** 2).sum(axis=2)
-                codes[:, b] = d2.argmin(axis=1)  # ties -> lowest code
-            out["codes"] = list(codes)
+                out["cell"] = pd.array([None] * n, dtype="Int32")
+            if valid.any():
+                x = np.stack(vecs[valid]).astype(np.float64)  # (n_valid, dim)
+                nrm = np.linalg.norm(x, axis=1, keepdims=True)
+                nrm[nrm == 0.0] = 1.0
+                x = x / nrm
+                if cents_a is not None:
+                    d2 = ((x[:, None, :] - cents_a[None, :, :]) ** 2).sum(axis=2)
+                    nearest = d2.argmin(axis=1)  # ties -> lowest cell id
+                    x = x - cents_a[nearest]
+                    out["cell"][valid] = cell_ids[nearest]
+                codes = np.empty((len(x), m), dtype=np.int32)
+                for b in range(m):
+                    xb = x[:, b * d : (b + 1) * d]
+                    d2 = ((xb[:, None, :] - books_a[b][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, b] = d2.argmin(axis=1)  # ties -> lowest code
+                # per-slot assignment: a masked object-array assign would
+                # try to broadcast the (n_valid, m) code matrix into the
+                # 1-D slot selection
+                for j, row in zip(np.flatnonzero(valid), codes):
+                    codes_out[j] = row
+            out["codes"] = codes_out
             yield pd.DataFrame(out)
 
     return op, schema
@@ -606,9 +625,18 @@ def _exact_refine(
     re-scored with exact cosine against their raw vectors alone — a
     per-query candidate-bounded fetch, never a corpus scan. Rounding and
     (cos_sim desc, n_id) tie-breaks are THE serving contract every
-    stored-vs-inplan equality row depends on — one copy, by design."""
+    stored-vs-inplan equality row depends on — one copy, by design.
+
+    Candidates are deduped on (q_id, n_id) first: a stored index can
+    legitimately nominate the same neighbor twice (IVF-PQ multi-probe
+    overlap after a crashed consolidation tick left duplicate id rows, or
+    a vec_id re-ingested across epochs), and without the dedup each copy
+    would take a distinct rank and crowd a legitimate neighbor out of the
+    top-k. The dedup is k-bounded metadata (n_candidates rows per query),
+    never corpus-sized."""
     from pyspark.sql import Window
 
+    cand = cand.dropDuplicates(["q_id", "n_id"])
     raw = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
     )
@@ -1340,8 +1368,19 @@ def stored_ivfpq_topk(
     except AnalysisException:
         # quantizer sidecar present, zero data files committed yet
         scan = spark.createDataFrame([], "id long, cell int, codes array<int>")
-    encoded = scan.filter(F.col("cell").isin(probe_cells)).select(
-        "id", F.col("cell").cast("int").alias("cell"), "codes"
+    # dropDuplicates(id): a stream-managed layout can briefly hold the same
+    # id twice (a consolidation tick that crashed between writing its
+    # __seg_ segment and deleting the doomed epoch dirs, or a reader racing
+    # that write-then-delete window — serving takes no lease). Encode is
+    # deterministic, so any copy carries identical codes and the pick is
+    # value-neutral; the dedup is bounded to the PROBED cells' codes, never
+    # the whole index. vec_ids must be unique across epochs by contract —
+    # re-ingesting an id with a CHANGED vector makes the surviving copy
+    # arbitrary (consolidation's dropDuplicates keeps one, not the newest).
+    encoded = (
+        scan.filter(F.col("cell").isin(probe_cells))
+        .select("id", F.col("cell").cast("int").alias("cell"), "codes")
+        .dropDuplicates(["id"])
     )
     # lazy frames from the same payload (rerank's packed-frame overrides
     # make these unused; kept for signature clarity, they cost no job)
@@ -1434,7 +1473,13 @@ def append_streamed_ivfpq(
     epoch's OWN ``_epoch=<tag>`` partitions — idempotent under Structured
     Streaming's replay contract (encode is deterministic, so a retry
     rewrites byte-identical partitions). Takes the maintenance lease so an
-    epoch write and a consolidation tick serialize."""
+    epoch write and a consolidation tick serialize.
+
+    vec_ids must be unique ACROSS epochs (replays of the same epoch are
+    fine — they rewrite, not append): consolidation folds duplicate ids
+    with ``dropDuplicates(id)``, which keeps an arbitrary copy, not the
+    newest. An id whose vector changes must go through a rebuild, not a
+    re-ingest."""
     from endtoend_etl_openmeteo_spark.operators.index_maintain import index_lease
 
     cents, books = _ivfpq_quantizer_payload(spark, path)
@@ -1516,6 +1561,15 @@ def compact_streamed_ivfpq_index(
         doomed = segs + base + (real[:-keep_last] if keep_last > 0 else real)
         if len(doomed) < 2:
             return {"epochs_merged": 0, "rows_merged": 0}
+        # File-less dirs (a crashed epoch that created its directory but
+        # committed nothing, or an empty __base__) hold no rows: feeding
+        # them to the read would fail schema inference, so they are
+        # deleted but never scanned.
+        readable = [d for d in doomed if newest_file_mtime(d) != -1]
+        if not readable:
+            for d in doomed:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{d}"), True)
+            return {"epochs_merged": len(doomed), "rows_merged": 0}
         seg_n = 1 + max(
             (int(d.rsplit("_", 1)[-1]) for d in segs), default=-1
         )
@@ -1523,7 +1577,7 @@ def compact_streamed_ivfpq_index(
         # basePath keeps `cell` a partition column when reading subdirs
         merged = (
             spark.read.option("basePath", path)
-            .parquet(*[f"{path}/{d}" for d in doomed])
+            .parquet(*[f"{path}/{d}" for d in readable])
             .select("id", "codes", "cell")
             .dropDuplicates(["id"])
             .localCheckpoint(eager=True)  # outlive the source dirs

@@ -219,3 +219,70 @@ def test_empty_initialized_index_serves_empty(spark, emb, workdir):
         spark, index, emb, emb.filter(F.col("vec_id") < 5), k=10, nprobe=2
     )
     assert out.collect() == []
+
+
+def test_duplicate_id_rows_do_not_crowd_topk(spark, emb, workdir):
+    """A crashed consolidation tick (write-then-delete window) or a
+    re-landed batch can leave the same vec_id in two _epoch dirs; serving
+    must not return the same neighbor twice or crowd legitimate neighbors
+    out of the top-k — result stays identical to the duplicate-free
+    index's."""
+    index = str(workdir / "idx")
+    sample = emb.filter(F.col("vec_id") < 400)
+    coarse, books = ivfpq_train(sample, n_cells=4, m=8, k=8, iterations=2)
+    init_streamed_ivfpq_index(
+        ivfpq_encode(sample, coarse, books), coarse, books, index
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    clean = _served(spark, index, sample, queries)
+    # the same rows land again under a second epoch -> duplicate ids
+    append_streamed_ivfpq(spark, sample, index, epoch_tag="dup-1")
+    rows = stored_ivfpq_topk(
+        spark, index, sample, queries, k=10, nprobe=3
+    ).collect()
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append((r["n_id"], r["rank"]))
+    for q, pairs in per_q.items():
+        n_ids = [n for n, _ in pairs]
+        assert len(set(n_ids)) == len(n_ids), f"duplicate neighbor for q={q}"
+        assert sorted(rk for _, rk in pairs) == list(range(1, len(pairs) + 1))
+    assert {tuple(r) for r in rows} == clean
+
+
+def test_consolidation_with_only_fileless_dirs_deletes_them(spark, emb, workdir):
+    """Crashed epochs that created their directory but committed no file
+    must be garbage-collected by the tick, not crash schema inference."""
+    index = str(workdir / "idx")
+    coarse, books = ivfpq_train(
+        emb.filter(F.col("vec_id") < 200), n_cells=4, m=8, k=8, iterations=2
+    )
+    init_streamed_ivfpq_index(None, coarse, books, index)
+    (Path(index) / "_epoch=dead-1" / "cell=0").mkdir(parents=True)
+    (Path(index) / "_epoch=dead-2").mkdir(parents=True)
+    stats = compact_streamed_ivfpq_index(spark, index, keep_last=0)
+    assert stats == {"epochs_merged": 2, "rows_merged": 0}
+    assert not [
+        p for p in Path(index).iterdir() if p.name.startswith("_epoch=")
+    ]
+    out = stored_ivfpq_topk(
+        spark, index, emb, emb.filter(F.col("vec_id") < 3), k=5, nprobe=2
+    )
+    assert out.collect() == []
+
+
+def test_consolidation_skips_fileless_dirs_in_merge_read(spark, emb, workdir):
+    """A file-less epoch dir among real ones is deleted but never fed to
+    the merge read (it holds no rows); serving is unchanged by the tick."""
+    index = str(workdir / "idx")
+    sample = emb.filter(F.col("vec_id") < 200)
+    coarse, books = ivfpq_train(sample, n_cells=4, m=8, k=8, iterations=2)
+    init_streamed_ivfpq_index(None, coarse, books, index)
+    append_streamed_ivfpq(spark, sample, index, epoch_tag="e1")
+    (Path(index) / "_epoch=dead-1").mkdir(parents=True)
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = _served(spark, index, sample, queries)
+    stats = compact_streamed_ivfpq_index(spark, index, keep_last=0)
+    assert stats["epochs_merged"] == 2
+    assert stats["rows_merged"] == sample.count()
+    assert _served(spark, index, sample, queries) == before

@@ -568,3 +568,72 @@ def test_quantizer_trainers_raise_named_errors_on_tiny_corpus(spark):
         ivfpq_train(tiny, n_cells=10, m=8, k=4, iterations=1)
     with pytest.raises(ValueError, match="empty corpus"):
         pq_train(tiny.filter("vec_id < 0"), m=8, k=4)
+
+
+def test_pq_assign_null_and_ragged_vectors_yield_null_code_rows(spark, emb):
+    """The dirty-corpus contract of the Arrow encode seam: a null or
+    wrong-dimension embedding yields a null codes (and null cell) row —
+    one bad record must not fail the whole encode job with an opaque
+    ``np.stack`` ValueError — while every clean row encodes exactly as it
+    would without the dirt."""
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    clean = emb.filter(F.col("vec_id") < 200).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(9001, None), (9002, [1.0, 2.0, 3.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    cb = pq_train(clean, m=8, k=16, iterations=2)
+    enc = {r["id"]: r["codes"] for r in pq_encode(dirty, cb).collect()}
+    assert enc[9001] is None and enc[9002] is None
+    want = {r["id"]: r["codes"] for r in pq_encode(clean, cb).collect()}
+    assert {i: c for i, c in enc.items() if i < 9000} == want
+
+    coarse, books = ivfpq_train(clean, n_cells=4, m=8, k=8, iterations=2)
+    rows = {
+        r["id"]: (r["cell"], r["codes"])
+        for r in ivfpq_encode(dirty, coarse, books).collect()
+    }
+    assert rows[9001] == (None, None) and rows[9002] == (None, None)
+    clean_rows = {
+        r["id"]: (r["cell"], r["codes"])
+        for r in ivfpq_encode(clean, coarse, books).collect()
+    }
+    assert {i: v for i, v in rows.items() if i < 9000} == clean_rows
+
+
+def test_model_cache_md5_collision_is_clean_miss(tmp_path, monkeypatch):
+    """The durable quantizer cache stores repr(key) and compares it on
+    load, so an md5-filename collision (a VALID sidecar belonging to a
+    DIFFERENT key) is a clean miss that retrains — never a silent serve
+    of the wrong model."""
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from endtoend_etl_openmeteo_spark.plans import similarity as psim
+
+    monkeypatch.setattr(psim, "_model_cache_dir", lambda: tmp_path)
+    key = ("kmeans", "/root/testdata/sf0.001", 10, ())
+    schema = StructType([StructField("a", LongType())])
+    # positive control: store-then-load round-trips for the right key
+    psim._store_model(key, [(1,)], schema)
+    assert psim._load_model(key) == ([(1,)], schema)
+    # collision: same filename, well-formed payload, WRONG stored key
+    psim._model_cache_file(key).write_text(
+        json.dumps(
+            {
+                "key": repr(("other", "key")),
+                "rows": [[1]],
+                "schema": schema.jsonValue(),
+            }
+        )
+    )
+    assert psim._load_model(key) is None
