@@ -527,6 +527,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    codebook_row: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC): each
     query precomputes an m*k lookup table of partial squared distances to
@@ -561,9 +562,11 @@ def pq_topk(
             ),
         ),
     )
-    qlut = q.crossJoin(F.broadcast(_pq_codebook_row(codebooks))).select(
-        "q_id", lut.alias("lut")
-    )
+    # codebook_row: prebuilt one-row broadcast frame (driver-resident
+    # quantizers — the _codebook_row_from_local path) skips the m*k-row
+    # aggregation job
+    cbr = codebook_row if codebook_row is not None else _pq_codebook_row(codebooks)
+    qlut = q.crossJoin(F.broadcast(cbr)).select("q_id", lut.alias("lut"))
     adc = F.aggregate(
         F.zip_with(
             F.col("lut"), F.col("codes"), lambda t, c: F.element_at(t, c + 1)
@@ -592,6 +595,7 @@ def pq_topk_rerank(
     vec_col: str = "embedding",
     k: int = 10,
     n_candidates: int = 50,
+    codebook_row: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage PQ retrieval (the FAISS IVFADC+refine shape): ADC over the
     compressed codes nominates ``n_candidates`` per query, then ONLY those
@@ -607,7 +611,13 @@ def pq_topk_rerank(
     Returns (q_id, n_id, cos_sim, rank) — same shape as cosine_topk.
     """
     cand = pq_topk(
-        codes, codebooks, queries, id_col=id_col, vec_col=vec_col, k=n_candidates
+        codes,
+        codebooks,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=n_candidates,
+        codebook_row=codebook_row,
     ).select("q_id", "n_id")
     return _exact_refine(cand, corpus, queries, id_col, vec_col, k)
 
@@ -1202,6 +1212,7 @@ def write_ivfpq_index(
     coarse: DataFrame,
     codebooks: DataFrame,
     path: str,
+    quantizer_locals: tuple[list, list] | None = None,
 ) -> None:
     """Materialize an IVF-PQ index: the :func:`ivfpq_encode` codes stored
     ``partitionBy("cell")`` plus a ``_quantizer.json`` sidecar holding BOTH
@@ -1221,18 +1232,32 @@ def write_ivfpq_index(
         .partitionBy("cell")
         .parquet(path)
     )
-    _write_ivfpq_sidecar(spark, path, coarse, codebooks)
+    _write_ivfpq_sidecar(spark, path, coarse, codebooks, quantizer_locals)
 
 
-def _write_ivfpq_sidecar(spark, path: str, coarse, codebooks) -> None:
+def _write_ivfpq_sidecar(
+    spark, path: str, coarse, codebooks, quantizer_locals=None
+) -> None:
     """ONE sidecar serializer for every IVF-PQ layout (batch + streamed),
-    so the format can never fork between writers."""
+    so the format can never fork between writers. ``quantizer_locals`` =
+    driver-resident (cents, books) — the _cached_model_rows path — skips
+    the two frame collects."""
     import json
 
-    cents = sorted(
-        (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in coarse.collect()
-    )
-    books = _codebooks_local(codebooks)
+    if quantizer_locals is not None:
+        raw_cents, raw_books = quantizer_locals
+        cents = sorted(
+            (int(c), [float(x) for x in v]) for c, v in raw_cents
+        )
+        books = [
+            [[float(x) for x in cent] for cent in block] for block in raw_books
+        ]
+    else:
+        cents = sorted(
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in coarse.collect()
+        )
+        books = _codebooks_local(codebooks)
     p, fs = _quantizer_path(spark, path)
     out = fs.create(p, True)
     out.write(json.dumps({"centroids": cents, "codebooks": books}).encode("utf-8"))
@@ -1436,6 +1461,7 @@ def init_streamed_ivfpq_index(
     coarse: DataFrame,
     codebooks: DataFrame,
     path: str,
+    quantizer_locals: tuple[list, list] | None = None,
 ) -> None:
     """Create a STREAM-MANAGED IVF-PQ index: same quantizer sidecar as
     :func:`write_ivfpq_index`, but codes live under a two-level
@@ -1446,8 +1472,12 @@ def init_streamed_ivfpq_index(
     (exactly-once without a commit sidecar); serving still prunes on
     ``cell`` (Spark plans PartitionFilters on any partition column,
     nested or not). ``encoded=None`` starts empty — the train-offline /
-    add-forever split."""
-    spark = coarse.sparkSession
+    add-forever split. With ``quantizer_locals`` the frames may be None
+    (driver-resident quantizer path)."""
+    from pyspark.sql import SparkSession
+
+    src = encoded if encoded is not None else coarse
+    spark = src.sparkSession if src is not None else SparkSession.active()
     if encoded is not None:
         (
             encoded.select("id", "codes", F.lit("__base__").alias("_epoch"), "cell")
@@ -1456,7 +1486,7 @@ def init_streamed_ivfpq_index(
             .partitionBy("_epoch", "cell")
             .parquet(path)
         )
-    _write_ivfpq_sidecar(spark, path, coarse, codebooks)
+    _write_ivfpq_sidecar(spark, path, coarse, codebooks, quantizer_locals)
 
 
 def append_streamed_ivfpq(

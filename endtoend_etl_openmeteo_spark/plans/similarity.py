@@ -245,7 +245,12 @@ def _store_model(key: tuple, rows: list, schema) -> None:
         pass  # cache is an optimization; training already succeeded
 
 
-def _cached_model(spark: SparkSession, key: tuple, build) -> DataFrame:
+def _cached_model_rows(spark: SparkSession, key: tuple, build) -> tuple[list, object]:
+    """(rows, schema) of the cached trained model, DRIVER-SIDE — for
+    consumers that feed the quantizer straight into the Arrow encode op /
+    one-row broadcast frames (_encode_with_payload,
+    _coarse_row_from_local) without a createDataFrame→collect round
+    trip per plan build."""
     key = key + (_table_fingerprint(key[1]),)
     if key not in _TRAINED:
         loaded = _load_model(key)
@@ -254,7 +259,11 @@ def _cached_model(spark: SparkSession, key: tuple, build) -> DataFrame:
             loaded = ([tuple(r) for r in df.collect()], df.schema)
             _store_model(key, loaded[0], loaded[1])
         _TRAINED[key] = loaded
-    rows, schema = _TRAINED[key]
+    return _TRAINED[key]
+
+
+def _cached_model(spark: SparkSession, key: tuple, build) -> DataFrame:
+    rows, schema = _cached_model_rows(spark, key, build)
     return spark.createDataFrame(rows, schema)
 
 
@@ -330,20 +339,34 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from endtoend_etl_openmeteo_spark.operators.similarity import (
-        pq_encode,
+        _codebook_row_from_local,
+        _encode_with_payload,
         pq_topk_rerank,
         pq_train,
     )
 
     emb = tbl(spark, sf_dir, "embeddings")
-    codebooks = _cached_model(
+    # the trained codebooks stay DRIVER-SIDE end to end: straight into the
+    # Arrow encode op and the one-row LUT broadcast — no
+    # createDataFrame→collect round trips per plan build
+    rows, _ = _cached_model_rows(
         spark,
         ("pq_codebooks", sf_dir, 8, 32, 4),
         lambda: pq_train(emb, m=8, k=32, iterations=4),
     )
-    codes = pq_encode(emb, codebooks)
+    blocks: dict[int, dict[int, list]] = {}
+    for b, c, cent in rows:
+        blocks.setdefault(int(b), {})[int(c)] = list(cent)
+    books = [[blocks[b][c] for c in sorted(blocks[b])] for b in sorted(blocks)]
+    codes = _encode_with_payload(emb, None, books, "vec_id", "embedding")
     return pq_topk_rerank(
-        codes, codebooks, emb, emb.filter(F.col("vec_id") < 5), k=10, n_candidates=50
+        codes,
+        None,  # unused — codebook_row carries the quantizer
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_candidates=50,
+        codebook_row=_codebook_row_from_local(spark, books),
     )
 
 
@@ -377,6 +400,22 @@ def _unpack_ivfpq(packed):
     return coarse, codebooks
 
 
+def _ivfpq_locals(rows: list) -> tuple[list, list]:
+    """Driver-side unpack of the cached packed-quantizer rows
+    (part, a, b, centroid) into (cents, books) — the shapes
+    _encode_with_payload / _coarse_row_from_local / _codebook_row_from_local
+    take, skipping every frame round trip."""
+    cents = sorted(
+        (int(a), list(c)) for part, a, _b, c in rows if part == "coarse"
+    )
+    blocks: dict[int, dict[int, list]] = {}
+    for part, a, b, c in rows:
+        if part == "pq":
+            blocks.setdefault(int(a), {})[int(b)] = list(c)
+    books = [[blocks[b][c] for c in sorted(blocks[b])] for b in sorted(blocks)]
+    return cents, books
+
+
 @register(
     "q_ann_ivfpq",
     oracle=None,  # approximate recall by design — rows-only + recall floor
@@ -395,30 +434,38 @@ def _unpack_ivfpq(packed):
 )
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from endtoend_etl_openmeteo_spark.operators.similarity import (
-        ivfpq_encode,
+        _coarse_row_from_local,
+        _codebook_row_from_local,
+        _encode_with_payload,
         ivfpq_topk_rerank,
         ivfpq_train,
     )
 
     emb = tbl(spark, sf_dir, "embeddings")
-    packed = _cached_model(
+    # both quantizer levels stay DRIVER-SIDE end to end (the
+    # stored_ivfpq_topk sidecar discipline applied to the in-plan query):
+    # straight into the Arrow encode op and the one-row probe/LUT
+    # broadcast frames — no createDataFrame→collect round trips
+    rows, _ = _cached_model_rows(
         spark,
         ("ivfpq", sf_dir, 10, 8, 32, 4),
         lambda: _pack_ivfpq(
             ivfpq_train(emb, n_cells=10, m=8, k=32, iterations=4)
         ),
     )
-    coarse, codebooks = _unpack_ivfpq(packed)
-    enc = ivfpq_encode(emb, coarse, codebooks)
+    cents, books = _ivfpq_locals(rows)
+    enc = _encode_with_payload(emb, cents, books, "vec_id", "embedding")
     return ivfpq_topk_rerank(
         enc,
-        coarse,
-        codebooks,
+        None,  # unused — coarse_row / codebook_row carry the quantizer
+        None,
         emb,
         emb.filter(F.col("vec_id") < 5),
         k=10,
         nprobe=2,
         n_candidates=50,
+        coarse_row=_coarse_row_from_local(spark, cents),
+        codebook_row=_codebook_row_from_local(spark, books),
     )
 
 
@@ -445,32 +492,48 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "approx"),
 )
 def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = q_ann_cosine(spark, sf_dir).select("q_id", "n_id")
+    # Each leg runs as its OWN plan — identical to the standalone query,
+    # so a session that already ran q_ann_ivf/.../q_ann_pq re-executes
+    # from the codegen cache instead of compiling a four-leg composed
+    # mega-plan (which was the row's entire cost: the embeddings table is
+    # model-sized at every SF, so the old 23-exchange composition was
+    # ~100% plan-compile). The collected sets are k·|queries| = 50 rows
+    # per leg — metadata-sized by contract, never corpus rows; the floor
+    # arithmetic on 250 ids is driver math, same discipline as the
+    # centroid/bounds collects. The five legs are independent read-only
+    # plans over the same tables, so they build and run CONCURRENTLY —
+    # plan construction is driver-side Py4J chatter that leaves the
+    # cluster idle, and the legs' jobs interleave into those gaps
+    # (wall-clock ≈ the slowest leg, not the sum). Harness shuffle pin:
+    # the embeddings table is fixed-size across SFs, so every leg
+    # exchange at the session's 32 partitions is per-task fixed cost
+    # (the bounded_shuffle contract-row rationale, session.py).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from endtoend_etl_openmeteo_spark.session import bounded_shuffle
+
+    def topk_set(fn) -> set:
+        return {
+            (r["q_id"], r["n_id"])
+            for r in fn(spark, sf_dir).select("q_id", "n_id").collect()
+        }
+
     methods = [
         ("ivf", q_ann_ivf),
         ("ivfpq", q_ann_ivfpq),
         ("lsh", q_ann_lsh),
         ("pq", q_ann_pq),
     ]
-    approx = None
-    for name, fn in methods:
-        tagged = fn(spark, sf_dir).select(
-            F.lit(name).alias("method"), "q_id", "n_id"
-        )
-        approx = tagged if approx is None else approx.unionByName(tagged)
-    n_exact = F.broadcast(exact.groupBy().agg(F.count("*").alias("n_exact")))
-    hits = (
-        approx.join(exact, ["q_id", "n_id"])  # exact set is tiny -> broadcast
-        .groupBy("method")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return (
-        hits.crossJoin(n_exact)
-        .select(
-            "method",
-            (F.col("n_hits") / F.col("n_exact") >= 0.5).alias("recall_ok"),
-        )
-    )
+    with bounded_shuffle(spark, 8):
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            fut_exact = pool.submit(topk_set, q_ann_cosine)
+            futs = [(name, pool.submit(topk_set, fn)) for name, fn in methods]
+            exact = fut_exact.result()
+            rows = [
+                (name, len(exact & fut.result()) / len(exact) >= 0.5)
+                for name, fut in futs
+            ]
+    return spark.createDataFrame(rows, "method string, recall_ok boolean")
 
 
 @register(
@@ -585,7 +648,9 @@ def q_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from endtoend_etl_openmeteo_spark.operators.similarity import (
-        ivfpq_encode,
+        _coarse_row_from_local,
+        _codebook_row_from_local,
+        _encode_with_payload,
         ivfpq_topk_rerank,
         ivfpq_train,
         stored_ivfpq_topk,
@@ -598,31 +663,39 @@ def q_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = tbl(spark, sf_dir, "embeddings")
-    packed = _cached_model(
+    # quantizer stays driver-side end to end (encode op, sidecar write,
+    # probe/LUT broadcast rows) — the q_ann_ivfpq fast path
+    rows, _ = _cached_model_rows(
         spark,
         ("ivfpq", sf_dir, 10, 8, 32, 4),
         lambda: _pack_ivfpq(
             ivfpq_train(emb, n_cells=10, m=8, k=32, iterations=4)
         ),
     )
-    coarse, codebooks = _unpack_ivfpq(packed)
+    cents, books = _ivfpq_locals(rows)
     queries = emb.filter(F.col("vec_id") < 5)
     idx_dir = scratch_dir(prefix="ivfpq_idx_")
     # one Arrow encode pass feeds BOTH the index write and the in-plan
     # comparator (lazily each consumer would re-encode)
-    enc = ivfpq_encode(emb, coarse, codebooks).localCheckpoint(eager=True)
+    enc = _encode_with_payload(
+        emb, cents, books, "vec_id", "embedding"
+    ).localCheckpoint(eager=True)
     try:
         # Harness shuffle pin: embeddings is fixed-size across SFs and
         # every branch materializes inside the pin (the q_ann_ivf_stored
         # rationale).
         with bounded_shuffle(spark, 8):
-            write_ivfpq_index(enc, coarse, codebooks, idx_dir)
+            write_ivfpq_index(
+                enc, None, None, idx_dir, quantizer_locals=(cents, books)
+            )
             stored = stored_ivfpq_topk(
                 spark, idx_dir, emb, queries, k=10, nprobe=2, n_candidates=50
             ).localCheckpoint(eager=True)
             inplan = ivfpq_topk_rerank(
-                enc, coarse, codebooks, emb, queries,
+                enc, None, None, emb, queries,
                 k=10, nprobe=2, n_candidates=50,
+                coarse_row=_coarse_row_from_local(spark, cents),
+                codebook_row=_codebook_row_from_local(spark, books),
             ).localCheckpoint(eager=True)
             diff = stored.exceptAll(inplan).unionByName(inplan.exceptAll(stored))
             out = (
@@ -669,8 +742,8 @@ def q_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     from endtoend_etl_openmeteo_spark.operators.similarity import (
+        _encode_with_payload,
         init_streamed_ivfpq_index,
-        ivfpq_encode,
         ivfpq_train,
     )
     from endtoend_etl_openmeteo_spark.session import (
@@ -680,19 +753,23 @@ def q_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from endtoend_etl_openmeteo_spark.streaming import run_streaming_ann_ingest
 
     emb = tbl(spark, sf_dir, "embeddings")
-    packed = _cached_model(
+    # quantizer stays driver-side (sidecar write + batch comparator) —
+    # the q_ann_ivfpq fast path
+    rows, _ = _cached_model_rows(
         spark,
         ("ivfpq", sf_dir, 10, 8, 32, 4),
         lambda: _pack_ivfpq(
             ivfpq_train(emb, n_cells=10, m=8, k=32, iterations=4)
         ),
     )
-    coarse, codebooks = _unpack_ivfpq(packed)
+    cents, books = _ivfpq_locals(rows)
     half = emb.agg((F.max("vec_id") / 2).cast("long")).collect()[0][0]
     work = scratch_dir(prefix="ann_ingest_")
     landing, index = f"{work}/landing", f"{work}/index"
     try:
-        init_streamed_ivfpq_index(None, coarse, codebooks, index)
+        init_streamed_ivfpq_index(
+            None, None, None, index, quantizer_locals=(cents, books)
+        )
         vecs = emb.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
@@ -735,9 +812,9 @@ def q_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("id", F.col("cell").cast("int").alias("cell"), "codes")
                 .localCheckpoint(eager=True)
             )
-            batch = ivfpq_encode(emb, coarse, codebooks).localCheckpoint(
-                eager=True
-            )
+            batch = _encode_with_payload(
+                emb, cents, books, "vec_id", "embedding"
+            ).localCheckpoint(eager=True)
             n_total = emb.count()
             complete = (
                 streamed.groupBy()
