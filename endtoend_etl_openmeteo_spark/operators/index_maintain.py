@@ -75,8 +75,103 @@ def _lease_path(path: str) -> str:
     return f"{path.rstrip('/')}/_maintenance.lock"
 
 
+class LeaseBackend:
+    """The writer-serialization primitive behind :func:`index_lease`,
+    injectable per deployment: ``try_acquire`` must be an ATOMIC
+    create-if-absent in the backend's store (one writer wins, the rest
+    see False). The default :class:`AtomicCreateLease` is correct on
+    filesystems with atomic ``create(overwrite=False)`` (local, HDFS);
+    :class:`RenameCasLease` reuses the versioned format's manifest-CAS
+    primitive (rename refuses an existing destination) for stores where
+    rename-no-replace is the atomic op; object stores with neither need
+    a backend over an external lock service (DynamoDB, ZooKeeper) —
+    subclass and override the three methods."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.fs, self.jvm = _fs(spark, path)
+        self.lock = self.jvm.org.apache.hadoop.fs.Path(_lease_path(path))
+
+    def try_acquire(self, payload: str) -> bool:
+        """Atomically create the lock holding ``payload``. True if WE now
+        hold it; False if another holder exists. Non-conflict failures
+        (permissions, connectivity) must raise, not return False."""
+        raise NotImplementedError
+
+    def read(self) -> str | None:
+        """Current lock payload, or None when the READ ITSELF failed
+        (missing file, transient error) — never conflate the two."""
+        try:
+            stream = self.fs.open(self.lock)
+            try:
+                return bytes(
+                    self.jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                ).decode("utf-8", "replace")
+            finally:
+                stream.close()
+        except Exception:
+            return None
+
+    def delete(self) -> bool:
+        return bool(self.fs.delete(self.lock, False))
+
+
+class AtomicCreateLease(LeaseBackend):
+    """Default backend: ``fs.create(overwrite=False)`` — atomic on local
+    and HDFS filesystems."""
+
+    def try_acquire(self, payload: str) -> bool:
+        try:
+            out = self.fs.create(self.lock, False)  # create-fails-if-exists
+        except Exception:
+            # only an existing lock is a CONFLICT; permission/connectivity
+            # failures must surface as themselves
+            if not self.fs.exists(self.lock):
+                raise
+            return False
+        try:
+            out.write(payload.encode("utf-8"))
+            out.close()
+        except Exception:
+            # never leave a payload-less lock held by nobody
+            self.fs.delete(self.lock, False)
+            raise
+        return True
+
+
+class RenameCasLease(LeaseBackend):
+    """The versioned format's commit primitive (operators/versioned.py:
+    rename refuses to replace an existing destination) applied to the
+    lease: the payload is written COMPLETE to a temp name, then renamed
+    onto the lock path — one rename wins. For filesystems whose
+    create-no-overwrite is a racy existence check but whose rename is
+    atomic-no-replace; the payload is never observable half-written."""
+
+    def try_acquire(self, payload: str) -> bool:
+        tmp = self.jvm.org.apache.hadoop.fs.Path(
+            f"{self.lock.getParent()}/.lock_tmp_{uuid.uuid4().hex}"
+        )
+        out = self.fs.create(tmp, True)
+        try:
+            out.write(payload.encode("utf-8"))
+        finally:
+            out.close()
+        try:
+            won = bool(self.fs.rename(tmp, self.lock))
+        except Exception:
+            won = False  # Hadoop rename signals an existing dst either way
+        if not won:
+            self.fs.delete(tmp, False)
+        return won
+
+
 @contextmanager
-def index_lease(spark: SparkSession, path: str, owner: str | None = None):
+def index_lease(
+    spark: SparkSession,
+    path: str,
+    owner: str | None = None,
+    backend: LeaseBackend | None = None,
+):
     """Exclusive writer lease on a stored-index root: atomically create
     ``_maintenance.lock`` (``fs.create(overwrite=False)`` — one writer
     wins, the loser gets :class:`LeaseConflictError`), yield, delete on
@@ -101,52 +196,24 @@ def index_lease(spark: SparkSession, path: str, owner: str | None = None):
     a live holder racing it is outside the contract; the versioned
     format's manifest CAS is the fully-atomic story.
 
-    Atomicity contract: ``fs.create(overwrite=False)`` is atomic on
-    filesystems with atomic create-no-overwrite (local, HDFS). S3A-style
-    object stores implement it as a racy existence check — there, writer
-    serialization needs an external lock service or the versioned
-    format's manifest CAS (operators/versioned.py); this lease is the
-    single-cluster discipline.
+    Atomicity contract lives in the BACKEND (injectable per deployment):
+    the default :class:`AtomicCreateLease` relies on atomic
+    create-no-overwrite (local, HDFS); :class:`RenameCasLease` uses the
+    versioned format's rename-CAS for stores where that is the atomic
+    op; S3-style object stores with neither need a backend over an
+    external lock service — the lease protocol (payload ownership,
+    conflict error, checked release, break_lease) is backend-agnostic.
     """
-    fs, jvm = _fs(spark, path)
-    lock = jvm.org.apache.hadoop.fs.Path(_lease_path(path))
+    be = backend if backend is not None else AtomicCreateLease(spark, path)
     payload = f"{owner or 'writer'}:{uuid.uuid4().hex}:{int(time.time())}"
 
-    def read_lock() -> str | None:
-        """Lock payload, or None when the READ ITSELF failed (missing
-        file, transient FS error) — callers must not conflate 'could not
-        read' with 'someone else's payload'."""
-        try:
-            stream = fs.open(lock)
-            try:
-                return bytes(
-                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-                ).decode("utf-8", "replace")
-            finally:
-                stream.close()
-        except Exception:
-            return None
-
-    try:
-        out = fs.create(lock, False)  # atomic create-fails-if-exists
-    except Exception as e:
-        # only an existing lock is a CONFLICT; permission/connectivity
-        # failures must surface as themselves, not as retry-forever advice
-        if not fs.exists(lock):
-            raise
-        held = read_lock() or ""
+    if not be.try_acquire(payload):
+        held = be.read() or ""
         raise LeaseConflictError(
             f"index {path} is being maintained by another writer"
             f"{f' ({held})' if held else ''} — retry after it releases, or "
             f"break_lease() if the holder is known dead"
-        ) from e
-    try:
-        out.write(payload.encode("utf-8"))
-        out.close()
-    except Exception:
-        # never leave a payload-less lock held by nobody
-        fs.delete(lock, False)
-        raise
+        )
     try:
         yield
     finally:
@@ -157,19 +224,21 @@ def index_lease(spark: SparkSession, path: str, owner: str | None = None):
         # transient FS error at exit and blocks every future writer.
         held = None
         for attempt in range(3):
-            held = read_lock()
+            held = be.read()
             if held is not None:
                 break
             time.sleep(0.05 * (attempt + 1))
         if held is None or held == payload:
-            fs.delete(lock, False)
+            be.delete()
 
 
-def break_lease(spark: SparkSession, path: str) -> bool:
+def break_lease(
+    spark: SparkSession, path: str, backend: LeaseBackend | None = None
+) -> bool:
     """Forcibly remove a dead holder's lease marker (operator action after
     confirming the holder crashed). Returns True if a marker was removed."""
-    fs, jvm = _fs(spark, path)
-    return bool(fs.delete(jvm.org.apache.hadoop.fs.Path(_lease_path(path)), False))
+    be = backend if backend is not None else AtomicCreateLease(spark, path)
+    return be.delete()
 
 
 def _is_data_file(name: str) -> bool:

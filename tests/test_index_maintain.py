@@ -303,3 +303,71 @@ def test_broken_then_reacquired_lease_not_deleted_by_stale_holder(spark, tmp_pat
             with index_lease(spark, path, owner="third"):
                 pass
     assert not lock.exists()  # fresh's own exit releases normally
+
+
+def test_rename_cas_backend_serializes_writers_and_loser_retries(spark, tmp_path):
+    """The injectable lease backend (round-9 verdict task 4): driving
+    index_lease through RenameCasLease — the versioned format's
+    rename-refuses-existing-destination CAS — must give the same
+    protocol: one winner, LeaseConflictError for the loser, retry lands
+    after release, no temp litter, ownership-checked exit."""
+    import threading
+
+    import pytest
+
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        LeaseConflictError,
+        RenameCasLease,
+        index_lease,
+    )
+
+    path = str(tmp_path / "idx")
+    (tmp_path / "idx").mkdir()
+    lock = tmp_path / "idx" / "_maintenance.lock"
+
+    in_hold = threading.Barrier(2, timeout=60)
+    loser_denied = threading.Event()
+    acquired_after_retry = threading.Event()
+    errors = []
+
+    def run(fn):
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def holder():
+        with index_lease(
+            spark, path, owner="hold", backend=RenameCasLease(spark, path)
+        ):
+            in_hold.wait()
+            loser_denied.wait(60)
+
+    def contender():
+        in_hold.wait()  # holder owns the lease now
+        with pytest.raises(LeaseConflictError):
+            with index_lease(
+                spark, path, owner="contend", backend=RenameCasLease(spark, path)
+            ):
+                pass  # pragma: no cover — must not acquire
+        loser_denied.set()
+        for _ in range(100):
+            try:
+                with index_lease(
+                    spark, path, owner="contend",
+                    backend=RenameCasLease(spark, path),
+                ):
+                    acquired_after_retry.set()
+                return
+            except LeaseConflictError:
+                threading.Event().wait(0.05)
+        raise AssertionError("retry never acquired the lease")
+
+    t1 = threading.Thread(target=run, args=(holder,))
+    t2 = threading.Thread(target=run, args=(contender,))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors, errors
+    assert acquired_after_retry.is_set()
+    assert not lock.exists()
+    # a losing rename must clean its temp payload up
+    assert not [p for p in (tmp_path / "idx").iterdir() if ".lock_tmp_" in p.name]
