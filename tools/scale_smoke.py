@@ -605,6 +605,81 @@ def index_maintenance_smoke(spark, src: str, scratch: Path, replicas: int) -> li
     return failures
 
 
+def ann_ingest_smoke(spark, src: str, scratch: Path, replicas: int) -> list[str]:
+    """Streamed IVF-PQ ingest stays O(batch), never O(index) (round-9
+    verdict task 8): per-epoch append cost into the stream-managed layout
+    must be FLAT as the index grows epoch over epoch (the write touches
+    the epoch's own _epoch partitions plus a dynamic-overwrite commit —
+    nothing proportional to accumulated codes), and an epoch carrying Nx
+    the vectors may cost at most ~Nx (one Arrow encode pass + one
+    cell-keyed exchange over the batch). Consolidation ticks run mid-way
+    so the flatness claim holds against a maintained index, the
+    production shape."""
+    from statistics import median
+
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        append_streamed_ivfpq,
+        compact_streamed_ivfpq_index,
+        init_streamed_ivfpq_index,
+        ivfpq_train,
+    )
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()
+    coarse, books = ivfpq_train(emb, n_cells=8, m=8, k=16, iterations=2)
+    index = str(scratch / "ann_ingest")
+    init_streamed_ivfpq_index(None, coarse, books, index)
+
+    def epoch(e: int, scale: int = 1) -> float:
+        # ids unique ACROSS epochs (the append_streamed_ivfpq contract)
+        base = F.lit(e * n * replicas).cast("long")
+        df = emb
+        if scale > 1:
+            r = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("r")
+            df = (
+                emb.select("*", r)
+                .withColumn("vec_id", F.col("vec_id") + F.col("r") * n)
+                .drop("r")
+            )
+        df = df.withColumn("vec_id", F.col("vec_id") + base).localCheckpoint()
+        t0 = time.perf_counter()
+        append_streamed_ivfpq(spark, df, index, epoch_tag=f"e-{e}")
+        return time.perf_counter() - t0
+
+    n_epochs = max(6, min(replicas, 10))
+    epoch(0)  # warm the code path (epoch 0 replays — rewrite, not dup)
+    times = []
+    for e in range(n_epochs):
+        times.append(epoch(e))
+        if (e + 1) % 3 == 0:
+            compact_streamed_ivfpq_index(spark, index, keep_last=2)
+    flat_ratio = median(times[-3:]) / max(median(times[:3]), 1e-9)
+    flat_budget = 3.0
+    t_big = epoch(n_epochs, scale=replicas)
+    big_ratio = t_big / max(median(times), 1e-9)
+    big_budget = replicas * 3.0
+    total = spark.read.parquet(index).count()
+    distinct = spark.read.parquet(index).select("id").distinct().count()
+    want = n * n_epochs + n * replicas
+    ok = (
+        flat_ratio <= flat_budget
+        and big_ratio <= big_budget
+        and total == distinct == want
+    )
+    status = "ok  " if ok else "FAIL"
+    print(
+        f"{status} ann_stream_ingest[{n_epochs} epochs, tick every 3]: "
+        f"per-epoch first3={median(times[:3]):.2f}s last3={median(times[-3:]):.2f}s "
+        f"flat_ratio={flat_ratio:.1f} (budget {flat_budget:.0f}x — O(batch), "
+        f"never O(index)); {replicas}x-batch epoch={t_big:.2f}s "
+        f"ratio={big_ratio:.1f} (budget {big_budget:.0f}x); "
+        f"rows={total}/{want} exactly-once={total == distinct}"
+    )
+    return [] if ok else ["ann_stream_ingest"]
+
+
 def semdedup_smoke(spark, src: str, replicas: int) -> list[str]:
     """SemDeDup's scale regime (round-7 verdict task 5): with
     train='sampled' + k='auto', k grows with the corpus (fixed target
@@ -961,6 +1036,7 @@ def main() -> None:
         lambda: curation_lsh_smoke(spark, src, scratch, replicas),
         lambda: substring_smoke(spark, src, replicas),
         lambda: index_maintenance_smoke(spark, src, scratch, replicas),
+        lambda: ann_ingest_smoke(spark, src, scratch, replicas),
         lambda: semdedup_smoke(spark, src, replicas),
     ]
     for smoke in extra_smokes:
