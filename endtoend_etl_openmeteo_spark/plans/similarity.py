@@ -586,39 +586,43 @@ def q_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     idx_dir = scratch_dir(prefix="ivf_idx_")
     try:
+        from concurrent.futures import ThreadPoolExecutor
+
         from endtoend_etl_openmeteo_spark.session import bounded_shuffle
 
-        # Harness shuffle pin: the whole lifecycle materializes inside
-        # (every branch localCheckpoint'ed), and the embeddings table is
-        # fixed-size across SFs, so every exchange at the session's 32
-        # partitions is per-task fixed cost (measured 3.9 -> 3.5 s warm).
+        # Harness shuffle pin: the whole lifecycle materializes inside,
+        # and the embeddings table is fixed-size across SFs, so every
+        # exchange at the session's 32 partitions is per-task fixed cost.
+        # Both serving branches are k·|queries| rows by contract —
+        # collected CONCURRENTLY and multiset-compared driver-side (the
+        # q_ann_recall_contract treatment: wall-clock ≈ the slower
+        # branch, no two-way exceptAll plan on top).
         with bounded_shuffle(spark, 8):
             write_ivf_index(cells, centroids, idx_dir, cell_col="cluster")
-            # materialize each side ONCE: the two-way exceptAll otherwise
-            # evaluates every branch twice (4 IVF scans where 2 suffice) —
-            # both results are k·|queries| rows, checkpoint-sized
-            stored = stored_ivf_topk(
-                spark, idx_dir, queries, k=10, nprobe=2
-            ).localCheckpoint(eager=True)
-            inplan = ivf_topk(
-                cells,
-                queries,
-                cell_col="cluster",
-                k=10,
-                nprobe=2,
-                centroids=centroids.withColumnRenamed("cluster", "cell"),
-            ).localCheckpoint(eager=True)
-            diff = stored.exceptAll(inplan).unionByName(inplan.exceptAll(stored))
-            out = (
-                diff.groupBy()
-                .agg((F.count("*") == 0).alias("ok"))
-                .select(F.lit("stored_equals_inplan").alias("contract"), "ok")
-                # the scratch index is deleted on return — materialize first
-                .localCheckpoint(eager=True)
+
+            def rows_of(df) -> list:
+                return sorted(tuple(r) for r in df.collect())
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_stored = pool.submit(
+                    rows_of, stored_ivf_topk(spark, idx_dir, queries, k=10, nprobe=2)
+                )
+                f_inplan = pool.submit(
+                    rows_of,
+                    ivf_topk(
+                        cells,
+                        queries,
+                        cell_col="cluster",
+                        k=10,
+                        nprobe=2,
+                        centroids=centroids.withColumnRenamed("cluster", "cell"),
+                    ),
+                )
+                stored, inplan = f_stored.result(), f_inplan.result()
+            ok = bool(stored) and stored == inplan
+            return spark.createDataFrame(
+                [("stored_equals_inplan", ok)], "contract string, ok boolean"
             )
-            release_checkpoint(stored)
-            release_checkpoint(inplan)
-            return out
     finally:
         release_checkpoint(cells)
         shutil.rmtree(idx_dir, ignore_errors=True)
@@ -683,30 +687,41 @@ def q_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # Harness shuffle pin: embeddings is fixed-size across SFs and
         # every branch materializes inside the pin (the q_ann_ivf_stored
-        # rationale).
+        # rationale). Both serving branches are k·|queries| rows by
+        # contract — collected concurrently, multiset-compared
+        # driver-side.
+        from concurrent.futures import ThreadPoolExecutor
+
         with bounded_shuffle(spark, 8):
             write_ivfpq_index(
                 enc, None, None, idx_dir, quantizer_locals=(cents, books)
             )
-            stored = stored_ivfpq_topk(
-                spark, idx_dir, emb, queries, k=10, nprobe=2, n_candidates=50
-            ).localCheckpoint(eager=True)
-            inplan = ivfpq_topk_rerank(
-                enc, None, None, emb, queries,
-                k=10, nprobe=2, n_candidates=50,
-                coarse_row=_coarse_row_from_local(spark, cents),
-                codebook_row=_codebook_row_from_local(spark, books),
-            ).localCheckpoint(eager=True)
-            diff = stored.exceptAll(inplan).unionByName(inplan.exceptAll(stored))
-            out = (
-                diff.groupBy()
-                .agg((F.count("*") == 0).alias("ok"))
-                .select(F.lit("stored_equals_inplan").alias("contract"), "ok")
-                .localCheckpoint(eager=True)  # scratch index deleted on return
+
+            def rows_of(df) -> list:
+                return sorted(tuple(r) for r in df.collect())
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_stored = pool.submit(
+                    rows_of,
+                    stored_ivfpq_topk(
+                        spark, idx_dir, emb, queries, k=10, nprobe=2,
+                        n_candidates=50,
+                    ),
+                )
+                f_inplan = pool.submit(
+                    rows_of,
+                    ivfpq_topk_rerank(
+                        enc, None, None, emb, queries,
+                        k=10, nprobe=2, n_candidates=50,
+                        coarse_row=_coarse_row_from_local(spark, cents),
+                        codebook_row=_codebook_row_from_local(spark, books),
+                    ),
+                )
+                stored, inplan = f_stored.result(), f_inplan.result()
+            ok = bool(stored) and stored == inplan
+            return spark.createDataFrame(
+                [("stored_equals_inplan", ok)], "contract string, ok boolean"
             )
-            release_checkpoint(stored)
-            release_checkpoint(inplan)
-            return out
     finally:
         release_checkpoint(enc)
         shutil.rmtree(idx_dir, ignore_errors=True)

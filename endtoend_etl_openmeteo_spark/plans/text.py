@@ -1832,14 +1832,41 @@ def q_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Harness shuffle pin (the q_stream_join treatment): every exchange
     # in the contract's truth joins / screens runs over the bounded
-    # 500-doc slice, so 32 partitions is per-task fixed cost (measured
-    # 7.4 -> 6.7 s warm). The eager checkpoint puts EXECUTION inside the
-    # pin — the five contract rows are 5 booleans.
+    # 500-doc slice, so 32 partitions is per-task fixed cost. The five
+    # verdicts are INDEPENDENT single-boolean plans over shared
+    # checkpointed inputs, so they run concurrently and the collected
+    # booleans come back as a literal frame (the q_ann_recall_contract
+    # treatment — wall-clock ≈ the slowest verdict, and the emitted-pairs
+    # frame computes once instead of once per consumer branch).
     with bounded_shuffle(spark, 8):
-        return _dedup_contract_body(spark, sf_dir).localCheckpoint(eager=True)
+        rows = _dedup_contract_rows(spark, sf_dir)
+    return spark.createDataFrame(rows, "contract string, ok boolean")
 
 
-def _dedup_contract_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dedup_contract_rows(spark: SparkSession, sf_dir: str) -> list:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from endtoend_etl_openmeteo_spark.session import release_checkpoint
+
+    frames, incr_thunk, checkpoints = _dedup_contract_parts(spark, sf_dir)
+
+    def verdict(df) -> tuple:
+        r = df.collect()[0]
+        return (r["contract"], r["ok"])
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = [pool.submit(verdict, df) for df in frames.values()]
+        futs.append(pool.submit(incr_thunk))
+        rows = [f.result() for f in futs]
+    for c in checkpoints:
+        release_checkpoint(c)
+    return rows
+
+
+def _dedup_contract_parts(spark: SparkSession, sf_dir: str) -> tuple:
+    """(verdict frames by contract name, incremental-verdict thunk,
+    checkpointed shared inputs) — split out so tests can pin each
+    verdict plan's exchange budget without collecting."""
     import shutil
 
     # contract-specific slice: 500 docs keeps dozens of true pairs at
@@ -1902,9 +1929,10 @@ def _dedup_contract_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_checkpoint(sh)
 
+    # three verdicts consume the emitted pairs — materialize once
     emitted = minhash_lsh_pairs(
         docs, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.5
-    )
+    ).localCheckpoint(eager=True)
 
     def row(name, ok_col):
         return F.lit(name).alias("contract"), ok_col.alias("ok")
@@ -1993,47 +2021,55 @@ def _dedup_contract_body(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(new_id).cast("long").alias("doc_id"), "text"
         )
 
-    b1 = base.filter(F.col("doc_id") < 30).unionByName(replica(3, 900003))
-    b2 = base.filter(F.col("doc_id") >= 30).unionByName(replica(7, 900007))
-    index_dir = scratch_dir(prefix="dedup_contract_idx_")
-    try:
-        p1 = incremental_neardup(spark, b1, index_dir, "doc_id", "text",
-                                 batch_id="c1")
-        p2 = incremental_neardup(spark, b2, index_dir, "doc_id", "text",
-                                 batch_id="c2")
-    finally:
-        shutil.rmtree(index_dir, ignore_errors=True)
-    found = (
-        p1.unionByName(p2)
-        .select(
-            F.least("new_id", "match_id").alias("id_a"),
-            F.greatest("new_id", "match_id").alias("id_b"),
+    def incr_verdict() -> tuple:
+        b1 = base.filter(F.col("doc_id") < 30).unionByName(replica(3, 900003))
+        b2 = base.filter(F.col("doc_id") >= 30).unionByName(replica(7, 900007))
+        index_dir = scratch_dir(prefix="dedup_contract_idx_")
+        try:
+            p1 = incremental_neardup(spark, b1, index_dir, "doc_id", "text",
+                                     batch_id="c1")
+            p2 = incremental_neardup(spark, b2, index_dir, "doc_id", "text",
+                                     batch_id="c2")
+        finally:
+            shutil.rmtree(index_dir, ignore_errors=True)
+        found = (
+            p1.unionByName(p2)
+            .select(
+                F.least("new_id", "match_id").alias("id_a"),
+                F.greatest("new_id", "match_id").alias("id_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    fp = b1.unionByName(b2).select(
-        F.col("doc_id").alias("id"), F.md5(normalized_text("text")).alias("fp")
-    )
-    fa, fb = fp.alias("fa"), fp.alias("fb")
-    exact_truth = fa.join(
-        fb, (F.col("fa.fp") == F.col("fb.fp")) & (F.col("fa.id") < F.col("fb.id"))
-    ).select(F.col("fa.id").alias("id_a"), F.col("fb.id").alias("id_b"))
-    incr_ok = (
-        # completeness (no exact pair missed) AND non-vacuity (the two
-        # injected replicas guarantee >= 2 truth pairs — an empty truth
-        # set can never silently pass again)
-        exact_truth.join(found, ["id_a", "id_b"], "left_anti")
-        .agg(F.count("*").alias("v"))
-        .crossJoin(exact_truth.agg(F.count("*").alias("t")))
-        .select(*row("incremental_exactdup",
-                     (F.col("v") == 0) & (F.col("t") >= 2)))
-    )
+        fp = b1.unionByName(b2).select(
+            F.col("doc_id").alias("id"), F.md5(normalized_text("text")).alias("fp")
+        )
+        fa, fb = fp.alias("fa"), fp.alias("fb")
+        exact_truth = fa.join(
+            fb,
+            (F.col("fa.fp") == F.col("fb.fp")) & (F.col("fa.id") < F.col("fb.id")),
+        ).select(F.col("fa.id").alias("id_a"), F.col("fb.id").alias("id_b"))
+        incr_ok = (
+            # completeness (no exact pair missed) AND non-vacuity (the two
+            # injected replicas guarantee >= 2 truth pairs — an empty truth
+            # set can never silently pass again)
+            exact_truth.join(found, ["id_a", "id_b"], "left_anti")
+            .agg(F.count("*").alias("v"))
+            .crossJoin(exact_truth.agg(F.count("*").alias("t")))
+            .select(*row("incremental_exactdup",
+                         (F.col("v") == 0) & (F.col("t") >= 2)))
+        )
+        r = incr_ok.collect()[0]
+        return (r["contract"], r["ok"])
 
     return (
-        precision.unionByName(recall)
-        .unionByName(simhash_ok)
-        .unionByName(clusters_ok)
-        .unionByName(incr_ok)
+        {
+            "minhash_precision": precision,
+            "minhash_recall_07": recall,
+            "simhash_exactdup": simhash_ok,
+            "clusters_consistent": clusters_ok,
+        },
+        incr_verdict,
+        [truth, emitted],
     )
 
 
