@@ -153,13 +153,24 @@ class RenameCasLease(LeaseBackend):
         )
         out = self.fs.create(tmp, True)
         try:
-            out.write(payload.encode("utf-8"))
-        finally:
-            out.close()
+            try:
+                out.write(payload.encode("utf-8"))
+            finally:
+                out.close()
+        except Exception:
+            # never leave temp litter behind a failed payload write
+            self.fs.delete(tmp, False)
+            raise
         try:
             won = bool(self.fs.rename(tmp, self.lock))
         except Exception:
-            won = False  # Hadoop rename signals an existing dst either way
+            # some FileSystems raise instead of returning false on an
+            # existing destination — but only that case is a CONFLICT;
+            # permission/connectivity failures must surface as themselves
+            self.fs.delete(tmp, False)
+            if not self.fs.exists(self.lock):
+                raise
+            won = False
         if not won:
             self.fs.delete(tmp, False)
         return won

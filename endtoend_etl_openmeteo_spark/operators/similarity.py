@@ -1407,17 +1407,10 @@ def stored_ivfpq_topk(
         .select("id", F.col("cell").cast("int").alias("cell"), "codes")
         .dropDuplicates(["id"])
     )
-    # lazy frames from the same payload (rerank's packed-frame overrides
-    # make these unused; kept for signature clarity, they cost no job)
-    coarse = spark.createDataFrame(cents, "cell int, centroid array<double>")
-    codebooks = spark.createDataFrame(
-        [(b, c, cent) for b, blk in enumerate(books) for c, cent in enumerate(blk)],
-        "block int, cluster int, centroid array<double>",
-    )
     return ivfpq_topk_rerank(
         encoded,
-        coarse,
-        codebooks,
+        None,  # unused — coarse_row / codebook_row carry the quantizer
+        None,
         corpus,
         queries,
         id_col=id_col,
@@ -1584,9 +1577,10 @@ def compact_streamed_ivfpq_index(
         )
         segs = [d for d in epoch_dirs if d.startswith("_epoch=__seg_")]
         base = [d for d in epoch_dirs if d == "_epoch=__base__"]
+        mtimes = {d: newest_file_mtime(d) for d in epoch_dirs}  # one walk each
         real = sorted(
             (d for d in epoch_dirs if d not in segs and d not in base),
-            key=lambda d: (newest_file_mtime(d), d),
+            key=lambda d: (mtimes[d], d),
         )
         doomed = segs + base + (real[:-keep_last] if keep_last > 0 else real)
         if len(doomed) < 2:
@@ -1595,7 +1589,7 @@ def compact_streamed_ivfpq_index(
         # committed nothing, or an empty __base__) hold no rows: feeding
         # them to the read would fail schema inference, so they are
         # deleted but never scanned.
-        readable = [d for d in doomed if newest_file_mtime(d) != -1]
+        readable = [d for d in doomed if mtimes[d] != -1]
         if not readable:
             for d in doomed:
                 fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{d}"), True)

@@ -390,16 +390,6 @@ def _pack_ivfpq(trained) -> "DataFrame":
     return c.unionByName(p)
 
 
-def _unpack_ivfpq(packed):
-    coarse = packed.filter(F.col("part") == "coarse").select(
-        F.col("a").alias("cell"), "centroid"
-    )
-    codebooks = packed.filter(F.col("part") == "pq").select(
-        F.col("a").alias("block"), F.col("b").alias("cluster"), "centroid"
-    )
-    return coarse, codebooks
-
-
 def _ivfpq_locals(rows: list) -> tuple[list, list]:
     """Driver-side unpack of the cached packed-quantizer rows
     (part, a, b, centroid) into (cents, books) — the shapes
@@ -529,8 +519,10 @@ def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             fut_exact = pool.submit(topk_set, q_ann_cosine)
             futs = [(name, pool.submit(topk_set, fn)) for name, fn in methods]
             exact = fut_exact.result()
+            # max(.., 1): an empty exact set (degenerate corpus) reads as
+            # recall 0 -> False verdicts, never a ZeroDivisionError
             rows = [
-                (name, len(exact & fut.result()) / len(exact) >= 0.5)
+                (name, len(exact & fut.result()) / max(len(exact), 1) >= 0.5)
                 for name, fut in futs
             ]
     return spark.createDataFrame(rows, "method string, recall_ok boolean")

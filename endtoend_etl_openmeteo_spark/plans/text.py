@@ -1854,12 +1854,15 @@ def _dedup_contract_rows(spark: SparkSession, sf_dir: str) -> list:
         r = df.collect()[0]
         return (r["contract"], r["ok"])
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
-        futs = [pool.submit(verdict, df) for df in frames.values()]
-        futs.append(pool.submit(incr_thunk))
-        rows = [f.result() for f in futs]
-    for c in checkpoints:
-        release_checkpoint(c)
+    try:
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            futs = [pool.submit(verdict, df) for df in frames.values()]
+            futs.append(pool.submit(incr_thunk))
+            rows = [f.result() for f in futs]
+    finally:
+        # a failing verdict must not leak the pinned checkpoint blocks
+        for c in checkpoints:
+            release_checkpoint(c)
     return rows
 
 
