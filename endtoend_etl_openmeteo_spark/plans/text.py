@@ -1843,51 +1843,50 @@ def q_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "contract string, ok boolean")
 
 
+#: contract-specific slice: 500 docs keeps dozens of true pairs at every
+#: sf (sf0.01's full corpus) while bounding the all-pairs truth join at
+#: 125k candidate pairs
+_DEDUP_CONTRACT_MAX_ID = 500
+
+
 def _dedup_contract_rows(spark: SparkSession, sf_dir: str) -> list:
     from concurrent.futures import ThreadPoolExecutor
 
     from endtoend_etl_openmeteo_spark.session import release_checkpoint
 
-    frames, incr_thunk, checkpoints = _dedup_contract_parts(spark, sf_dir)
-
     def verdict(df) -> tuple:
         r = df.collect()[0]
         return (r["contract"], r["ok"])
 
-    try:
-        with ThreadPoolExecutor(max_workers=5) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        # the incremental-screen verdict depends only on the doc slice —
+        # start it FIRST so its scratch-index lifecycle overlaps the
+        # shared-input build (truth/emitted checkpoints) it doesn't use
+        f_incr = pool.submit(_dedup_incr_verdict, spark, sf_dir)
+        frames, checkpoints = _dedup_contract_parts(spark, sf_dir)
+        try:
             futs = [pool.submit(verdict, df) for df in frames.values()]
-            futs.append(pool.submit(incr_thunk))
-            rows = [f.result() for f in futs]
-    finally:
-        # a failing verdict must not leak the pinned checkpoint blocks
-        for c in checkpoints:
-            release_checkpoint(c)
+            rows = [f.result() for f in futs] + [f_incr.result()]
+        finally:
+            # a failing verdict must not leak the pinned checkpoint blocks
+            for c in checkpoints:
+                release_checkpoint(c)
     return rows
 
 
 def _dedup_contract_parts(spark: SparkSession, sf_dir: str) -> tuple:
-    """(verdict frames by contract name, incremental-verdict thunk,
-    checkpointed shared inputs) — split out so tests can pin each
-    verdict plan's exchange budget without collecting."""
-    import shutil
-
-    # contract-specific slice: 500 docs keeps dozens of true pairs at
-    # every sf (sf0.01's full corpus) while bounding the all-pairs truth
-    # join at 125k candidate pairs
-    max_id = 500
+    """(verdict frames by contract name, checkpointed shared inputs) —
+    split out so tests can pin each verdict plan's exchange budget
+    without collecting."""
+    max_id = _DEDUP_CONTRACT_MAX_ID
 
     from endtoend_etl_openmeteo_spark.operators.clusters import dedup_clusters
     from endtoend_etl_openmeteo_spark.operators.dedup import (
         cpu_parallelize,
-        incremental_neardup,
         shingles,
         simhash64,
     )
-    from endtoend_etl_openmeteo_spark.session import (
-        release_checkpoint,
-        scratch_dir,
-    )
+    from endtoend_etl_openmeteo_spark.session import release_checkpoint
 
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < max_id)
 
@@ -2017,53 +2016,6 @@ def _dedup_contract_parts(spark: SparkSession, sf_dir: str) -> tuple:
     # grouping the constructed corpus on md5(normalized text): identical
     # text implies identical MinHash signatures, so the screen must emit
     # every such pair.
-    base = docs.filter(F.col("doc_id") < 60).select("doc_id", "text")
-
-    def replica(src_id: int, new_id: int) -> DataFrame:
-        return base.filter(F.col("doc_id") == src_id).select(
-            F.lit(new_id).cast("long").alias("doc_id"), "text"
-        )
-
-    def incr_verdict() -> tuple:
-        b1 = base.filter(F.col("doc_id") < 30).unionByName(replica(3, 900003))
-        b2 = base.filter(F.col("doc_id") >= 30).unionByName(replica(7, 900007))
-        index_dir = scratch_dir(prefix="dedup_contract_idx_")
-        try:
-            p1 = incremental_neardup(spark, b1, index_dir, "doc_id", "text",
-                                     batch_id="c1")
-            p2 = incremental_neardup(spark, b2, index_dir, "doc_id", "text",
-                                     batch_id="c2")
-        finally:
-            shutil.rmtree(index_dir, ignore_errors=True)
-        found = (
-            p1.unionByName(p2)
-            .select(
-                F.least("new_id", "match_id").alias("id_a"),
-                F.greatest("new_id", "match_id").alias("id_b"),
-            )
-            .distinct()
-        )
-        fp = b1.unionByName(b2).select(
-            F.col("doc_id").alias("id"), F.md5(normalized_text("text")).alias("fp")
-        )
-        fa, fb = fp.alias("fa"), fp.alias("fb")
-        exact_truth = fa.join(
-            fb,
-            (F.col("fa.fp") == F.col("fb.fp")) & (F.col("fa.id") < F.col("fb.id")),
-        ).select(F.col("fa.id").alias("id_a"), F.col("fb.id").alias("id_b"))
-        incr_ok = (
-            # completeness (no exact pair missed) AND non-vacuity (the two
-            # injected replicas guarantee >= 2 truth pairs — an empty truth
-            # set can never silently pass again)
-            exact_truth.join(found, ["id_a", "id_b"], "left_anti")
-            .agg(F.count("*").alias("v"))
-            .crossJoin(exact_truth.agg(F.count("*").alias("t")))
-            .select(*row("incremental_exactdup",
-                         (F.col("v") == 0) & (F.col("t") >= 2)))
-        )
-        r = incr_ok.collect()[0]
-        return (r["contract"], r["ok"])
-
     return (
         {
             "minhash_precision": precision,
@@ -2071,9 +2023,79 @@ def _dedup_contract_parts(spark: SparkSession, sf_dir: str) -> tuple:
             "simhash_exactdup": simhash_ok,
             "clusters_consistent": clusters_ok,
         },
-        incr_verdict,
         [truth, emitted],
     )
+
+
+def _dedup_incr_verdict(spark: SparkSession, sf_dir: str) -> tuple:
+    """The incremental-screen contract row: the two-batch persistent-index
+    screen finds every exact-duplicate pair, intra-batch and cross-batch.
+    The natural corpus has ZERO byte-identical docs in the slice, so this
+    runs on a small constructed corpus: 60 docs plus one replica injected
+    into EACH batch — doc 3's copy lands in batch 1 (intra-batch dup),
+    doc 7's in batch 2 (cross-batch dup) — and the truth set is derived
+    independently by grouping on md5(normalized text): identical text
+    implies identical MinHash signatures, so the screen must emit every
+    such pair. Standalone (depends only on the doc slice) so the
+    contract row can overlap it with the shared-input build."""
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        incremental_neardup,
+        normalized_text,
+    )
+    from endtoend_etl_openmeteo_spark.session import scratch_dir
+
+    docs = tbl(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _DEDUP_CONTRACT_MAX_ID
+    )
+    base = docs.filter(F.col("doc_id") < 60).select("doc_id", "text")
+
+    def replica(src_id: int, new_id: int) -> DataFrame:
+        return base.filter(F.col("doc_id") == src_id).select(
+            F.lit(new_id).cast("long").alias("doc_id"), "text"
+        )
+
+    b1 = base.filter(F.col("doc_id") < 30).unionByName(replica(3, 900003))
+    b2 = base.filter(F.col("doc_id") >= 30).unionByName(replica(7, 900007))
+    index_dir = scratch_dir(prefix="dedup_contract_idx_")
+    try:
+        p1 = incremental_neardup(spark, b1, index_dir, "doc_id", "text",
+                                 batch_id="c1")
+        p2 = incremental_neardup(spark, b2, index_dir, "doc_id", "text",
+                                 batch_id="c2")
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    found = (
+        p1.unionByName(p2)
+        .select(
+            F.least("new_id", "match_id").alias("id_a"),
+            F.greatest("new_id", "match_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    fp = b1.unionByName(b2).select(
+        F.col("doc_id").alias("id"), F.md5(normalized_text("text")).alias("fp")
+    )
+    fa, fb = fp.alias("fa"), fp.alias("fb")
+    exact_truth = fa.join(
+        fb,
+        (F.col("fa.fp") == F.col("fb.fp")) & (F.col("fa.id") < F.col("fb.id")),
+    ).select(F.col("fa.id").alias("id_a"), F.col("fb.id").alias("id_b"))
+    incr_ok = (
+        # completeness (no exact pair missed) AND non-vacuity (the two
+        # injected replicas guarantee >= 2 truth pairs — an empty truth
+        # set can never silently pass again)
+        exact_truth.join(found, ["id_a", "id_b"], "left_anti")
+        .agg(F.count("*").alias("v"))
+        .crossJoin(exact_truth.agg(F.count("*").alias("t")))
+        .select(
+            F.lit("incremental_exactdup").alias("contract"),
+            ((F.col("v") == 0) & (F.col("t") >= 2)).alias("ok"),
+        )
+    )
+    r = incr_ok.collect()[0]
+    return (r["contract"], r["ok"])
 
 
 @register(
