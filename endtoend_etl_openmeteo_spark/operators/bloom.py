@@ -70,14 +70,18 @@ def bloom_build(
     ``bit_or`` per word — the shuffle carries at most ``num_bits/64``
     rows of 16 bytes — then a one-row dense scatter.
     """
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
     n_words = num_bits // 64
     positions = F.array(
         *[F.expr(_pos_sql(col, s, num_bits)) for s in range(num_hashes)]
     )
+    # k hashes per reference row — CPU-bound, so a single-file reference
+    # table must not serialize the pass onto one core (CLAUDE.md rule)
     words = (
-        df.select(F.explode(positions).alias("__pos"))
+        cpu_parallelize(df).select(F.explode(positions).alias("__pos"))
         .select(
             F.shiftright(F.col("__pos"), 6).alias("__word_idx"),
             F.expr(_bit_sql("__pos")).alias("__bit"),

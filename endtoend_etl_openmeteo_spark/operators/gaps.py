@@ -19,6 +19,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _floor_to_utc_hour(bound: dt.datetime) -> dt.datetime:
+    """Normalize a (possibly tz-aware) bound to naive UTC, truncated to
+    the hour — THE bound convention shared by :func:`expected_hours` and
+    :func:`find_missing_hours`. One helper by design: the expected
+    series and the windowed fact filter must floor identically, or every
+    hour in the divergence window reads as missing and triggers a
+    spurious backfill. (strftime drops tzinfo, so formatting an aware
+    non-UTC datetime naively would shift the series vs the UTC facts.)"""
+    if bound.tzinfo is not None:
+        bound = bound.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return bound.replace(minute=0, second=0, microsecond=0)
+
+
 def expected_hours(
     keys: DataFrame, start: dt.datetime, end: dt.datetime, key_cols: list[str]
 ) -> DataFrame:
@@ -30,16 +43,8 @@ def expected_hours(
     the hour-truncated existing side; unaligned bounds would otherwise
     declare EVERY hour missing and trigger a full spurious backfill.
     """
-    # Normalize tz-aware bounds to UTC before formatting — strftime drops
-    # tzinfo, so a naive format of an aware non-UTC datetime would shift the
-    # whole expected series relative to the UTC-stored facts (spurious or
-    # missed gaps).
-    if start.tzinfo is not None:
-        start = start.astimezone(dt.timezone.utc).replace(tzinfo=None)
-    if end.tzinfo is not None:
-        end = end.astimezone(dt.timezone.utc).replace(tzinfo=None)
-    start = start.replace(minute=0, second=0, microsecond=0)
-    end = end.replace(minute=0, second=0, microsecond=0)
+    start = _floor_to_utc_hour(start)
+    end = _floor_to_utc_hour(end)
     series = F.sequence(
         F.lit(start.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"),
         F.lit(end.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"),
@@ -72,13 +77,8 @@ def find_missing_hours(
     # truncated column) keeps a last-week gap check from shuffling ten
     # years of history. +1h on the upper bound covers rows inside end's
     # hour-truncation bucket.
-    lo, hi = start, end
-    if lo.tzinfo is not None:  # same normalize-then-truncate order as
-        lo = lo.astimezone(dt.timezone.utc).replace(tzinfo=None)  # expected_hours
-    if hi.tzinfo is not None:
-        hi = hi.astimezone(dt.timezone.utc).replace(tzinfo=None)
-    lo = lo.replace(minute=0, second=0, microsecond=0)
-    hi = hi.replace(minute=0, second=0, microsecond=0) + dt.timedelta(hours=1)
+    lo = _floor_to_utc_hour(start)
+    hi = _floor_to_utc_hour(end) + dt.timedelta(hours=1)
     windowed = existing.filter(
         (F.col(ts_col) >= F.lit(lo.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"))
         & (F.col(ts_col) < F.lit(hi.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"))

@@ -42,6 +42,14 @@ def interval_join(
 
     Output: all point columns + all interval columns. ``chunk`` is the
     bucketing granularity: ``hour`` | ``day`` | ``week``.
+
+    Timezone contract: the chunk keys must be computed in a FIXED-OFFSET
+    session timezone (the engine pins UTC, session.py). ``date_trunc``
+    is wall-clock but ``sequence``'s INTERVAL step is fixed-duration, so
+    in a DST-observing zone the two sides' keys diverge across a
+    transition (a 23-hour day makes the interval side land on 01:00
+    while the point side truncates to 00:00) and matches are silently
+    dropped — correctness, not just values, depends on the UTC pin.
     """
     if chunk not in _CHUNKS:
         raise ValueError(f"chunk must be one of {sorted(_CHUNKS)}, got {chunk!r}")

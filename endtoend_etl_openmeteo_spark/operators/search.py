@@ -84,12 +84,14 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> tuple[int, float]:
     (the q_mad_outliers determinism pattern) so downstream score arithmetic
     is identical across engines — unrounded averages can differ by 1 ulp
     between float-sum orders and flip a rounded score at the boundary.
+    An empty (or all-NULL-text) corpus reads as avgdl 0.0, the _full_stats
+    convention — never a TypeError off the NULL average.
     """
     row = docs.agg(
         F.count("*").alias("n"),
         F.round(F.avg(F.size(_tokens(text_col))), 6).alias("avgdl"),
     ).first()
-    return int(row["n"]), float(row["avgdl"])
+    return int(row["n"]), 0.0 if row["avgdl"] is None else float(row["avgdl"])
 
 
 def bm25_topk(
@@ -162,12 +164,51 @@ def _stats_path(spark, index_path: str):
     return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+def _pending_path(spark, index_path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/_append_pending.json")
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _write_stats(spark, index_path: str, payload: dict) -> None:
+    """Commit the ``_stats.json`` sidecar via write-temp-then-replace:
+    the payload lands COMPLETE under a temp name before it becomes
+    ``_stats.json``, so a lease-free reader racing the update can never
+    observe a truncated or half-written sidecar (which the previous
+    in-place ``fs.create(overwrite=True)`` truncate-then-write exposed —
+    on local FS the file is 0 bytes between create and close). Readers
+    CAN race the delete+rename metadata pair and see a missing file for
+    an instant; :func:`read_index_stats` retries over that window."""
+    import json as _json
+    import uuid as _uuid
+
+    p, fs = _stats_path(spark, index_path)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{index_path}/._stats_tmp_{_uuid.uuid4().hex}"
+    )
+    out = fs.create(tmp, True)
+    try:
+        try:
+            out.write(_json.dumps(payload).encode("utf-8"))
+        finally:
+            out.close()
+    except Exception:
+        fs.delete(tmp, False)
+        raise
+    fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        fs.delete(tmp, False)
+        raise IOError(f"could not commit stats sidecar for {index_path}")
+
+
 def write_inverted_index(
     docs: DataFrame,
     index_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = N_TERM_BUCKETS,
+    lease: bool = True,
 ) -> tuple[int, float]:
     """Materialize the postings as a term-bucket-partitioned parquet table
     plus a ``_stats.json`` sidecar holding (n_docs, avgdl, n_buckets).
@@ -176,35 +217,56 @@ def write_inverted_index(
     whole buckets — without it every task appends a file into every
     bucket directory (tasks x buckets small files). Returns the corpus
     constants for convenience.
+
+    Rebuilds SERIALIZE with appends and compaction ticks: the build runs
+    under the index's maintenance lease like every other writer (a
+    rebuild racing an append would delete the append's fresh posting
+    files, and the append's stats merge would clobber the rebuilt
+    sidecar with stale totals). Because a whole-directory ``overwrite``
+    would delete the very lock that serializes us, prior layout is
+    cleared explicitly — data partitions and sidecars, never the lock —
+    and the postings land with mode append into the emptied directory.
+    A rebuild also clears a crashed append's ``_append_pending`` marker:
+    rebuilding is exactly the prescribed recovery.
     """
-    import json as _json
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import index_lease
 
     spark = docs.sparkSession
+    if lease:
+        with index_lease(spark, index_path, owner="build_bm25"):
+            return write_inverted_index(
+                docs, index_path, id_col, text_col, n_buckets, lease=False
+            )
     n_docs, avgdl, total_tokens, n_text_docs = _full_stats(docs, text_col)
     idx = inverted_index(docs, id_col, text_col).withColumn(
         "bkt", _term_bucket(F.col("term"), n_buckets)
     )
+    # clear prior layout under the lease (keep the lock marker itself)
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(root):
+        for status in fs.listStatus(root):
+            if status.getPath().getName() != "_maintenance.lock":
+                fs.delete(status.getPath(), True)
     idx.repartition(F.col("bkt")).write.partitionBy("bkt").mode(
-        "overwrite"
+        "append"
     ).parquet(index_path)
-    p, fs = _stats_path(spark, index_path)
-    out = fs.create(p, True)
-    out.write(
-        _json.dumps(
-            {
-                "n_docs": n_docs,
-                "avgdl": avgdl,
-                "n_buckets": n_buckets,
-                # exact integer totals so appends can re-derive avgdl with
-                # zero drift vs a full rebuild (ints merge exactly; the
-                # rounded double never compounds). n_text_docs is avgdl's
-                # denominator — NULL-text docs count in n_docs but not here.
-                "total_tokens": total_tokens,
-                "n_text_docs": n_text_docs,
-            }
-        ).encode("utf-8")
+    _write_stats(
+        spark,
+        index_path,
+        {
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "n_buckets": n_buckets,
+            # exact integer totals so appends can re-derive avgdl with
+            # zero drift vs a full rebuild (ints merge exactly; the
+            # rounded double never compounds). n_text_docs is avgdl's
+            # denominator — NULL-text docs count in n_docs but not here.
+            "total_tokens": total_tokens,
+            "n_text_docs": n_text_docs,
+        },
     )
-    out.close()
     return n_docs, avgdl
 
 
@@ -268,6 +330,16 @@ def append_inverted_index(
     racing a compaction tick's partition overwrite would lose its
     posting files. A losing writer gets LeaseConflictError and retries;
     ``lease=False`` only when the caller already holds it.
+
+    Crash contract: the postings append and the stats commit are two
+    steps — a crash between them leaves postings the stats don't count
+    (scores drift low) and a blind re-append would double-count the
+    batch. The window is DETECTED, not silent: an ``_append_pending``
+    marker brackets the sequence, the next writer refuses to proceed
+    over a leftover marker, and the prescribed recovery — a
+    :func:`write_inverted_index` rebuild — clears it. Exactly-once
+    ingestion belongs to the epoch-tag / ingest-log patterns; the
+    versioned table format is the transactional story.
     """
     import json as _json
 
@@ -279,6 +351,15 @@ def append_inverted_index(
             return append_inverted_index(
                 docs, index_path, id_col, text_col, lease=False
             )
+    pend, pfs = _pending_path(spark, index_path)
+    if pfs.exists(pend):
+        raise RuntimeError(
+            f"index {index_path} has a leftover _append_pending marker — a "
+            "previous append crashed between its postings write and its "
+            "stats commit, so the stored stats undercount the postings. "
+            "Rebuild once with write_inverted_index (re-appending the "
+            "crashed batch would double-count it)."
+        )
     stats = read_index_stats(spark, index_path)
     if "total_tokens" not in stats:
         raise ValueError(
@@ -290,6 +371,11 @@ def append_inverted_index(
     idx = inverted_index(docs, id_col, text_col).withColumn(
         "bkt", _term_bucket(F.col("term"), n_buckets)
     )
+    marker = pfs.create(pend, True)
+    try:
+        marker.write(_json.dumps({"b_docs": b_docs}).encode("utf-8"))
+    finally:
+        marker.close()
     idx.repartition(F.col("bkt")).write.partitionBy("bkt").mode(
         "append"
     ).parquet(index_path)
@@ -308,44 +394,62 @@ def append_inverted_index(
     avgdl = (
         _rounded_avgdl(spark, total_tokens, n_text_docs) if n_text_docs else 0.0
     )
-    p, fs = _stats_path(spark, index_path)
-    out = fs.create(p, True)
-    out.write(
-        _json.dumps(
-            {
-                "n_docs": n_docs,
-                "avgdl": avgdl,
-                "n_buckets": n_buckets,
-                "total_tokens": total_tokens,
-                "n_text_docs": n_text_docs,
-            }
-        ).encode("utf-8")
+    _write_stats(
+        spark,
+        index_path,
+        {
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "n_buckets": n_buckets,
+            "total_tokens": total_tokens,
+            "n_text_docs": n_text_docs,
+        },
     )
-    out.close()
+    pfs.delete(pend, False)  # stats committed — the append is whole
     return n_docs, avgdl
 
 
 def read_index_stats(spark, index_path: str) -> dict:
+    """The ``_stats.json`` sidecar. Lease-free readers can race a
+    writer's delete+rename commit (:func:`_write_stats`) and find the
+    file momentarily absent — bounded retries cover that instant; a
+    payload, once visible, is always complete."""
     import json as _json
+    import time as _time
 
     p, fs = _stats_path(spark, index_path)
-    stream = fs.open(p)
-    try:
-        data = bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
-    finally:
-        stream.close()
-    return _json.loads(data.decode("utf-8"))
+    last: Exception | None = None
+    for attempt in range(3):
+        try:
+            stream = fs.open(p)
+            try:
+                data = bytes(
+                    spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            return _json.loads(data.decode("utf-8"))
+        except Exception as e:
+            last = e
+            _time.sleep(0.05 * (attempt + 1))
+    raise last
 
 
-def stored_postings(spark, index_path: str, terms: Sequence[str]) -> DataFrame:
+def stored_postings(
+    spark,
+    index_path: str,
+    terms: Sequence[str],
+    n_buckets: int | None = None,
+) -> DataFrame:
     """Bucket-pruned scan of a stored index for one query's terms: the
     partition filter on ``bkt`` skips every non-matching bucket directory
     before any data file is opened; the ``term IN`` residual is pushed to
-    parquet and dictionary-filters the surviving row groups."""
-    stats = read_index_stats(spark, index_path)
-    bkts = _query_term_buckets(spark, terms, stats["n_buckets"])
+    parquet and dictionary-filters the surviving row groups. Callers that
+    already read the sidecar pass ``n_buckets`` so the serving hot path
+    opens it once, not twice."""
+    if n_buckets is None:
+        n_buckets = read_index_stats(spark, index_path)["n_buckets"]
+    bkts = _query_term_buckets(spark, terms, n_buckets)
     return spark.read.parquet(index_path).filter(
         F.col("bkt").isin(bkts) & F.col("term").isin(list(terms))
     )
@@ -361,10 +465,11 @@ def stored_bm25_topk(
 ) -> DataFrame:
     """BM25 top-k served from a stored index — the production shape:
     build once (:func:`write_inverted_index`), answer many queries, each
-    touching only its terms' bucket partitions."""
+    touching only its terms' bucket partitions. The sidecar is read ONCE
+    per query and feeds both the bucket prune and the score constants."""
     stats = read_index_stats(spark, index_path)
     return bm25_topk(
-        stored_postings(spark, index_path, terms),
+        stored_postings(spark, index_path, terms, n_buckets=stats["n_buckets"]),
         terms,
         stats["n_docs"],
         stats["avgdl"],

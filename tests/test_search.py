@@ -282,3 +282,81 @@ def test_compact_inverted_index_bounds_files_and_preserves_serving(spark, tmp_pa
         tuple(r) for r in stored_bm25_topk(spark, path, TERMS, k=20).collect()
     )
     assert served_after == served_before and len(served_after) >= 5
+
+
+def test_corpus_stats_empty_and_null_text_corpora(spark):
+    """An empty corpus or one where every text is NULL must read as
+    avgdl 0.0 (the _full_stats convention), never a TypeError off the
+    NULL average."""
+    empty = _corpus(spark).filter("doc_id < 0")
+    assert corpus_stats(empty) == (0, 0.0)
+    nulls = spark.createDataFrame([(1, None), (2, None)], "doc_id long, text string")
+    assert corpus_stats(nulls) == (2, 0.0)
+
+
+def test_append_refuses_leftover_pending_marker_and_rebuild_clears_it(
+    spark, tmp_path
+):
+    """Crash detection (not silence): a leftover _append_pending marker
+    means a prior append died between its postings write and its stats
+    commit — the next append must refuse (re-appending would
+    double-count), and the prescribed write_inverted_index rebuild must
+    clear the marker and restore exact serving."""
+    import json
+    from pathlib import Path
+
+    import pytest
+
+    from endtoend_etl_openmeteo_spark.operators.search import (
+        append_inverted_index,
+        read_index_stats,
+        stored_bm25_topk,
+        write_inverted_index,
+    )
+
+    path = str(tmp_path / "bm25")
+    write_inverted_index(_corpus(spark), path, n_buckets=4)
+    # simulate the crash window
+    (Path(path) / "_append_pending.json").write_text(json.dumps({"b_docs": 1}))
+    batch = spark.createDataFrame([(9, "spark stream")], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="_append_pending"):
+        append_inverted_index(batch, path)
+    # rebuild = recovery: marker gone, appends work again, marker cleaned
+    write_inverted_index(_corpus(spark), path, n_buckets=4)
+    assert not (Path(path) / "_append_pending.json").exists()
+    append_inverted_index(batch, path)
+    assert not (Path(path) / "_append_pending.json").exists()
+    assert read_index_stats(spark, path)["n_docs"] == 5
+    got = {r["doc_id"] for r in stored_bm25_topk(spark, path, ("spark",), k=5).collect()}
+    assert got == {1, 2, 9}
+
+
+def test_rebuild_takes_lease_and_replaces_layout_exactly(spark, tmp_path):
+    """write_inverted_index serializes with other writers (a rebuild
+    racing an append would delete its fresh postings) and must fully
+    replace the prior layout — including stale postings written under a
+    different bucket count — while the lock itself survives the clear."""
+    import pytest
+
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        LeaseConflictError,
+        index_lease,
+    )
+    from endtoend_etl_openmeteo_spark.operators.search import (
+        read_index_stats,
+        stored_bm25_topk,
+        write_inverted_index,
+    )
+
+    path = str(tmp_path / "bm25")
+    write_inverted_index(_corpus(spark), path, n_buckets=8)
+    with index_lease(spark, path, owner="other"):
+        with pytest.raises(LeaseConflictError):
+            write_inverted_index(_corpus(spark), path, n_buckets=4)
+    # rebuild with a DIFFERENT bucket count: stale bkt= dirs must not survive
+    smaller = _corpus(spark).filter("doc_id <= 2")
+    write_inverted_index(smaller, path, n_buckets=4)
+    stats = read_index_stats(spark, path)
+    assert stats["n_docs"] == 2 and stats["n_buckets"] == 4
+    got = {r["doc_id"] for r in stored_bm25_topk(spark, path, ("spark",), k=5).collect()}
+    assert got == {1, 2}
