@@ -25,7 +25,17 @@ MEASURES = ("temperature_2m", "precipitation", "wind_speed_10m")
 
 def _zip_hourly(policy: str) -> Column:
     time_arr = F.col("hourly.time")
-    measures = [F.col(f"hourly.{m}") for m in MEASURES]
+    # A NULL measure array (payload missing the key entirely) reads as
+    # EMPTY, not as poison: arrays_zip returns NULL when ANY input is
+    # NULL, which would silently vanish the whole payload under both
+    # policies — nullpad must emit every hour with null measures (the
+    # reference pads missing values with None) and truncate must
+    # truncate to the shortest array, which an absent one makes 0. A
+    # NULL time array still drops the payload (no spine to explode —
+    # the F4 empty-input guard).
+    measures = [
+        F.coalesce(F.col(f"hourly.{m}"), F.array()) for m in MEASURES
+    ]
     if policy == "nullpad":
         arrays = [time_arr] + measures
     elif policy == "truncate":

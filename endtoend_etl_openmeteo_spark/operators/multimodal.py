@@ -248,6 +248,12 @@ def parse_mp3_header(
             | (payload[9] & 0x7F)
         )
         pos = 10 + size
+        if payload[5] & 0x10:
+            # ID3v2.4 footer flag: a 10-byte '3DI' footer follows the tag
+            # body and is NOT counted in the syncsafe size — without the
+            # skip the frame-sync check lands on the footer and a valid
+            # file reads as not-an-MP3
+            pos += 10
     if pos + 4 > len(payload):
         return None
     h = payload[pos:pos + 4]
@@ -342,14 +348,19 @@ def _mp4_boxes(payload: bytes, start: int, end: int):
         (size,) = struct.unpack(">I", payload[pos:pos + 4])
         btype = payload[pos + 4:pos + 8]
         body = pos + 8
+        min_size = 8
         if size == 1:
             if pos + 16 > end:
                 return
             (size,) = struct.unpack(">Q", payload[pos + 8:pos + 16])
             body = pos + 16
+            # the largesize form occupies 16 header bytes — a declared
+            # size in [8, 16) would put the body start past the box end
+            # and advance the walk into the middle of the largesize field
+            min_size = 16
         elif size == 0:
             size = end - pos
-        if size < 8 or pos + size > end:
+        if size < min_size or pos + size > end:
             return  # truncated/corrupt — stop walking
         yield btype, body, pos + size
         pos += size

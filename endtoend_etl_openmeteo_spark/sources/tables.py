@@ -60,6 +60,24 @@ _TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that latches ``spark.sql.legacy.parquet.nanosAsLong``
+    ONLY when the file actually carries TIMESTAMP(NANOS) (the read fails
+    schema conversion without the conf). The latch is one-way and
+    session-wide — Spark consults it at scan planning, so flipping it
+    back under lazily-executed frames would be unsafe — but a session
+    that never touches the NANOS testdata generation now keeps the
+    default, instead of every other parquet read in the session silently
+    decoding nanos timestamp columns as longs."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
+            raise  # the conf wasn't the problem
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table at the given scale-factor directory.
 
@@ -70,8 +88,7 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name in _TS_COLS:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_parquet_nanos_safe(spark, f"{sf_dir}/{name}.parquet")
         if name == "events":
             return _normalize_events_ts(df)
         for col in _TS_COLS[name]:
@@ -89,29 +106,43 @@ def events_between(spark: SparkSession, sf_dir: str, start_iso: str, end_iso: st
     parquet reader — at 100 TB that's a full scan. This helper filters the
     RAW column with literals of the column's own physical type (pushed into
     row-group stats) and converts afterwards.
+
+    Bound strings parse ONCE driver-side with a single convention shared
+    by all three encodings: explicit UTC offsets are honored, naive
+    strings mean UTC wall clock (the session pin), fractional seconds
+    survive at µs precision. Per-branch string handling previously let
+    the NANOS path shift offset-bearing bounds and truncate fractions
+    while the µs paths did not — same call, different rows per encoding.
     """
     import datetime as dt
 
-    def ns(iso: str) -> int:
-        d = dt.datetime.fromisoformat(iso).replace(tzinfo=dt.timezone.utc)
-        return int(d.timestamp()) * 1_000_000_000
+    def utc_naive(iso: str) -> dt.datetime:
+        d = dt.datetime.fromisoformat(iso)
+        if d.tzinfo is not None:
+            d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return d
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    def ns(d: dt.datetime) -> int:
+        # exact integer arithmetic — ns epochs exceed double's 2^53 range
+        delta = d - dt.datetime(1970, 1, 1)
+        return (delta.days * 86_400 + delta.seconds) * 10**9 + delta.microseconds * 1_000
+
+    lo, hi = utc_naive(start_iso), utc_naive(end_iso)
+    raw = _read_parquet_nanos_safe(spark, f"{sf_dir}/events.parquet")
     raw_type = raw.schema["ts"].dataType
     if isinstance(raw_type, T.LongType):
         return raw.filter(
-            (F.col("ts") >= F.lit(ns(start_iso))) & (F.col("ts") < F.lit(ns(end_iso)))
+            (F.col("ts") >= F.lit(ns(lo))) & (F.col("ts") < F.lit(ns(hi)))
         ).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if isinstance(raw_type, T.TimestampNTZType):
         # Filter the NTZ column against NTZ literals (session tz pinned UTC
         # makes the wall-clock literal the right instant) so the predicate
         # pushes into the parquet scan, THEN cast to LTZ.
         return raw.filter(
-            (F.col("ts") >= F.lit(start_iso).cast("timestamp_ntz"))
-            & (F.col("ts") < F.lit(end_iso).cast("timestamp_ntz"))
+            (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
         ).withColumn("ts", F.col("ts").cast("timestamp"))
     return raw.filter(
-        (F.col("ts") >= F.lit(start_iso).cast("timestamp"))
-        & (F.col("ts") < F.lit(end_iso).cast("timestamp"))
+        (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("ts") < F.lit(hi).cast("timestamp"))
     )

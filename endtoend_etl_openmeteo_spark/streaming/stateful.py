@@ -25,6 +25,37 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, max_value double"
 STATE_SCHEMA = "n long, s double, m double"
 
+#: State-side stand-in for "no non-null value seen yet". It never reaches
+#: the output: _emit maps it to a true NULL max_value (SQL aggregate
+#: semantics — sum/max skip NULLs, count(*) doesn't), where the raw
+#: sentinel used to leak as max_value = -Infinity for all-NULL keys.
+_NO_MAX = float("-inf")
+
+
+def _fold(n: int, s: float, m: float, batches: Iterator[pd.DataFrame]):
+    """NULL-aware fold: n counts ROWS (the event count), sum/max skip
+    NULL values — the SQL aggregate convention."""
+    for pdf in batches:
+        n += len(pdf)
+        vals = pdf["value"].dropna()
+        if len(vals):
+            s += float(vals.sum())
+            m = max(m, float(vals.max()))
+    return n, s, m
+
+
+def _emit(key, n: int, s: float, m: float, **extra) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [s],
+            # nullable Float64 so the sentinel becomes a true SQL NULL
+            "max_value": pd.array([None if m == _NO_MAX else m], dtype="Float64"),
+            **{k: [v] for k, v in extra.items()},
+        }
+    )
+
 
 def _update_running(
     key: tuple[Any, ...],
@@ -33,19 +64,10 @@ def _update_running(
 ) -> Iterator[pd.DataFrame]:
     """Fold each micro-batch's rows for this key into persistent state and
     emit the updated running aggregate."""
-    if state.exists:
-        n, s, m = state.get
-    else:
-        n, s, m = 0, 0.0, float("-inf")
-    for pdf in batches:
-        n += len(pdf)
-        s += float(pdf["value"].sum())
-        if len(pdf):
-            m = max(m, float(pdf["value"].max()))
+    n, s, m = state.get if state.exists else (0, 0.0, _NO_MAX)
+    n, s, m = _fold(n, s, m, batches)
     state.update((n, s, m))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "max_value": [m]}
-    )
+    yield _emit(key, n, s, m)
 
 
 EVICT_OUTPUT_SCHEMA = (
@@ -63,33 +85,13 @@ def _make_evicting_update(timeout_ms: int):
             # Idle key: emit the final row flagged as evicted, free the state.
             n, s, m = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "sum_value": [s],
-                    "max_value": [m],
-                    "evicted": [True],
-                }
-            )
+            yield _emit(key, n, s, m, evicted=True)
             return
-        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
-        for pdf in batches:
-            n += len(pdf)
-            s += float(pdf["value"].sum())
-            if len(pdf):
-                m = max(m, float(pdf["value"].max()))
+        n, s, m = state.get if state.exists else (0, 0.0, _NO_MAX)
+        n, s, m = _fold(n, s, m, batches)
         state.update((n, s, m))
         state.setTimeoutDuration(timeout_ms)
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "sum_value": [s],
-                "max_value": [m],
-                "evicted": [False],
-            }
-        )
+        yield _emit(key, n, s, m, evicted=False)
 
     return update
 

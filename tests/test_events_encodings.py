@@ -118,3 +118,36 @@ def test_events_between_filters_and_pushes_down(spark, encoded_dirs, encoding):
         encoding,
         data_filters,
     )
+
+
+def test_events_between_offset_and_fractional_bounds_consistent(spark, encoded_dirs):
+    """Bound-string parsing is ONE convention across all three physical
+    encodings: explicit UTC offsets are honored and fractional seconds
+    survive at µs precision. The NANOS path previously reinterpreted an
+    offset-bearing bound as UTC wall clock (a shifted window) and
+    truncated fractions — same call, different rows per encoding."""
+    # 14:30+02:00 == 12:30Z (event 2's exact instant, >= includes it);
+    # 07:00+01:00 == 06:00Z (event 4's instant, < excludes it)
+    for enc in ENCODINGS:
+        got = sorted(
+            r["event_id"]
+            for r in events_between(
+                spark,
+                encoded_dirs[enc],
+                "2024-01-05T14:30:00+02:00",
+                "2024-01-15T07:00:00+01:00",
+            ).collect()
+        )
+        assert got == [2, 3], enc
+    # a 1µs-past-the-instant fractional start excludes event 2 everywhere
+    for enc in ENCODINGS:
+        got = sorted(
+            r["event_id"]
+            for r in events_between(
+                spark,
+                encoded_dirs[enc],
+                "2024-01-05T12:30:00.000001",
+                "2024-01-16T00:00:00",
+            ).collect()
+        )
+        assert got == [3, 4], enc

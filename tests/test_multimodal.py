@@ -590,3 +590,40 @@ def test_parse_mp4_truncated_boxes_degrade_gracefully():
     # declared size overruns the payload: treated as corrupt, no moov found
     bad = ftyp + (1 << 20).to_bytes(4, "big") + b"moov"
     assert parse_mp4_header(bad) is None
+
+
+def test_mp3_id3v24_footer_flag_skipped():
+    """An ID3v2.4 tag carrying the footer flag (byte 5 bit 0x10) appends
+    a 10-byte '3DI' footer NOT counted in the syncsafe size — the frame
+    sync must be sought past it, or a valid CBR file reads as None."""
+    from endtoend_etl_openmeteo_spark.operators.multimodal import parse_mp3_header
+
+    frame = bytes([0xFF, 0xFA, 0x90, 0x00]) + b"\x00" * 412  # 128kbps 44.1kHz
+    body = b"\x00" * 30
+    def id3(flags: int, extra: bytes) -> bytes:
+        return (
+            b"ID3" + bytes([4, 0, flags])
+            + bytes([0, 0, len(body) >> 7 & 0x7F, len(body) & 0x7F])
+            + body + extra
+        )
+    plain = id3(0x00, b"") + frame
+    footer = id3(0x10, b"3DI" + bytes([4, 0, 0x10, 0, 0, 0, 30])) + frame
+    assert parse_mp3_header(plain) == parse_mp3_header(footer)
+    assert parse_mp3_header(footer) is not None
+    rate, channels, _dur = parse_mp3_header(footer)
+    assert rate == 44100 and channels == 2
+
+
+def test_mp4_largesize_smaller_than_header_stops_walk():
+    """A size==1 (largesize) box whose 64-bit size is under its own
+    16-byte header must stop the box walk (corrupt), not yield a body
+    past the box end and desync into the largesize bytes."""
+    import struct
+
+    from endtoend_etl_openmeteo_spark.operators.multimodal import _mp4_boxes
+
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    bad = struct.pack(">I", 1) + b"free" + struct.pack(">Q", 10) + b"\x00" * 8
+    payload = ftyp + bad
+    boxes = list(_mp4_boxes(payload, 0, len(payload)))
+    assert [b[0] for b in boxes] == [b"ftyp"]  # walk stops at the corrupt box

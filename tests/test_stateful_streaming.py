@@ -205,3 +205,28 @@ def test_idle_key_eviction_emits_final_row_and_frees_state(spark, workdir):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+def test_all_null_values_emit_null_max_not_neg_infinity():
+    """A key whose value column is all-NULL must emit max_value = NULL
+    (SQL aggregate semantics: sum/max skip NULLs, the row count doesn't)
+    — the -inf state sentinel must never leak into the output."""
+    import pandas as pd
+
+    from endtoend_etl_openmeteo_spark.streaming.stateful import (
+        _NO_MAX,
+        _emit,
+        _fold,
+    )
+
+    nulls = pd.DataFrame({"value": [None, None]}, dtype="float64")
+    n, s, m = _fold(0, 0.0, _NO_MAX, iter([nulls]))
+    assert (n, s, m) == (2, 0.0, _NO_MAX)
+    out = _emit((1,), n, s, m, evicted=False)
+    assert out["n_events"][0] == 2 and out["sum_value"][0] == 0.0
+    assert pd.isna(out["max_value"][0])
+    # mixed batch: NULLs skipped, real values aggregate
+    mixed = pd.DataFrame({"value": [None, 3.0, 1.0]}, dtype="float64")
+    n, s, m = _fold(n, s, m, iter([mixed]))
+    assert (n, s, m) == (5, 4.0, 3.0)
+    assert _emit((1,), n, s, m)["max_value"][0] == 3.0

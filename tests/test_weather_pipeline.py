@@ -406,3 +406,42 @@ def test_merge_preserves_null_partition_rows(spark, tmp_path):
     )
     rows = {r.k: (r.p, r.v) for r in spark.read.parquet(path).collect()}
     assert rows == {1: (None, "keepme"), 2: ("x", "other"), 3: (None, "new")}
+
+
+def test_unzip_null_measure_array_is_padded_not_dropped(spark):
+    """A payload MISSING a measure key entirely (hourly.precipitation is
+    NULL, not short) must not vanish: arrays_zip returns NULL when any
+    input array is NULL, which silently dropped every hour of the
+    payload under both policies. nullpad emits every hour with null
+    measures (the reference pads missing values with None); truncate
+    truncates to the shortest array, which an absent one makes 0; a
+    NULL TIME array still drops the payload (no spine — the F4 guard).
+    The GE flattener inherits the nullpad behavior so the DQ gate SEES
+    the malformed payload instead of never receiving its rows."""
+    from endtoend_etl_openmeteo_spark.operators.explode import (
+        flatten_validation_records,
+    )
+
+    raw = _bronze_df(
+        spark,
+        [
+            _payload(
+                "Warsaw", "2025-10-01", "00",
+                ["2025-10-01T00:00", "2025-10-01T01:00"],
+                [1.0, 2.0], None, [7.0, 8.0],
+            ),
+            _payload("Paris", "2025-10-01", "00", None, [1.0], [0.1], [2.0]),
+        ],
+    )
+    at = F.lit("2025-10-01 03:00:00").cast("timestamp")
+    padded = unzip_hourly(raw, policy="nullpad", ingested_at=at).orderBy("timestamp")
+    rows = padded.collect()
+    assert len(rows) == 2  # Warsaw's two hours survive; Paris (null time) drops
+    assert all(r.city == "Warsaw" for r in rows)
+    assert [r.precipitation for r in rows] == [None, None]
+    assert [r.temperature_2m for r in rows] == [1.0, 2.0]
+    # truncate: shortest array is the absent one -> 0 rows, not a crash
+    assert unzip_hourly(raw, policy="truncate", ingested_at=at).count() == 0
+    # the validation flattener sees the malformed payload's hours too
+    val = flatten_validation_records(raw).collect()
+    assert len(val) == 2 and all(v.precipitation is None for v in val)
