@@ -103,8 +103,24 @@ def cpu_parallelize(df: DataFrame) -> DataFrame:
     At warehouse scale inputs span many files and this is a near-no-op
     (AQE coalesces right back); on small inputs it is the difference
     between 1 and N cores.
+
+    The partition-count probe (``df.rdd.getNumPartitions``) runs ONLY for
+    narrow scan-shaped frames: on a frame with exchanges upstream (join /
+    aggregate / window / distinct), AQE materializes every upstream
+    query stage just to answer the probe, and the later ``repartition``
+    re-executes the same work — the whole pipeline would run twice. Wide
+    frames are post-shuffle anyway (AQE sizes them), so they pass
+    through untouched.
     """
+    import re
+
     target = df.sparkSession.sparkContext.defaultParallelism
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    if re.search(
+        r"\b(Join|Aggregate|Window|Sort|Distinct|Repartition|Deduplicate)\b",
+        analyzed,
+    ):
+        return df  # post-shuffle width — probing would execute the plan
     if df.rdd.getNumPartitions() >= target:
         return df  # already parallel enough — never force a down-shuffle
     return df.repartition(target)
@@ -135,7 +151,20 @@ def minhash_signature(shingle_col: Column, n_hashes: int = 32) -> Column:
 def minhash_bands(sig_col: Column, n_hashes: int, bands: int) -> Column:
     """(band, bucket) structs for a signature: hash each of ``bands``
     contiguous signature slices. Shared by the batch pair-finder and the
-    incremental index so buckets stay compatible across both paths."""
+    incremental index so buckets stay compatible across both paths.
+
+    ``bands`` must divide ``n_hashes``: a non-divisor would silently
+    ignore the trailing signature values (weakening recall below the
+    configured n_hashes with no warning), and bands > n_hashes would
+    build a zero-argument F.hash that fails analysis with an opaque
+    error — both are caller bugs named at the API boundary instead."""
+    if not 1 <= bands <= n_hashes or n_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must be in [1, n_hashes] and divide "
+            f"n_hashes={n_hashes} (a non-divisor silently drops the "
+            f"trailing {n_hashes % bands if bands else n_hashes} signature "
+            "values from every bucket)"
+        )
     rows_per_band = n_hashes // bands
     return F.array(
         *[
@@ -246,14 +275,20 @@ def ngram_jaccard_pairs(
     jac = F.size(F.array_intersect("a.toks", "b.toks")) / F.size(
         F.array_union("a.toks", "b.toks")
     )
+    # threshold on the UNROUNDED value, round only the emitted column —
+    # the DuckDB oracle (plans/text.py q_ngram_jaccard) and sibling
+    # minhash_lsh_pairs both order it this way; filtering the rounded
+    # value would admit pairs in [threshold - 5e-7, threshold) that the
+    # oracle rejects
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
+            jac.alias("__jac"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("__jac") >= threshold)
+        .select("id_a", "id_b", F.round("__jac", 6).alias("jaccard"))
     )
 
 
@@ -307,8 +342,12 @@ def simhash64(
     return (
         cpu_parallelize(df.select(id_col, text_col))
         .select(F.col(id_col).alias("id"), toks_arr.alias("__toks"))
-        # empty documents have no tokens → no fingerprint (matching the
-        # row-per-token formulation, where they vanish at the explode)
+        # NULL-text rows vanish (split(NULL) is NULL, size(NULL) fails
+        # the guard). An EMPTY/whitespace-only document does NOT vanish:
+        # split('') is [''], so it fingerprints hash('') — exactly what
+        # the DuckDB oracle computes (string_split('',' ') is also ['']),
+        # and the cross-engine parity of q_simhash depends on both sides
+        # agreeing on that convention.
         .filter(F.size("__toks") > 0)
         .select("id", fp.alias("simhash"))
     )
@@ -582,10 +621,17 @@ def compact_dedup_index(
     directory per batch forever, and ``_sibling_batch_paths``' listing
     plus every cross-batch anti-join degrade linearly in batch count.
 
-    The ``keep_last`` most recent REAL batch dirs (by name — callers use
-    sortable batch ids; segments are ranked oldest regardless of name)
-    survive untouched, so the rerun-idempotency of the batch-stamped
-    overwrite holds for exactly that in-flight window. Rerunning a batch
+    The ``keep_last`` most recent REAL batch dirs survive untouched, so
+    the rerun-idempotency of the batch-stamped overwrite holds for
+    exactly that in-flight window. Recency is the newest FILE mtime
+    inside each dir, NEVER the name: the streaming ingest stamps batch
+    ids ``{run_id}-{epoch}`` with unpadded epoch numbers, so name order
+    is unrelated to recency ('-10' sorts before '-2') — ranking by name
+    would consolidate the NEWEST epochs while protecting stale ones,
+    and a replay of a just-consolidated epoch would then quarantine its
+    own canonical keeper (its rows read as prior-index matches). File
+    mtimes, never directory statuses (synthetic on object stores — the
+    vt_vacuum lesson); a file-less dir ranks oldest. Rerunning a batch
     that was ALREADY consolidated is out of contract: the segment still
     holds the batch's rows, so the rerun sees them as prior-batch
     matches and emits extra (.., match_is_new=False) pair orientations —
@@ -606,20 +652,41 @@ def compact_dedup_index(
         for status in fs.listStatus(root)
         if status.isDirectory() and status.getPath().getName().startswith("batch=")
     )
-    # segments rank OLDEST no matter how their name sorts against real
-    # batch ids ('__seg_' sorts after digit-leading ids — ranking by raw
-    # name would protect segments and consolidate the newest batches)
+
+    def newest_file_mtime(dirname: str) -> int:
+        it = fs.listFiles(
+            jvm.org.apache.hadoop.fs.Path(f"{index_path}/{dirname}"), True
+        )
+        newest = -1
+        while it.hasNext():
+            newest = max(newest, it.next().getModificationTime())
+        return newest
+
+    # segments rank OLDEST no matter how their mtime sorts (a fresh
+    # segment is newly-written but holds the OLDEST rows); real dirs
+    # rank by newest FILE mtime — see the docstring's recency contract
     segs = [d for d in batch_dirs if d.startswith("batch=__seg_")]
-    real = [d for d in batch_dirs if not d.startswith("batch=__seg_")]
+    real = sorted(
+        (d for d in batch_dirs if not d.startswith("batch=__seg_")),
+        key=lambda d: (newest_file_mtime(d), d),
+    )
     doomed = segs + (real[:-keep_last] if keep_last > 0 else real)
     if len(doomed) < 2:  # nothing to consolidate into fewer dirs
         return {"batches_merged": 0, "rows_merged": 0}
+    # file-less dirs (a crashed batch that created its directory but
+    # committed nothing) hold no rows: they are deleted but never fed to
+    # the read, which would fail schema inference on an all-empty list
+    readable = [d for d in doomed if newest_file_mtime(d) != -1]
+    if not readable:
+        for d in doomed:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_path}/{d}"), True)
+        return {"batches_merged": len(doomed), "rows_merged": 0}
     seg_n = 1 + max(
         (int(d.rsplit("_", 1)[-1]) for d in segs),
         default=-1,
     )
     seg = f"{index_path}/batch=__seg_{seg_n:06d}"
-    merged = spark.read.parquet(*[f"{index_path}/{d}" for d in doomed])
+    merged = spark.read.parquet(*[f"{index_path}/{d}" for d in readable])
     # signatures are deterministic per doc id, so id-dedup at merge time
     # folds any duplicates a crashed earlier tick (segment written, source
     # dirs not yet deleted) or a rerun-after-consolidation left behind —

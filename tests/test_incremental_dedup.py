@@ -322,3 +322,103 @@ def test_compact_dedup_index_ranks_segments_oldest_for_numeric_ids(spark, index_
     compact_dedup_index(spark, index_path, keep_last=2)
     assert dirs() == ["batch=20260805", "batch=20260806", "batch=__seg_000001"]
     assert spark.read.parquet(index_path).count() == 12
+
+
+def test_compact_dedup_index_keeps_newest_batches_by_mtime_not_name(
+    spark, index_path
+):
+    """The streaming ingest stamps batch ids '{run_id}-{epoch}' with
+    UNPADDED epoch numbers, so name order is unrelated to recency
+    ('-10' sorts before '-2'). The keep_last window must protect the
+    most recently WRITTEN dirs — ranking by name would consolidate the
+    newest epochs (whose replay would then quarantine its own canonical
+    keeper) while protecting stale ones."""
+    import os
+    import time
+
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        compact_dedup_index,
+        incremental_exact_dedup,
+    )
+
+    def batch(n):
+        return _docs(spark, [(n * 10 + j, f"mtime batch {n} doc {j}")
+                             for j in range(2)])
+
+    # epochs 8..11 in WRITE order: names 'R-10','R-11' sort before 'R-8'
+    for i, epoch in enumerate((8, 9, 10, 11)):
+        incremental_exact_dedup(spark, batch(epoch), index_path, "doc_id",
+                                "text", batch_id=f"R-{epoch}")
+        # pin strictly increasing file mtimes regardless of FS resolution
+        t = time.time() + i * 10
+        d = Path(index_path) / f"batch=R-{epoch}"
+        for p in d.iterdir():
+            os.utime(p, (t, t))
+    compact_dedup_index(spark, index_path, keep_last=2)
+    dirs = sorted(p.name for p in Path(index_path).iterdir()
+                  if p.name.startswith("batch="))
+    # the two most recently WRITTEN epochs survive — 10 and 11, which
+    # name-ranking would have doomed
+    assert dirs == ["batch=R-10", "batch=R-11", "batch=__seg_000000"]
+    assert spark.read.parquet(index_path).count() == 8
+
+
+def test_compact_dedup_index_skips_fileless_dirs_in_merge_read(
+    spark, index_path
+):
+    """A crashed batch that created its directory but committed no file
+    is garbage-collected by the tick, never fed to the merge read."""
+    from endtoend_etl_openmeteo_spark.operators.dedup import (
+        compact_dedup_index,
+        incremental_exact_dedup,
+    )
+
+    incremental_exact_dedup(
+        spark,
+        _docs(spark, [(1, "alpha doc"), (2, "beta doc")]),
+        index_path, "doc_id", "text", batch_id="b1",
+    )
+    (Path(index_path) / "batch=dead-1").mkdir()
+    (Path(index_path) / "batch=dead-2").mkdir()
+    res = compact_dedup_index(spark, index_path, keep_last=0)
+    assert res["batches_merged"] == 3 and res["rows_merged"] == 2
+    dirs = sorted(p.name for p in Path(index_path).iterdir()
+                  if p.name.startswith("batch="))
+    assert dirs == ["batch=__seg_000000"]
+
+
+def test_minhash_bands_validates_divisibility():
+    """bands must divide n_hashes and lie in [1, n_hashes]: a non-divisor
+    silently weakened recall (trailing signature values ignored), an
+    oversized bands built a zero-argument hash failing analysis."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.dedup import minhash_bands
+
+    with pytest.raises(ValueError, match="divide"):
+        minhash_bands(F.col("sig"), n_hashes=32, bands=5)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_bands(F.col("sig"), n_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_bands(F.col("sig"), n_hashes=32, bands=0)
+    minhash_bands(F.col("sig"), n_hashes=32, bands=8)  # divisor: fine
+
+
+def test_ngram_jaccard_thresholds_unrounded_value(spark):
+    """The threshold applies to the UNROUNDED jaccard (the DuckDB
+    oracle's ordering): a pair at 2/3 = 0.666666... with threshold
+    0.66666669 must be excluded even though the ROUNDED value (0.666667)
+    clears the threshold."""
+    from endtoend_etl_openmeteo_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "x y z", "en"), (2, "x y", "en")],
+        "doc_id long, text string, lang string",
+    )
+    over = ngram_jaccard_pairs(docs, "doc_id", "text", "lang",
+                               threshold=0.66666669)
+    assert over.count() == 0
+    under = ngram_jaccard_pairs(docs, "doc_id", "text", "lang",
+                                threshold=0.6666666)
+    assert [tuple(r) for r in under.collect()] == [(1, 2, 0.666667)]
