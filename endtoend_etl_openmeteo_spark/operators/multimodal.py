@@ -429,6 +429,89 @@ def _fake_embedding(digest: bytes, dim: int = 8) -> list[float]:
     return out
 
 
+def _decode_media(
+    df: DataFrame,
+    decode,
+    kind: str,
+    schema: str,
+    feature_cols: tuple[str, ...],
+    real_parse,
+    real_seam_msg: str,
+    fake_features,
+) -> DataFrame:
+    """ONE decode scaffold for all three media kinds — arg validation,
+    payload digest, callable/real/fake branching, n_bytes/sha256
+    assembly, cpu_parallelize + mapInPandas wiring. The kinds differ
+    only in their header-parser chain (``real_parse``: bytes ->
+    len(feature_cols)-tuple or None), the metadata passthrough
+    (``fake_features``: pdf -> {col: Series}), and the feature column
+    list; one scaffold means the null-payload tuple arity, the seam
+    error discipline, and the digest conventions can never drift
+    between kinds (they had already drifted once). Callable codecs
+    return (*feature_cols, embedding | None)."""
+    if decode not in ("fake", "real") and not callable(decode):
+        raise ValueError(
+            f"decode must be 'fake', 'real', or a codec callable, got {decode!r}"
+        )
+    n_feat = len(feature_cols)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            digests = payloads.map(
+                lambda b: hashlib.sha256(b if b is not None else b"").digest()
+            )
+            if callable(decode):
+                none_row = (None,) * (n_feat + 1)
+                out = payloads.map(
+                    lambda b: decode(b) if b is not None else none_row
+                )
+                feats = {
+                    name: out.map(lambda t, i=i: t[i])
+                    for i, name in enumerate(feature_cols)
+                }
+                embedding = out.map(lambda t: t[n_feat])
+            elif decode == "real":
+
+                def hdr(b: bytes | None) -> tuple:
+                    if b is None:
+                        return (None,) * n_feat
+                    parsed = real_parse(b)
+                    if parsed is None:
+                        raise NotImplementedError(real_seam_msg)
+                    return parsed
+
+                headers = payloads.map(hdr)
+                feats = {
+                    name: headers.map(lambda t, i=i: t[i])
+                    for i, name in enumerate(feature_cols)
+                }
+                embedding = pd.Series([None] * len(pdf), index=pdf.index)
+            else:
+                feats = fake_features(pdf)
+                embedding = digests.map(_fake_embedding)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "sha256": digests.map(bytes.hex),
+                    **feats,
+                    "embedding": embedding,
+                }
+            )
+
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    rows = cpu_parallelize(df.filter(F.col("kind") == kind))
+    return rows.mapInPandas(batches, schema=schema)
+
+
+def _meta_col(pdf: pd.DataFrame, field: str) -> pd.Series:
+    return pdf["meta"].map(lambda m: m[field] if m else None)
+
+
 def decode_images(df: DataFrame, decode: str = "fake") -> DataFrame:
     """Image decode + feature extraction over Arrow batches (mapInPandas).
 
@@ -445,62 +528,31 @@ def decode_images(df: DataFrame, decode: str = "fake") -> DataFrame:
     this module importing it. The codec runs inside the Arrow batch
     loop, so its exceptions surface per-batch like the built-in modes'.
     """
-    if decode not in ("fake", "real") and not callable(decode):
-        raise ValueError(
-            f"decode must be 'fake', 'real', or a codec callable, got {decode!r}"
-        )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = pdf["payload"]
-            digests = payloads.map(
-                lambda b: hashlib.sha256(b if b is not None else b"").digest()
-            )
-            if callable(decode):
-                out = payloads.map(lambda b: decode(b) if b is not None else (None, None, None))
-                width = out.map(lambda s: s[0])
-                height = out.map(lambda s: s[1])
-                embedding = out.map(lambda s: s[2])
-            elif decode == "real":
+    def geom(b: bytes) -> tuple[int, int] | None:
+        size = parse_png_size(b) or parse_webp_size(b)
+        if size is None:
+            jpeg = parse_jpeg_size(b)
+            size = jpeg[:2] if jpeg is not None else None
+        return size
 
-                def geom(b: bytes | None) -> tuple[int | None, int | None]:
-                    if b is None:
-                        return (None, None)
-                    size = parse_png_size(b) or parse_webp_size(b)
-                    if size is None:
-                        jpeg = parse_jpeg_size(b)
-                        size = jpeg[:2] if jpeg is not None else None
-                    if size is None:
-                        raise NotImplementedError(
-                            "real pixel decode beyond PNG/JPEG/WebP headers "
-                            "requires an imaging library (Pillow/opencv); "
-                            "not available in this environment"
-                        )
-                    return size
-
-                sizes = payloads.map(geom)
-                width = sizes.map(lambda s: s[0])
-                height = sizes.map(lambda s: s[1])
-                embedding = pd.Series([None] * len(pdf), index=pdf.index)
-            else:
-                width = pdf["meta"].map(lambda m: m["width"] if m else None)
-                height = pdf["meta"].map(lambda m: m["height"] if m else None)
-                embedding = digests.map(_fake_embedding)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "sha256": digests.map(bytes.hex),
-                    "width": width,
-                    "height": height,
-                    "embedding": embedding,
-                }
-            )
-
-    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
-
-    images = cpu_parallelize(df.filter(F.col("kind") == "image"))
-    return images.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+    return _decode_media(
+        df,
+        decode,
+        kind="image",
+        schema=IMAGE_FEATURES_SCHEMA,
+        feature_cols=("width", "height"),
+        real_parse=geom,
+        real_seam_msg=(
+            "real pixel decode beyond PNG/JPEG/WebP headers requires an "
+            "imaging library (Pillow/opencv); not available in this "
+            "environment"
+        ),
+        fake_features=lambda pdf: {
+            "width": _meta_col(pdf, "width"),
+            "height": _meta_col(pdf, "height"),
+        },
+    )
 
 
 def decode_audio(df: DataFrame, decode: str = "fake") -> DataFrame:
@@ -519,71 +571,29 @@ def decode_audio(df: DataFrame, decode: str = "fake") -> DataFrame:
     (sample_rate, n_channels, duration_s, embedding | None)`` — the
     torchaudio/ffmpeg injection point, same contract as decode_images'.
     """
-    if decode not in ("fake", "real") and not callable(decode):
-        raise ValueError(
-            f"decode must be 'fake', 'real', or a codec callable, got {decode!r}"
-        )
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = pdf["payload"]
-            digests = payloads.map(
-                lambda b: hashlib.sha256(b if b is not None else b"").digest()
-            )
-            if callable(decode):
-                out = payloads.map(
-                    lambda b: decode(b) if b is not None else (None, None, None, None)
-                )
-                rate = out.map(lambda h: h[0])
-                channels = out.map(lambda h: h[1])
-                duration = out.map(lambda h: h[2])
-                embedding = out.map(lambda h: h[3])
-            elif decode == "real":
-
-                def hdr(b: bytes | None) -> tuple:
-                    if b is None:
-                        return (None, None, None)
-                    parsed = (
-                        parse_wav_header(b)
-                        or parse_flac_streaminfo(b)
-                        or parse_mp3_header(b)
-                        or parse_ogg_header(b)
-                    )
-                    if parsed is None:
-                        raise NotImplementedError(
-                            "real audio decode beyond WAV/FLAC/MP3/OGG "
-                            "headers requires a codec library "
-                            "(torchaudio/ffmpeg); not available in this "
-                            "environment"
-                        )
-                    return parsed
-
-                headers = payloads.map(hdr)
-                rate = headers.map(lambda h: h[0])
-                channels = headers.map(lambda h: h[1])
-                duration = headers.map(lambda h: h[2])
-                embedding = pd.Series([None] * len(pdf), index=pdf.index)
-            else:
-                rate = pdf["meta"].map(lambda m: m["sample_rate"] if m else None)
-                channels = pd.Series([1] * len(pdf), index=pdf.index)
-                duration = pdf["meta"].map(lambda m: m["duration_s"] if m else None)
-                embedding = digests.map(_fake_embedding)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "sha256": digests.map(bytes.hex),
-                    "sample_rate": rate,
-                    "n_channels": channels,
-                    "duration_s": duration,
-                    "embedding": embedding,
-                }
-            )
-
-    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
-
-    audio = cpu_parallelize(df.filter(F.col("kind") == "audio"))
-    return audio.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+    return _decode_media(
+        df,
+        decode,
+        kind="audio",
+        schema=AUDIO_FEATURES_SCHEMA,
+        feature_cols=("sample_rate", "n_channels", "duration_s"),
+        real_parse=lambda b: (
+            parse_wav_header(b)
+            or parse_flac_streaminfo(b)
+            or parse_mp3_header(b)
+            or parse_ogg_header(b)
+        ),
+        real_seam_msg=(
+            "real audio decode beyond WAV/FLAC/MP3/OGG headers requires a "
+            "codec library (torchaudio/ffmpeg); not available in this "
+            "environment"
+        ),
+        fake_features=lambda pdf: {
+            "sample_rate": _meta_col(pdf, "sample_rate"),
+            "n_channels": pd.Series([1] * len(pdf), index=pdf.index),
+            "duration_s": _meta_col(pdf, "duration_s"),
+        },
+    )
 
 
 def decode_videos(df: DataFrame, decode: str = "fake") -> DataFrame:
@@ -599,67 +609,23 @@ def decode_videos(df: DataFrame, decode: str = "fake") -> DataFrame:
     duration_s, embedding | None)``. Frame pixel extraction composes
     downstream via :func:`sample_video_frames` (metadata-only planning).
     """
-    if decode not in ("fake", "real") and not callable(decode):
-        raise ValueError(
-            f"decode must be 'fake', 'real', or a codec callable, got {decode!r}"
-        )
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = pdf["payload"]
-            digests = payloads.map(
-                lambda b: hashlib.sha256(b if b is not None else b"").digest()
-            )
-            if callable(decode):
-                out = payloads.map(
-                    lambda b: decode(b) if b is not None else (None, None, None, None)
-                )
-                width = out.map(lambda s: s[0])
-                height = out.map(lambda s: s[1])
-                duration = out.map(lambda s: s[2])
-                embedding = out.map(lambda s: s[3])
-            elif decode == "real":
-
-                def hdr(b: bytes | None) -> tuple:
-                    if b is None:
-                        return (None, None, None)
-                    parsed = parse_mp4_header(b)
-                    if parsed is None:
-                        raise NotImplementedError(
-                            "real video probe beyond ISO-BMFF (MP4/MOV) "
-                            "headers requires a demuxer (ffmpeg/pyav); "
-                            "not available in this environment"
-                        )
-                    return parsed
-
-                headers = payloads.map(hdr)
-                width = headers.map(lambda h: h[0])
-                height = headers.map(lambda h: h[1])
-                duration = headers.map(lambda h: h[2])
-                embedding = pd.Series([None] * len(pdf), index=pdf.index)
-            else:
-                width = pdf["meta"].map(lambda m: m["width"] if m else None)
-                height = pdf["meta"].map(lambda m: m["height"] if m else None)
-                duration = pdf["meta"].map(
-                    lambda m: m["duration_s"] if m else None
-                )
-                embedding = digests.map(_fake_embedding)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "sha256": digests.map(bytes.hex),
-                    "width": width,
-                    "height": height,
-                    "duration_s": duration,
-                    "embedding": embedding,
-                }
-            )
-
-    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
-
-    videos = cpu_parallelize(df.filter(F.col("kind") == "video"))
-    return videos.mapInPandas(batches, schema=VIDEO_FEATURES_SCHEMA)
+    return _decode_media(
+        df,
+        decode,
+        kind="video",
+        schema=VIDEO_FEATURES_SCHEMA,
+        feature_cols=("width", "height", "duration_s"),
+        real_parse=parse_mp4_header,
+        real_seam_msg=(
+            "real video probe beyond ISO-BMFF (MP4/MOV) headers requires "
+            "a demuxer (ffmpeg/pyav); not available in this environment"
+        ),
+        fake_features=lambda pdf: {
+            "width": _meta_col(pdf, "width"),
+            "height": _meta_col(pdf, "height"),
+            "duration_s": _meta_col(pdf, "duration_s"),
+        },
+    )
 
 
 def sample_video_frames(df: DataFrame, fps: float = 1.0) -> DataFrame:
