@@ -720,6 +720,110 @@ def q_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_index_delete",
+    # The deletion lifecycle is exactly checkable: tombstoned ids must
+    # vanish from serving immediately, post-delete serving must equal
+    # the in-plan rerank over the corpus MINUS the deleted rows (same
+    # quantizer, deterministic codes, pinned tie-breaks), and the vacuum
+    # tick must change nothing served while physically removing the rows.
+    oracle="""
+    SELECT 'deleted_hidden_from_visible_content' AS contract, TRUE AS ok
+    UNION ALL SELECT 'vacuum_physical_and_content_stable', TRUE
+    """,
+    doc="Deletion lifecycle for the stored ANN index (operators/"
+    "similarity.delete_from_stored_index / vacuum_index_tombstones) — "
+    "FAISS remove_ids made durable: deletes land as id-only tombstones "
+    "in an _tombstones/ sidecar (O(deletes), no rewrite), serving hides "
+    "them with a broadcast anti-join, and the vacuum tick rewrites ONLY "
+    "the partitions holding a deleted row (dynamic overwrite; "
+    "survivor-less partitions deleted explicitly) before clearing the "
+    "sidecar. Contracts hash-checked on the VISIBLE (id, cell, codes) "
+    "content — post-delete it equals one batch encode of the surviving "
+    "corpus, and post-vacuum the physical content equals the same set "
+    "with the sidecar gone. Serving equality follows via "
+    "q_ann_ivfpq_stored's stored-equals-inplan row (the "
+    "q_ann_stream_ingest reasoning — codes are deterministic and the "
+    "serve path is content-functional); the full delete→serve→vacuum→"
+    "serve equality is additionally pinned end-to-end in "
+    "tests/test_similarity.py and tests/test_ann_ingest.py for both "
+    "layouts.",
+    tags=("similarity", "approx"),
+)
+def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        _encode_with_payload,
+        _read_tombstones,
+        delete_from_stored_index,
+        ivfpq_train,
+        vacuum_index_tombstones,
+        write_ivfpq_index,
+    )
+    from endtoend_etl_openmeteo_spark.session import (
+        bounded_shuffle,
+        release_checkpoint,
+        scratch_dir,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    rows, _ = _cached_model_rows(
+        spark,
+        ("ivfpq", sf_dir, 10, 8, 32, 4),
+        lambda: _pack_ivfpq(
+            ivfpq_train(emb, n_cells=10, m=8, k=32, iterations=4)
+        ),
+    )
+    cents, books = _ivfpq_locals(rows)
+    idx_dir = scratch_dir(prefix="ivfpq_del_")
+    enc = _encode_with_payload(
+        emb, cents, books, "vec_id", "embedding"
+    ).localCheckpoint(eager=True)
+    # deterministic victims present in every SF's corpus
+    victims = [5, 6, 7]
+
+    def content(apply_tombstones: bool) -> set:
+        scan = spark.read.parquet(idx_dir).select(
+            "id", F.col("cell").cast("int").alias("cell"), "codes"
+        )
+        if apply_tombstones:
+            tomb = _read_tombstones(spark, idx_dir)
+            if tomb is not None:
+                scan = scan.join(F.broadcast(tomb), "id", "left_anti")
+        return {(r["id"], r["cell"], tuple(r["codes"])) for r in scan.collect()}
+
+    try:
+        # Harness shuffle pin: fixed-size embeddings, lifecycle proof —
+        # the q_ann_ivfpq_stored rationale.
+        with bounded_shuffle(spark, 8):
+            write_ivfpq_index(
+                enc, None, None, idx_dir, quantizer_locals=(cents, books)
+            )
+            delete_from_stored_index(spark, victims, idx_dir)
+            survivors = {
+                (r["id"], r["cell"], tuple(r["codes"]))
+                for r in enc.filter(~F.col("id").isin(victims)).collect()
+            }
+            hidden = bool(survivors) and content(apply_tombstones=True) == survivors
+            stats = vacuum_index_tombstones(spark, idx_dir)
+            vacuum_ok = (
+                stats["rows_removed"] == len(victims)
+                and _read_tombstones(spark, idx_dir) is None
+                and content(apply_tombstones=False) == survivors
+            )
+        return spark.createDataFrame(
+            [
+                ("deleted_hidden_from_visible_content", hidden),
+                ("vacuum_physical_and_content_stable", vacuum_ok),
+            ],
+            "contract string, ok boolean",
+        )
+    finally:
+        release_checkpoint(enc)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+@register(
     "q_ann_stream_ingest",
     # Streaming-equals-batch is exactly checkable: the sidecar quantizers
     # are fixed, encode is deterministic, and serving tie-breaks are

@@ -286,3 +286,46 @@ def test_consolidation_skips_fileless_dirs_in_merge_read(spark, emb, workdir):
     assert stats["epochs_merged"] == 2
     assert stats["rows_merged"] == sample.count()
     assert _served(spark, index, sample, queries) == before
+
+
+def test_delete_and_vacuum_streamed_layout(spark, emb, workdir):
+    """Tombstones + vacuum on the stream-managed two-level layout:
+    affected (_epoch, cell) pairs are rewritten in place, a pair whose
+    every row was deleted has its directory removed (survivor-less
+    partitions never ride the dynamic overwrite), and serving equals a
+    from-scratch index over the surviving vectors."""
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        delete_from_stored_index,
+        vacuum_index_tombstones,
+    )
+
+    index = str(workdir / "idx")
+    sample = emb.filter(F.col("vec_id") < 400)
+    coarse, books = ivfpq_train(sample, n_cells=4, m=8, k=8, iterations=2)
+    init_streamed_ivfpq_index(None, coarse, books, index)
+    append_streamed_ivfpq(
+        spark, sample.filter(F.col("vec_id") < 200), index, epoch_tag="e1"
+    )
+    append_streamed_ivfpq(
+        spark, sample.filter(F.col("vec_id") >= 200), index, epoch_tag="e2"
+    )
+    queries = sample.filter(F.col("vec_id") < 5)
+    served = _served(spark, index, sample, queries)
+    victims = sorted({r[1] for r in served} - {0, 1, 2, 3, 4})[:2]
+    # plus: wipe epoch e2 entirely -> every (e2, cell) pair loses all rows
+    wipe = [r["vec_id"] for r in sample.filter(F.col("vec_id") >= 200).collect()]
+    delete_from_stored_index(spark, victims + wipe, index)
+    survivors = sample.filter(
+        (F.col("vec_id") < 200) & ~F.col("vec_id").isin(victims)
+    )
+    after = _served(spark, index, survivors, queries)
+    assert not {r[1] for r in after} & set(victims + wipe)
+    stats = vacuum_index_tombstones(spark, index)
+    assert stats["rows_removed"] == len(victims) + len(wipe)
+    # e2's directories are gone wholesale (no survivors to overwrite them)
+    dirs = {p.name for p in Path(index).iterdir() if p.name.startswith("_epoch=")}
+    assert "_epoch=e2" not in dirs and "_epoch=e1" in dirs
+    # physical rows match the surviving set exactly, serving unchanged
+    left = {r["id"] for r in spark.read.parquet(index).select("id").collect()}
+    assert left == {r["vec_id"] for r in survivors.collect()}
+    assert _served(spark, index, survivors, queries) == after

@@ -637,3 +637,105 @@ def test_model_cache_md5_collision_is_clean_miss(tmp_path, monkeypatch):
         )
     )
     assert psim._load_model(key) is None
+
+
+def test_delete_and_vacuum_stored_ivfpq(spark, emb, tmp_path):
+    """FAISS remove_ids, made durable: tombstoned ids vanish from serving
+    immediately (no rewrite), serving equals the in-plan rerank over the
+    corpus minus the deleted rows, and the vacuum tick physically removes
+    the rows + clears the sidecar without changing served results."""
+    from pathlib import Path
+
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        delete_from_stored_index,
+        ivfpq_encode,
+        ivfpq_topk_rerank,
+        ivfpq_train,
+        stored_ivfpq_topk,
+        vacuum_index_tombstones,
+        write_ivfpq_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    sample = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    coarse, cb = ivfpq_train(sample, n_cells=6, m=8, k=8, iterations=2)
+    enc = ivfpq_encode(sample, coarse, cb)
+    write_ivfpq_index(enc, coarse, cb, path)
+    queries = sample.filter(F.col("vec_id") < 5)
+    before = {
+        tuple(r) for r in stored_ivfpq_topk(spark, path, sample, queries, k=10, nprobe=6).collect()
+    }
+    # delete three ids that actually appear as neighbors
+    victims = sorted({r[1] for r in before} - {0, 1, 2, 3, 4})[:3]
+    assert delete_from_stored_index(spark, victims, path) == 3
+    after = {
+        tuple(r) for r in stored_ivfpq_topk(spark, path, sample, queries, k=10, nprobe=6).collect()
+    }
+    assert not {r[1] for r in after} & set(victims)
+    # strong contract: serving == in-plan rerank over corpus-minus-deleted
+    kept = sample.filter(~F.col("vec_id").isin(victims))
+    inplan = {
+        tuple(r)
+        for r in ivfpq_topk_rerank(
+            ivfpq_encode(kept, coarse, cb), coarse, cb, kept,
+            queries, k=10, nprobe=6, n_candidates=50,
+        ).collect()
+    }
+    assert after == inplan and after
+    # vacuum: physical removal, sidecar cleared, serving unchanged
+    stats = vacuum_index_tombstones(spark, path)
+    assert stats["tombstones"] == 3 and stats["rows_removed"] == 3
+    assert stats["partitions_rewritten"] >= 1
+    assert not (Path(path) / "_tombstones").exists()
+    ids = {r["id"] for r in spark.read.parquet(path).select("id").collect()}
+    assert not ids & set(victims)
+    assert {
+        tuple(r) for r in stored_ivfpq_topk(spark, path, sample, queries, k=10, nprobe=6).collect()
+    } == after
+    # deleting a never-ingested id is a serve-time no-op, vacuumed away
+    assert delete_from_stored_index(spark, [10_000_000], path) == 1
+    stats = vacuum_index_tombstones(spark, path)
+    assert stats == {
+        "tombstones": 1, "rows_removed": 0, "partitions_rewritten": 0,
+    }
+    assert not (Path(path) / "_tombstones").exists()
+
+
+def test_delete_respects_lease_and_applies_to_stored_ivf(spark, emb, tmp_path):
+    """The delete path serializes with other writers, and the flat IVF
+    (raw-vector) layout serves tombstone-filtered results too."""
+    import pytest
+
+    from endtoend_etl_openmeteo_spark.operators.clusters import (
+        kmeans_assign,
+        kmeans_train_sampled,
+    )
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        LeaseConflictError,
+        index_lease,
+    )
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        delete_from_stored_index,
+        stored_ivf_topk,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    cents = kmeans_train_sampled(emb, k=6, iterations=2)
+    cells = (
+        kmeans_assign(emb, cents, keep_vec=True)
+        .withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("vec", "embedding")
+    )
+    write_ivf_index(cells, cents, path, cell_col="cluster")
+    queries = emb.filter(F.col("vec_id") < 3)
+    before = stored_ivf_topk(spark, path, queries, k=10, nprobe=6).collect()
+    victim = before[0]["n_id"]
+    with index_lease(spark, path, owner="other"):
+        with pytest.raises(LeaseConflictError):
+            delete_from_stored_index(spark, [victim], path)
+    delete_from_stored_index(spark, [victim], path)
+    after = stored_ivf_topk(spark, path, queries, k=10, nprobe=6).collect()
+    assert victim not in {r["n_id"] for r in after}
