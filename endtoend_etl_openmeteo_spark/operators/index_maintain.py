@@ -52,7 +52,7 @@ import uuid
 from contextlib import contextmanager
 from urllib.parse import unquote
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: Hive's directory-name sentinel for a NULL partition value.
@@ -403,4 +403,169 @@ def compact_partitions(
         "files_before": sum(counts[v] for v in fragmented),
         "files_after": sum(after.get(v, 0) for v in fragmented),
         "partitions_skipped_null": skipped_null,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Stored-index deletion: tombstones + vacuum (FAISS remove_ids, made durable)
+# ---------------------------------------------------------------------------
+
+
+def _tombstone_path(path: str) -> str:
+    return f"{path.rstrip('/')}/_tombstones"
+
+
+def _read_tombstones(spark, path: str, id_col: str = "id") -> "DataFrame | None":
+    """The deleted-id set as a one-column frame, or None when no
+    tombstones exist. Underscore-prefixed directory, so the code/vector
+    scan's data-file discovery never sees it; rows are ids only, so the
+    serving filter is a broadcast anti-join over bounded metadata —
+    O(deletes), never O(index)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(_tombstone_path(path))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    it = fs.listFiles(p, False)
+    has_files = False
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            has_files = True
+            break
+    if not has_files:
+        return None
+    return (
+        spark.read.schema("id long")
+        .parquet(_tombstone_path(path))
+        .distinct()
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def delete_from_stored_index(
+    spark, vec_ids, path: str, lease: bool = True
+) -> int:
+    """FAISS ``remove_ids`` for the stored ANN layouts, as METADATA: the
+    ids land in an append-only ``_tombstones/`` sidecar and every serve
+    call filters them with a broadcast anti-join — the delete itself
+    rewrites nothing (O(deletes) cost at any index size). Physical
+    removal is :func:`vacuum_index_tombstones` (rewrites only the
+    touched partitions) or a full rebuild. Works for the flat IVF
+    (``cell=``), flat IVF-PQ, and stream-managed (``_epoch=/cell=``)
+    layouts alike — the sidecar is layout-agnostic.
+
+    ``vec_ids``: an iterable of ids or a one-column DataFrame. Takes the
+    maintenance lease (a delete racing a vacuum's sidecar clear would
+    vanish). Returns the number of distinct tombstones appended.
+
+    Deleting an id that was never ingested is a no-op at serve time and
+    is vacuumed away like any other tombstone. Re-ingesting a DELETED id
+    without vacuuming first is out of contract — the tombstone would
+    hide the new row too (ids are unique forever; see
+    append_streamed_ivfpq's uniqueness contract).
+    """
+    if lease:
+        with index_lease(spark, path, owner="delete_ids"):
+            return delete_from_stored_index(spark, vec_ids, path, lease=False)
+    if isinstance(vec_ids, DataFrame):
+        ids = vec_ids.select(F.col(vec_ids.columns[0]).cast("long").alias("id"))
+    else:
+        ids = spark.createDataFrame([(int(i),) for i in vec_ids], "id long")
+    ids = ids.distinct()
+    n = int(ids.count())
+    if n:
+        ids.coalesce(1).write.mode("append").parquet(_tombstone_path(path))
+    return n
+
+
+def vacuum_index_tombstones(
+    spark, path: str, id_col: str = "id", lease: bool = True
+) -> dict:
+    """Physically remove tombstoned rows from a stored index: rewrite
+    ONLY the partitions holding a deleted id (dynamic partition
+    overwrite — untouched partitions keep their files byte-for-byte),
+    delete any partition left with zero survivors, then clear the
+    sidecar. Layout-aware: the partition columns come from the directory
+    names themselves — flat IVF/IVF-PQ indexes rewrite ``cell=``
+    directories, the BM25 index rewrites ``bkt=`` buckets, the
+    stream-managed layout rewrites ``(_epoch, cell)`` pairs. One
+    bounded maintenance tick under the lease; serving is identical
+    before and after (the serve-time anti-join already hid the rows).
+    Returns {"tombstones", "rows_removed", "partitions_rewritten"}.
+    """
+    if lease:
+        with index_lease(spark, path, owner="vacuum_tombstones"):
+            return vacuum_index_tombstones(spark, path, id_col, lease=False)
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    tomb = _read_tombstones(spark, path, id_col)
+    if tomb is None:
+        return {"tombstones": 0, "rows_removed": 0, "partitions_rewritten": 0}
+    n_tomb = tomb.count()
+    top_parts = {
+        s.getPath().getName().split("=", 1)[0]
+        for s in fs.listStatus(root)
+        if s.isDirectory() and "=" in s.getPath().getName()
+    }
+    if "_epoch" in top_parts:
+        part_cols = ["_epoch", "cell"]
+    elif len(top_parts) == 1:
+        part_cols = [top_parts.pop()]
+    else:
+        raise ValueError(
+            f"cannot infer the partition layout of {path}: first-level "
+            f"directories declare columns {sorted(top_parts)}"
+        )
+    scan = spark.read.parquet(path)
+    key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in part_cols])
+    dead = scan.join(F.broadcast(tomb), id_col, "left_semi")
+    affected = {
+        tuple(r) for r in dead.select(*part_cols).distinct().collect()
+    }  # bounded by partition count, metadata-sized
+    rows_removed = dead.count()
+    if not affected:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(_tombstone_path(path)), True)
+        return {
+            "tombstones": int(n_tomb),
+            "rows_removed": 0,
+            "partitions_rewritten": 0,
+        }
+    keys = ["\x00".join(str(v) for v in t) for t in affected]
+    survivors = scan.filter(key.isin(keys)).join(
+        F.broadcast(tomb), id_col, "left_anti"
+    )
+    alive = {
+        tuple(r) for r in survivors.select(*part_cols).distinct().collect()
+    }
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            survivors.repartition(*[F.col(c) for c in part_cols])
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    # a partition whose EVERY row was tombstoned emits no survivor rows,
+    # so the dynamic overwrite never touches its directory — delete it
+    # explicitly or the old files resurface once the sidecar clears
+    for t in affected - alive:
+        sub = "/".join(f"{c}={v}" for c, v in zip(part_cols, t))
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}"), True)
+    if len(part_cols) == 2:
+        # two-level layout: a first-level dir (epoch) left childless by
+        # the leaf deletions is clutter the consolidator would otherwise
+        # carry as a file-less oldest-ranked dir — remove it now
+        for top in {t[0] for t in affected - alive}:
+            d = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_cols[0]}={top}")
+            if fs.exists(d) and fs.listStatus(d).__len__() == 0:
+                fs.delete(d, False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(_tombstone_path(path)), True)
+    return {
+        "tombstones": int(n_tomb),
+        "rows_removed": int(rows_removed),
+        "partitions_rewritten": len(affected),
     }

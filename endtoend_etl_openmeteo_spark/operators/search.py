@@ -170,6 +170,18 @@ def _pending_path(spark, index_path: str):
     return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+def _require_no_pending(spark, index_path: str) -> None:
+    pend, pfs = _pending_path(spark, index_path)
+    if pfs.exists(pend):
+        raise RuntimeError(
+            f"index {index_path} has a leftover _append_pending marker — a "
+            "previous append or delete crashed between its data write and "
+            "its stats commit, so the stored stats disagree with the "
+            "postings. Rebuild once with write_inverted_index (replaying "
+            "the crashed batch would double-apply it)."
+        )
+
+
 def _write_stats(spark, index_path: str, payload: dict) -> None:
     """Commit the ``_stats.json`` sidecar via write-temp-then-replace:
     the payload lands COMPLETE under a temp name before it becomes
@@ -351,15 +363,8 @@ def append_inverted_index(
             return append_inverted_index(
                 docs, index_path, id_col, text_col, lease=False
             )
+    _require_no_pending(spark, index_path)
     pend, pfs = _pending_path(spark, index_path)
-    if pfs.exists(pend):
-        raise RuntimeError(
-            f"index {index_path} has a leftover _append_pending marker — a "
-            "previous append crashed between its postings write and its "
-            "stats commit, so the stored stats undercount the postings. "
-            "Rebuild once with write_inverted_index (re-appending the "
-            "crashed batch would double-count it)."
-        )
     stats = read_index_stats(spark, index_path)
     if "total_tokens" not in stats:
         raise ValueError(
@@ -409,6 +414,83 @@ def append_inverted_index(
     return n_docs, avgdl
 
 
+def delete_from_inverted_index(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lease: bool = True,
+) -> tuple[int, float]:
+    """Remove documents from a stored index WITHOUT rewriting postings —
+    the stored-ANN tombstone discipline (operators/index_maintain.
+    delete_from_stored_index) applied to BM25: the doc ids land in the
+    ``_tombstones/`` sidecar (serving hides their postings with a
+    broadcast anti-join, so per-term df shrinks exactly), and the stats
+    sidecar REVERSES the batch's exact integer totals — n_docs,
+    total_tokens, n_text_docs — re-deriving avgdl with the same JVM
+    rounding a rebuild uses. Serving after a delete is therefore
+    bit-for-bit the fresh survivor-index result. Cost is O(batch).
+
+    ``docs`` must carry the SAME (id, text) rows that were ingested (the
+    ingest-log pairing): the text is what lets the stats reverse exactly
+    without scanning the index. Deleting rows never ingested corrupts
+    the constants — caller owns that contract, like append's dedup.
+    Physical removal is ``vacuum_index_tombstones(spark, path,
+    id_col='doc_id')`` (partition-pruned bucket rewrite) or a rebuild.
+    Runs under the maintenance lease with the append path's
+    ``_append_pending`` crash bracket. Returns updated (n_docs, avgdl).
+    """
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        delete_from_stored_index,
+        index_lease,
+    )
+
+    spark = docs.sparkSession
+    if lease:
+        with index_lease(spark, index_path, owner="delete_bm25"):
+            return delete_from_inverted_index(
+                docs, index_path, id_col, text_col, lease=False
+            )
+    _require_no_pending(spark, index_path)
+    pend, pfs = _pending_path(spark, index_path)
+    stats = read_index_stats(spark, index_path)
+    if "n_text_docs" not in stats:
+        raise ValueError(
+            "index predates the n_text_docs sidecar field — rebuild once "
+            "with write_inverted_index before deleting"
+        )
+    b_docs, _, b_tokens, b_text_docs = _full_stats(docs, text_col)
+    import json as _json
+
+    marker = pfs.create(pend, True)
+    try:
+        marker.write(_json.dumps({"op": "delete", "b_docs": b_docs}).encode())
+    finally:
+        marker.close()
+    delete_from_stored_index(
+        spark, docs.select(id_col), index_path, lease=False
+    )
+    n_docs = max(0, stats["n_docs"] - b_docs)
+    total_tokens = max(0, stats["total_tokens"] - b_tokens)
+    n_text_docs = max(0, stats["n_text_docs"] - b_text_docs)
+    avgdl = (
+        _rounded_avgdl(spark, total_tokens, n_text_docs) if n_text_docs else 0.0
+    )
+    _write_stats(
+        spark,
+        index_path,
+        {
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "n_buckets": stats["n_buckets"],
+            "total_tokens": total_tokens,
+            "n_text_docs": n_text_docs,
+        },
+    )
+    pfs.delete(pend, False)  # stats committed — the delete is whole
+    return n_docs, avgdl
+
+
 def read_index_stats(spark, index_path: str) -> dict:
     """The ``_stats.json`` sidecar. Lease-free readers can race a
     writer's delete+rename commit (:func:`_write_stats`) and find the
@@ -447,12 +529,23 @@ def stored_postings(
     parquet and dictionary-filters the surviving row groups. Callers that
     already read the sidecar pass ``n_buckets`` so the serving hot path
     opens it once, not twice."""
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        _read_tombstones,
+    )
+
     if n_buckets is None:
         n_buckets = read_index_stats(spark, index_path)["n_buckets"]
     bkts = _query_term_buckets(spark, terms, n_buckets)
-    return spark.read.parquet(index_path).filter(
+    post = spark.read.parquet(index_path).filter(
         F.col("bkt").isin(bkts) & F.col("term").isin(list(terms))
     )
+    # deleted docs' postings are hidden at serve time (broadcast
+    # anti-join over the bounded tombstone set) so per-term df shrinks
+    # exactly; the vacuum tick rewrites them away physically
+    tomb = _read_tombstones(spark, index_path, id_col="doc_id")
+    if tomb is not None:
+        post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
+    return post
 
 
 def stored_bm25_topk(

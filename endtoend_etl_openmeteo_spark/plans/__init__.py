@@ -238,9 +238,11 @@ PRIORITY: list[str] = [
     "q_strip_spans",
     # (q_semdedup_prune / q_multimodal_video, oracle-backed in round 8,
     # rotated into the 50-prefix in round 10.)
-    # Oracle-backed in round 10: the stored-ANN deletion lifecycle
-    # (tombstones -> serve-time anti-join -> partition-pruned vacuum).
+    # Oracle-backed in round 10: the stored-index deletion lifecycle
+    # (tombstones -> serve-time anti-join -> partition-pruned vacuum)
+    # for the ANN and BM25 serving stores.
     "q_ann_index_delete",
+    "q_bm25_delete",
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",

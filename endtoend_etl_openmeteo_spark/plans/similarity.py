@@ -752,12 +752,14 @@ def q_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    from endtoend_etl_openmeteo_spark.operators.similarity import (
-        _encode_with_payload,
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
         _read_tombstones,
         delete_from_stored_index,
-        ivfpq_train,
         vacuum_index_tombstones,
+    )
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        _encode_with_payload,
+        ivfpq_train,
         write_ivfpq_index,
     )
     from endtoend_etl_openmeteo_spark.session import (

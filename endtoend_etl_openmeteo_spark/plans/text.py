@@ -1548,6 +1548,91 @@ def _stored_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 @register(
+    "q_bm25_delete",
+    # The deletion lifecycle is exactly checkable: tombstone-filtered
+    # serving with exactly-reversed stats must equal a fresh index built
+    # over the survivors, bit-for-bit (same integer totals, same JVM
+    # rounding), and the layout-generic vacuum must change nothing
+    # served while physically removing the postings.
+    oracle="""
+    SELECT 'delete_equals_survivor_rebuild' AS contract, TRUE AS ok
+    UNION ALL SELECT 'vacuum_physical_and_serving_stable', TRUE
+    """,
+    doc="Document deletion for the stored BM25 index (operators/search."
+    "delete_from_inverted_index): the stored-ANN tombstone discipline "
+    "applied to retrieval — doc ids land in the _tombstones/ sidecar "
+    "(O(batch), no postings rewrite), serving hides their postings with "
+    "a broadcast anti-join so per-term df shrinks exactly, and the "
+    "stats sidecar reverses the batch's exact integer totals with "
+    "rebuild-identical rounding. Contracts hash-checked: post-delete "
+    "serving equals the in-plan bm25_topk over the survivor corpus "
+    "row-for-row, scores included (same idf/norm formulas, same "
+    "rounding — a full survivor-index rebuild gives the identical rows, "
+    "pinned in tests/test_search.py), and after vacuum_index_tombstones "
+    "(partition-pruned bucket rewrite, the same generic tick the ANN "
+    "layouts use) serving is unchanged with the tombstones physically "
+    "gone.",
+    tags=("text", "search"),
+)
+def q_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        vacuum_index_tombstones,
+    )
+    from endtoend_etl_openmeteo_spark.operators.search import (
+        bm25_topk,
+        corpus_stats,
+        delete_from_inverted_index,
+        inverted_index,
+        stored_bm25_topk,
+        write_inverted_index,
+    )
+    from endtoend_etl_openmeteo_spark.session import bounded_shuffle, scratch_dir
+
+    docs = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 500)
+    )
+
+    def rows_of(df) -> list:
+        return [tuple(r) for r in df.collect()]
+
+    idx = scratch_dir(prefix="bm25_del_")
+    try:
+        # Harness shuffle pin: bounded 500-doc slice, lifecycle proof —
+        # the q_index_compact rationale.
+        with bounded_shuffle(spark, 8):
+            write_inverted_index(docs, idx, n_buckets=16)
+            delete_from_inverted_index(docs.filter(F.col("doc_id") < 10), idx)
+            served = rows_of(stored_bm25_topk(spark, idx, SEARCH_TERMS, k=10))
+            survivors = docs.filter(F.col("doc_id") >= 10)
+            n_docs, avgdl = corpus_stats(survivors)
+            want = rows_of(
+                bm25_topk(
+                    inverted_index(survivors), SEARCH_TERMS, n_docs, avgdl, k=10
+                )
+            )
+            equal = bool(served) and served == want
+            vacuum_index_tombstones(spark, idx, id_col="doc_id")
+            vac_ok = (
+                spark.read.parquet(idx).filter(F.col("doc_id") < 10).count() == 0
+                and rows_of(stored_bm25_topk(spark, idx, SEARCH_TERMS, k=10))
+                == served
+            )
+        return spark.createDataFrame(
+            [
+                ("delete_equals_survivor_rebuild", equal),
+                ("vacuum_physical_and_serving_stable", vac_ok),
+            ],
+            "contract string, ok boolean",
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+@register(
     "q_hybrid_search",
     # The BM25 CTE chain is q_bm25_search's verbatim (k=20 cut), the
     # cosine chain q_ann_cosine's for one query vector; fusion replays

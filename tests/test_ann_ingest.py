@@ -294,7 +294,7 @@ def test_delete_and_vacuum_streamed_layout(spark, emb, workdir):
     every row was deleted has its directory removed (survivor-less
     partitions never ride the dynamic overwrite), and serving equals a
     from-scratch index over the surviving vectors."""
-    from endtoend_etl_openmeteo_spark.operators.similarity import (
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
         delete_from_stored_index,
         vacuum_index_tombstones,
     )

@@ -360,3 +360,54 @@ def test_rebuild_takes_lease_and_replaces_layout_exactly(spark, tmp_path):
     assert stats["n_docs"] == 2 and stats["n_buckets"] == 4
     got = {r["doc_id"] for r in stored_bm25_topk(spark, path, ("spark",), k=5).collect()}
     assert got == {1, 2}
+
+
+def test_delete_reverses_stats_and_matches_survivor_rebuild(spark, tmp_path):
+    """BM25 deletion via tombstones: served scores after a delete are
+    bit-for-bit the fresh survivor-index result (postings hidden by the
+    anti-join shrink per-term df exactly; the stats sidecar reverses the
+    batch's exact integer totals with rebuild-identical rounding), and
+    the layout-generic vacuum physically removes the postings without
+    changing serving."""
+    from pathlib import Path
+
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        vacuum_index_tombstones,
+    )
+    from endtoend_etl_openmeteo_spark.operators.search import (
+        delete_from_inverted_index,
+        read_index_stats,
+        stored_bm25_topk,
+        write_inverted_index,
+    )
+
+    path = str(tmp_path / "bm25")
+    write_inverted_index(_corpus(spark), path, n_buckets=4)
+    victim = _corpus(spark).filter("doc_id = 3")  # the 'window' doc
+    n_docs, avgdl = delete_from_inverted_index(victim, path)
+    assert n_docs == 3
+    served = [
+        tuple(r) for r in stored_bm25_topk(spark, path, TERMS, k=5).collect()
+    ]
+    assert 3 not in {r[0] for r in served}
+    # bit-for-bit equality with a fresh index over the survivors
+    ref = str(tmp_path / "bm25_ref")
+    write_inverted_index(
+        _corpus(spark).filter("doc_id != 3"), ref, n_buckets=4
+    )
+    assert served == [
+        tuple(r) for r in stored_bm25_topk(spark, ref, TERMS, k=5).collect()
+    ]
+    want = read_index_stats(spark, ref)
+    got = read_index_stats(spark, path)
+    assert got == want
+    # layout-generic vacuum: postings physically gone, serving unchanged
+    stats = vacuum_index_tombstones(spark, path, id_col="doc_id")
+    assert stats["rows_removed"] > 0
+    assert not (Path(path) / "_tombstones").exists()
+    assert (
+        spark.read.parquet(path).filter("doc_id = 3").count() == 0
+    )
+    assert served == [
+        tuple(r) for r in stored_bm25_topk(spark, path, TERMS, k=5).collect()
+    ]

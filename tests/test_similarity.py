@@ -646,13 +646,15 @@ def test_delete_and_vacuum_stored_ivfpq(spark, emb, tmp_path):
     the rows + clears the sidecar without changing served results."""
     from pathlib import Path
 
-    from endtoend_etl_openmeteo_spark.operators.similarity import (
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
         delete_from_stored_index,
+        vacuum_index_tombstones,
+    )
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
         ivfpq_encode,
         ivfpq_topk_rerank,
         ivfpq_train,
         stored_ivfpq_topk,
-        vacuum_index_tombstones,
         write_ivfpq_index,
     )
 
@@ -716,8 +718,10 @@ def test_delete_respects_lease_and_applies_to_stored_ivf(spark, emb, tmp_path):
         LeaseConflictError,
         index_lease,
     )
-    from endtoend_etl_openmeteo_spark.operators.similarity import (
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
         delete_from_stored_index,
+    )
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
         stored_ivf_topk,
         write_ivf_index,
     )
