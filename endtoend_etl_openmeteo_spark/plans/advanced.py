@@ -569,14 +569,21 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
-    return spark.sql(
-        """
-        SELECT c_mktsegment, count(*) AS n_big_spenders
-        FROM customer_sq
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_sq)
-        GROUP BY c_mktsegment
-        """
-    )
+    try:
+        # spark.sql analyzes eagerly (the view's plan is inlined into the
+        # returned frame), so the view can drop immediately — leaving it
+        # registered would leak session-global catalog state that a later
+        # plan reusing the name would silently read
+        return spark.sql(
+            """
+            SELECT c_mktsegment, count(*) AS n_big_spenders
+            FROM customer_sq
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_sq)
+            GROUP BY c_mktsegment
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("customer_sq")
 
 
 @register(
@@ -795,7 +802,13 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    brand_li = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    # materialize the shared brand slice ONCE — the q_tpch_q11/q15
+    # discipline: exchange reuse does not cross the broadcast boundary,
+    # so the lazy form scans lineitem and broadcasts part twice (once
+    # under the limits aggregate, once on the probe side)
+    brand_li = li.join(
+        F.broadcast(parts), li.l_partkey == parts.p_partkey
+    ).localCheckpoint(eager=True)
     limits = brand_li.groupBy(F.col("l_partkey").alias("__pk")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("__qty_limit")
     )

@@ -852,7 +852,6 @@ def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import time as _time
 
     from endtoend_etl_openmeteo_spark.operators.similarity import (
         _encode_with_payload,
@@ -892,26 +891,28 @@ def q_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.filter(F.col("vec_id") <= half).coalesce(1).write.mode(
             "append"
         ).parquet(landing)
-        wave1 = set(os.listdir(landing))
+        wave1 = {(landing, f) for f in os.listdir(landing)}
         vecs.filter(F.col("vec_id") > half).coalesce(1).write.mode(
             "append"
         ).parquet(landing)
-        now = _time.time()
-        for f in os.listdir(landing):
-            if not f.startswith("_"):
-                off = 0 if f in wave1 else 10
-                os.utime(f"{landing}/{f}", (now + off, now + off))
+        from endtoend_etl_openmeteo_spark.plans.stream_harness import (
+            await_or_raise,
+            stamp_wave_mtimes,
+        )
         from endtoend_etl_openmeteo_spark.session import bounded_shuffle
 
+        stamp_wave_mtimes([landing], [wave1])
         # epochs are metadata-sized here — pin the streaming lifecycle's
         # shuffle width (the q_corpus_ingest treatment); production sizes
         # this to the arrival rate
         with bounded_shuffle(spark, 4):
-            run_streaming_ann_ingest(
-                spark, landing, index, f"{work}/ckpt",
-                "vec_id bigint, embedding array<double>",
-                max_files_per_trigger=1,
-            ).awaitTermination(600)
+            await_or_raise(
+                run_streaming_ann_ingest(
+                    spark, landing, index, f"{work}/ckpt",
+                    "vec_id bigint, embedding array<double>",
+                    max_files_per_trigger=1,
+                )
+            )
 
         with bounded_shuffle(spark, 8):
             # INDEX-CONTENT equality, the sharp form of stream-equals-

@@ -1160,7 +1160,6 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import time as _time
 
     from endtoend_etl_openmeteo_spark.session import scratch_dir
     from endtoend_etl_openmeteo_spark.streaming import (
@@ -1190,15 +1189,16 @@ def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") <= half).coalesce(1).write.mode(
             "append"
         ).parquet(landing)
-        wave1 = set(os.listdir(landing))
+        wave1 = {(landing, f) for f in os.listdir(landing)}
         docs.filter(F.col("doc_id") > half).unionByName(replicas).coalesce(
             1
         ).write.mode("append").parquet(landing)
-        now = _time.time()
-        for f in os.listdir(landing):
-            if not f.startswith("_"):
-                off = 0 if f in wave1 else 10
-                os.utime(f"{landing}/{f}", (now + off, now + off))
+        from endtoend_etl_openmeteo_spark.plans.stream_harness import (
+            await_or_raise,
+            stamp_wave_mtimes,
+        )
+
+        stamp_wave_mtimes([landing], [wave1])
         # The q_stream_join / q_stream_window cure applied to the ingest
         # harness: each screening epoch pays per-shuffle-partition fixed
         # costs (exchange tasks, state/sink commits) in its foreachBatch
@@ -1209,13 +1209,15 @@ def q_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         from endtoend_etl_openmeteo_spark.session import bounded_shuffle
 
         with bounded_shuffle(spark, 4):
-            run_streaming_corpus_ingest(
-                spark, landing, corpus, f"{work}/index",
-                f"{work}/ckpt", "doc_id bigint, text string",
-                quarantine_path=quarantine,
-                max_files_per_trigger=1,
-                screen="exact",
-            ).awaitTermination(600)
+            await_or_raise(
+                run_streaming_corpus_ingest(
+                    spark, landing, corpus, f"{work}/index",
+                    f"{work}/ckpt", "doc_id bigint, text string",
+                    quarantine_path=quarantine,
+                    max_files_per_trigger=1,
+                    screen="exact",
+                )
+            )
         kept = spark.read.parquet(corpus).select("doc_id", F.lit(True).alias("kept"))
         dupd = spark.read.parquet(quarantine).select(
             "doc_id", F.lit(False).alias("kept")

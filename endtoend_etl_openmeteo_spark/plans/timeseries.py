@@ -37,11 +37,24 @@ def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_tz_filter",
+    # The Warsaw conversion normalizes ts to NAIVE UTC first (typeof
+    # CASE): under the µs-LTZ events encoding DuckDB reads ts as
+    # TIMESTAMPTZ and the bare timezone('UTC', ts) idiom would invert
+    # the conversion direction (validated live) — the CASE makes the
+    # oracle hold under every encoding the testdata generator has
+    # shipped, in any DuckDB session timezone.
     oracle="""
+    WITH n AS (
+      SELECT event_id, ts,
+             CASE WHEN typeof(ts) LIKE '%TIME ZONE%'
+                  THEN timezone('UTC', ts::TIMESTAMPTZ)
+                  ELSE ts::TIMESTAMP END AS ts_utc
+      FROM events
+    )
     SELECT event_id, ts,
-           timezone('Europe/Warsaw', timezone('UTC', ts)) AS local_ts
-    FROM events
-    WHERE EXTRACT(hour FROM timezone('Europe/Warsaw', timezone('UTC', ts))) < 12
+           timezone('Europe/Warsaw', timezone('UTC', ts_utc)) AS local_ts
+    FROM n
+    WHERE EXTRACT(hour FROM timezone('Europe/Warsaw', timezone('UTC', ts_utc))) < 12
     """,
     doc="Timezone-aware cutoff (SURVEY §2.2 F2, §2.7 X9) — the 'before noon "
     "Warsaw' rule of fetch_october_2025.py:92-97. Storage stays UTC; the "
@@ -159,8 +172,12 @@ def q_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Gap detection (SURVEY §2.3 J1, §2.9 T5): expected hour series × key "
     "dim, anti-joined against existing DISTINCT hours — "
     "backfill_openmeteo.py:44-75, with its timestamp_utc column bug (D1) "
-    "fixed by construction. The expected side is tiny (dim × hours) and "
-    "broadcast; only the DISTINCT over facts shuffles.",
+    "fixed by construction. Plan shape: Spark can only broadcast the "
+    "BUILD (right) side of a LeftAnti join, so the expected stream side "
+    "is never broadcast itself; the DISTINCT over the facts shuffles "
+    "map-side-combined hour/key pairs (bounded by keys × hours, tiny "
+    "relative to the fact scan) and that deduplicated set is what AQE "
+    "broadcasts back against the expected series.",
     tags=("join", "anti", "generator"),
 )
 def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,11 +732,13 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "aggregate"),
 )
 def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
-    import time
     from datetime import timedelta
 
+    from endtoend_etl_openmeteo_spark.plans.stream_harness import (
+        run_stream_to_parquet,
+        stamp_wave_mtimes,
+    )
     from endtoend_etl_openmeteo_spark.session import scratch_dir
 
     events = tbl(spark, sf_dir, "events").select(
@@ -745,29 +764,22 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(value).alias("value"),
             )
 
+        import os
+
         events.coalesce(1).write.mode("append").parquet(landing)
-        wave1 = set(os.listdir(landing))
+        wave1 = {(landing, f) for f in os.listdir(landing)}
         one_row(-1, bounds["hi"] + timedelta(days=30), "__fence__", 0.0).coalesce(
             1
         ).write.mode("append").parquet(landing)
-        wave2 = set(os.listdir(landing))
+        wave2 = {(landing, f) for f in os.listdir(landing)}
         one_row(-2, bounds["lo"], "__late__", 1.0e6).coalesce(1).write.mode(
             "append"
         ).parquet(landing)
-        # Pin micro-batch order: FileStreamSource sorts by mtime, and on a
-        # coarse-granularity filesystem the waves can land in the same
-        # tick — stamp strictly increasing mtimes (corpus < fence < probe)
-        # so the probe provably arrives one batch after the fence.
-        now = time.time()
-        for f in os.listdir(landing):
-            if f.startswith("_"):
-                continue
-            off = 0 if f in wave1 else (10 if f in wave2 else 20)
-            os.utime(f"{landing}/{f}", (now + off, now + off))
+        # corpus < fence < probe — the probe provably arrives one batch
+        # after the fence
+        stamp_wave_mtimes([landing], [wave1, wave2])
         stream = (
-            spark.readStream.schema(
-                "event_id bigint, ts timestamp, event_type string, value double"
-            )
+            spark.readStream.schema(sch)
             .option("maxFilesPerTrigger", 1)
             .parquet(landing)
         )
@@ -780,26 +792,9 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("event_type", F.col("w.start").alias("day"), "n", "avg_value")
         )
-        # State partitions are fixed by spark.sql.shuffle.partitions at
-        # checkpoint creation; this query creates a fresh checkpoint every
-        # run, so pin a small count — each micro-batch commits one state
-        # store per partition, and 32 stores × 4 batches is pure fixed
-        # overhead for a ~150-group aggregate. (At production scale the
-        # checkpoint would be long-lived and sized to the key cardinality.)
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
-            q = (
-                agg.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", f"{work}/ckpt")
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(600)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        run_stream_to_parquet(
+            spark, agg, out, f"{work}/ckpt", shuffle_partitions=4
+        )
         # eager checkpoint: the result must outlive the scratch cleanup
         return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
@@ -851,9 +846,12 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import time
     from datetime import timedelta
 
+    from endtoend_etl_openmeteo_spark.plans.stream_harness import (
+        run_stream_to_parquet,
+        stamp_wave_mtimes,
+    )
     from endtoend_etl_openmeteo_spark.session import scratch_dir
     from endtoend_etl_openmeteo_spark.streaming.pipeline import (
         stream_stream_join,
@@ -912,13 +910,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         one_row(
             -20, bounds["lo"], bounds["lo_user"], bounds["lo_type"], 1.0e6
         ).coalesce(1).write.mode("append").parquet(land_l)
-        now = time.time()
-        for d in (land_l, land_r):
-            for f in os.listdir(d):
-                if f.startswith("_"):
-                    continue
-                off = 0 if (d, f) in w1 else (10 if (d, f) in w2 else 20)
-                os.utime(f"{d}/{f}", (now + off, now + off))
+        stamp_wave_mtimes([land_l, land_r], [w1, w2])
         sch = (
             "event_id bigint, ts timestamp, user_id bigint, "
             "event_type string, value double"
@@ -951,20 +943,9 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # harness runs 3 waves — 8 partitions measured 8.8 s warm, 4 → 4.4 s
         # (2 is no better: the join compute serializes). A production
         # deployment sizes this to the stream's key cardinality instead.
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
-            q = (
-                result.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", f"{work}/ckpt")
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(600)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        run_stream_to_parquet(
+            spark, result, out, f"{work}/ckpt", shuffle_partitions=4
+        )
         return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
