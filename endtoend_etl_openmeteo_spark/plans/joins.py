@@ -179,6 +179,9 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Literal event-type dimension shared by the Spark side and the DuckDB
 #: oracle of q_dpp_join. At real scale this is the date/category dim table
 #: of a star schema; here a 5-row literal keeps the oracle exact.
+#: q_dpp_join scratch dirs already scheduled for exit-time cleanup.
+_DPP_SCRATCH: set[str] = set()
+
 _EVENT_DIM = [
     ("click", "engagement"),
     ("view", "engagement"),
@@ -214,16 +217,26 @@ _EVENT_DIM = [
     tags=("join", "dpp", "layout"),
 )
 def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import hashlib
     import os
+    import shutil
     import tempfile
 
-    # Deterministic per-sf path (not a fresh mkdtemp): the returned frame
-    # scans these files LAZILY, so they must outlive this call — overwrite
-    # into a stable location bounds the footprint at one events copy.
+    # Deterministic per-(process, sf-path) location (not a fresh
+    # mkdtemp): the returned frame scans these files LAZILY, so they
+    # must outlive this call — overwriting a stable path bounds the
+    # footprint at one events copy per process. The key hashes the
+    # ABSOLUTE sf path (two roots sharing a basename must not collide)
+    # and embeds the pid (a concurrent process's overwrite must not
+    # delete files under this process's in-flight lazy scan); the dir is
+    # removed at interpreter exit.
     root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
-    part_dir = os.path.join(
-        root, f"dpp_events_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    part_dir = os.path.join(root, f"dpp_events_{os.getpid()}_{key}")
+    if part_dir not in _DPP_SCRATCH:
+        _DPP_SCRATCH.add(part_dir)
+        atexit.register(shutil.rmtree, part_dir, ignore_errors=True)
     tbl(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
         "event_type"
     ).parquet(part_dir)

@@ -466,11 +466,11 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, n_chars,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                lower(url),
-               '#.*$', ''),
+               '#.*$', '', 'g'),
                '([?&])(utm_[a-z]+|ref)=[^&#]*', '\1', 'g'),
                '([?&])&+', '\1', 'g'),
-               '[?&]+$', ''),
-               '://www\.', '://') AS canon_url,
+               '[?&]+$', '', 'g'),
+               '://www\.', '://', 'g') AS canon_url,
              regexp_replace(regexp_extract(lower(url), '^https?://([^/]+)', 1),
                '^www\.', '') AS domain
       FROM urls)
@@ -1033,9 +1033,12 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "layout"),
 )
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
     from endtoend_etl_openmeteo_spark.operators.layout import sequence_pack
 
-    docs = tbl(spark, sf_dir, "documents").select(
+    # the per-row tokenizer regex is CPU-heavy — a single-file documents
+    # scan must not serialize it onto one core (CLAUDE.md rule)
+    docs = cpu_parallelize(tbl(spark, sf_dir, "documents")).select(
         "doc_id",
         F.size(
             F.regexp_extract_all(

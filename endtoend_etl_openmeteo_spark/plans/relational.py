@@ -946,7 +946,6 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         vt_read,
     )
     from endtoend_etl_openmeteo_spark.session import scratch_dir
-    from endtoend_etl_openmeteo_spark.sources.tables import tbl
 
     base = tbl(spark, sf_dir, "events").select(
         "event_id", "value", F.lit(1).cast("long").alias("ord")

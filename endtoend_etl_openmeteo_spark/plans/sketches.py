@@ -109,26 +109,34 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_sketches(spark, sf_dir)
-    per_type = (
-        daily.filter(F.col("event_type").isin("click", "purchase"))
-        .groupBy("event_type")
-        .agg(F.theta_union_agg("theta").alias("sk"))
-    )
-    # two one-row frames -> broadcast cross join, then sketch algebra
-    click = per_type.filter(F.col("event_type") == "click").select(
-        F.col("sk").alias("sk_click")
-    )
-    purchase = per_type.filter(F.col("event_type") == "purchase").select(
-        F.col("sk").alias("sk_purchase")
-    )
+    # ONE global aggregate with conditional unions, never two filtered
+    # one-row frames: a corpus slice with zero 'purchase' events would
+    # make the filtered frame EMPTY and the cross join emit 0 rows,
+    # while the oracle's scalar-subquery shape always returns one row —
+    # aggregates over an empty/all-null input still emit their row, and
+    # the missing side's null estimate coalesces to 0.
     est = (
-        click.crossJoin(F.broadcast(purchase))
+        daily.filter(F.col("event_type").isin("click", "purchase"))
+        .agg(
+            F.theta_union_agg(
+                F.when(F.col("event_type") == "click", F.col("theta"))
+            ).alias("sk_click"),
+            F.theta_union_agg(
+                F.when(F.col("event_type") == "purchase", F.col("theta"))
+            ).alias("sk_purchase"),
+        )
         .select(
-            F.theta_sketch_estimate(
-                F.theta_intersection("sk_click", "sk_purchase")
+            F.coalesce(
+                F.theta_sketch_estimate(
+                    F.theta_intersection("sk_click", "sk_purchase")
+                ),
+                F.lit(0.0),
             ).alias("est_both"),
-            F.theta_sketch_estimate(
-                F.theta_difference("sk_click", "sk_purchase")
+            F.coalesce(
+                F.theta_sketch_estimate(
+                    F.theta_difference("sk_click", "sk_purchase")
+                ),
+                F.lit(0.0),
             ).alias("est_only_click"),
         )
     )
@@ -136,8 +144,7 @@ def q_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
     p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     exact = (
-        c.withColumn("__in_p", F.lit(1))
-        .join(p.withColumn("__p", F.lit(1)).select("user_id", "__p"), "user_id", "left")
+        c.join(p.withColumn("__p", F.lit(1)).select("user_id", "__p"), "user_id", "left")
         .agg(
             F.count("*").alias("click_users"),
             F.sum(F.when(F.col("__p").isNotNull(), 1).otherwise(0)).alias(
@@ -271,11 +278,18 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ts = F.split(normalized_text("text"), " ")
     toks = docs.select("doc_id", ts.alias("ts"))
+    # guard the degenerate single-token/empty document: sequence(1, 0)
+    # counts DOWN to [1, 0] in Spark, and element_at(ts, 0) / the
+    # out-of-bounds index 2 both throw under the session's ANSI mode —
+    # where DuckDB's generate_series(1, 0) is simply empty
+    idx = F.when(
+        F.size("ts") >= 2, F.sequence(F.lit(1), F.size("ts") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     bigrams = toks.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("ts") - 1),
+                idx,
                 lambda i: F.concat_ws(
                     " ", F.element_at("ts", i), F.element_at("ts", i + 1)
                 ),

@@ -233,7 +233,11 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     wn = Window.partitionBy("user_id").orderBy(*order)
     mu = F.avg("value").over(w)
     sd = F.stddev_samp("value").over(w)
-    z = (F.col("value") - mu) / sd
+    # try_divide: a user with 24 equal trailing values has sd exactly 0 —
+    # ANSI division would kill the whole scan; NULL z is what DuckDB's
+    # double division yields there too, and the |z|>2 filter drops it
+    # (all-equal history means no anomaly)
+    z = F.try_divide(F.col("value") - mu, sd)
     return (
         tbl(spark, sf_dir, "events")
         .select(
@@ -253,12 +257,17 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ewma",
+    # value IS NOT NULL on both sides: Spark's collect_list DROPS null
+    # elements while DuckDB's list() keeps them, so a null value inside
+    # the trailing window would silently shift both the weights and the
+    # denominator between engines — the EWMA is defined over the
+    # non-null value stream instead.
     oracle="""
     WITH w AS (
       SELECT user_id, ts, event_id,
              list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS arr
-      FROM events)
+      FROM events WHERE value IS NOT NULL)
     SELECT user_id, ts, event_id,
            round(list_sum(list_transform(arr, (x, i) -> x * pow(0.7, len(arr) - i)))
                  / list_sum(list_transform(arr, (x, i) -> pow(0.7, len(arr) - i))),
@@ -281,6 +290,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = "aggregate(transform(arr, (x, i) -> pow(0.7D, size(arr) - 1 - i)), 0D, (a, x) -> a + x)"
     return (
         tbl(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())  # see the oracle note
         .select("user_id", "ts", "event_id", F.collect_list("value").over(w).alias("arr"))
         .select(
             "user_id",
