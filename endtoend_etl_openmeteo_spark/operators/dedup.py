@@ -24,9 +24,26 @@ from pyspark.sql import functions as F
 from endtoend_etl_openmeteo_spark.session import release_checkpoint
 
 
+#: Whitespace class shared by the Spark normalizers and their DuckDB
+#: oracles: the EXPLICIT Java/RE2 common subset, never ``\s`` — Java's
+#: ``\s`` includes \x0B (vertical tab) while RE2's does not, so a corpus
+#: containing \x0B would silently tokenize differently per engine
+#: (verified live: 'a\x0Bb' is 2 tokens under Java \s, 3 under RE2).
+WHITESPACE_CLASS = r"[ \t\n\f\r]"
+
+
 def normalized_text(col: Column | str) -> Column:
-    """lower + whitespace collapse + trim — the canonical form for digests."""
-    return F.trim(F.regexp_replace(F.lower(F.col(col) if isinstance(col, str) else col), r"\s+", " "))
+    """lower + whitespace collapse + trim — the canonical form for digests.
+    Collapses the EXPLICIT whitespace class (see WHITESPACE_CLASS), so
+    the md5 fingerprints agree with the DuckDB oracles' ``\\s+`` (RE2)
+    for every input, \\x0B included."""
+    return F.trim(
+        F.regexp_replace(
+            F.lower(F.col(col) if isinstance(col, str) else col),
+            WHITESPACE_CLASS + "+",
+            " ",
+        )
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

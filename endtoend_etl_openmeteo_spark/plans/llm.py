@@ -1005,7 +1005,7 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
       SELECT doc_id,
-             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]'))
                   + 1 AS BIGINT) AS n_eff
       FROM documents),
     c AS (
@@ -1035,15 +1035,14 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
     from endtoend_etl_openmeteo_spark.operators.layout import sequence_pack
+    from endtoend_etl_openmeteo_spark.plans.text import TOKEN_PATTERN
 
     # the per-row tokenizer regex is CPU-heavy — a single-file documents
     # scan must not serialize it onto one core (CLAUDE.md rule)
     docs = cpu_parallelize(tbl(spark, sf_dir, "documents")).select(
         "doc_id",
         F.size(
-            F.regexp_extract_all(
-                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
-            )
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)
         ).cast("long").alias("n_tokens"),
     )
     return sequence_pack(docs, seq_len=512, id_col="doc_id")

@@ -25,7 +25,12 @@ from endtoend_etl_openmeteo_spark.operators.dedup import (
 from endtoend_etl_openmeteo_spark.plans.registry import register
 from endtoend_etl_openmeteo_spark.sources.tables import tbl
 
-TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+#: Interpolated verbatim into both the Spark expressions and the DuckDB
+#: oracles, so the whitespace class is the EXPLICIT Java/RE2 common
+#: subset (see operators/dedup.WHITESPACE_CLASS) — Java's ``\s`` matches
+#: \x0B, RE2's does not, and a shared ``\s`` literal would tokenize a
+#: vertical tab differently per engine.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
 
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "to", "in", "is"),
@@ -111,11 +116,26 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         sw = STOPWORDS[lang]
         return F.size(F.filter(toks, lambda t: t.isin(*sw))) / F.size(toks)
 
-    return tbl(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.round(score("en"), 6).alias("en_score"),
-        F.round(score("de"), 6).alias("de_score"),
-        F.when(score("en") >= 0.05, "en").otherwise("other").alias("lang_guess"),
+    # stage the scores once and derive the guess from the staged column:
+    # separately-constructed HOF lambdas get distinct variable ids, so
+    # codegen subexpression elimination cannot merge them — an inline
+    # `score("en")` in the guess would run the O(tokens) stopword filter
+    # twice per document (the q_repetition_filter staging discipline)
+    return (
+        tbl(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            score("en").alias("__en"),
+            F.round(score("de"), 6).alias("de_score"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("__en"), 6).alias("en_score"),
+            "de_score",
+            F.when(F.col("__en") >= 0.05, "en").otherwise("other").alias(
+                "lang_guess"
+            ),
+        )
     )
 
 
@@ -2047,8 +2067,13 @@ def _dedup_contract_parts(spark: SparkSession, sf_dir: str) -> tuple:
         )
         .agg(
             (
-                F.coalesce(F.sum("f"), F.lit(0))
-                >= 0.5 * F.count("*")
+                # non-vacuity: an empty 0.7-truth set must FAIL, not pass
+                # trivially — the round-6 incremental_exactdup lesson
+                # applied to the recall floor (the slice carries true
+                # pairs at every shipped SF; losing them all to a regen
+                # should trip the gate, not silently weaken it)
+                (F.coalesce(F.sum("f"), F.lit(0)) >= 0.5 * F.count("*"))
+                & (F.count("*") >= 1)
             ).alias("ok")
         )
         .select(*row("minhash_recall_07", F.col("ok")))
@@ -2093,16 +2118,9 @@ def _dedup_contract_parts(spark: SparkSession, sf_dir: str) -> tuple:
         .select(*row("clusters_consistent", F.col("v") == 0))
     )
 
-    # 5. two-batch incremental screen finds every exact-duplicate pair.
-    # The natural corpus has ZERO byte-identical docs in the slice (the
-    # round-6 form ran the screen over 2x250 docs against an EMPTY truth
-    # set — expensive and vacuous), so this runs on a small constructed
-    # corpus: 60 docs plus one replica injected into EACH batch — doc 3's
-    # copy lands in batch 1 (intra-batch dup), doc 7's in batch 2
-    # (cross-batch dup) — and the truth set is derived independently by
-    # grouping the constructed corpus on md5(normalized text): identical
-    # text implies identical MinHash signatures, so the screen must emit
-    # every such pair.
+    # contract 5 (incremental_exactdup) lives in _dedup_incr_verdict —
+    # it depends only on the doc slice, so the caller overlaps it with
+    # this shared-input build
     return (
         {
             "minhash_precision": precision,
@@ -2247,11 +2265,16 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def grams(col, n):
-        k = F.greatest(F.size(col) - (n - 1), F.lit(0))
-        return F.transform(
+        # a document with < n tokens has ZERO n-grams: Spark's
+        # sequence(1, 0) counts DOWN to [1, 0] and slice(col, 0, n)
+        # throws under ANSI mode where the oracle's generate_series(1, 0)
+        # is simply empty — guard the short-doc branch explicitly (the
+        # token_counts/shingles discipline)
+        k = F.size(col) - (n - 1)
+        return F.when(k >= 1, F.transform(
             F.sequence(F.lit(1), k),
             lambda i: F.array_join(F.slice(col, i, n), " "),
-        )
+        )).otherwise(F.array().cast("array<string>"))
 
     d = cpu_parallelize(tbl(spark, sf_dir, "documents").select("doc_id", "text"))
     # token_counts requires MATERIALIZED sorted columns (Catalyst does not
