@@ -87,20 +87,21 @@ PRIORITY: list[str] = [
     "q_multimodal_features",
     # --- oracle-backed extension rows rotated per round so every family
     # eventually earns a driver-witnessed CORRECTNESS row (round-7 verdict
-    # task 2). Round 10: q_index_compact / q_bm25_search / q_hybrid_search /
-    # q_bloom_lookup earned green rows in CORRECTNESS_r09 and yield their
-    # slots to the four never-witnessed round-9 flagship rows — the stored
-    # IVF-PQ serving contract (q_ann_ivfpq_stored), streaming embedding
-    # ingest into a servable index (q_ann_stream_ingest), the SemDeDup
-    # keep/drop curation verdict (q_semdedup_prune), and MP4/OGG container
-    # parsing (q_multimodal_video). q_substring_dup / q_semdedup keep the
-    # rows they earned in round 7. ---
+    # task 2). Round 11: q_ann_ivfpq_stored / q_ann_stream_ingest /
+    # q_semdedup_prune / q_multimodal_video earned green rows in
+    # CORRECTNESS_r10 and yield their slots to the four never-witnessed
+    # rows the round-10 verdict queued — the stored-index deletion
+    # lifecycle for both serving stores (q_ann_index_delete, q_bm25_delete)
+    # and the versioned-table family tail (q_optimize_cluster — OPTIMIZE
+    # ZORDER-style clustering rewrite; q_rename_count — O(1) metadata
+    # rename + count). q_substring_dup / q_semdedup keep the rows they
+    # earned in round 7. ---
     "q_substring_dup",
     "q_semdedup",
-    "q_ann_ivfpq_stored",
-    "q_ann_stream_ingest",
-    "q_semdedup_prune",
-    "q_multimodal_video",
+    "q_ann_index_delete",
+    "q_bm25_delete",
+    "q_optimize_cluster",
+    "q_rename_count",
     # --- approximate-family floor contracts + streaming parity (round 7):
     # the driver itself witnesses the dedup/ANN recall floors and the
     # streaming-equals-batch hash. ---
@@ -110,12 +111,17 @@ PRIORITY: list[str] = [
     "q_ann_ivf_stored",
     # ------------------------- 50-entry line -------------------------
     # Next rotation candidates (never driver-witnessed, queued for round
-    # 11): the versioned-table family tail — q_optimize_cluster
-    # (plans/advanced.py — OPTIMIZE ZORDER-style clustering rewrite),
-    # q_rename_count (plans/advanced.py — O(1) metadata rename + count),
-    # q_snapshot_diff (plans/advanced.py — CDC between snapshots) — the
-    # last substantial operator family with zero driver rows ever
-    # (round-9 verdict task 3).
+    # 12): the remaining versioned-family tail — q_snapshot_diff (CDC
+    # between snapshots), q_snapshot_merge (snapshot-isolated MERGE),
+    # q_incremental_agg (CDC-driven incremental aggregate) — plus
+    # q_bloom_decontaminate (the round-10 perf watch item; a driver row
+    # witnesses both correctness and that the plan stayed healthy).
+    # Displaced from the prefix in round 11 (witnessed green in
+    # CORRECTNESS_r10; still check_oracle + CI green).
+    "q_ann_ivfpq_stored",
+    "q_ann_stream_ingest",
+    "q_semdedup_prune",
+    "q_multimodal_video",
     # Displaced from the prefix in round 10 (witnessed green in
     # CORRECTNESS_r09; still check_oracle + CI green).
     "q_index_compact",
@@ -237,12 +243,8 @@ PRIORITY: list[str] = [
     # stage (q_hybrid_search rotated into the 50-prefix in round 9)
     "q_strip_spans",
     # (q_semdedup_prune / q_multimodal_video, oracle-backed in round 8,
-    # rotated into the 50-prefix in round 10.)
-    # Oracle-backed in round 10: the stored-index deletion lifecycle
-    # (tombstones -> serve-time anti-join -> partition-pruned vacuum)
-    # for the ANN and BM25 serving stores.
-    "q_ann_index_delete",
-    "q_bm25_delete",
+    # rotated into the 50-prefix in round 10; q_ann_index_delete /
+    # q_bm25_delete, oracle-backed in round 10, rotated in round 11.)
     # Rows-only (approximate / hash-specific / iterative) — weakest driver
     # signal, so they spend the tail slots.
     "q_minhash_neardup",
