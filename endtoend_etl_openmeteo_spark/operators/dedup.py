@@ -133,9 +133,15 @@ def cpu_parallelize(df: DataFrame) -> DataFrame:
 
     target = df.sparkSession.sparkContext.defaultParallelism
     analyzed = df._jdf.queryExecution().analyzed().toString()
+    # Node names sit at the START of each rendered plan line (after the
+    # tree-drawing prefix "): :- +- "). Matching anywhere in the line
+    # false-positives on columns/aliases literally named "Sort"/"Window"
+    # etc. (they appear mid-line inside the node's expression list) and
+    # silently skips parallelization of a CPU-heavy single-partition scan.
     if re.search(
-        r"\b(Join|Aggregate|Window|Sort|Distinct|Repartition|Deduplicate)\b",
+        r"^[\s:+-]*(Join|Aggregate|Window|Sort|Distinct|Repartition\w*|Deduplicate)\b",
         analyzed,
+        re.MULTILINE,
     ):
         return df  # post-shuffle width — probing would execute the plan
     if df.rdd.getNumPartitions() >= target:

@@ -46,6 +46,7 @@ serving simplicity.
 
 from __future__ import annotations
 
+import logging
 import math
 import time
 import uuid
@@ -54,6 +55,9 @@ from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+logger = logging.getLogger(__name__)
 
 #: Hive's directory-name sentinel for a NULL partition value.
 _NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
@@ -85,7 +89,21 @@ class LeaseBackend:
     primitive (rename refuses an existing destination) for stores where
     rename-no-replace is the atomic op; object stores with neither need
     a backend over an external lock service (DynamoDB, ZooKeeper) —
-    subclass and override the three methods."""
+    subclass and override the three methods.
+
+    ``release_read_retries`` / ``release_read_backoff_s`` bound how long
+    :func:`index_lease` keeps re-reading the lock at release before it
+    concludes the read failures are transient and deletes anyway (it
+    believes it still holds the lock). The defaults (~0.3 s) suit local
+    and HDFS filesystems; object-store deployments whose transient-error
+    windows run longer should raise them on their backend subclass so a
+    flaky read can't delete a successor's lock acquired after a
+    break_lease."""
+
+    #: release-time ownership-read retries before deleting unverified
+    release_read_retries: int = 3
+    #: base backoff between those retries (attempt k sleeps k * base)
+    release_read_backoff_s: float = 0.05
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -234,12 +252,27 @@ def index_lease(
         # alternative (skip the delete) strands our own marker on any
         # transient FS error at exit and blocks every future writer.
         held = None
-        for attempt in range(3):
+        for attempt in range(max(1, be.release_read_retries)):
             held = be.read()
             if held is not None:
                 break
-            time.sleep(0.05 * (attempt + 1))
-        if held is None or held == payload:
+            time.sleep(be.release_read_backoff_s * (attempt + 1))
+        if held is None:
+            # deleting on FAILED reads, not confirmed ownership — correct
+            # for a transient local hiccup, but worth a loud trace: if the
+            # reads failed because the store was flaky AND an operator
+            # break_lease + re-acquire landed meanwhile, this delete just
+            # removed the successor's lock. Raise the backend's
+            # release_read_retries/backoff on deployments where that
+            # window is plausible.
+            logger.warning(
+                "index lease release at %s: ownership read failed %d times; "
+                "deleting the lock unverified (we believe we still hold it)",
+                be.lock,
+                max(1, be.release_read_retries),
+            )
+            be.delete()
+        elif held == payload:
             be.delete()
 
 
@@ -416,11 +449,20 @@ def _tombstone_path(path: str) -> str:
 
 
 def _read_tombstones(spark, path: str, id_col: str = "id") -> "DataFrame | None":
-    """The deleted-id set as a one-column frame, or None when no
-    tombstones exist. Underscore-prefixed directory, so the code/vector
-    scan's data-file discovery never sees it; rows are ids only, so the
-    serving filter is a broadcast anti-join over bounded metadata —
-    O(deletes), never O(index)."""
+    """The deleted-id set as a bounded frame, or None when no tombstones
+    exist. Underscore-prefixed directory, so the code/vector scan's
+    data-file discovery never sees it; rows are (id, part) pairs only, so
+    the serving filter is a broadcast anti-join over bounded metadata —
+    O(deletes), never O(index).
+
+    ``part`` is the OPTIONAL partition hint the deleter recorded
+    (``"cell=5"`` / ``"bkt=12"``) so the vacuum tick can prune its
+    discovery scan to candidate partitions; NULL means "unknown — scan".
+    Sidecar files written before the hint existed carry only ``id`` and
+    read as NULL ``part`` (explicit read schema = parquet column
+    back-fill). An id may repeat across parts (a BM25 doc's postings span
+    one bucket per term); consumers joining on ``id_col`` alone must
+    de-dup first (anti/semi joins don't care)."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(_tombstone_path(path))
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -435,7 +477,7 @@ def _read_tombstones(spark, path: str, id_col: str = "id") -> "DataFrame | None"
     if not has_files:
         return None
     return (
-        spark.read.schema("id long")
+        spark.read.schema("id long, part string")
         .parquet(_tombstone_path(path))
         .distinct()
         .withColumnRenamed("id", id_col)
@@ -454,25 +496,57 @@ def delete_from_stored_index(
     (``cell=``), flat IVF-PQ, and stream-managed (``_epoch=/cell=``)
     layouts alike — the sidecar is layout-agnostic.
 
-    ``vec_ids``: an iterable of ids or a one-column DataFrame. Takes the
-    maintenance lease (a delete racing a vacuum's sidecar clear would
-    vanish). Returns the number of distinct tombstones appended.
+    ``vec_ids``: an iterable of ids, a one-column DataFrame, or a
+    DataFrame carrying a ``part`` string column alongside the ids — the
+    partition hint (``"cell=5"`` / ``"bkt=12"``) that lets
+    :func:`vacuum_index_tombstones` prune its discovery scan to the
+    named partitions instead of full-scanning the index. Deleters that
+    know the partition (BM25 computes term buckets from the doc text;
+    ANN callers with the vector in hand assign its cell through the
+    stored quantizer — see similarity.ivf_cells_for_vectors) should record
+    it; bare ids stay correct and fall back to the scan. The hint MUST
+    name a partition column whose value is stable for the row (``cell``,
+    ``bkt`` — never ``_epoch``, which consolidation rewrites); vacuum
+    validates the column name and ignores unstable/unknown hints loudly.
+    Takes the maintenance lease (a delete racing a vacuum's sidecar
+    clear would vanish). Returns the number of distinct ids tombstoned.
 
     Deleting an id that was never ingested is a no-op at serve time and
     is vacuumed away like any other tombstone. Re-ingesting a DELETED id
-    without vacuuming first is out of contract — the tombstone would
-    hide the new row too (ids are unique forever; see
-    append_streamed_ivfpq's uniqueness contract).
+    without vacuuming first is REFUSED by the append paths (see
+    :func:`require_no_tombstoned_ids`) — the tombstone would hide the
+    new row too (ids are unique forever; see append_streamed_ivfpq's
+    uniqueness contract).
     """
     if lease:
         with index_lease(spark, path, owner="delete_ids"):
             return delete_from_stored_index(spark, vec_ids, path, lease=False)
     if isinstance(vec_ids, DataFrame):
-        ids = vec_ids.select(F.col(vec_ids.columns[0]).cast("long").alias("id"))
+        id_name = vec_ids.columns[0]
+        dt = vec_ids.schema[id_name].dataType
+        if not isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            # a silent cast would turn non-numeric ids into NULL
+            # tombstones: the serve-time anti-join on NULL matches
+            # nothing and the delete no-ops with no error surfaced
+            raise TypeError(
+                f"delete_from_stored_index: id column {id_name!r} has "
+                f"non-integral type {dt.simpleString()} — stored indexes "
+                "key rows by long ids; map your ids to longs explicitly"
+            )
+        cols = [F.col(id_name).cast("long").alias("id")]
+        if "part" in vec_ids.columns[1:]:
+            cols.append(F.col("part").cast("string").alias("part"))
+        else:
+            cols.append(F.lit(None).cast("string").alias("part"))
+        ids = vec_ids.select(*cols)
     else:
-        ids = spark.createDataFrame([(int(i),) for i in vec_ids], "id long")
+        ids = spark.createDataFrame(
+            [(int(i), None) for i in vec_ids], "id long, part string"
+        )
     ids = ids.distinct()
-    n = int(ids.count())
+    n = int(ids.select("id").distinct().count())
     if n:
         ids.coalesce(1).write.mode("append").parquet(_tombstone_path(path))
     return n
@@ -492,6 +566,16 @@ def vacuum_index_tombstones(
     bounded maintenance tick under the lease; serving is identical
     before and after (the serve-time anti-join already hid the rows).
     Returns {"tombstones", "rows_removed", "partitions_rewritten"}.
+
+    Discovery is METADATA-PRUNED when the deleter recorded partition
+    hints (see :func:`delete_from_stored_index`): the scan that locates
+    a tombstoned id's partitions reads ONLY the hinted partitions —
+    O(touched partitions), not O(index). Any bare-id tombstone, or a
+    hint naming a column that isn't the layout's stable partition
+    column (``cell`` / ``bkt``; ``_epoch`` moves under consolidation so
+    an epoch hint could silently miss the row and resurrect it when the
+    sidecar clears), falls the whole tick back to the full discovery
+    scan — correct first, pruned when provably safe.
     """
     if lease:
         with index_lease(spark, path, owner="vacuum_tombstones"):
@@ -502,7 +586,8 @@ def vacuum_index_tombstones(
     tomb = _read_tombstones(spark, path, id_col)
     if tomb is None:
         return {"tombstones": 0, "rows_removed": 0, "partitions_rewritten": 0}
-    n_tomb = tomb.count()
+    tomb_ids = tomb.select(id_col).distinct()
+    n_tomb = tomb_ids.count()
     top_parts = {
         s.getPath().getName().split("=", 1)[0]
         for s in fs.listStatus(root)
@@ -519,7 +604,46 @@ def vacuum_index_tombstones(
         )
     scan = spark.read.parquet(path)
     key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in part_cols])
-    dead = scan.join(F.broadcast(tomb), id_col, "left_semi")
+    # --- discovery scan, pruned to hinted partitions when every
+    # tombstone carries a valid hint (bounded collect: one row per
+    # distinct hint, i.e. per touched partition) ---
+    hint_col = part_cols[-1]  # "cell" (flat + streamed) or the one col
+    hints = [r[0] for r in tomb.select("part").distinct().collect()]
+    prune_vals: list[str] = []
+    prunable = all(h is not None for h in hints)
+    if prunable:
+        for h in hints:
+            c, eq, v = h.partition("=")
+            if not eq or c != hint_col:
+                logger.warning(
+                    "vacuum at %s: partition hint %r does not name the "
+                    "stable partition column %r — falling back to the "
+                    "full discovery scan",
+                    path,
+                    h,
+                    hint_col,
+                )
+                prunable = False
+                break
+            prune_vals.append(v)
+    disc = scan
+    if prunable and prune_vals:
+        try:
+            disc = scan.filter(
+                F.col(hint_col).isin(
+                    _typed_values(scan, hint_col, sorted(set(prune_vals)))
+                )
+            )
+        except ValueError:
+            logger.warning(
+                "vacuum at %s: a partition hint value does not parse in "
+                "the scan's %s partition type — falling back to the full "
+                "discovery scan",
+                path,
+                hint_col,
+            )
+            disc = scan
+    dead = disc.join(F.broadcast(tomb_ids), id_col, "left_semi")
     affected = {
         tuple(r) for r in dead.select(*part_cols).distinct().collect()
     }  # bounded by partition count, metadata-sized
@@ -533,7 +657,7 @@ def vacuum_index_tombstones(
         }
     keys = ["\x00".join(str(v) for v in t) for t in affected]
     survivors = scan.filter(key.isin(keys)).join(
-        F.broadcast(tomb), id_col, "left_anti"
+        F.broadcast(tomb_ids), id_col, "left_anti"
     )
     alive = {
         tuple(r) for r in survivors.select(*part_cols).distinct().collect()
@@ -569,3 +693,46 @@ def vacuum_index_tombstones(
         "rows_removed": int(rows_removed),
         "partitions_rewritten": len(affected),
     }
+
+
+class TombstonedIdError(ValueError):
+    """An append batch contains ids currently tombstoned in the target
+    index. Appending them would be a SILENT serving gap: the serve-time
+    anti-join hides every tombstoned id, so the legitimately re-ingested
+    row would vanish from results until the next vacuum — with no error
+    anywhere. Vacuum first (physically removing the old rows and
+    clearing the sidecar), then re-append."""
+
+
+def require_no_tombstoned_ids(
+    batch_ids: DataFrame, path: str, id_col: str = "id"
+) -> None:
+    """Screen an append batch against the index's ``_tombstones/``
+    sidecar; raise :class:`TombstonedIdError` naming sample offenders if
+    any batch id is currently deleted. One broadcast semi-join over the
+    batch (the tombstone set is bounded metadata — O(deletes)); a
+    tombstone-free index costs one filesystem existence check. Called by
+    every append path under the writer lease, so the check can't race a
+    concurrent delete."""
+    spark = batch_ids.sparkSession
+    tomb = _read_tombstones(spark, path, id_col="__tomb_id")
+    if tomb is None:
+        return
+    hits = [
+        r[0]
+        for r in batch_ids.select(F.col(id_col).cast("long").alias("__id"))
+        .join(
+            F.broadcast(tomb.select(F.col("__tomb_id").alias("__id"))),
+            "__id",
+            "left_semi",
+        )
+        .limit(5)
+        .collect()
+    ]
+    if hits:
+        raise TombstonedIdError(
+            f"append to {path}: batch contains tombstoned id(s) "
+            f"{sorted(hits)}{' …' if len(hits) == 5 else ''} — the serve-"
+            "time anti-join would hide the re-ingested rows until the "
+            "next vacuum. Run vacuum_index_tombstones first, then append."
+        )

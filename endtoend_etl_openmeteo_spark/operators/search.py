@@ -355,7 +355,10 @@ def append_inverted_index(
     """
     import json as _json
 
-    from endtoend_etl_openmeteo_spark.operators.index_maintain import index_lease
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        index_lease,
+        require_no_tombstoned_ids,
+    )
 
     spark = docs.sparkSession
     if lease:
@@ -364,6 +367,10 @@ def append_inverted_index(
                 docs, index_path, id_col, text_col, lease=False
             )
     _require_no_pending(spark, index_path)
+    # a currently-tombstoned doc id must not re-enter: the serve-time
+    # anti-join would hide its new postings until the next vacuum —
+    # a silent serving gap (TombstonedIdError names the offenders)
+    require_no_tombstoned_ids(docs.select(id_col), index_path, id_col=id_col)
     pend, pfs = _pending_path(spark, index_path)
     stats = read_index_stats(spark, index_path)
     if "total_tokens" not in stats:
@@ -467,9 +474,26 @@ def delete_from_inverted_index(
         marker.write(_json.dumps({"op": "delete", "b_docs": b_docs}).encode())
     finally:
         marker.close()
-    delete_from_stored_index(
-        spark, docs.select(id_col), index_path, lease=False
+    # Tombstones carry the term-bucket PARTITION HINT ("bkt=<b>", one row
+    # per distinct bucket the doc's terms hash into — computable here
+    # because the doc text is in hand), so the vacuum tick prunes its
+    # discovery scan to exactly the touched buckets instead of reading
+    # the whole index. A posting-less doc (NULL/empty text) writes no
+    # tombstone at all: it has nothing in the index to hide or vacuum,
+    # and its stats reversal below is the delete's only trace.
+    hinted = (
+        inverted_index(docs, id_col, text_col)
+        .select(
+            "doc_id",
+            _term_bucket(F.col("term"), stats["n_buckets"]).alias("__b"),
+        )
+        .distinct()
+        .select(
+            "doc_id",
+            F.concat(F.lit("bkt="), F.col("__b").cast("string")).alias("part"),
+        )
     )
+    delete_from_stored_index(spark, hinted, index_path, lease=False)
     n_docs = max(0, stats["n_docs"] - b_docs)
     total_tokens = max(0, stats["total_tokens"] - b_tokens)
     n_text_docs = max(0, stats["n_text_docs"] - b_text_docs)
@@ -495,8 +519,17 @@ def read_index_stats(spark, index_path: str) -> dict:
     """The ``_stats.json`` sidecar. Lease-free readers can race a
     writer's delete+rename commit (:func:`_write_stats`) and find the
     file momentarily absent — bounded retries cover that instant; a
-    payload, once visible, is always complete."""
+    payload, once visible, is always complete.
+
+    A leftover ``_append_pending`` crash marker means the stored stats
+    disagree with the postings (an append/delete died between its data
+    write and its stats commit) — scores served off these constants
+    DRIFT. Writers refuse to proceed (:func:`_require_no_pending`);
+    readers get the stats anyway but with ``"append_pending": True``
+    stamped into the dict and a logged warning, so the crashed-append
+    window surfaces at query time, not just at the next write."""
     import json as _json
+    import logging as _logging
     import time as _time
 
     p, fs = _stats_path(spark, index_path)
@@ -510,7 +543,18 @@ def read_index_stats(spark, index_path: str) -> dict:
                 )
             finally:
                 stream.close()
-            return _json.loads(data.decode("utf-8"))
+            stats = _json.loads(data.decode("utf-8"))
+            pend, pfs = _pending_path(spark, index_path)
+            if pfs.exists(pend):
+                stats["append_pending"] = True
+                _logging.getLogger(__name__).warning(
+                    "index %s has a leftover _append_pending marker — a "
+                    "previous append/delete crashed before its stats "
+                    "commit; served scores may drift until a "
+                    "write_inverted_index rebuild clears it",
+                    index_path,
+                )
+            return stats
         except Exception as e:
             last = e
             _time.sleep(0.05 * (attempt + 1))

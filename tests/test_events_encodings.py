@@ -151,3 +151,26 @@ def test_events_between_offset_and_fractional_bounds_consistent(spark, encoded_d
             ).collect()
         )
         assert got == [3, 4], enc
+
+
+def test_nanos_latch_restored_when_retry_also_fails(spark, tmp_path):
+    """_read_parquet_nanos_safe must not leave the session-wide
+    nanosAsLong latch set when the retried read fails too (the failure
+    wasn't a nanos issue) — otherwise every later parquet read outside
+    the tbl() wrapper silently decodes TIMESTAMP(NANOS) columns as
+    long."""
+    import pytest
+
+    from endtoend_etl_openmeteo_spark.sources.tables import (
+        _read_parquet_nanos_safe,
+    )
+
+    conf = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(conf, "false")
+    spark.conf.set(conf, "false")
+    try:
+        with pytest.raises(Exception):
+            _read_parquet_nanos_safe(spark, str(tmp_path / "missing.parquet"))
+        assert spark.conf.get(conf, "false") == "false"
+    finally:
+        spark.conf.set(conf, before)

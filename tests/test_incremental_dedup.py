@@ -422,3 +422,28 @@ def test_ngram_jaccard_thresholds_unrounded_value(spark):
     under = ngram_jaccard_pairs(docs, "doc_id", "text", "lang",
                                 threshold=0.6666666)
     assert [tuple(r) for r in under.collect()] == [(1, 2, 0.666667)]
+
+
+def test_cpu_parallelize_matches_plan_nodes_not_column_names(spark, tmp_path):
+    """The width probe must match plan NODE names (line starts), not any
+    'Sort'/'Window' token in the rendered plan — a COLUMN named Sort
+    previously made a CPU-heavy single-partition scan skip
+    parallelization silently."""
+    from pyspark.sql import functions as F
+
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    p = str(tmp_path / "one")
+    spark.range(100).select(
+        F.col("id"), F.col("id").alias("Sort"), F.col("id").alias("Window")
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert df.rdd.getNumPartitions() == 1
+    out = cpu_parallelize(df)
+    assert (
+        out.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # a genuinely wide frame (real Aggregate node) still passes through
+    agg = df.groupBy("Sort").count()
+    assert cpu_parallelize(agg) is agg

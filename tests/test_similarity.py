@@ -743,3 +743,138 @@ def test_delete_respects_lease_and_applies_to_stored_ivf(spark, emb, tmp_path):
     delete_from_stored_index(spark, [victim], path)
     after = stored_ivf_topk(spark, path, queries, k=10, nprobe=6).collect()
     assert victim not in {r["n_id"] for r in after}
+
+
+def test_append_refuses_tombstoned_vec_until_vacuum(spark, emb, tmp_path):
+    """Re-ingesting a deleted vec id into a stored ANN layout is REFUSED
+    while its tombstone is live (the serve-time anti-join would silently
+    hide the new row), and serves again once a vacuum clears the sidecar.
+    Covers both batch append paths (flat IVF raises; IVF-PQ raises)."""
+    import pytest
+
+    from endtoend_etl_openmeteo_spark.operators.clusters import (
+        kmeans_assign,
+        kmeans_train_sampled,
+    )
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        TombstonedIdError,
+        delete_from_stored_index,
+        vacuum_index_tombstones,
+    )
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        append_ivf_index,
+        append_ivfpq_index,
+        ivfpq_encode,
+        ivfpq_train,
+        stored_ivf_topk,
+        write_ivf_index,
+        write_ivfpq_index,
+    )
+
+    sample = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # --- flat IVF: full refuse -> vacuum -> re-append -> serves again ---
+    path = str(tmp_path / "ivf")
+    cents = kmeans_train_sampled(sample, k=6, iterations=2)
+    cells = (
+        kmeans_assign(sample, cents, keep_vec=True)
+        .withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("vec", "embedding")
+    )
+    write_ivf_index(cells, cents, path, cell_col="cluster")
+    queries = sample.filter(F.col("vec_id") < 3)
+    before = stored_ivf_topk(spark, path, queries, k=10, nprobe=6).collect()
+    victim = before[0]["n_id"]
+    batch = sample.filter(F.col("vec_id") == victim)
+    delete_from_stored_index(spark, [victim], path)
+    with pytest.raises(TombstonedIdError):
+        append_ivf_index(spark, batch, path)
+    # the refusal happens under the lease, before any file lands
+    assert (
+        spark.read.parquet(path).filter(F.col("vec_id") == victim).count() == 1
+    )  # only the original (tombstone-hidden) row
+    vacuum_index_tombstones(spark, path, id_col="vec_id")
+    assert spark.read.parquet(path).filter(F.col("vec_id") == victim).count() == 0
+    append_ivf_index(spark, batch, path)
+    after = stored_ivf_topk(spark, path, queries, k=10, nprobe=6).collect()
+    assert victim in {r["n_id"] for r in after}
+    assert {tuple(r) for r in after} == {tuple(r) for r in before}
+    # --- IVF-PQ append refuses too ---
+    pq_path = str(tmp_path / "ivfpq")
+    coarse, cb = ivfpq_train(sample, n_cells=4, m=8, k=8, iterations=2)
+    write_ivfpq_index(ivfpq_encode(sample, coarse, cb), coarse, cb, pq_path)
+    delete_from_stored_index(spark, [int(victim)], pq_path)
+    with pytest.raises(TombstonedIdError):
+        append_ivfpq_index(spark, batch, pq_path)
+
+
+def test_delete_validates_id_type(spark, tmp_path):
+    """A non-integral id column must raise, not silently cast to NULL
+    tombstones that the serve-time anti-join can never match."""
+    import pytest
+
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        delete_from_stored_index,
+    )
+
+    bad = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+    with pytest.raises(TypeError, match="non-integral"):
+        delete_from_stored_index(spark, bad, str(tmp_path / "idx"))
+
+
+def test_hinted_delete_prunes_vacuum_discovery(spark, emb, tmp_path):
+    """Partition-hinted tombstones: the deleter assigns its vectors'
+    cells through the stored quantizer (ivf_cells_for_vectors), vacuum
+    removes exactly those rows, and an INVALID hint (unknown column)
+    falls back to the full discovery scan instead of missing rows —
+    pruned when provably safe, correct always."""
+    from endtoend_etl_openmeteo_spark.operators.clusters import (
+        kmeans_assign,
+        kmeans_train_sampled,
+    )
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        _read_tombstones,
+        delete_from_stored_index,
+        vacuum_index_tombstones,
+    )
+    from endtoend_etl_openmeteo_spark.operators.similarity import (
+        ivf_cells_for_vectors,
+        write_ivf_index,
+    )
+
+    sample = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "ivf")
+    cents = kmeans_train_sampled(sample, k=6, iterations=2)
+    assigned = kmeans_assign(sample, cents, keep_vec=True)
+    cells = assigned.withColumnRenamed("id", "vec_id").withColumnRenamed(
+        "vec", "embedding"
+    )
+    write_ivf_index(cells, cents, path, cell_col="cluster")
+    victims = [10, 11, 12]
+    vic = sample.filter(F.col("vec_id").isin(victims))
+    hints = ivf_cells_for_vectors(spark, path, vic)
+    # the hint names the row's REAL partition (same assignment op)
+    truth = {
+        r["id"]: f"cell={r['cluster']}"
+        for r in assigned.filter(F.col("id").isin(victims)).collect()
+    }
+    assert {r["id"]: r["part"] for r in hints.collect()} == truth
+    assert delete_from_stored_index(spark, hints, path) == 3
+    tomb = _read_tombstones(spark, path, id_col="vec_id").collect()
+    assert all(r["part"].startswith("cell=") for r in tomb)
+    stats = vacuum_index_tombstones(spark, path, id_col="vec_id")
+    assert stats["rows_removed"] == 3
+    assert stats["partitions_rewritten"] == len(set(truth.values()))
+    left = {r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()}
+    assert not left & set(victims)
+    # --- invalid hint column: fallback still removes the row ---
+    bogus = spark.createDataFrame([(20, "epoch=9")], "vec_id long, part string")
+    delete_from_stored_index(spark, bogus, path)
+    stats = vacuum_index_tombstones(spark, path, id_col="vec_id")
+    assert stats["rows_removed"] == 1
+    assert 20 not in {
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    }
