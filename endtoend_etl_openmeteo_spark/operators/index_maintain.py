@@ -627,6 +627,7 @@ def vacuum_index_tombstones(
                 break
             prune_vals.append(v)
     disc = scan
+    pruned = False
     if prunable and prune_vals:
         try:
             disc = scan.filter(
@@ -634,6 +635,7 @@ def vacuum_index_tombstones(
                     _typed_values(scan, hint_col, sorted(set(prune_vals)))
                 )
             )
+            pruned = True
         except ValueError:
             logger.warning(
                 "vacuum at %s: a partition hint value does not parse in "
@@ -644,6 +646,31 @@ def vacuum_index_tombstones(
             )
             disc = scan
     dead = disc.join(F.broadcast(tomb_ids), id_col, "left_semi")
+    if pruned:
+        # Safety net: a tombstoned id NOT found inside its hinted
+        # partitions is either never-ingested (legitimate no-op) or
+        # MIS-HINTED (wrong cell value) — indistinguishable without
+        # looking. Rescan the full index for just those ids before the
+        # sidecar clears, or a wrong-valued hint would silently
+        # resurrect its row. The check is one bounded anti-join; the
+        # rescan only runs when such ids exist (never-ingested deletes
+        # paid a full discovery scan before hints existed too).
+        missing = tomb_ids.join(
+            dead.select(id_col).distinct(), id_col, "left_anti"
+        )
+        if missing.limit(1).count():
+            stray = scan.join(
+                F.broadcast(missing), id_col, "left_semi"
+            )
+            n_stray = stray.limit(1).count()
+            if n_stray:
+                logger.warning(
+                    "vacuum at %s: tombstoned id(s) found OUTSIDE their "
+                    "hinted partitions (mis-recorded hints) — extending "
+                    "discovery to the full scan for those ids",
+                    path,
+                )
+                dead = dead.unionByName(stray)
     affected = {
         tuple(r) for r in dead.select(*part_cols).distinct().collect()
     }  # bounded by partition count, metadata-sized

@@ -478,9 +478,13 @@ def delete_from_inverted_index(
     # per distinct bucket the doc's terms hash into — computable here
     # because the doc text is in hand), so the vacuum tick prunes its
     # discovery scan to exactly the touched buckets instead of reading
-    # the whole index. A posting-less doc (NULL/empty text) writes no
-    # tombstone at all: it has nothing in the index to hide or vacuum,
-    # and its stats reversal below is the delete's only trace.
+    # the whole index. A posting-less doc (NULL/empty PASSED text) still
+    # writes a BARE tombstone: if it was genuinely ingested posting-less
+    # the tombstone is a harmless no-op, but if the caller's text
+    # diverged from the ingested row (out of contract — the stats
+    # reversal is already wrong) the bare id makes vacuum's full-scan
+    # fallback find and remove the REAL postings instead of silently
+    # leaving the doc serving forever.
     hinted = (
         inverted_index(docs, id_col, text_col)
         .select(
@@ -493,7 +497,14 @@ def delete_from_inverted_index(
             F.concat(F.lit("bkt="), F.col("__b").cast("string")).alias("part"),
         )
     )
-    delete_from_stored_index(spark, hinted, index_path, lease=False)
+    bare = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hinted.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.lit(None).cast("string").alias("part"))
+    )
+    delete_from_stored_index(
+        spark, hinted.unionByName(bare), index_path, lease=False
+    )
     n_docs = max(0, stats["n_docs"] - b_docs)
     total_tokens = max(0, stats["total_tokens"] - b_tokens)
     n_text_docs = max(0, stats["n_text_docs"] - b_text_docs)
@@ -527,7 +538,15 @@ def read_index_stats(spark, index_path: str) -> dict:
     DRIFT. Writers refuse to proceed (:func:`_require_no_pending`);
     readers get the stats anyway but with ``"append_pending": True``
     stamped into the dict and a logged warning, so the crashed-append
-    window surfaces at query time, not just at the next write."""
+    window surfaces at query time, not just at the next write. The flag
+    fires only when the maintenance lease is FREE alongside the marker:
+    marker + no lease is definitely a crashed write (a clean failure
+    releases the lease in its finally but leaves the marker), whereas
+    marker + held lease is a healthy IN-FLIGHT append — flagging that
+    would cry wolf on every concurrent serve during a long batch. A
+    hard-killed holder leaves both files; that state surfaces at the
+    next write (_require_no_pending) or after the operator's
+    break_lease, when the marker alone remains."""
     import json as _json
     import logging as _logging
     import time as _time
@@ -546,14 +565,23 @@ def read_index_stats(spark, index_path: str) -> dict:
             stats = _json.loads(data.decode("utf-8"))
             pend, pfs = _pending_path(spark, index_path)
             if pfs.exists(pend):
-                stats["append_pending"] = True
-                _logging.getLogger(__name__).warning(
-                    "index %s has a leftover _append_pending marker — a "
-                    "previous append/delete crashed before its stats "
-                    "commit; served scores may drift until a "
-                    "write_inverted_index rebuild clears it",
-                    index_path,
+                from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+                    _lease_path,
                 )
+
+                lock = spark._jvm.org.apache.hadoop.fs.Path(
+                    _lease_path(index_path)
+                )
+                if not pfs.exists(lock):
+                    stats["append_pending"] = True
+                    _logging.getLogger(__name__).warning(
+                        "index %s has a leftover _append_pending marker "
+                        "with no writer lease — a previous append/delete "
+                        "crashed before its stats commit; served scores "
+                        "may drift until a write_inverted_index rebuild "
+                        "clears it",
+                        index_path,
+                    )
             return stats
         except Exception as e:
             last = e

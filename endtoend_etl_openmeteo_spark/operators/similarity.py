@@ -1354,6 +1354,10 @@ def ivf_cells_for_vectors(
 
     from endtoend_etl_openmeteo_spark.operators.clusters import kmeans_assign
 
+    # one sidecar read, then branch on its contents (the PQ branch needs
+    # the raw payload shape _encode_with_payload consumes; the flat
+    # branch builds its centroid frame from the same parse — never a
+    # second filesystem read of _quantizer.json)
     p, fs = _quantizer_path(spark, path)
     stream = fs.open(p)
     try:
@@ -1361,16 +1365,19 @@ def ivf_cells_for_vectors(
     finally:
         stream.close()
     payload = json.loads(raw.decode("utf-8"))
+    cents = [(int(c), [float(x) for x in v]) for c, v in payload["centroids"]]
     if "codebooks" in payload:
-        cents = [(int(c), [float(x) for x in v]) for c, v in payload["centroids"]]
         books = [
             [[float(x) for x in cent] for cent in block]
             for block in payload["codebooks"]
         ]
         assigned = _encode_with_payload(vectors, cents, books, id_col, vec_col)
     else:
+        cent_df = spark.createDataFrame(
+            cents, "cluster int, centroid array<double>"
+        )
         assigned = kmeans_assign(
-            vectors, read_ivf_quantizer(spark, path), id_col=id_col, vec_col=vec_col
+            vectors, cent_df, id_col=id_col, vec_col=vec_col
         ).select(F.col("id"), F.col("cluster").alias("cell"))
     return assigned.select(
         F.col("id"),
@@ -1609,18 +1616,28 @@ def append_streamed_ivfpq(
         batch = out
         tomb = _read_tombstones(spark, path, id_col="id")
         if tomb is not None:
-            batch = batch.join(
-                F.broadcast(tomb.select("id")), "id", "left_anti"
+            # count hits on the INPUT ids (no encode re-execution) so the
+            # anti-join and its warning only happen when the batch really
+            # carries deleted ids — the window between a delete and the
+            # next vacuum; 100 clean epochs log nothing
+            tomb_ids = tomb.select("id")
+            dropped = (
+                vectors.select(F.col(id_col).cast("long").alias("id"))
+                .join(F.broadcast(tomb_ids), "id", "left_semi")
+                .count()
             )
-            import logging
+            if dropped:
+                batch = batch.join(F.broadcast(tomb_ids), "id", "left_anti")
+                import logging
 
-            logging.getLogger(__name__).warning(
-                "append_streamed_ivfpq at %s: epoch %s screened against "
-                "the tombstone sidecar — any deleted id in the batch is "
-                "dropped (replay-safe; serving already hides it)",
-                path,
-                epoch_tag,
-            )
+                logging.getLogger(__name__).warning(
+                    "append_streamed_ivfpq at %s: epoch %s carries %d "
+                    "tombstoned id(s) — dropped (replay-safe; serving "
+                    "already hides them)",
+                    path,
+                    epoch_tag,
+                    dropped,
+                )
         (
             batch.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -2193,7 +2193,7 @@ def _dedup_incr_verdict(spark: SparkSession, sf_dir: str) -> tuple:
         # set can never silently pass again)
         exact_truth.join(found, ["id_a", "id_b"], "left_anti")
         .agg(F.count("*").alias("v"))
-        .crossJoin(exact_truth.agg(F.count("*").alias("t")))
+        .crossJoin(F.broadcast(exact_truth.agg(F.count("*").alias("t"))))
         .select(
             F.lit("incremental_exactdup").alias("contract"),
             ((F.col("v") == 0) & (F.col("t") >= 2)).alias("ok"),

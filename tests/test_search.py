@@ -463,8 +463,10 @@ def test_bm25_delete_records_bucket_hints(spark, tmp_path):
     """The BM25 delete computes its doc's term buckets (the text is in
     hand) and records them as partition hints, so the vacuum tick prunes
     its discovery scan to exactly the touched ``bkt=`` directories. A
-    posting-less (NULL-text) doc writes NO tombstone — nothing in the
-    index to hide or vacuum; the stats reversal is its only trace."""
+    posting-less (NULL-text) doc writes a BARE tombstone — harmless for
+    a genuinely posting-less doc, but it makes vacuum's full-scan
+    fallback catch a text-mismatched (out-of-contract) delete instead
+    of leaving the doc's real postings serving forever."""
     from endtoend_etl_openmeteo_spark.operators.index_maintain import (
         _read_tombstones,
         vacuum_index_tombstones,
@@ -497,13 +499,18 @@ def test_bm25_delete_records_bucket_hints(spark, tmp_path):
     stats = vacuum_index_tombstones(spark, path, id_col="doc_id")
     assert stats["rows_removed"] == 2  # doc 1 posts 'spark' and 'join'
     assert spark.read.parquet(path).filter("doc_id = 1").count() == 0
-    # NULL-text doc: no tombstone, stats reverse exactly
+    # NULL-text doc: a bare (hint-less) tombstone, stats reverse exactly
     before = read_index_stats(spark, path)
     delete_from_inverted_index(docs.filter("doc_id = 9"), path)
-    assert _read_tombstones(spark, path, id_col="doc_id") is None
+    tomb = _read_tombstones(spark, path, id_col="doc_id").collect()
+    assert [(r["doc_id"], r["part"]) for r in tomb] == [(9, None)]
     got = read_index_stats(spark, path)
     assert got["n_docs"] == before["n_docs"] - 1
     assert got["total_tokens"] == before["total_tokens"]
+    stats = vacuum_index_tombstones(spark, path, id_col="doc_id")
+    assert stats == {
+        "tombstones": 1, "rows_removed": 0, "partitions_rewritten": 0,
+    }
 
 
 def test_serving_surfaces_crashed_append_marker(spark, tmp_path):
@@ -525,6 +532,14 @@ def test_serving_surfaces_crashed_append_marker(spark, tmp_path):
     out = pfs.create(pend, True)
     out.write(b"{}")
     out.close()
+    # marker + HELD lease = a healthy in-flight append: must NOT flag
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        index_lease,
+    )
+
+    with index_lease(spark, path, owner="in_flight_append"):
+        assert "append_pending" not in read_index_stats(spark, path)
+    # marker + free lease = a crashed write: flag it
     stats = read_index_stats(spark, path)
     assert stats["append_pending"] is True
     assert {

@@ -878,3 +878,16 @@ def test_hinted_delete_prunes_vacuum_discovery(spark, emb, tmp_path):
     assert 20 not in {
         r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
     }
+    # --- wrong-VALUED hint (valid column, wrong cell): the safety net
+    # must rescan for ids missing from their hinted partitions instead
+    # of clearing the sidecar over an unfound row (silent resurrection)
+    real = assigned.filter(F.col("id") == 30).collect()[0]["cluster"]
+    mis = spark.createDataFrame(
+        [(30, f"cell={(real + 1) % 64}")], "vec_id long, part string"
+    )
+    delete_from_stored_index(spark, mis, path)
+    stats = vacuum_index_tombstones(spark, path, id_col="vec_id")
+    assert stats["rows_removed"] == 1
+    assert 30 not in {
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    }
