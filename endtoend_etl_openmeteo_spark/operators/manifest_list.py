@@ -50,8 +50,20 @@ _MANIFEST_DIR = "_manifests"
 _CHUNK = 4096
 
 
-def _is_local(table: str) -> bool:
-    return urlparse(table).scheme in ("", "file")
+def _is_local(spark: SparkSession, table: str) -> bool:
+    """True only when the table genuinely lives on the driver-local
+    filesystem. A scheme-less path is NOT automatically local: with
+    ``fs.defaultFS=hdfs://...`` the data files and vN.json resolve to
+    HDFS, and a pyarrow write here would strand the manifest parquet on
+    the driver's local disk — referenced by the committed manifest list
+    but invisible to every Spark read (the same trap versioned.
+    _write_data and vt_count guard against, same rule applied)."""
+    scheme = urlparse(table).scheme
+    if scheme == "file":
+        return True
+    if scheme:
+        return False
+    return _hadoop(spark, table)[0].getScheme() == "file"
 
 
 def _local_root(table: str) -> str:
@@ -157,16 +169,26 @@ ENTRIES_DDL = (
 def _ref_summary(chunk: list[dict], rel: str) -> dict:
     nstats: dict[str, list[float]] = {}
     sstats: dict[str, list[str]] = {}
-    incomplete_n: set[str] = set()
-    incomplete_s: set[str] = set()
+    #: columns some entry carries WITHOUT summarizable bounds — a NULL
+    #: lo OR hi, a non-numeric/non-string value (bools, mixed types):
+    #: exactly the inputs _entry_row projects to NULL, where the
+    #: entry-level Catalyst prune conservatively KEEPS the entry. The
+    #: ref summary must stay a superset of entry-level pruning, so any
+    #: such column is unpublishable at ref level.
+    incomplete: set[str] = set()
     for e in chunk:
         for col, mm in (e.get("stats") or {}).items():
             if mm is None or mm[0] is None or mm[1] is None:
-                incomplete_n.add(col)
-                incomplete_s.add(col)
+                incomplete.add(col)
                 continue
             lo, hi = mm
-            if isinstance(lo, (int, float)) and not isinstance(lo, bool):
+            num = (
+                isinstance(lo, (int, float))
+                and isinstance(hi, (int, float))
+                and not isinstance(lo, bool)
+                and not isinstance(hi, bool)
+            )
+            if num:
                 cur = nstats.get(col)
                 lo_d, hi_d = _num_down(lo), _num_up(hi)
                 nstats[col] = (
@@ -174,21 +196,24 @@ def _ref_summary(chunk: list[dict], rel: str) -> dict:
                     if cur is None
                     else [min(cur[0], lo_d), max(cur[1], hi_d)]
                 )
-            elif isinstance(lo, str):
+            elif isinstance(lo, str) and isinstance(hi, str):
                 cur = sstats.get(col)
                 sstats[col] = (
                     [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
                 )
-    # a column any entry lacks bounds for cannot prune at ref level: the
-    # boundless entry might match anything
+            else:
+                incomplete.add(col)
+    # a column cannot prune at ref level when any entry lacks usable
+    # bounds for it (absent column, NULL/typeless bounds) or when its
+    # values mix numeric and string across entries (the summary of one
+    # type says nothing about entries of the other): the uncovered
+    # entry might match anything
     missing = [
         c
         for c in set(nstats) | set(sstats)
-        if any(
-            (e.get("stats") or {}).get(c) is None
-            or (e.get("stats") or {}).get(c, [None, None])[0] is None
-            for e in chunk
-        )
+        if c in incomplete
+        or (c in nstats and c in sstats)
+        or any(c not in (e.get("stats") or {}) for e in chunk)
     ]
     for c in missing:
         nstats.pop(c, None)
@@ -228,7 +253,7 @@ def _write_manifest_file(
     spark: SparkSession, table: str, rel: str, entries: list[dict]
 ) -> None:
     rows = [_entry_row(e) for e in entries]
-    if _is_local(table):
+    if _is_local(spark, table):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -266,9 +291,12 @@ def _write_manifest_file(
 
 
 def _hadoop(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+    # versioned._fs is the canonical filesystem resolver; imported lazily
+    # (versioned imports this module at call sites — a top-level import
+    # here would cycle)
+    from endtoend_etl_openmeteo_spark.operators.versioned import _fs
+
+    return _fs(spark, path)
 
 
 def load_ref_entries(
@@ -279,7 +307,7 @@ def load_ref_entries(
     should prefer :func:`prune_entries_spark`."""
     table = table.rstrip("/")
     out: list[dict] = []
-    if _is_local(table):
+    if _is_local(spark, table):
         import pyarrow.parquet as pq
 
         for r in refs:

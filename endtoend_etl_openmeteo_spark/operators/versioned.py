@@ -295,6 +295,16 @@ def _write_data(
         for s in listed
         if s.getPath().getName().endswith(".parquet")
     ]
+    # sizes are free here (the listStatus already holds them); recording
+    # them per entry makes vt_compact/vt_optimize/vt_maintain's byte
+    # totals pure manifest reads instead of one getFileStatus RPC per
+    # file per tick — at 100k files that's 100k serial namenode round
+    # trips saved per maintenance pass
+    bytes_by_file = {
+        s.getPath().getName(): int(s.getLen())
+        for s in listed
+        if s.getPath().getName().endswith(".parquet")
+    }
     stats_by_file: dict[str, dict] = {}
     rows_by_file: dict[str, int] = {}
     scheme = urlparse(table).scheme
@@ -362,6 +372,7 @@ def _write_data(
             "path": f"{subdir}/{n}",
             "stats": stats_by_file.get(n, {}),
             "cols": cols,
+            "bytes": bytes_by_file[n],
         }
         if n in rows_by_file:
             e["rows"] = int(rows_by_file[n])
@@ -369,6 +380,24 @@ def _write_data(
             e["bloom"] = bloom_by_file[n]
         entries.append(e)
     return entries
+
+
+def _total_bytes(spark: SparkSession, table: str, entries: list[dict]) -> int:
+    """Σ data-file sizes for a snapshot — from the per-entry ``bytes``
+    recorded at commit time (manifest-only); entries written before size
+    tracking fall back to one getFileStatus RPC each, once ever (the
+    next rewrite stamps them)."""
+    total = sum(e["bytes"] for e in entries if "bytes" in e)
+    legacy = [e["path"] for e in entries if "bytes" not in e]
+    if legacy:
+        fs, jvm = _fs(spark, table)
+        total += sum(
+            fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(f"{table}/{p}")
+            ).getLen()
+            for p in legacy
+        )
+    return int(total)
 
 
 def _footer_stats(path: str, stats_cols: list[str]) -> dict:
@@ -1015,13 +1044,7 @@ def vt_compact(
     manifest = read_manifest(spark, table, parent)
     if not manifest["files"]:
         return parent, 0, 0
-    fs, jvm = _fs(spark, table)
-    total = sum(
-        fs.getFileStatus(
-            jvm.org.apache.hadoop.fs.Path(f"{table}/{e['path']}")
-        ).getLen()
-        for e in manifest["files"]
-    )
+    total = _total_bytes(spark, table, manifest["files"])
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     schema = _snapshot_schema(manifest)
     df = _entries_df(spark, table, manifest["files"], schema)
@@ -1108,10 +1131,12 @@ def vt_merge(
             "upstream (NULL keys can never match and would be silently "
             "collapsed by last-write-wins)"
         )
-    touched, carried = [], []
+    # carry-forward of untouched entries is _commit's job (carry_from +
+    # dirty_paths); only the touched list matters here
+    touched = []
     for e in entries:
         mm = e.get("stats", {}).get(k0)
-        if (
+        if not (
             lo is None  # empty batch: nothing can touch
             or (
                 mm is not None
@@ -1120,8 +1145,6 @@ def vt_merge(
                 and (mm[0] > hi or mm[1] < lo)
             )
         ):
-            carried.append(e)
-        else:
             touched.append(e)
 
     if touched:
@@ -1152,6 +1175,12 @@ def vt_merge(
         carry_from=manifest,
         dirty_paths={e["path"] for e in touched},
     )
+
+
+class _EpochReplayedMidCommit(Exception):
+    """Raised inside vt_append_epoch's rebase when the CAS winner turns
+    out to carry this very (run, epoch) tag — a concurrent replay beat
+    us; committing our copy would double-apply the batch."""
 
 
 def _epoch_already_committed(
@@ -1193,9 +1222,13 @@ def vt_append_epoch(
     (`/root/reference/ingestion/loader/load_to_postgres.py:150-185`).
 
     Returns the committed version, or None if the epoch was already
-    committed. Retention caveat: :func:`vt_vacuum` must keep at least the
-    manifests of the restart window, or a very late replay loses its
-    dedup marker.
+    committed — including when a CONCURRENT replay of the same epoch
+    wins the commit race mid-flight (driver failover can leave a zombie
+    driver replaying epoch E while the new driver replays it too; both
+    pass the upfront tag check, so the CAS loser re-checks the tag in
+    its rebase and backs out instead of landing the batch twice).
+    Retention caveat: :func:`vt_vacuum` must keep at least the manifests
+    of the restart window, or a very late replay loses its dedup marker.
     """
     table_s = table.rstrip("/")
     if _epoch_already_committed(spark, table_s, run_id, epoch_id):
@@ -1209,6 +1242,10 @@ def vt_append_epoch(
     files = _write_data(spark, aligned, table_s, stats_cols=stats_cols)
 
     def rebase(winner: dict):
+        # the winner may BE this very epoch, committed by a concurrent
+        # replay — re-landing our copy would double-apply the batch
+        if _epoch_already_committed(spark, table_s, run_id, epoch_id):
+            raise _EpochReplayedMidCommit()
         return (
             files,
             {
@@ -1219,19 +1256,27 @@ def vt_append_epoch(
             (),
         )
 
-    return _commit(
-        spark,
-        table_s,
-        files,
-        "stream-append",
-        parent,
-        extra={
-            "epoch": {"run": run_id, "epoch": int(epoch_id)},
-            "schema": schema_json,
-        },
-        on_conflict=rebase,
-        carry_from=manifest,
-    )
+    try:
+        return _commit(
+            spark,
+            table_s,
+            files,
+            "stream-append",
+            parent,
+            extra={
+                "epoch": {"run": run_id, "epoch": int(epoch_id)},
+                "schema": schema_json,
+            },
+            on_conflict=rebase,
+            carry_from=manifest,
+        )
+    except _EpochReplayedMidCommit:
+        # our data files were never referenced by any manifest — orphans;
+        # remove them now instead of waiting for a vacuum sweep
+        fs, jvm = _fs(spark, table_s)
+        for e in files:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table_s}/{e['path']}"), False)
+        return None
 
 
 def vt_history(spark: SparkSession, table: str) -> list[dict]:
@@ -1255,16 +1300,24 @@ def vt_count(spark: SparkSession, table: str, version: int | None = None) -> int
     """COUNT(*) of a snapshot from manifest metadata — no data scan.
 
     Row counts are recorded per entry at commit time (parquet footer
-    ``num_rows``); merge-on-read position deletes subtract exactly,
-    because every delete writer derives its (file, pos) set from the LIVE
-    rows of its parent snapshot (``_entries_df`` applies existing deletes
-    before new ones are chosen), so delete files never overlap — live
-    rows = Σ entry rows − Σ delete-file rows.
+    ``num_rows``); merge-on-read position deletes subtract exactly via
+    the PER-ENTRY ``delete_rows`` counter each MOR writer records at
+    attach time (every delete writer derives its (file, pos) set from
+    the LIVE rows of its parent snapshot — ``_entries_df`` applies
+    existing deletes before new ones are chosen — so the counters never
+    overlap): live rows = Σ entry rows − Σ entry delete_rows. The
+    counter, not the delete FILE's footer total, is what stays exact
+    after a partial rewrite: one shared delete file can span several
+    data files, and when a later merge rewrites one of them
+    deletes-applied, the file's footer still counts the vanished rows.
 
     This is the Iceberg snapshot-summary trick: counting a 100-TB table
-    costs one manifest read plus footer reads of KB-sized delete files,
-    not a scan. Entries written before row tracking (no ``"rows"``) fall
-    back to ONE bounded Spark metadata count over just those files."""
+    costs one manifest read, no data or delete-file read at all.
+    Entries written before row tracking (no ``"rows"``) fall back to ONE
+    bounded Spark metadata count over just those files; delete-bearing
+    entries from before ``delete_rows`` fall back to footer totals of
+    their delete files (exact unless a partial rewrite split a shared
+    delete file's scope — rebuild via vt_compact to refresh)."""
     table = table.rstrip("/")
     v = latest_version(spark, table) if version is None else version
     entries = read_manifest(spark, table, v)["files"]
@@ -1273,7 +1326,15 @@ def vt_count(spark: SparkSession, table: str, version: int | None = None) -> int
     if legacy:
         # parquet metadata count — Spark answers from footers, no row scan
         total += spark.read.parquet(*[f"{table}/{p}" for p in legacy]).count()
-    del_paths = sorted({p for e in entries for p in e.get("deletes", [])})
+    total -= sum(e["delete_rows"] for e in entries if "delete_rows" in e)
+    del_paths = sorted(
+        {
+            p
+            for e in entries
+            if "delete_rows" not in e
+            for p in e.get("deletes", [])
+        }
+    )
     if del_paths:
         from urllib.parse import urlparse
 
@@ -1319,13 +1380,21 @@ def vt_rename_column(spark: SparkSession, table: str, old: str, new: str) -> int
     rename is part of history, not a retroactive edit. Entries from
     manifests that predate column tracking are stamped with their
     physical names here (one driver-side footer read per legacy file,
-    once ever)."""
+    once ever).
+
+    Manifest cost is INCREMENTAL on a spilled table: only entries whose
+    recorded metadata actually changes (stats/bloom re-keyed under the
+    renamed column, or a legacy ``cols`` stamp) mark their refs dirty;
+    refs untouched by the re-keying carry verbatim through the same
+    carry_from machinery every other commit uses — renaming a column no
+    entry recorded stats for is an O(1) manifest-list edit, not a
+    full respill."""
     from pyspark.sql.types import StructField, StructType
 
     table = table.rstrip("/")
     parent = latest_version(spark, table)
-    manifest = read_manifest(spark, table, parent)
-    entries = manifest["files"]
+    manifest = read_manifest(spark, table, parent, resolve=False)
+    entries = read_manifest(spark, table, parent)["files"]
     schema_json = manifest.get("schema")
     if schema_json is None and entries:
         schema_json = (
@@ -1349,27 +1418,33 @@ def vt_rename_column(spark: SparkSession, table: str, old: str, new: str) -> int
             for f in schema.fields
         ]
     )
-    new_entries = []
+    changed = []
     for e in entries:
         e2 = dict(e)
+        touched = False
         if "cols" not in e2:
             e2["cols"] = list(
                 spark.read.parquet(f"{table}/{e['path']}").schema.names
             )
+            touched = True
         for k in ("stats", "bloom"):
             side = e2.get(k)
             if side and old in side:
                 side = dict(side)
                 side[new] = side.pop(old)
                 e2[k] = side
-        new_entries.append(e2)
+                touched = True
+        if touched:
+            changed.append(e2)
     return _commit(
         spark,
         table,
-        new_entries,
+        changed,
         "rename",
         parent,
         extra={"schema": renamed.json()},
+        carry_from=manifest,
+        dirty_paths={e["path"] for e in changed},
     )
 
 
@@ -1488,8 +1563,13 @@ def _write_delete_files(
     """Write a (__file, __pos) match set as a position-delete file under
     ``deletes/<uuid>/`` and census it from its OWN kb-sized output (one
     scan of the data, never a second pass over the table). Returns
-    (delete_paths, files_hit, rows_matched) — all empty/zero when
-    nothing matched, with the empty output directory cleaned up.
+    (delete_paths, {hit data-file path: its delete-row count},
+    rows_matched) — all empty/zero when nothing matched, with the empty
+    output directory cleaned up. The PER-FILE counts ride into each
+    touched entry as ``delete_rows`` so :func:`vt_count` stays exact
+    after a partial rewrite: one shared delete file can span several
+    data files, and subtracting its footer total would double-subtract
+    rows whose data file a later merge already rewrote deletes-applied.
     Shared by the MOR merge and MOR delete writers."""
     from pyspark.sql import functions as F
 
@@ -1502,19 +1582,34 @@ def _write_delete_files(
         for s in listed
         if s.getPath().getName().endswith(".parquet")
     ]
-    per_file = (
-        spark.read.parquet(*[f"{table}/{p}" for p in del_paths])
+    per_file = {
+        r["__file"]: int(r["__n"])
+        for r in spark.read.parquet(*[f"{table}/{p}" for p in del_paths])
         .groupBy("__file")
         .agg(F.count("*").alias("__n"))
         .collect()
-    )
+    }
     if not per_file:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table}/{subdir}"), True)
-        return [], set(), 0
+        return [], {}, 0
+    return del_paths, per_file, sum(per_file.values())
+
+
+def _entry_delete_rows(spark, table: str, e: dict) -> int:
+    """The entry's current delete-row count. Normally the recorded
+    ``delete_rows`` counter; an entry carrying deletes from BEFORE the
+    counter existed backfills it exactly with one bounded read of its
+    KB-sized delete files filtered to this entry's path — so an upgraded
+    entry never records a partial counter (which vt_count would subtract
+    INSTEAD of the footer fallback, losing the legacy share)."""
+    if "delete_rows" in e:
+        return int(e["delete_rows"])
+    if not e.get("deletes"):
+        return 0
     return (
-        del_paths,
-        {r["__file"] for r in per_file},
-        sum(r["__n"] for r in per_file),
+        spark.read.parquet(*[f"{table}/{p}" for p in e["deletes"]])
+        .filter(F.col("__file") == e["path"])
+        .count()
     )
 
 
@@ -1643,14 +1738,20 @@ def vt_delete_mor(
         .filter(pred)
         .select("__file", "__pos")
     )
-    del_paths, hit, rows_deleted = _write_delete_files(spark, table, matches)
+    del_paths, per_file, rows_deleted = _write_delete_files(spark, table, matches)
     if not del_paths:
         return parent, 0, 0  # nothing matched: no commit
+    hit = set(per_file)
     modified = []
     for e in entries:
         if e["path"] in hit:
             e2 = dict(e)
             e2["deletes"] = list(e.get("deletes", [])) + del_paths
+            # per-entry exact count: lets vt_count subtract only THIS
+            # file's delete rows even when the delete file is shared
+            e2["delete_rows"] = (
+                _entry_delete_rows(spark, table, e) + per_file[e["path"]]
+            )
             modified.append(e2)
     version = _commit(
         spark,
@@ -1838,22 +1939,35 @@ def vt_apply_cdc(
         )
     )
 
-    bounds = changes.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).collect()[0]
+    bounds = changes.agg(
+        F.min(k0).alias("lo"),
+        F.max(k0).alias("hi"),
+        F.count("*").alias("n"),
+        F.count(k0).alias("nk"),
+    ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
-    if lo is None and changes.isEmpty():
+    if bounds["n"] == 0:
         return parent  # empty feed: nothing to apply
-    touched, carried = [], []
+    if bounds["n"] != bounds["nk"]:
+        # vt_merge's contract, enforced here too: a NULL-key delete can
+        # never match its target (plain-equality anti join), so the row
+        # silently survives and the documented apply(diff) round-trip
+        # identity breaks; an all-NULL-key feed would also classify
+        # every file as touched — a full-table rewrite. Fail loudly.
+        raise ValueError(
+            f"vt_apply_cdc: {bounds['n'] - bounds['nk']} feed rows have "
+            f"NULL key {k0!r} — filter them or assign surrogate keys "
+            "upstream (NULL keys can never match an existing row)"
+        )
+    touched = []
     for e in entries:
         mm = e.get("stats", {}).get(k0)
-        if (
-            lo is not None
-            and mm is not None
+        if not (
+            mm is not None
             and mm[0] is not None
             and mm[1] is not None
             and (mm[0] > hi or mm[1] < lo)
         ):
-            carried.append(e)
-        else:
             touched.append(e)
 
     upserts = _align(
@@ -2011,13 +2125,14 @@ def vt_merge_mor(
                 F.broadcast(new.select(keys).distinct()), keys, "semi"
             ).select("__file", "__pos")
 
-    hit: set = set()
+    per_file: dict = {}
     rows_superseded = 0
     del_paths: list[str] = []
     if superseded is not None:
-        del_paths, hit, rows_superseded = _write_delete_files(
+        del_paths, per_file, rows_superseded = _write_delete_files(
             spark, table, superseded
         )
+    hit = set(per_file)
 
     new_files = (
         []
@@ -2037,6 +2152,10 @@ def vt_merge_mor(
         if e["path"] in hit:
             e2 = dict(e)
             e2["deletes"] = list(e.get("deletes", [])) + del_paths
+            # vt_count's exact per-entry subtraction (see vt_delete_mor)
+            e2["delete_rows"] = (
+                _entry_delete_rows(spark, table, e) + per_file[e["path"]]
+            )
             modified.append(e2)
     version = _commit(
         spark,
@@ -2084,13 +2203,7 @@ def vt_optimize(
     manifest = read_manifest(spark, table, parent)
     if not manifest["files"]:
         return parent, 0, 0
-    fs, jvm = _fs(spark, table)
-    total = sum(
-        fs.getFileStatus(
-            jvm.org.apache.hadoop.fs.Path(f"{table}/{e['path']}")
-        ).getLen()
-        for e in manifest["files"]
-    )
+    total = _total_bytes(spark, table, manifest["files"])
     n = n_files or max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     schema = _snapshot_schema(manifest)
     df = _entries_df(spark, table, manifest["files"], schema)
@@ -2213,13 +2326,7 @@ def vt_maintain(
     needs_rewrite = False
     if entries:
         has_deletes = any(e.get("deletes") for e in entries)
-        fs, jvm = _fs(spark, table)
-        total = sum(
-            fs.getFileStatus(
-                jvm.org.apache.hadoop.fs.Path(f"{table}/{e['path']}")
-            ).getLen()
-            for e in entries
-        )
+        total = _total_bytes(spark, table, entries)
         fragmented = (
             len(entries) > max_files
             and total / len(entries) < small_file_mb * 1024 * 1024

@@ -267,3 +267,29 @@ def test_vt_maintain_long_session_stays_bounded(spark, table):
     # final content correct
     got = sorted(r.id for r in vt_read(spark, table).collect())
     assert got == list(range(n_ticks * rows_per_tick))
+
+
+def test_ref_summary_unpublishable_columns_stay_conservative():
+    """The ref-level summary must stay a SUPERSET of entry-level pruning:
+    a column any entry carries without summarizable bounds — [x, None] /
+    [None, x] halves, bool/mixed-typed values, or simply absent — must
+    not publish bounds, or prune_refs could drop a manifest file whose
+    uncovered entry the entry-level Catalyst path would have kept."""
+    chunk = [
+        {"path": "a", "stats": {"full": [1, 9], "half": [1, None],
+                                "mixed": [1, 2], "gone": [1, 2],
+                                "boolish": [True, True]}},
+        {"path": "b", "stats": {"full": [3, 20], "half": [2, 5],
+                                "mixed": ["x", "y"], "boolish": [1, 2]}},
+    ]
+    s = ml._ref_summary(chunk, "m_test.parquet")
+    assert s["nstats"].get("full") == [1.0, 20.0]  # complete: published
+    for col in ("half", "mixed", "gone", "boolish"):
+        assert col not in s["nstats"] and col not in s["sstats"], col
+    # and the symmetric [None, x] half is equally unpublishable
+    s2 = ml._ref_summary(
+        [{"path": "a", "stats": {"c": [None, 5]}},
+         {"path": "b", "stats": {"c": [1, 5]}}],
+        "m_t.parquet",
+    )
+    assert "c" not in s2["nstats"]

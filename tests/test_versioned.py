@@ -1704,3 +1704,146 @@ def test_delete_rewrite_keeps_bloom_sidecars(spark, table):
     entries = read_manifest(spark, table, version)["files"]
     assert entries and all("v" in e.get("bloom", {}) for e in entries)
     assert all("id" in e.get("stats", {}) for e in entries)
+
+
+def test_count_exact_after_partial_rewrite_of_shared_delete_file(spark, table):
+    """One MOR delete writes ONE delete file spanning several data files;
+    a later COW merge rewrites only SOME of them (deletes materialized).
+    vt_count must subtract only the surviving entries' delete rows — the
+    per-entry delete_rows counter — not the shared file's footer total,
+    which still counts the vanished rows."""
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_count,
+        vt_delete_mor,
+        vt_merge,
+    )
+    from pyspark.sql import functions as F
+
+    # two files with disjoint key ranges (repartitionByRange on id)
+    df = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    lowf = df.filter("id < 50").coalesce(1)
+    highf = df.filter("id >= 50").coalesce(1)
+    vt_append(spark, lowf, table, stats_cols=["id"])
+    vt_merge(spark, highf, table, keys=["id"], order_col="v", stats_cols=["id"])
+    # one delete hits BOTH files -> one shared delete file
+    _, hit, ndel = vt_delete_mor(
+        spark, table, (F.col("id") % 10 == 3)
+    )
+    assert hit == 2 and ndel == 10
+    assert vt_count(spark, table) == 90
+    assert vt_read(spark, table).count() == 90
+    # merge touching only the LOW file (keys 0-9): materializes its
+    # deletes; the high file carries forward with the shared delete file
+    batch = spark.range(0, 10).selectExpr("id", "id * 100 AS v")
+    vt_merge(spark, batch, table, keys=["id"], order_col="v", stats_cols=["id"])
+    truth = vt_read(spark, table).count()
+    assert vt_count(spark, table) == truth
+
+
+def test_append_epoch_concurrent_replay_lands_once(spark, table, monkeypatch):
+    """Exactly-once under a RACING replay of the same epoch (zombie
+    driver + failover both replaying E): the CAS loser's rebase must
+    re-check the epoch tag and back out — not re-land the batch — and
+    its orphaned data files are cleaned up."""
+    from endtoend_etl_openmeteo_spark.operators import versioned as V
+
+    df = _df(spark, 0, 20)
+    real_write_data = V._write_data
+    state = {"raced": False}
+
+    def racing_write_data(spark_, d, tbl, **kw):
+        files = real_write_data(spark_, d, tbl, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            # the concurrent replay commits the SAME epoch first
+            v = V.vt_append_epoch(spark_, df, tbl, run_id="r1", epoch_id=7)
+            assert v is not None
+        return files
+
+    monkeypatch.setattr(V, "_write_data", racing_write_data)
+    out = V.vt_append_epoch(spark, df, table, run_id="r1", epoch_id=7)
+    assert out is None  # loser backed out as a replay
+    monkeypatch.undo()
+    assert V.vt_count(spark, table) == 20  # batch landed exactly once
+    assert vt_read(spark, table).count() == 20
+    # the loser's data files were orphans and are gone
+    live = {e["path"] for e in read_manifest(spark, table, latest_version(spark, table))["files"]}
+    on_disk = {
+        str(p.relative_to(table))
+        for p in Path(table).glob("data/*/*.parquet")
+    }
+    assert on_disk == live
+
+
+def test_apply_cdc_rejects_null_key_feed(spark, table):
+    """vt_merge's NULL-key contract enforced on the CDC apply path: a
+    NULL-key delete can never match (plain-equality anti join) and would
+    silently survive — fail loudly instead."""
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_apply_cdc
+
+    vt_append(spark, _df(spark, 0, 10), table)
+    feed = spark.createDataFrame(
+        [(None, "delete", None)], "id long, change_type string, v long"
+    ).select("id", "change_type", "v")
+    with pytest.raises(ValueError, match="NULL key"):
+        vt_apply_cdc(spark, feed, table, keys=["id"])
+
+
+def test_rename_carries_untouched_manifest_refs(spark, table):
+    """On a spilled table, renaming a column NO entry recorded stats or
+    bloom for is an O(1) manifest-list edit: every parent ref carries
+    verbatim (same m_*.parquet paths), no respill."""
+    from endtoend_etl_openmeteo_spark.operators import versioned as V
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_rename_column,
+    )
+
+    old_inline = V._INLINE_MAX
+    V._INLINE_MAX = 2  # force the spilled (two-tier) layout
+    try:
+        vt_append(
+            spark,
+            spark.range(0, 40).selectExpr("id", "id * 2 AS v").repartition(6),
+            table,
+            stats_cols=["id"],
+        )
+        parent_refs = [
+            r["ref"]
+            for r in read_manifest(
+                spark, table, latest_version(spark, table), resolve=False
+            )["files_ref"]
+        ]
+        # 'v' has no recorded stats/bloom anywhere; entries carry 'cols'
+        v = vt_rename_column(spark, table, "v", "val")
+        m = read_manifest(spark, table, v, resolve=False)
+        assert [r["ref"] for r in m["files_ref"]] == parent_refs
+        got = vt_read(spark, table)
+        assert got.columns == ["id", "val"]
+        assert got.count() == 40
+        # renaming the STATS column still re-keys every entry (all dirty)
+        v2 = vt_rename_column(spark, table, "id", "pk")
+        m2 = read_manifest(spark, table, v2)
+        assert all("pk" in e.get("stats", {}) for e in m2["files"])
+        assert vt_read(spark, table).columns == ["pk", "val"]
+    finally:
+        V._INLINE_MAX = old_inline
+
+
+def test_entries_record_bytes_and_size_totals_use_them(spark, table):
+    """_write_data records per-file sizes at commit time so maintenance
+    byte totals are manifest-only; legacy entries (no 'bytes') fall back
+    to getFileStatus."""
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        _total_bytes,
+    )
+
+    vt_append(spark, _df(spark, 0, 50), table)
+    entries = read_manifest(spark, table, latest_version(spark, table))["files"]
+    assert entries and all(e.get("bytes", 0) > 0 for e in entries)
+    want = sum(
+        p.stat().st_size for p in Path(table).glob("data/*/*.parquet")
+    )
+    assert _total_bytes(spark, table, entries) == want
+    # legacy fallback: strip the field, totals still exact
+    stripped = [{k: v for k, v in e.items() if k != "bytes"} for e in entries]
+    assert _total_bytes(spark, table, stripped) == want
