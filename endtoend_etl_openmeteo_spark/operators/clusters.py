@@ -43,6 +43,12 @@ def dedup_clusters(
     driver-side union-find instead (identical labels, milliseconds vs
     several scheduled rounds); pass 0 to force the distributed path.
     """
+    if max_iterations < 1:
+        # with 0 the loop never runs, the non-convergence guard cannot
+        # trip (no signature was ever computed), and the INITIAL labels —
+        # every node its own cluster — would return as if converged:
+        # downstream keep-one-per-cluster would keep every duplicate
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     edges_ck = (
         pairs.selectExpr("id_a AS src", "id_b AS dst")
         .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
@@ -416,6 +422,15 @@ def kmeans(
 
     # k seed rows → driver: [(cluster, [dim doubles]), ...]
     seed = v.orderBy("id").limit(k).select("vec").collect()
+    if len(seed) < k:
+        # kmeans_train_sampled's contract, enforced here too: silently
+        # training fewer than k centroids (or IndexError on an empty
+        # corpus) leaves downstream cell layouts mis-sized with no signal
+        release_checkpoint(v_ck)
+        raise ValueError(
+            f"cannot seed k={k} centroids from {len(seed)} vectors — "
+            "shrink k or grow the corpus"
+        )
     cent: list[tuple[int, list[float]]] = [
         (i, list(r["vec"])) for i, r in enumerate(seed)
     ]

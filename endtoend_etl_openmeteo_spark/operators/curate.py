@@ -88,12 +88,18 @@ def stopword_score(text_col: Column | str, stopwords: tuple[str, ...]) -> Column
 
 def scrub_pii(text_col: Column | str) -> tuple[Column, Column]:
     """(n_pii, clean): total PII hit count and the redacted text.
-    Chained regexp_replace — map-only, stays in whole-stage codegen."""
+    Chained regexp_replace — map-only, stays in whole-stage codegen.
+
+    Each pattern is counted on the text it actually REDACTS (the output
+    of the previous replacement), not on the original: a replacement can
+    manufacture a later-pattern match at its boundary ('a@b.co1.2.3.4' —
+    no \\b between 'o' and '1' until '[EMAIL]' lands), and counting on
+    the original would redact that IP while reporting one hit fewer —
+    n_pii and the redactions in ``clean`` always agree."""
     clean = F.col(text_col) if isinstance(text_col, str) else text_col
     n_pii = F.lit(0).cast("long")
     for pattern, token in PII_PATTERNS:
         n_pii = n_pii + F.regexp_count(clean, F.lit(pattern)).cast("long")
-    for pattern, token in PII_PATTERNS:
         clean = F.regexp_replace(clean, pattern, token)
     return n_pii, clean
 
@@ -137,8 +143,14 @@ def curate_corpus(
     sample/limit — the weighted_mixture_index caveat).
     """
     # Stage 1-3: score + gates, map-only. Cheap filters first: every
-    # downstream exchange carries only the surviving fraction.
-    scored = docs.select(
+    # downstream exchange carries only the surviving fraction. The
+    # scoring pass is regex-heavy per row (two regexp passes + stopword
+    # filter + md5 digest), so a single-file corpus must not inherit its
+    # one-partition file split — the CLAUDE.md cpu_parallelize rule
+    # (a near-no-op at warehouse scale, where inputs span many files).
+    from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
+
+    scored = cpu_parallelize(docs).select(
         "*",
         quality_score(text_col).alias("quality"),
         stopword_score(text_col, en_stopwords).alias("en_score"),
@@ -206,21 +218,39 @@ def leakproof_split(
     by the duplicate CLUSTER: connected components over the near-dup
     pairs (:func:`~.clusters.dedup_clusters`), split keyed on the
     cluster's canonical id (md5 bucket — content-independent,
-    RNG-free, stable across runs/engines/partitionings; each hex prefix
-    in ``val_hex_prefixes`` routes 1/16 of groups to val). Singleton
-    documents are their own group.
+    RNG-free, stable across runs/engines/partitionings; each TRUE hex
+    prefix in ``val_hex_prefixes`` routes 16^-len(prefix) of groups to
+    val — ``("0",)`` is 1/16, ``("0a",)`` is 1/256). Singleton documents
+    are their own group.
 
     Returns ``docs`` + (group_id, split). Scale shape: one key-join of
     the corpus against the (id, cluster_id) map — clusters carry ids
     only, never text; the pair generator bounds the quadratic work
     (blocked exact Jaccard for verification, MinHash-LSH at scale).
     """
+    from functools import reduce
+
+    prefixes = [str(p).lower() for p in val_hex_prefixes]
+    if not prefixes or any(
+        not p or any(ch not in "0123456789abcdef" for ch in p)
+        for p in prefixes
+    ):
+        # a non-hex prefix can never match an md5 digest: every group
+        # would silently land in 'train' with no error
+        raise ValueError(
+            f"val_hex_prefixes must be non-empty lowercase-hex strings, "
+            f"got {val_hex_prefixes!r}"
+        )
     clusters = dedup_clusters(pairs).withColumnRenamed("id", id_col)
     group = F.coalesce(F.col("cluster_id"), F.col(id_col))
-    split = F.when(
-        F.substring(F.md5(group.cast("string")), 1, 1).isin(*val_hex_prefixes),
-        "val",
-    ).otherwise("train")
+    digest = F.md5(group.cast("string"))
+    # true prefix match per entry — substring(1, 1).isin(...) silently
+    # matched nothing for any multi-character "prefix"
+    is_val = reduce(
+        lambda a, b: a | b,
+        [F.substring(digest, 1, len(p)) == F.lit(p) for p in prefixes],
+    )
+    split = F.when(is_val, "val").otherwise("train")
     return (
         docs.join(clusters, id_col, "left")
         .withColumn("group_id", group)

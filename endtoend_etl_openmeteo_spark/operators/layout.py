@@ -110,14 +110,20 @@ def salted_join(
 def salted_aggregate(
     df: DataFrame,
     group_cols: list[str],
-    agg_cols: dict[str, str],
+    agg_cols,
     salt_factor: int = 8,
     distribute_by: str | None = None,
 ) -> DataFrame:
     """Two-phase aggregation for skewed group keys: partial aggregate on
     (keys, salt) spreads the hot key over ``salt_factor`` reducers, final
     aggregate merges the partials. Supports the decomposable aggregates
-    (sum/count/min/max); avg callers compose sum/count.
+    (sum/count/min/max).
+
+    ``agg_cols`` is a {col: fn} dict or, when one column needs SEVERAL
+    aggregates (the avg composition: sum(v)/count(v) — a dict key can
+    hold only one fn, and counting a DIFFERENT column silently diverges
+    from avg under NULLs), an iterable of (col, fn) pairs:
+    ``[("v", "sum"), ("v", "count")]`` → columns ``sum_v``, ``count_v``.
 
     (AQE rebalances skewed JOINs but not skewed AGGREGATES — this is the
     tool for a groupBy where one key holds half the table.)
@@ -128,21 +134,27 @@ def salted_aggregate(
             "leaves the hot key on one reducer"
         )
     dist = distribute_by
+    items = (
+        list(agg_cols.items())
+        if isinstance(agg_cols, dict)
+        else [tuple(x) for x in agg_cols]
+    )
     partial_aggs: list[Column] = []
     final_aggs: list[Column] = []
-    for col, fn in agg_cols.items():
+    for col, fn in items:
+        p = f"__p_{fn}_{col}"
         if fn == "count":
-            partial_aggs.append(F.count(col).alias(f"__p_{col}"))
-            final_aggs.append(F.sum(f"__p_{col}").alias(f"count_{col}"))
+            partial_aggs.append(F.count(col).alias(p))
+            final_aggs.append(F.sum(p).alias(f"count_{col}"))
         elif fn == "sum":
-            partial_aggs.append(F.sum(col).alias(f"__p_{col}"))
-            final_aggs.append(F.sum(f"__p_{col}").alias(f"sum_{col}"))
+            partial_aggs.append(F.sum(col).alias(p))
+            final_aggs.append(F.sum(p).alias(f"sum_{col}"))
         elif fn == "min":
-            partial_aggs.append(F.min(col).alias(f"__p_{col}"))
-            final_aggs.append(F.min(f"__p_{col}").alias(f"min_{col}"))
+            partial_aggs.append(F.min(col).alias(p))
+            final_aggs.append(F.min(p).alias(f"min_{col}"))
         elif fn == "max":
-            partial_aggs.append(F.max(col).alias(f"__p_{col}"))
-            final_aggs.append(F.max(f"__p_{col}").alias(f"max_{col}"))
+            partial_aggs.append(F.max(col).alias(p))
+            final_aggs.append(F.max(p).alias(f"max_{col}"))
         else:
             raise ValueError(f"non-decomposable aggregate {fn!r}")
     partial = salted(df, dist, salt_factor).groupBy(*group_cols, "__salt").agg(
@@ -187,9 +199,51 @@ def zorder_layout(
     sort by the Morton key of ``cols``, then drop the key. Writing the
     result yields files whose per-file min/max stats are tight on every
     ``cols`` dimension — predicates on any of them prune files/row-groups
-    at scan time. The one-time cost is a single range exchange + local
-    sort; at 100 TB this is the compaction job, not the query path."""
-    keyed = df.withColumn("__zkey", zorder_key(*cols, bits=bits))
+    at scan time. The one-time cost is one min/max aggregate plus a
+    single range exchange + local sort; at 100 TB this is the compaction
+    job, not the query path.
+
+    Inputs are MIN-MAX SCALED into [0, 2^bits) here — :func:`zorder_key`
+    interleaves only the low ``bits`` bits, so feeding it raw values
+    above the range silently wraps (65537 z-sorts as 1) and the layout
+    scatters instead of clustering, with per-file stats quietly spanning
+    the full domain. NULL values scale to the low end of their dimension
+    (``greatest`` absorbs the NULL) and cluster together there — the
+    same neighborhood a NULLS FIRST sort would give them."""
+    dtypes = dict(df.dtypes)
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    bad = [c for c in cols if dtypes.get(c, "").split("(")[0] not in numeric]
+    if bad:
+        raise ValueError(
+            f"zorder_layout needs numeric sort columns; {bad} are "
+            f"{[dtypes.get(c) for c in bad]} — bin or rank them upstream"
+        )
+    row = df.agg(
+        *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        lo, hi = row[f"__lo_{i}"], row[f"__hi_{i}"]
+        if lo is None or float(hi) <= float(lo):
+            scaled.append(F.lit(0).cast("long"))  # constant/all-NULL dim
+            continue
+        span = float(hi) - float(lo)
+        scaled.append(
+            F.least(
+                F.lit(top).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    (
+                        (F.col(c).cast("double") - F.lit(float(lo)))
+                        / F.lit(span)
+                        * F.lit(float(top))
+                    ).cast("long"),
+                ),
+            )
+        )
+    keyed = df.withColumn("__zkey", zorder_key(*scaled, bits=bits))
     return (
         keyed.repartitionByRange(n_partitions, "__zkey")
         .sortWithinPartitions("__zkey")
@@ -234,8 +288,23 @@ def compact(
     )
     tmp = path.rstrip("/") + "__compacting"
     out.write.mode("overwrite").parquet(tmp)
-    fs.delete(jvm_path, True)
-    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jvm_path)
+    # the swap's two filesystem calls return False on failure instead of
+    # raising — unchecked, a failed delete would leave the OLD files live
+    # (and a rename onto the surviving directory either fails or, on the
+    # local FS, NESTS tmp under it, doubling the data) while compact()
+    # reports success
+    tmp_path = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    if not fs.delete(jvm_path, True):
+        raise IOError(
+            f"compact: could not remove {path} for the swap — the directory "
+            f"keeps its old files; the compacted copy is intact at {tmp}"
+        )
+    if not fs.rename(tmp_path, jvm_path):
+        raise IOError(
+            f"compact: rename {tmp} -> {path} failed after the old directory "
+            f"was removed — move the compacted copy in manually ({path} is "
+            "empty until then)"
+        )
     return n
 
 

@@ -39,8 +39,25 @@ comparison seam, as the declared queries do).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _join_offsets(within: DataFrame, offsets: DataFrame, on: list[str]) -> DataFrame:
+    """Stitch per-row frames to their per-chunk offsets NULL-SAFELY: the
+    plain window this module decomposes treats a NULL key (and a NULL ts
+    → NULL chunk) as an ordinary partition, but a plain inner equi-join
+    would match NULL to nothing and silently DROP those rows — breaking
+    the bit-identical contract. eqNullSafe keys keep them and stay
+    hash-joinable (EqualNullSafe is a sargable join key)."""
+    left, right = within.alias("__l"), offsets.alias("__r")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}")) for c in on],
+    )
+    return left.join(right, cond).select("__l.*", "__r.__off")
 
 
 def _time_chunk(ts_col: str, chunk_seconds: int) -> Column:
@@ -100,7 +117,7 @@ def chunked_running_sum(
         ),
     ).drop("__ctot")
     return (
-        within.join(offsets, [*key_cols, "__chunk"])
+        _join_offsets(within, offsets, [*key_cols, "__chunk"])
         .withColumn(out_col, F.col("__within") + F.col("__off"))
         .drop("__chunk", "__within", "__off")
     )
@@ -135,7 +152,7 @@ def global_row_number(
         "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0).cast("long"))
     ).drop("__cnt")
     return (
-        within.join(offsets, [*key_cols, "__chunk"])
+        _join_offsets(within, offsets, [*key_cols, "__chunk"])
         .withColumn(out_col, (F.col("__off") + F.col("__rnin")).cast("long"))
         .drop("__chunk", "__rnin", "__off")
     )

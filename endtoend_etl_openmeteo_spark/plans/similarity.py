@@ -732,12 +732,15 @@ def q_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Deletion lifecycle for the stored ANN index (operators/"
     "similarity.delete_from_stored_index / vacuum_index_tombstones) — "
-    "FAISS remove_ids made durable: deletes land as id-only tombstones "
-    "in an _tombstones/ sidecar (O(deletes), no rewrite), serving hides "
-    "them with a broadcast anti-join, and the vacuum tick rewrites ONLY "
-    "the partitions holding a deleted row (dynamic overwrite; "
-    "survivor-less partitions deleted explicitly) before clearing the "
-    "sidecar. Contracts hash-checked on the VISIBLE (id, cell, codes) "
+    "FAISS remove_ids made durable: deletes land as PARTITION-HINTED "
+    "tombstones ((id, cell=<c>) — the deleter has the encoded cells in "
+    "hand) in an _tombstones/ sidecar (O(deletes), no rewrite), serving "
+    "hides them with a broadcast anti-join, and the vacuum tick prunes "
+    "its discovery scan to the hinted cells and rewrites ONLY the "
+    "partitions holding a deleted row (dynamic overwrite; survivor-less "
+    "partitions deleted explicitly) before clearing the sidecar — "
+    "O(touched partitions) end to end, never O(index). Contracts "
+    "hash-checked on the VISIBLE (id, cell, codes) "
     "content — post-delete it equals one batch encode of the surviving "
     "corpus, and post-vacuum the physical content equals the same set "
     "with the sidecar gone. Serving equality follows via "
@@ -801,7 +804,16 @@ def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_ivfpq_index(
                 enc, None, None, idx_dir, quantizer_locals=(cents, books)
             )
-            delete_from_stored_index(spark, victims, idx_dir)
+            # hinted delete: the encoded cells are in hand, so the
+            # tombstones name their partitions and the vacuum below
+            # discovers against ONLY those cells (the 100-TB shape)
+            hints = enc.filter(F.col("id").isin(victims)).select(
+                "id",
+                F.concat(
+                    F.lit("cell="), F.col("cell").cast("string")
+                ).alias("part"),
+            )
+            delete_from_stored_index(spark, hints, idx_dir)
             survivors = {
                 (r["id"], r["cell"], tuple(r["codes"]))
                 for r in enc.filter(~F.col("id").isin(victims)).collect()

@@ -1395,9 +1395,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
            quality,
+           -- each pattern counts on the text it actually redacts (the
+           -- previous replacement's output) — scrub_pii's interleave
            CAST(len(regexp_extract_all(b, '{EMAIL_RE}'))
-                + len(regexp_extract_all(b, '{PHONE_RE}'))
-                + len(regexp_extract_all(b, '{IPV4_RE}')) AS BIGINT) AS n_pii,
+                + len(regexp_extract_all(
+                    regexp_replace(b, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                    '{PHONE_RE}'))
+                + len(regexp_extract_all(
+                    regexp_replace(regexp_replace(b,
+                      '{EMAIL_RE}', '[EMAIL]', 'g'),
+                      '{PHONE_RE}', '[PHONE]', 'g'),
+                    '{IPV4_RE}')) AS BIGINT) AS n_pii,
            md5(regexp_replace(regexp_replace(regexp_replace(b,
              '{EMAIL_RE}', '[EMAIL]', 'g'),
              '{PHONE_RE}', '[PHONE]', 'g'),

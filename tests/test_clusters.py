@@ -209,3 +209,34 @@ def test_dedup_clusters_local_and_distributed_paths_agree(spark):
         assert sorted(map(tuple, local.collect())) == sorted(
             map(tuple, dist.collect())
         ), rows
+
+
+def test_kmeans_rejects_undersized_corpus_and_releases_checkpoint(spark):
+    """kmeans on fewer than k vectors must raise the named seeding error
+    (kmeans_train_sampled's contract) — not IndexError on empty input or
+    a silently under-sized centroid set — and must not leak its input
+    checkpoint on the failure path."""
+    from endtoend_etl_openmeteo_spark.operators.clusters import kmeans
+    from endtoend_etl_openmeteo_spark.session import persistent_rdd_ids
+
+    base = persistent_rdd_ids(spark)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="cannot seed k="):
+        kmeans(empty, k=4, iterations=1)
+    small = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="cannot seed k=4"):
+        kmeans(small, k=4, iterations=1)
+    assert persistent_rdd_ids(spark) - base == set()
+
+
+def test_dedup_clusters_rejects_nonpositive_iteration_cap(spark):
+    """max_iterations=0 previously skipped the non-convergence guard and
+    returned the INITIAL identity labels as if converged."""
+    from endtoend_etl_openmeteo_spark.operators.clusters import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="max_iterations"):
+        dedup_clusters(pairs, max_iterations=0, local_edge_threshold=0)

@@ -111,3 +111,17 @@ def test_leakproof_split_never_splits_a_cluster(spark):
     again = {r["doc_id"]: (r["group_id"], r["split"])
              for r in leakproof_split(docs, pairs).collect()}
     assert again == by_doc
+
+
+def test_scrub_pii_counts_match_redactions(spark):
+    """Each pattern counts on the text it actually redacts: a replacement
+    whose boundary manufactures a later-pattern match ('a@b.co1.2.3.4' —
+    the ']' of [EMAIL] creates the \\b the IP regex needs) is both
+    redacted AND counted."""
+    from endtoend_etl_openmeteo_spark.operators.curate import scrub_pii
+
+    df = spark.createDataFrame([("x a@b.co1.2.3.4 y",)], "text string")
+    n, clean = scrub_pii("text")
+    r = df.select(n.alias("n"), clean.alias("c")).collect()[0]
+    assert r["c"] == "x [EMAIL][IP] y"
+    assert r["n"] == 2  # one email + the IP its redaction exposed

@@ -553,3 +553,85 @@ def test_sequence_pack_empty_and_single(spark):
     # 101 effective tokens -> 7 sequences: 6 full + 5-token tail
     assert len(rows) == 7
     assert sum(r["span_len"] for r in rows) == 101
+
+
+def test_salted_aggregate_pair_form_composes_avg(spark):
+    """The (col, fn) pair form lets ONE column carry several aggregates —
+    the avg composition sum(v)/count(v); counting a different column
+    diverges under NULLs (count skips nothing, sum skips NULLs)."""
+    rows = [(1, float(i)) for i in range(100)] + [(1, None)] * 7 + [(2, 5.0)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {
+        r.k: (r.sum_v, r.count_v)
+        for r in salted_aggregate(
+            df, ["k"], [("v", "sum"), ("v", "count")], 4, "v"
+        ).collect()
+    }
+    want = {
+        r.k: (r.s, r.c)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("c"))
+        .collect()
+    }
+    assert got == want
+    # avg via the composition equals the plain avg despite the NULLs
+    assert got[1][0] / got[1][1] == sum(range(100)) / 100
+
+
+def test_zorder_layout_scales_wide_domains(spark, tmp_path):
+    """Raw values above 2^bits previously interleaved only their low bits
+    (65537 z-sorted as 1) and silently scattered the layout; min-max
+    scaling keeps per-file stats tight on wide domains."""
+    from endtoend_etl_openmeteo_spark.operators.layout import zorder_layout
+
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "id * 100000 AS x", f"({n} - 1 - id) * 100000 AS y"
+    )
+    out = str(tmp_path / "z")
+    zorder_layout(df, ["x", "y"], 8).write.parquet(out)
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    spans_x, spans_y = [], []
+    for f in Path(out).glob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        los_x, his_x, los_y, his_y = [], [], [], []
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                if col.path_in_schema == "x":
+                    los_x.append(st.min); his_x.append(st.max)
+                elif col.path_in_schema == "y":
+                    los_y.append(st.min); his_y.append(st.max)
+        if los_x:
+            spans_x.append((max(his_x) - min(los_x)))
+            spans_y.append((max(his_y) - min(los_y)))
+    domain = (n - 1) * 100000
+    # every file's span on BOTH dimensions is a fraction of the domain —
+    # with the low-bits wrap each file spanned essentially all of it
+    assert spans_x and all(s <= domain / 2 for s in spans_x)
+    assert all(s <= domain / 2 for s in spans_y)
+    # non-numeric sort columns are rejected, not silently NULL-keyed
+    sdf = spark.createDataFrame([("a", 1)], "s string, i long")
+    with pytest.raises(ValueError, match="numeric"):
+        zorder_layout(sdf, ["s", "i"], 2)
+
+
+def test_leakproof_split_true_prefixes_and_validation(spark):
+    """Multi-character val prefixes route 16^-len of groups to val (a
+    1-char substring comparison silently matched nothing), and non-hex
+    prefixes raise instead of sending 100% of docs to train."""
+    from endtoend_etl_openmeteo_spark.operators.curate import leakproof_split
+
+    docs = spark.range(500).selectExpr("id AS doc_id")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = leakproof_split(docs, pairs, val_hex_prefixes=("0a", "0b"))
+    frac = out.filter("split = 'val'").count() / 500
+    assert 0 < frac < 0.05  # ~2/256, and crucially NOT zero
+    with pytest.raises(ValueError, match="hex"):
+        leakproof_split(docs, pairs, val_hex_prefixes=("xyz",))
+    with pytest.raises(ValueError, match="hex"):
+        leakproof_split(docs, pairs, val_hex_prefixes=())

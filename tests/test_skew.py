@@ -168,3 +168,47 @@ def test_hot_key_work_is_distributed(spark):
     assert len(bare) <= 1, plan
     if bare:
         assert "HashAggregate" in plan
+
+
+def test_null_key_and_null_ts_rows_survive(spark):
+    """The plain window treats a NULL partition key (and a NULL ts) as an
+    ordinary partition; the chunked decomposition's offset join must too
+    — a plain inner equi-join silently DROPPED those rows."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1)
+    rows = [
+        (1, 0, base, 1.0),
+        (1, 1, base + dt.timedelta(hours=2), 2.0),
+        (None, 2, base, 5.0),
+        (None, 3, base + dt.timedelta(hours=3), 7.0),
+        (2, 4, None, 3.0),  # NULL ts -> NULL chunk
+        (2, 5, base, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {
+        (r.user_id, r.event_id): (r.running_sum, r.grn)
+        for r in global_row_number(
+            chunked_running_sum(
+                df, ["user_id"], ["ts", "event_id"], "value"
+            ),
+            ["user_id"],
+            ["ts", "event_id"],
+            out_col="grn",
+        ).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.event_id): (r.s, r.n)
+        for r in df.select(
+            "user_id",
+            "event_id",
+            F.sum("value")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("s"),
+            F.row_number().over(w).cast("long").alias("n"),
+        ).collect()
+    }
+    assert got == want  # every row present, NULL key/ts included
