@@ -47,8 +47,13 @@ BLOOM_COL = "__bloom_words"
 
 
 def _pos_sql(col: str, seed: int, num_bits: int) -> str:
-    """SQL text for hash-function ``seed``'s bit position of ``col``."""
-    return f"pmod(xxhash64({seed}, {col}), {num_bits})"
+    """SQL text for hash-function ``seed``'s bit position of ``col``.
+    The column name is backtick-quoted: interpolated verbatim, a name
+    with a space would fail parsing and a dotted one would silently
+    resolve as a struct-field access — in BOTH build and probe, since
+    this helper is shared."""
+    quoted = "`" + col.replace("`", "``") + "`"
+    return f"pmod(xxhash64({seed}, {quoted}), {num_bits})"
 
 
 def _bit_sql(pos: str) -> str:
@@ -74,6 +79,11 @@ def bloom_build(
 
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
+    if num_hashes < 1:
+        # zero hashes builds an all-zero bitmap that a real probe then
+        # uses to reject EVERY key — false negatives from an operator
+        # documented as having none
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     n_words = num_bits // 64
     positions = F.array(
         *[F.expr(_pos_sql(col, s, num_bits)) for s in range(num_hashes)]
@@ -159,6 +169,10 @@ def bloom_might_contain(
     :func:`bloom_collect` literal; ``num_bits``/``num_hashes`` must match
     the build. O(1) array subscripts per hash.
     """
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64 (the build's rule)")
     checks = []
     for s in range(num_hashes):
         pos = _pos_sql(col, s, num_bits)

@@ -121,6 +121,11 @@ def bpe_train(
     ships — and ``tokenized`` the corpus with a ``toks`` column after all
     merges applied. Stops early when no pair reaches ``min_count`` (a
     merge seen once generalizes to nothing).
+
+    ``tokenized`` is an EAGER localCheckpoint (one corpus copy pinned in
+    executor memory) and the CALLER owns its release: a caller that only
+    keeps ``merges`` must ``release_checkpoint(tokenized)`` (session.py)
+    or a long-lived driver leaks one corpus copy per training call.
     """
     toked = cpu_parallelize(df).select(
         "*", F.split(normalized_text(text_col), " ").alias("toks")

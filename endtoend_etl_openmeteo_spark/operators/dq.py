@@ -74,7 +74,15 @@ def _violation_count(e: Expectation) -> Column:
     elif e.kind == "in_set":
         cond = ~col.isin(*e.values)
     elif e.kind == "unique":
-        # violations = non-null rows beyond the first per distinct value
+        # violations = non-null rows beyond the first per distinct value —
+        # the number of rows a dedup would DROP to restore uniqueness.
+        # DELIBERATE divergence from GE, which counts every member of a
+        # duplicated group (a value appearing 11 times is 11 unexpected
+        # rows to GE, 10 here — GE's mostly gate is stricter by one row
+        # per duplicated value). GE's numerator needs a per-value group-by
+        # and would break this module's one-scan compile; the reference's
+        # own suite (REFERENCE_WEATHER_SUITE) carries no unique
+        # expectation, so §2.11 parity is unaffected.
         return F.count(col) - F.count_distinct(col)
     else:
         raise ValueError(f"unsupported expectation kind {e.kind!r}")
@@ -100,6 +108,14 @@ def compile_expectations(df: DataFrame, expectations: list[Expectation]) -> Data
     (expectation string, col_name string, violations long, n_rows long,
     passed boolean) — one row per expectation.
     """
+    if not expectations:
+        # stack(lit(0)) with no value columns fails analysis — an empty
+        # suite passes vacuously (zero rows), it doesn't crash the stream
+        return df.sparkSession.createDataFrame(
+            [],
+            "expectation string, col_name string, violations long, "
+            "n_rows long, passed boolean",
+        )
     aggs = (
         [F.count(F.lit(1)).alias("n_rows")]
         + [_violation_count(e).alias(f"v{i}") for i, e in enumerate(expectations)]
@@ -230,14 +246,16 @@ def dq_gate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     """Run the suite; raise DQValidationError if any expectation fails.
 
     Returns the metrics DataFrame's collected rows re-wrapped for
-    inspection on success (small: one row per expectation).
-    """
+    inspection on success (small: one row per expectation) — REALLY
+    re-wrapped: the gate already paid its one full aggregate scan, so
+    the returned frame is a local relation and a consumer's
+    show()/collect() cannot re-scan the (possibly 100 TB) input."""
     results = compile_expectations(df, expectations)
-    rows = [r.asDict() for r in results.collect()]
-    failures = [r for r in rows if not r["passed"]]
+    collected = results.collect()
+    failures = [r.asDict() for r in collected if not r["passed"]]
     if failures:
         raise DQValidationError(failures)
-    return results
+    return df.sparkSession.createDataFrame(collected, results.schema)
 
 
 #: The reference's exact GE suite (ge/validate_raw_weather.py:143-168),

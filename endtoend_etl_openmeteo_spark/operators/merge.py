@@ -96,6 +96,12 @@ def merge_upsert(
     the reference's upsert semantics (S8/J4/T4).
 
     Idempotent: re-merging the same batch leaves the table unchanged.
+    An EMPTY batch is a no-op — without the early return it would fall
+    through to ``affected = target`` (no partition predicate) and
+    stage + rewrite the ENTIRE table to change nothing, paying a
+    full-table copy and exposing every partition to the overwrite
+    window (a quarantine gate that rejects a whole micro-batch hits
+    exactly this).
     """
     partition_cols = partition_cols or []
 
@@ -112,6 +118,8 @@ def merge_upsert(
             # replace the whole __HIVE_DEFAULT_PARTITION__ with batch rows
             # only — silent deletion of every pre-existing key there.
             batch_parts = new.select(*partition_cols).distinct().collect()
+            if not batch_parts:
+                return  # empty batch: nothing to merge, nothing to touch
             pred = None
             for row in batch_parts:
                 clause = None
@@ -121,6 +129,8 @@ def merge_upsert(
                 pred = clause if pred is None else (pred | clause)
             affected = target.filter(pred) if pred is not None else target
         else:
+            if new.isEmpty():
+                return  # empty batch: a full-table rewrite would be a no-op
             affected = target
         # source tag: on an exact order_col tie the BATCH row must win
         # (the reference's ON CONFLICT DO UPDATE always takes the new row)

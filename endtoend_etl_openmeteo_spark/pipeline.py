@@ -194,12 +194,22 @@ def refresh_gold_incremental(
     from endtoend_etl_openmeteo_spark.operators.merge import _path_exists
 
     touched = [r.city for r in batch.select("city").distinct().collect()]
+    if not touched:
+        return  # empty batch: no partition to refresh
     if not _path_exists(spark, gold_path):
         fct_city_day(silver).write.mode("overwrite").partitionBy("city").parquet(
             gold_path
         )
         return
-    scoped = silver.filter(F.col("city").isin(touched))
+    # eqNullSafe fold, not isin(): IN against a NULL element matches
+    # nothing, so a NULL-city batch (whose rows merge_upsert deliberately
+    # preserves in silver's __HIVE_DEFAULT_PARTITION__) would leave the
+    # gold mart's null-city partition silently stale forever
+    pred = None
+    for c in touched:
+        eq = F.col("city").eqNullSafe(F.lit(c))
+        pred = eq if pred is None else (pred | eq)
+    scoped = silver.filter(pred)
     # No materialization needed: the plan reads silver_path only — the gold
     # write never overwrites its own input (localCheckpoint here would add an
     # unreplicated-block availability risk on a real cluster for nothing).

@@ -723,10 +723,14 @@ SELECT 3::INT, l, r, n::BIGINT FROM p4
 )
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from endtoend_etl_openmeteo_spark.operators.bpe import bpe_train
+    from endtoend_etl_openmeteo_spark.session import release_checkpoint
 
-    merges, _ = bpe_train(
+    merges, toked = bpe_train(
         tbl(spark, sf_dir, "documents").select("doc_id", "text"), n_merges=4
     )
+    # only the rule table is kept — release the tokenized-corpus
+    # checkpoint (bpe_train's caller-owns-release contract)
+    release_checkpoint(toked)
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count long"
     )
@@ -878,9 +882,12 @@ FROM enc
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from endtoend_etl_openmeteo_spark.operators.bpe import bpe_encode, bpe_train
 
+    from endtoend_etl_openmeteo_spark.session import release_checkpoint
+
     docs = tbl(spark, sf_dir, "documents")
     sample = docs.orderBy("doc_id").limit(200)
-    merges, _ = bpe_train(sample, n_merges=3, min_count=2)
+    merges, toked = bpe_train(sample, n_merges=3, min_count=2)
+    release_checkpoint(toked)  # only the rules are kept (caller-owns-release)
     encoded = bpe_encode(docs, merges)
     return encoded.select(
         "doc_id",

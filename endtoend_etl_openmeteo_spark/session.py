@@ -65,8 +65,12 @@ RUNTIME_CONF: dict[str, str] = {
     # A vanilla external session (the verification driver's) keeps Spark's
     # default 200 shuffle partitions — 6x task overhead at local scale.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-    # testdata events.parquet has shipped TIMESTAMP(NANOS); see sources.tables.tbl
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # NOTE deliberately NOT pinned: spark.sql.legacy.parquet.nanosAsLong.
+    # A session-wide pin would make EVERY parquet read decode legitimate
+    # TIMESTAMP(NANOS) columns as raw longs — the failure
+    # sources.tables._read_parquet_nanos_safe exists to scope: the latch
+    # is set on demand, only in sessions that actually touch a
+    # NANOS-encoded table through the tbl()/events_between wrappers.
 }
 
 
@@ -86,6 +90,16 @@ def get_spark(
     for key, value in {**ENGINE_CONF, **(extra_conf or {})}.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
+    # getOrCreate returns a PRE-EXISTING session with the builder confs
+    # silently ignored — apply the runtime-settable semantics confs
+    # (UTC timezone, ANSI, dynamic overwrite) so they hold on that path
+    # too, plus any runtime-settable extra_conf the caller asked for.
+    ensure_engine_conf(spark)
+    for key, value in (extra_conf or {}).items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # static conf on an existing session — creation-only
+            pass
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

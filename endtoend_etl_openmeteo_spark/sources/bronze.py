@@ -58,6 +58,16 @@ def read_bronze_tolerant(
     mode captures each unparseable line verbatim in ``_corrupt_record``;
     the caller quarantines ``bad`` (same pattern as the streaming DQ
     quarantine) while ``good`` flows on with the declared schema.
+
+    CALLER OWNS THE CACHE RELEASE: both returned frames share one
+    ``cache()`` of the raw parse (required for corrupt-record capture,
+    and it keeps the good/bad double consumption to one parse). After
+    both sides are consumed, run
+    ``session.release_persistent_rdds(spark)`` (the suite drivers'
+    pattern; the cached frame itself is internal, so a plain
+    ``unpersist()`` on the returned children cannot reach it) — a
+    long-lived driver calling this per batch otherwise pins one parsed
+    copy of the landing zone per call for the session's life.
     """
     schema = T.StructType(
         BRONZE_READ_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]

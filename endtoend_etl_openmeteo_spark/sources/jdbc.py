@@ -62,8 +62,14 @@ def read_jdbc(
     try:
         return reader.load()
     except Exception as e:  # pragma: no cover - no JDBC driver in this env
+        # carry the real cause in the message: a missing table, SQL error,
+        # or auth failure against a reachable database is NOT a
+        # connectivity problem, and hiding it behind "driver jar?" sends
+        # the operator debugging the wrong layer
         raise ConnectionError(
-            f"JDBC read failed (driver jar/database available?): {url} {table}"
+            f"JDBC read failed for {table!r} at {url}: "
+            f"{type(e).__name__}: {e} (if the driver jar or database is "
+            "missing this is connectivity; otherwise fix the query/table)"
         ) from e
 
 
@@ -86,5 +92,7 @@ def write_jdbc_append(
         writer.save()
     except Exception as e:  # pragma: no cover - no JDBC driver in this env
         raise ConnectionError(
-            f"JDBC write failed (driver jar/database available?): {url} {table}"
+            f"JDBC write failed for {table!r} at {url}: "
+            f"{type(e).__name__}: {e} (if the driver jar or database is "
+            "missing this is connectivity; otherwise fix the schema/table)"
         ) from e

@@ -141,15 +141,22 @@ def events_between(spark: SparkSession, sf_dir: str, start_iso: str, end_iso: st
         return raw.filter(
             (F.col("ts") >= F.lit(ns(lo))) & (F.col("ts") < F.lit(ns(hi)))
         ).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Literal construction must NOT go through F.lit(naive datetime):
+    # PySpark converts that via the DRIVER OS timezone (time.mktime), not
+    # the pinned-UTC session timezone, shifting the bounds by the host's
+    # UTC offset on any non-UTC machine — per-encoding row divergence,
+    # the exact bug this helper exists to prevent. ISO strings cast in
+    # the engine (wall-clock for NTZ, session-UTC for LTZ) and integer
+    # micros are both OS-timezone-independent.
     if isinstance(raw_type, T.TimestampNTZType):
         # Filter the NTZ column against NTZ literals (session tz pinned UTC
         # makes the wall-clock literal the right instant) so the predicate
         # pushes into the parquet scan, THEN cast to LTZ.
         return raw.filter(
-            (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
-            & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+            (F.col("ts") >= F.lit(lo.isoformat(sep=" ")).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(hi.isoformat(sep=" ")).cast("timestamp_ntz"))
         ).withColumn("ts", F.col("ts").cast("timestamp"))
     return raw.filter(
-        (F.col("ts") >= F.lit(lo).cast("timestamp"))
-        & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        (F.col("ts") >= F.timestamp_micros(F.lit(ns(lo) // 1000)))
+        & (F.col("ts") < F.timestamp_micros(F.lit(ns(hi) // 1000)))
     )

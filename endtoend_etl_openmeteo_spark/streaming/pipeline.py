@@ -39,24 +39,23 @@ def _lineage_run_id(spark: SparkSession, checkpoint_path: str) -> str:
     string) reused across lineages would make the new run's epochs hit
     the old run's vt epoch tags (batches silently skipped) or
     dynamically overwrite the old run's same-numbered partitions
-    (old/new mixed output). Hadoop FS, so remote checkpoints work."""
-    jvm = spark._jvm
-    marker = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_path}/_engine_run_id")
-    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(marker):
-        stream = fs.open(marker)
-        try:
-            return bytes(
-                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            ).decode("ascii").strip()
-        finally:
-            stream.close()
+    (old/new mixed output). Hadoop FS (via versioned.py's shared IO
+    helpers — one copy of the JVM read/write plumbing), so remote
+    checkpoints work."""
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        _fs,
+        _read_file,
+        _write_file,
+    )
+
+    marker = f"{checkpoint_path}/_engine_run_id"
+    fs, jvm = _fs(spark, marker)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(marker)):
+        return _read_file(spark, marker).decode("ascii").strip()
     import uuid as _uuid
 
     run_id = _uuid.uuid4().hex[:12]
-    out = fs.create(marker, True)
-    out.write(run_id.encode("ascii"))
-    out.close()
+    _write_file(spark, marker, run_id.encode("ascii"))
     return run_id
 
 
@@ -461,7 +460,25 @@ def run_streaming_elt(
     # epoch-0 partition.
     run_id = _lineage_run_id(spark, checkpoint_path)
 
-    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+    def merge_batch(raw_batch: DataFrame, epoch_id: int) -> None:
+        from endtoend_etl_openmeteo_spark.operators.dq import dq_gate, split_valid
+
+        # Evaluate the bronze JSON flatten ONCE per epoch, not once per
+        # sink: without the checkpoint the quarantine write, the merge's
+        # partition-discovery collect, the merge union write, and the
+        # gold-refresh collect each re-read and re-flatten the landing
+        # files (~4x ingest cost) — the run_streaming_corpus_ingest
+        # discipline. Executor loss mid-epoch fails the task and
+        # Structured Streaming replays the epoch from source, so the
+        # unreplicated blocks are recoverable here.
+        batch = raw_batch.localCheckpoint(eager=True)
+        batch_ck = batch
+        try:
+            _merge_batch_body(batch, epoch_id)
+        finally:
+            release_checkpoint(batch_ck)
+
+    def _merge_batch_body(batch: DataFrame, epoch_id: int) -> None:
         from endtoend_etl_openmeteo_spark.operators.dq import dq_gate, split_valid
 
         if expectations is not None:
