@@ -87,21 +87,21 @@ PRIORITY: list[str] = [
     "q_multimodal_features",
     # --- oracle-backed extension rows rotated per round so every family
     # eventually earns a driver-witnessed CORRECTNESS row (round-7 verdict
-    # task 2). Round 11: q_ann_ivfpq_stored / q_ann_stream_ingest /
-    # q_semdedup_prune / q_multimodal_video earned green rows in
-    # CORRECTNESS_r10 and yield their slots to the four never-witnessed
-    # rows the round-10 verdict queued — the stored-index deletion
-    # lifecycle for both serving stores (q_ann_index_delete, q_bm25_delete)
-    # and the versioned-table family tail (q_optimize_cluster — OPTIMIZE
-    # ZORDER-style clustering rewrite; q_rename_count — O(1) metadata
-    # rename + count). q_substring_dup / q_semdedup keep the rows they
-    # earned in round 7. ---
+    # task 2). Round 12: q_ann_index_delete / q_bm25_delete /
+    # q_optimize_cluster / q_rename_count earned green rows in
+    # CORRECTNESS_r11 and yield their slots to the four never-witnessed
+    # rows the round-11 verdict queued — the versioned-family tail
+    # (q_snapshot_diff: CDC between snapshots; q_snapshot_merge:
+    # snapshot-isolated MERGE; q_incremental_agg: CDC-driven incremental
+    # aggregate) plus q_bloom_decontaminate (the round-10 perf watch item;
+    # a driver row witnesses both correctness and plan health).
+    # q_substring_dup / q_semdedup keep the rows they earned in round 7. ---
     "q_substring_dup",
     "q_semdedup",
-    "q_ann_index_delete",
-    "q_bm25_delete",
-    "q_optimize_cluster",
-    "q_rename_count",
+    "q_snapshot_diff",
+    "q_snapshot_merge",
+    "q_incremental_agg",
+    "q_bloom_decontaminate",
     # --- approximate-family floor contracts + streaming parity (round 7):
     # the driver itself witnesses the dedup/ANN recall floors and the
     # streaming-equals-batch hash. ---
@@ -111,11 +111,17 @@ PRIORITY: list[str] = [
     "q_ann_ivf_stored",
     # ------------------------- 50-entry line -------------------------
     # Next rotation candidates (never driver-witnessed, queued for round
-    # 12): the remaining versioned-family tail — q_snapshot_diff (CDC
-    # between snapshots), q_snapshot_merge (snapshot-isolated MERGE),
-    # q_incremental_agg (CDC-driven incremental aggregate) — plus
-    # q_bloom_decontaminate (the round-10 perf watch item; a driver row
-    # witnesses both correctness and that the plan stayed healthy).
+    # 13): the last oracle-backed stragglers — q_cdc_apply (CDC event
+    # application), q_sequence_pack (two-phase global-offset packing),
+    # q_strip_spans (substring-dedup span removal) — after which every
+    # oracle-backed query in the registry will have had at least one
+    # driver-witnessed CORRECTNESS row.
+    # Displaced from the prefix in round 12 (witnessed green in
+    # CORRECTNESS_r11; still check_oracle + CI green).
+    "q_ann_index_delete",
+    "q_bm25_delete",
+    "q_optimize_cluster",
+    "q_rename_count",
     # Displaced from the prefix in round 11 (witnessed green in
     # CORRECTNESS_r10; still check_oracle + CI green).
     "q_ann_ivfpq_stored",
@@ -228,12 +234,10 @@ PRIORITY: list[str] = [
     "q_sketch_intersection",
     "q_bpe_train",
     "q_cc_exact",
-    "q_snapshot_merge",
     "q_multimodal_embedding",
-    "q_bloom_decontaminate",
     "q_pagerank",
-    "q_snapshot_diff",
-    "q_incremental_agg",
+    # (q_snapshot_merge / q_snapshot_diff / q_incremental_agg /
+    # q_bloom_decontaminate rotated into the 50-prefix in round 12.)
     # Oracle-backed in round 6 (packing, md5_60 simhash; the round-6 contract
     # rows q_dedup_contract / q_stream_window moved into the 50-prefix above)
     "q_sequence_pack",
