@@ -545,10 +545,20 @@ def delete_from_stored_index(
         ids = spark.createDataFrame(
             [(int(i), None) for i in vec_ids], "id long, part string"
         )
-    ids = ids.distinct()
-    n = int(ids.select("id").distinct().count())
+    # The tombstone batch is bounded metadata (O(deletes)); collect it
+    # ONCE and write the local rows back as a single file — evaluating
+    # the caller's id lineage a second time for the count (BM25's hinted
+    # frame tokenizes the batch) was the delete path's dominant cost,
+    # and local_df avoids the createDataFrame+coalesce(1) Python-runner
+    # trap for the write.
+    from endtoend_etl_openmeteo_spark.session import local_df
+
+    rows = [tuple(r) for r in ids.distinct().collect()]
+    n = len({r[0] for r in rows})
     if n:
-        ids.coalesce(1).write.mode("append").parquet(_tombstone_path(path))
+        local_df(spark, rows, "id long, part string").write.mode(
+            "append"
+        ).parquet(_tombstone_path(path))
     return n
 
 
@@ -586,8 +596,15 @@ def vacuum_index_tombstones(
     tomb = _read_tombstones(spark, path, id_col)
     if tomb is None:
         return {"tombstones": 0, "rows_removed": 0, "partitions_rewritten": 0}
-    tomb_ids = tomb.select(id_col).distinct()
-    n_tomb = tomb_ids.count()
+    # The sidecar is bounded metadata — O(deletes) by construction — so
+    # ONE collect hands the tick everything sidecar-derived (distinct
+    # ids, hint set) instead of a count job plus a hints job.
+    tomb_pairs = tomb.collect()
+    tomb_id_set = {r[0] for r in tomb_pairs}
+    n_tomb = len(tomb_id_set)
+    from endtoend_etl_openmeteo_spark.session import local_df
+
+    tomb_ids = local_df(spark, [(i,) for i in sorted(tomb_id_set)], f"{id_col} long")
     top_parts = {
         s.getPath().getName().split("=", 1)[0]
         for s in fs.listStatus(root)
@@ -608,7 +625,7 @@ def vacuum_index_tombstones(
     # tombstone carries a valid hint (bounded collect: one row per
     # distinct hint, i.e. per touched partition) ---
     hint_col = part_cols[-1]  # "cell" (flat + streamed) or the one col
-    hints = [r[0] for r in tomb.select("part").distinct().collect()]
+    hints = list({r[1] for r in tomb_pairs})
     prune_vals: list[str] = []
     prunable = all(h is not None for h in hints)
     if prunable:
@@ -645,36 +662,59 @@ def vacuum_index_tombstones(
                 hint_col,
             )
             disc = scan
-    dead = disc.join(F.broadcast(tomb_ids), id_col, "left_semi")
+    # --- ONE discovery aggregation: per-partition totals, dead-row
+    # counts, and the distinct dead ids, collected together (bounded:
+    # one row per partition in the pruned scan; dead-id sets are
+    # O(deletes)). This replaces four separate scans of the same
+    # partitions (missing-check, affected-collect, dead-count,
+    # alive-collect) with a single job — the discovery data volume was
+    # never the cost at high delete frequency, the job count was. ---
+    def _discover(frame):
+        rows = (
+            frame.join(
+                F.broadcast(tomb_ids.withColumn("__dead", F.lit(True))),
+                id_col,
+                "left",
+            )
+            .groupBy(*part_cols)
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.count(F.when(F.col("__dead"), 1)).alias("__nd"),
+                F.collect_set(
+                    F.when(F.col("__dead"), F.col(id_col))
+                ).alias("__ids"),
+            )
+            .collect()
+        )
+        return [r for r in rows if r["__nd"] > 0], rows
+
+    hit_rows, _ = _discover(disc)
     if pruned:
         # Safety net: a tombstoned id NOT found inside its hinted
         # partitions is either never-ingested (legitimate no-op) or
         # MIS-HINTED (wrong cell value) — indistinguishable without
-        # looking. Rescan the full index for just those ids before the
-        # sidecar clears, or a wrong-valued hint would silently
-        # resurrect its row. The check is one bounded anti-join; the
-        # rescan only runs when such ids exist (never-ingested deletes
-        # paid a full discovery scan before hints existed too).
-        missing = tomb_ids.join(
-            dead.select(id_col).distinct(), id_col, "left_anti"
-        )
-        if missing.limit(1).count():
-            stray = scan.join(
-                F.broadcast(missing), id_col, "left_semi"
+        # looking. Check is free now (the dead-id sets are in hand);
+        # when such ids DO exist anywhere in the index, redo discovery
+        # unpruned — correct first, pruned when provably safe (the rare
+        # mis-hint path pays what every delete paid before hints).
+        found = set().union(*[set(r["__ids"]) for r in hit_rows]) if hit_rows else set()
+        missing_ids = tomb_id_set - found
+        if missing_ids:
+            missing = local_df(
+                spark, [(i,) for i in sorted(missing_ids)], f"{id_col} long"
             )
-            n_stray = stray.limit(1).count()
-            if n_stray:
+            if scan.join(F.broadcast(missing), id_col, "left_semi").limit(1).count():
                 logger.warning(
                     "vacuum at %s: tombstoned id(s) found OUTSIDE their "
                     "hinted partitions (mis-recorded hints) — extending "
-                    "discovery to the full scan for those ids",
+                    "discovery to the full scan",
                     path,
                 )
-                dead = dead.unionByName(stray)
+                hit_rows, _ = _discover(scan)
     affected = {
-        tuple(r) for r in dead.select(*part_cols).distinct().collect()
+        tuple(r[c] for c in part_cols) for r in hit_rows
     }  # bounded by partition count, metadata-sized
-    rows_removed = dead.count()
+    rows_removed = sum(r["__nd"] for r in hit_rows)
     if not affected:
         fs.delete(jvm.org.apache.hadoop.fs.Path(_tombstone_path(path)), True)
         return {
@@ -686,8 +726,10 @@ def vacuum_index_tombstones(
     survivors = scan.filter(key.isin(keys)).join(
         F.broadcast(tomb_ids), id_col, "left_anti"
     )
+    # survivor presence per affected partition falls out of the same
+    # discovery rows — no extra scan
     alive = {
-        tuple(r) for r in survivors.select(*part_cols).distinct().collect()
+        tuple(r[c] for c in part_cols) for r in hit_rows if r["__n"] > r["__nd"]
     }
     prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -799,26 +799,42 @@ def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         # Harness shuffle pin: fixed-size embeddings, lifecycle proof —
-        # the q_ann_ivfpq_stored rationale.
+        # the q_ann_ivfpq_stored rationale. The survivor set is a pure
+        # read of the checkpointed encode frame — it never touches the
+        # index dir, so it runs CONCURRENTLY with build→delete→visible-
+        # content (the q_ann_ivfpq_stored contract-row thread-pool
+        # pattern).
+        from concurrent.futures import ThreadPoolExecutor
+
         with bounded_shuffle(spark, 8):
-            write_ivfpq_index(
-                enc, None, None, idx_dir, quantizer_locals=(cents, books)
-            )
-            # hinted delete: the encoded cells are in hand, so the
-            # tombstones name their partitions and the vacuum below
-            # discovers against ONLY those cells (the 100-TB shape)
-            hints = enc.filter(F.col("id").isin(victims)).select(
-                "id",
-                F.concat(
-                    F.lit("cell="), F.col("cell").cast("string")
-                ).alias("part"),
-            )
-            delete_from_stored_index(spark, hints, idx_dir)
-            survivors = {
-                (r["id"], r["cell"], tuple(r["codes"]))
-                for r in enc.filter(~F.col("id").isin(victims)).collect()
-            }
-            hidden = bool(survivors) and content(apply_tombstones=True) == survivors
+
+            def build_delete_visible() -> set:
+                write_ivfpq_index(
+                    enc, None, None, idx_dir, quantizer_locals=(cents, books)
+                )
+                # hinted delete: the encoded cells are in hand, so the
+                # tombstones name their partitions and the vacuum below
+                # discovers against ONLY those cells (the 100-TB shape)
+                hints = enc.filter(F.col("id").isin(victims)).select(
+                    "id",
+                    F.concat(
+                        F.lit("cell="), F.col("cell").cast("string")
+                    ).alias("part"),
+                )
+                delete_from_stored_index(spark, hints, idx_dir)
+                return content(apply_tombstones=True)
+
+            def survivor_set() -> set:
+                return {
+                    (r["id"], r["cell"], tuple(r["codes"]))
+                    for r in enc.filter(~F.col("id").isin(victims)).collect()
+                }
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_vis = pool.submit(build_delete_visible)
+                f_sur = pool.submit(survivor_set)
+                visible, survivors = f_vis.result(), f_sur.result()
+            hidden = bool(survivors) and visible == survivors
             stats = vacuum_index_tombstones(spark, idx_dir)
             vacuum_ok = (
                 stats["rows_removed"] == len(victims)

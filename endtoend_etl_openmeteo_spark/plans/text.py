@@ -1632,25 +1632,47 @@ def q_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = scratch_dir(prefix="bm25_del_")
     try:
         # Harness shuffle pin: bounded 500-doc slice, lifecycle proof —
-        # the q_index_compact rationale.
+        # the q_index_compact rationale. The survivor rebuild never
+        # touches the index dir, so it runs CONCURRENTLY with
+        # build→delete→serve (the q_ann_ivfpq_stored contract-row
+        # thread-pool pattern); post-vacuum count and re-serve are
+        # likewise independent reads of the vacuumed index.
+        from concurrent.futures import ThreadPoolExecutor
+
         with bounded_shuffle(spark, 8):
-            write_inverted_index(docs, idx, n_buckets=16)
-            delete_from_inverted_index(docs.filter(F.col("doc_id") < 10), idx)
-            served = rows_of(stored_bm25_topk(spark, idx, SEARCH_TERMS, k=10))
-            survivors = docs.filter(F.col("doc_id") >= 10)
-            n_docs, avgdl = corpus_stats(survivors)
-            want = rows_of(
-                bm25_topk(
-                    inverted_index(survivors), SEARCH_TERMS, n_docs, avgdl, k=10
+
+            def build_delete_serve() -> list:
+                write_inverted_index(docs, idx, n_buckets=16)
+                delete_from_inverted_index(
+                    docs.filter(F.col("doc_id") < 10), idx
                 )
-            )
+                return rows_of(stored_bm25_topk(spark, idx, SEARCH_TERMS, k=10))
+
+            def survivor_rebuild() -> list:
+                survivors = docs.filter(F.col("doc_id") >= 10)
+                n_docs, avgdl = corpus_stats(survivors)
+                return rows_of(
+                    bm25_topk(
+                        inverted_index(survivors), SEARCH_TERMS, n_docs, avgdl, k=10
+                    )
+                )
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_served = pool.submit(build_delete_serve)
+                f_want = pool.submit(survivor_rebuild)
+                served, want = f_served.result(), f_want.result()
             equal = bool(served) and served == want
             vacuum_index_tombstones(spark, idx, id_col="doc_id")
-            vac_ok = (
-                spark.read.parquet(idx).filter(F.col("doc_id") < 10).count() == 0
-                and rows_of(stored_bm25_topk(spark, idx, SEARCH_TERMS, k=10))
-                == served
-            )
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_gone = pool.submit(
+                    lambda: spark.read.parquet(idx)
+                    .filter(F.col("doc_id") < 10)
+                    .count()
+                )
+                f_reserve = pool.submit(
+                    lambda: rows_of(stored_bm25_topk(spark, idx, SEARCH_TERMS, k=10))
+                )
+                vac_ok = f_gone.result() == 0 and f_reserve.result() == served
         return spark.createDataFrame(
             [
                 ("delete_equals_survivor_rebuild", equal),

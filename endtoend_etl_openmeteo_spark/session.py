@@ -104,6 +104,20 @@ def get_spark(
     return spark
 
 
+def local_df(spark: SparkSession, rows: list, schema: str) -> "DataFrame":
+    """A SINGLE-PARTITION DataFrame from driver-local rows — the frame to
+    use when bounded metadata (tombstone batches, manifest rows, contract
+    sets) must be written as one file.
+
+    ``createDataFrame(rows).coalesce(1)`` is a measured ~5 s trap in
+    local[32]: the local rows land in defaultParallelism (=32) Python
+    partitions, and the coalesced single task then pays one Python-worker
+    round trip PER PARENT PARTITION, serially. Parallelizing to one slice
+    up front makes the same write one round trip (~0.3 s).
+    """
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def scratch_dir(prefix: str = "scratch_") -> str:
     """A fresh scratch directory for plan-internal side outputs (e.g. the
     incremental near-dup signature index built inside q_neardup_incremental).

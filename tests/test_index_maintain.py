@@ -206,8 +206,10 @@ def test_lease_serializes_writers_and_loser_retries(spark, tmp_path):
             with index_lease(spark, path, owner="append"):
                 pass  # pragma: no cover — must not acquire
         append_denied.set()
-        # retry loop: wait for the maintainer to release, then land
-        for _ in range(100):
+        # retry loop: wait for the maintainer to release, then land (the
+        # window must outlast the lease-holding compaction tick even
+        # under heavy hypervisor noise — 10 s was measured too tight)
+        for _ in range(600):
             try:
                 with index_lease(spark, path, owner="append"):
                     batch.coalesce(1).write.partitionBy("part").mode(
