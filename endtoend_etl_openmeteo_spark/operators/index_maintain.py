@@ -559,7 +559,54 @@ def delete_from_stored_index(
         local_df(spark, rows, "id long, part string").write.mode(
             "append"
         ).parquet(_tombstone_path(path))
+        _consolidate_tombstones(spark, path)
     return n
+
+
+#: Fold the tombstone sidecar once it accretes this many files. Every
+#: delete appends one file; a high-frequency delete workload between
+#: vacuums would otherwise make each serve's sidecar read list/open an
+#: unbounded file count.
+TOMBSTONE_CONSOLIDATE_FILES = 8
+
+
+def _consolidate_tombstones(
+    spark, path: str, max_files: int = TOMBSTONE_CONSOLIDATE_FILES
+) -> bool:
+    """Fold the ``_tombstones/`` sidecar into one file when it exceeds
+    ``max_files`` parquet files. Called from the delete path UNDER the
+    maintenance lease, so no writer races; lease-free serve-time readers
+    stay correct at every instant because tombstones are idempotent
+    metadata — the union file lands BEFORE the old files are removed, so
+    a concurrent listing sees a superset (duplicates are erased by
+    ``_read_tombstones``'s distinct), never a gap."""
+    from endtoend_etl_openmeteo_spark.session import local_df
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(_tombstone_path(path))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return False
+    olds = [
+        s.getPath()
+        for s in fs.listStatus(p)
+        if s.isFile() and s.getPath().getName().endswith(".parquet")
+    ]
+    if len(olds) <= max_files:
+        return False
+    rows = [
+        tuple(r)
+        for r in spark.read.schema("id long, part string")
+        .parquet(_tombstone_path(path))
+        .distinct()
+        .collect()
+    ]  # bounded: O(deletes) by the sidecar's construction
+    local_df(spark, rows, "id long, part string").write.mode("append").parquet(
+        _tombstone_path(path)
+    )
+    for old in olds:
+        fs.delete(old, False)
+    return True
 
 
 def vacuum_index_tombstones(

@@ -373,3 +373,43 @@ def test_rename_cas_backend_serializes_writers_and_loser_retries(spark, tmp_path
     assert not lock.exists()
     # a losing rename must clean its temp payload up
     assert not [p for p in (tmp_path / "idx").iterdir() if ".lock_tmp_" in p.name]
+
+
+def test_tombstone_sidecar_stays_bounded_under_delete_churn(spark, tmp_path):
+    """Every delete appends one sidecar file; without consolidation a
+    high-frequency delete workload between vacuums makes each serve's
+    sidecar read list/open an unbounded file count. The delete path must
+    fold the sidecar once it passes TOMBSTONE_CONSOLIDATE_FILES — losing
+    no tombstone (the fold writes the union BEFORE removing the olds) —
+    and vacuum must still clear everything."""
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        TOMBSTONE_CONSOLIDATE_FILES,
+        _read_tombstones,
+        delete_from_stored_index,
+        vacuum_index_tombstones,
+    )
+
+    path = str(tmp_path / "idx")
+    spark.range(100).select(
+        (F.col("id") % 4).alias("cell"), F.col("id"), (F.col("id") * 3).alias("v")
+    ).write.partitionBy("cell").mode("overwrite").parquet(path)
+
+    n_deletes = TOMBSTONE_CONSOLIDATE_FILES * 3
+    for i in range(n_deletes):
+        delete_from_stored_index(spark, [i], path)
+        files = [
+            p.name
+            for p in (Path(path) / "_tombstones").iterdir()
+            if p.name.endswith(".parquet")
+        ]
+        assert len(files) <= TOMBSTONE_CONSOLIDATE_FILES + 1, (
+            f"sidecar accreted {len(files)} files after {i + 1} deletes"
+        )
+    tomb = _read_tombstones(spark, path)
+    assert tomb is not None
+    assert {r[0] for r in tomb.collect()} == set(range(n_deletes))
+    stats = vacuum_index_tombstones(spark, path)
+    assert stats["rows_removed"] == n_deletes
+    assert _read_tombstones(spark, path) is None
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(n_deletes, 100))

@@ -763,7 +763,35 @@ def vacuum_smoke(spark, src: str, scratch: Path, replicas: int) -> list[str]:
         stats = vacuum_index_tombstones(spark, path, id_col="vec_id")
         return time.perf_counter() - t0, stats
 
-    t1, s1 = run(build(1, "1x"))
+    p1 = build(1, "1x")
+    t1, s1 = run(p1)
+    # --- sidecar hygiene under delete churn (round-11 verdict task 5):
+    # one appended file per delete must FOLD at the consolidation bound,
+    # so serve-time sidecar reads never list an unbounded file count ---
+    from pathlib import Path as _P
+
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        TOMBSTONE_CONSOLIDATE_FILES,
+    )
+
+    churn = TOMBSTONE_CONSOLIDATE_FILES * 2 + 4
+    worst_files = 0
+    for i in range(churn):
+        vic = emb.filter(F.col("vec_id") == 100 + i)
+        delete_from_stored_index(
+            spark, ivf_cells_for_vectors(spark, p1, vic), p1
+        )
+        n_files = sum(
+            1
+            for f in (_P(p1) / "_tombstones").iterdir()
+            if f.name.endswith(".parquet")
+        )
+        worst_files = max(worst_files, n_files)
+    s_churn = vacuum_index_tombstones(spark, p1, id_col="vec_id")
+    sidecar_ok = (
+        worst_files <= TOMBSTONE_CONSOLIDATE_FILES + 1
+        and s_churn["rows_removed"] == churn
+    )
     tn, sn = run(build(replicas, f"{replicas}x"))
     ratio = tn / max(t1, 1e-9)
     budget = 4.0
@@ -771,13 +799,16 @@ def vacuum_smoke(spark, src: str, scratch: Path, replicas: int) -> list[str]:
         ratio <= budget
         and s1["rows_removed"] == sn["rows_removed"] == 10
         and sn["partitions_rewritten"] <= 10
+        and sidecar_ok
     )
     status = "ok  " if ok else "FAIL"
     print(
         f"{status} vacuum_hinted[{replicas}x index, 10 hinted deletes]: "
         f"1x={t1:.2f}s {replicas}x={tn:.2f}s ratio={ratio:.1f} "
         f"(budget {budget:.0f}x — cost tracks touched cells "
-        f"[{sn['partitions_rewritten']} of 64], not index size)"
+        f"[{sn['partitions_rewritten']} of 64], not index size); "
+        f"sidecar worst={worst_files} files over {churn} deletes "
+        f"(bound {TOMBSTONE_CONSOLIDATE_FILES + 1})"
     )
     return [] if ok else ["vacuum_hinted"]
 
