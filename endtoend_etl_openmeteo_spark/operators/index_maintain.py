@@ -194,6 +194,29 @@ class RenameCasLease(LeaseBackend):
         return won
 
 
+#: Backend class used when ``index_lease``/``break_lease`` receive no
+#: explicit backend. A deployment on a rename-CAS store sets this once at
+#: startup (or scopes it with :func:`lease_backend`); the lifecycle
+#: operators (append/delete/vacuum/compact) all route through it, so one
+#: switch covers every maintenance path.
+DEFAULT_LEASE_BACKEND: type = AtomicCreateLease
+
+
+@contextmanager
+def lease_backend(cls: type):
+    """Scoped override of the default lease backend CLASS — lets a test
+    or deployment drive the full maintenance lifecycle (streamed ingest,
+    consolidation, delete, vacuum) under e.g. :class:`RenameCasLease`
+    without threading a backend through every operator signature."""
+    global DEFAULT_LEASE_BACKEND
+    prev = DEFAULT_LEASE_BACKEND
+    DEFAULT_LEASE_BACKEND = cls
+    try:
+        yield
+    finally:
+        DEFAULT_LEASE_BACKEND = prev
+
+
 @contextmanager
 def index_lease(
     spark: SparkSession,
@@ -233,7 +256,7 @@ def index_lease(
     external lock service — the lease protocol (payload ownership,
     conflict error, checked release, break_lease) is backend-agnostic.
     """
-    be = backend if backend is not None else AtomicCreateLease(spark, path)
+    be = backend if backend is not None else DEFAULT_LEASE_BACKEND(spark, path)
     payload = f"{owner or 'writer'}:{uuid.uuid4().hex}:{int(time.time())}"
 
     if not be.try_acquire(payload):
@@ -281,7 +304,7 @@ def break_lease(
 ) -> bool:
     """Forcibly remove a dead holder's lease marker (operator action after
     confirming the holder crashed). Returns True if a marker was removed."""
-    be = backend if backend is not None else AtomicCreateLease(spark, path)
+    be = backend if backend is not None else DEFAULT_LEASE_BACKEND(spark, path)
     return be.delete()
 
 
