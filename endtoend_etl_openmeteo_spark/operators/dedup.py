@@ -149,7 +149,16 @@ def cpu_parallelize(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
-def minhash_signature(shingle_col: Column, n_hashes: int = 32) -> Column:
+def _md5_60(col: Column) -> Column:
+    """60-bit integer from an md5 prefix — the cross-engine-replicable
+    hash (DuckDB: ``('0x' || substr(md5(x), 1, 15))::BIGINT``), the
+    q_simhash md5_60 scheme."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signature(
+    shingle_col: Column, n_hashes: int = 32, hash_family: str = "murmur3"
+) -> Column:
     """MinHash signature: array of n_hashes mins of seeded 32-bit hashes.
 
     Seeding trick: F.hash(shingle, lit(i)) — Murmur3 folds the seed literal
@@ -158,23 +167,48 @@ def minhash_signature(shingle_col: Column, n_hashes: int = 32) -> Column:
     single-pass aggregate() with an array accumulator — the accumulator
     allocates a fresh 32-wide array per shingle.)
 
+    ``hash_family="md5_60"`` swaps the seeded hash for
+    ``md5_60(i || ':' || shingle)`` so an external engine can replicate
+    every signature value exactly (the q_simhash discipline: DuckDB has
+    no seeded Murmur3). Murmur3 stays the scale default — one JVM
+    intrinsic per (shingle, seed) vs a full digest of a concatenated
+    string.
+
     The seed must be closed over via a def, NOT a `lambda s, i=i:` default
     argument: F.transform dispatches on the lambda's PARAMETER COUNT, so a
     two-parameter lambda receives (element, array_index) and the seed
     default is silently overridden by the element position — collapsing
     all n_hashes families into one.
     """
+    if hash_family == "md5_60":
 
-    def family(i: int) -> Column:
-        return F.array_min(F.transform(shingle_col, lambda s: F.hash(s, F.lit(i))))
+        def family(i: int) -> Column:
+            return F.array_min(
+                F.transform(
+                    shingle_col,
+                    lambda s: _md5_60(F.concat(F.lit(f"{i}:"), s)),
+                )
+            )
+
+    else:
+
+        def family(i: int) -> Column:
+            return F.array_min(
+                F.transform(shingle_col, lambda s: F.hash(s, F.lit(i)))
+            )
 
     return F.array(*[family(i) for i in range(n_hashes)])
 
 
-def minhash_bands(sig_col: Column, n_hashes: int, bands: int) -> Column:
+def minhash_bands(
+    sig_col: Column, n_hashes: int, bands: int, hash_family: str = "murmur3"
+) -> Column:
     """(band, bucket) structs for a signature: hash each of ``bands``
     contiguous signature slices. Shared by the batch pair-finder and the
     incremental index so buckets stay compatible across both paths.
+    ``hash_family="md5_60"`` derives the bucket from md5 of the
+    comma-joined slice values (decimal strings) so an external engine
+    replicates every bucket key exactly.
 
     ``bands`` must divide ``n_hashes``: a non-divisor would silently
     ignore the trailing signature values (weakening recall below the
@@ -189,14 +223,16 @@ def minhash_bands(sig_col: Column, n_hashes: int, bands: int) -> Column:
             "values from every bucket)"
         )
     rows_per_band = n_hashes // bands
+
+    def bucket(b: int) -> Column:
+        vals = [sig_col[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_family == "md5_60":
+            return _md5_60(F.concat_ws(",", *[v.cast("string") for v in vals]))
+        return F.hash(*vals)
+
     return F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(
-                    *[sig_col[b * rows_per_band + r] for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
             for b in range(bands)
         ]
     )
@@ -211,6 +247,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     materialize: bool = True,
+    hash_family: str = "murmur3",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified by exact Jaccard.
 
@@ -239,12 +276,15 @@ def minhash_lsh_pairs(
     """
     base = cpu_parallelize(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes, hash_family))
     if materialize:
         base = base.localCheckpoint(eager=True)
 
     banded = base.select(
-        "id", F.explode(minhash_bands(F.col("sig"), n_hashes, bands)).alias("bb")
+        "id",
+        F.explode(
+            minhash_bands(F.col("sig"), n_hashes, bands, hash_family)
+        ).alias("bb"),
     ).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )

@@ -237,10 +237,59 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_minhash_neardup",
-    oracle=None,  # approximate candidate generation — rows-only check
+    # Full cross-engine replication of the banded pipeline (round-11
+    # verdict task 8 — promoted from rows-only): the declared query uses
+    # the md5_60 hash family (the q_simhash discipline), so DuckDB
+    # reproduces every signature min, every band bucket, the exact
+    # candidate set, and the verified Jaccard values bit-for-bit. The
+    # engine default stays Murmur3 (one JVM intrinsic per (shingle, seed)
+    # vs a full digest of a concatenated string) — the incremental index
+    # and the smoke paths exercise that family.
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id AS id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT id, s.sh
+      FROM d, LATERAL (
+        SELECT array_to_string(toks[i:i+2], ' ') AS sh
+        FROM unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS t(i)
+      ) s
+    ),
+    sig AS (
+      SELECT id, seed,
+             min(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || sh), 1, 15))::BIGINT) AS v
+      FROM sh CROSS JOIN (SELECT unnest(range(32)) AS seed) seeds
+      GROUP BY id, seed
+    ),
+    bands AS (
+      SELECT id, seed // 4 AS band,
+             ('0x' || substr(md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY seed)), 1, 15))::BIGINT AS bucket
+      FROM sig GROUP BY id, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    shs AS (SELECT id, list(sh) AS shl FROM sh GROUP BY id)
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.shl, sb.shl))::DOUBLE
+                 / len(list_distinct(list_concat(sa.shl, sb.shl))), 6) AS jaccard
+    FROM cand c
+    JOIN shs sa ON sa.id = c.id_a
+    JOIN shs sb ON sb.id = c.id_b
+    WHERE len(list_intersect(sa.shl, sb.shl))::DOUBLE
+          / len(list_distinct(list_concat(sa.shl, sb.shl))) >= 0.5
+    """,
     doc="MinHash+LSH near-duplicate pairs (SURVEY §7 step 7): shingle → "
     "32-hash signature → 8-band buckets → candidate join → exact-Jaccard "
-    "verify. The banding keeps candidate generation O(n·bands).",
+    "verify. The banding keeps candidate generation O(n·bands). Declared "
+    "with hash_family='md5_60' so the oracle replays the whole pipeline "
+    "(hash-checked); check_oracle additionally keeps the recall floor vs "
+    "exact all-pairs Jaccard.",
     tags=("dedup", "approx"),
 )
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,6 +300,7 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=32,
         bands=8,
         jaccard_threshold=0.5,
+        hash_family="md5_60",
     )
 
 
@@ -545,7 +595,10 @@ def q_cc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Near-duplicate clustering: connected components over MinHash-LSH "
     "pair candidates via bounded min-label propagation (iterative "
     "DataFrame loop with lineage checkpoints) — the keep-one-per-cluster "
-    "reducer of a corpus dedup pipeline (operators/clusters.py).",
+    "reducer of a corpus dedup pipeline (operators/clusters.py). Uses the "
+    "SAME generator parameters as q_minhash_neardup (incl. md5_60) so "
+    "check_oracle's exact label anchor — DuckDB's recursive closure over "
+    "the emitted pairs — stays decidable.",
     tags=("dedup", "iterative"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,6 +607,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         tbl(spark, sf_dir, "documents"), "doc_id", "text",
         n_hashes=32, bands=8, jaccard_threshold=0.5,
+        hash_family="md5_60",
     )
     return dedup_clusters(pairs)
 
