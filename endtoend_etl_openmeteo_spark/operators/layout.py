@@ -374,6 +374,7 @@ def sequence_pack(
     n_tokens_col: str = "n_tokens",
     n_buckets: int = 64,
     eos: int = 1,
+    materialize: bool = True,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing — the GPT-style step that turns
     a token-counted corpus into fixed-length training sequences: documents
@@ -396,6 +397,17 @@ def sequence_pack(
     global_shuffle_index technique applied to a SUM. Span explosion is a
     narrow generator: ceil(n_eff / seq_len) + 1 rows per doc, no shuffle
     after the bucket exchange.
+
+    ``materialize`` (default True) localCheckpoints the (id, n_eff)
+    frame before anything reads it. The pack has THREE consumers of that
+    frame (the quantile-cuts collect, the per-bucket totals collect, the
+    final span plan); lazily each re-runs the caller's token-count
+    lineage — for the declared query that is three full tokenizer-regex
+    passes over the corpus text. The materialized frame is two longs per
+    document, orders of magnitude smaller than the text it summarizes,
+    so the checkpoint is the right trade at any scale. False keeps the
+    fully-lazy plan for the plan-shape gate (the minhash_lsh_pairs
+    pattern).
     """
     n_eff = (F.col(n_tokens_col).cast("long") + F.lit(int(eos))).alias("__n")
     # zero-effective-token docs (n_tokens=0 with eos=0) contribute no
@@ -403,6 +415,8 @@ def sequence_pack(
     # would step DOWN (Spark defaults to -1 when start > stop) and emit
     # spurious zero/negative-length spans
     base = docs.select(F.col(id_col), n_eff).filter(F.col("__n") > 0)
+    if materialize:
+        base = base.localCheckpoint(eager=True)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts_row = base.select(
         F.percentile_approx(id_col, qs, 10_000).alias("c")
@@ -438,7 +452,7 @@ def sequence_pack(
     last_seq = F.floor((F.col("__off") + F.col("__n") - 1) / L)
     span_start = F.greatest(F.col("__off"), F.col("seq_id") * L)
     span_end = F.least(F.col("__off") + F.col("__n"), (F.col("seq_id") + 1) * L)
-    return (
+    spans = (
         keyed.withColumn("__off", off.cast("long"))
         .select(
             F.col(id_col),
@@ -454,6 +468,15 @@ def sequence_pack(
             (span_end - span_start).cast("long").alias("span_len"),
         )
     )
+    if not materialize:
+        return spans
+    # the minhash_lsh_pairs discipline: pin the span frame (one bounded
+    # row per (doc, seq) overlap), then release the internal base blocks
+    from endtoend_etl_openmeteo_spark.session import release_checkpoint
+
+    spans = spans.localCheckpoint(eager=True)
+    release_checkpoint(base)
+    return spans
 
 
 def weighted_mixture_index(
