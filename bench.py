@@ -44,17 +44,21 @@ SENTINEL_BASELINE_S: dict[str, float] = {
     "q_sketch_rollup": 1.2447,
 }
 
-#: Warm re-run baselines for the interleaved segment samples (round 12).
-#: The 0%-mark sample pays first-compilation for q_tpch_q18 /
-#: q_sketch_rollup exactly like the frozen cold baselines above did; every
-#: later sample re-runs already-compiled plans, so it needs its own warm
-#: reference. Frozen from the round-12 clean sf0.1 run (medians of the
-#: 25/50/75/100% samples at sentinel_ratio ~1). Same update rule: only
-#: when sentinel source changes.
+#: Baselines for the interleaved 25/50/75/100% segment samples (round
+#: 12). These samples share one regime: a settled JVM, with the plan
+#: usually recompiling anyway (the 100-entry codegen cache is evicted by
+#: the 177-plan suite between samples) — so they form a consistent
+#: series, unlike the 0% sample, which runs in the fresh-JVM startup
+#: burst that reliably attracts 5-9% hypervisor steal on this box and is
+#: therefore kept as a recorded sample but NOT the headline. Frozen as
+#: medians of the nine steal-quiet (<0.6%) segment samples across three
+#: round-12 sf0.1 runs; the box ran ~20% slower than round-11's cleanest
+#: window that day, so ratios ~0.8 on a genuinely clean box are
+#: expected. Update only when sentinel source changes.
 SENTINEL_WARM_BASELINE_S: dict[str, float] | None = {
-    "q_scan": 0.1476,
-    "q_tpch_q18": 0.6328,
-    "q_sketch_rollup": 0.6321,
+    "q_scan": 0.203,
+    "q_tpch_q18": 1.382,
+    "q_sketch_rollup": 1.185,
 }
 
 
@@ -228,12 +232,15 @@ def main() -> None:
     # The baseline times are sf0.1-specific — at any other SF the ratio
     # would read as machine drift when it's really data-scale, so emit
     # null there.
-    # Headline ratio = the 0%-mark sample: cold first-compilation, same
-    # conditions under which the frozen baselines were measured. (The
-    # in-suite sentinel timings are warm as of round 12 — sample 0
-    # compiles their plans — so they can no longer anchor the cold
-    # baseline series; kept as a secondary warm signal below.)
-    ratio = samples[0]["ratio"] if apply_baseline else None
+    # Headline ratio = MEDIAN of the settled (25/50/75/100%) samples —
+    # the most stable calibration statistic the run produces. The 0%
+    # sample (fresh-JVM startup burst; reliably steal-inflated) and the
+    # in-suite sentinel timings (warm as of round 12 — sample 0 compiles
+    # their plans, so the pre-r12 cold series ended there) are both kept
+    # in the artifact for transparency.
+    settled = [s["ratio"] for s in samples[1:] if s["ratio"] is not None]
+    settled.sort()
+    ratio = settled[len(settled) // 2] if (apply_baseline and settled) else None
     full = {
         "metric": "declared_query_suite_seconds",
         "value": total,
@@ -241,6 +248,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "sentinel_ratio": ratio,
+        "sentinel_cold0_ratio": samples[0]["ratio"] if apply_baseline else None,
         "sentinel_ratio_insuite_warm": (
             _warm_ratio(timings) if apply_baseline else None
         ),
