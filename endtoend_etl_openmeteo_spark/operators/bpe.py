@@ -122,31 +122,47 @@ def bpe_train(
     merges applied. Stops early when no pair reaches ``min_count`` (a
     merge seen once generalizes to nothing).
 
-    ``tokenized`` is an EAGER localCheckpoint (one corpus copy pinned in
-    executor memory) and the CALLER owns its release: a caller that only
+    ``tokenized`` is a MATERIALIZED localCheckpoint (one corpus copy
+    pinned in executor memory) and the CALLER owns its release: a caller that only
     keeps ``merges`` must ``release_checkpoint(tokenized)`` (session.py)
     or a long-lived driver leaks one corpus copy per training call.
     """
+    # LAZY checkpoints: each round's pair-count aggregate is the action
+    # that materializes the previous round's rewrite, so the rewrite and
+    # the count run as ONE corpus pass instead of two (an eager rewrite
+    # checkpoint plus a separate aggregate job paid 2·n_merges+1 corpus
+    # jobs; this shape pays n_merges+2). Lineage still truncates at
+    # every checkpoint — one fold per plan, never a growing fold chain.
     toked = cpu_parallelize(df).select(
         "*", F.split(normalized_text(text_col), " ").alias("toks")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple[int, str, str, int]] = []
+    prev: DataFrame | None = None
     for step_i in range(n_merges):
-        top = _top_pair(toked)
+        top = _top_pair(toked)  # materializes `toked`'s lazy checkpoint
+        if prev is not None:
+            # toked's blocks now hold the corpus — the previous round's
+            # copy (this round's only lineage input) is dead: release it
+            # (one corpus copy live at a time, not one per merge rule)
+            release_checkpoint(prev)
+            prev = None
         if top is None or top[2] < min_count:
             break
         left, right, cnt = top
         merges.append((step_i, left, right, cnt))
-        # map-only rewrite; checkpoint truncates the growing fold lineage.
-        # Eager materialization means the PREVIOUS round's blocks are dead
-        # the moment this returns — release them (one corpus copy live at
-        # a time, not one per merge rule).
         prev = toked
         toked = toked.withColumn(
             "toks", merge_adjacent(F.col("toks"), left, right)
-        ).localCheckpoint(eager=True)
-        release_checkpoint(prev)
+        ).localCheckpoint(eager=False)
+    if prev is not None or not merges:
+        # the final rewrite (or the n_merges=0 tokenize) is still lazy —
+        # materialize so the returned frame owns its blocks and the last
+        # intermediate copy can be released, preserving the contract
+        # that callers receive a checkpointed, self-contained frame
+        toked.count()
+        if prev is not None:
+            release_checkpoint(prev)
     return merges, toked
 
 

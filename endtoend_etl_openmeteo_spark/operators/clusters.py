@@ -16,10 +16,32 @@ from pyspark.sql import functions as F
 from endtoend_etl_openmeteo_spark.session import release_checkpoint
 
 
+#: Symmetric-edge cap for the driver-local graph solves (union-find /
+#: power iteration). Near-dup graphs hold only the docs that HAVE a
+#: duplicate, so they are metadata-sized relative to the corpus by
+#: construction; 1M symmetric edges is ~25 MB of id tuples on the driver
+#: — the same memory class as the quantizer trainers' bounded sample
+#: (100k × 64-dim doubles = 51 MB, operators/similarity.py). Below the
+#: cap a local solve replaces 3-6 scheduled rounds × several jobs each
+#: (measured ~0.3 s vs ~2.5-4 s on a 243k-edge graph); above it the
+#: distributed paths below remain the scale story.
+LOCAL_EDGE_THRESHOLD = 1_000_000
+
+
+def _arrow_edge_lists(edges_ck: DataFrame) -> tuple[list, list]:
+    """(src_list, dst_list) of a bounded checkpointed edge frame via ONE
+    Arrow transfer — columnar, so a million-edge graph lands in ~0.1 s
+    where a row collect pays per-Row object overhead. ``to_pylist``
+    preserves exact Python values (ints stay int, None stays None), the
+    same values a Row collect yields."""
+    tbl = edges_ck.toArrow()
+    return tbl.column(0).to_pylist(), tbl.column(1).to_pylist()
+
+
 def dedup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
-    local_edge_threshold: int = 50_000,
+    local_edge_threshold: int = LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs (id_a, id_b) →
     (id, cluster_id) with cluster_id = min id reachable. Works for any
@@ -63,7 +85,7 @@ def dedup_clusters(
     n_edges = edges_ck.count()
     spark = pairs.sparkSession
     # Adaptive local solve — the AQE broadcast philosophy applied to
-    # connectivity: a metadata-sized edge set (<= ~2 MB at the default
+    # connectivity: a metadata-sized edge set (<= ~25 MB at the default
     # threshold) is solved with driver-side union-find in milliseconds
     # instead of 3-5 distributed rounds x several jobs each (measured ~2 s
     # of pure scheduling on graphs of a few thousand edges). Near-dup
@@ -74,7 +96,7 @@ def dedup_clusters(
     # produce identical labels (min reachable id) — pinned by
     # tests/test_clusters.py on the same graphs.
     if n_edges <= local_edge_threshold:
-        rows = edges_ck.collect()
+        srcs, dsts = _arrow_edge_lists(edges_ck)
         parent: dict = {}
 
         def find(x):
@@ -85,8 +107,7 @@ def dedup_clusters(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in rows:
-            a, b = row["src"], row["dst"]
+        for a, b in zip(srcs, dsts):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -469,11 +490,70 @@ def kmeans(
     return assignments, centroids
 
 
+def _round_half_up(x: float, dp: int) -> float:
+    """Spark's ``F.round`` double semantics replicated exactly:
+    BigDecimal.valueOf(double) parses the SHORTEST round-trip decimal
+    (``Double.toString`` ≡ Python ``repr(float)``), then setScale(dp,
+    HALF_UP) — NOT Python's banker's ``round``. Bit-for-bit parity is
+    what lets the local power iteration reproduce the distributed loop's
+    per-round quantized fixed point."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal(1).scaleb(-dp), ROUND_HALF_UP)
+    )
+
+
+def _pagerank_local(
+    spark,
+    srcs: list,
+    dsts: list,
+    out_schema,
+    damping: float,
+    iterations: int,
+    iter_dp: int,
+) -> DataFrame:
+    """Driver-side power iteration over a bounded symmetric edge list —
+    the dedup_clusters adaptive-local-solve discipline applied to
+    PageRank. Arithmetic parity with the distributed loop: same teleport
+    and damping literals (IEEE doubles, identical expression order), the
+    per-dst contribution sum differs only in float addition ORDER, which
+    the per-round ``iter_dp`` rounding absorbs — the exact cross-engine
+    argument the DuckDB oracle already relies on — and the rounding
+    itself is Spark's HALF_UP (:func:`_round_half_up`), not numpy's
+    banker's."""
+    import numpy as np
+
+    nodes = sorted(set(srcs))  # symmetric edges: every node appears as src
+    n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame([], out_schema).localCheckpoint(eager=True)
+    idx = {v: i for i, v in enumerate(nodes)}
+    si = np.fromiter((idx[s] for s in srcs), dtype=np.int64, count=len(srcs))
+    di = np.fromiter((idx[d] for d in dsts), dtype=np.int64, count=len(dsts))
+    deg = np.bincount(si, minlength=n).astype(np.float64)
+    teleport = (1.0 - damping) / float(n)
+    ranks = np.full(n, _round_half_up(1.0 / float(n), iter_dp), dtype=np.float64)
+    for _ in range(iterations):
+        sums = np.bincount(di, weights=ranks[si] / deg[si], minlength=n)
+        ranks = np.fromiter(
+            (_round_half_up(teleport + damping * s, iter_dp) for s in sums.tolist()),
+            dtype=np.float64,
+            count=n,
+        )
+    out = spark.createDataFrame(
+        [(nodes[i], float(ranks[i])) for i in range(n)], out_schema
+    )
+    # match the distributed path's contract: materialized, caller-owned
+    return out.localCheckpoint(eager=True)
+
+
 def pagerank(
     pairs: DataFrame,
     damping: float = 0.85,
     iterations: int = 6,
     iter_dp: int = 10,
+    local_edge_threshold: int = LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """PageRank over an undirected pair graph (id_a, id_b) → (id, rank).
 
@@ -494,15 +574,56 @@ def pagerank(
     docs simply aren't in the graph). The only driver scalar is the node
     count. At 100-TB scale, bucket edges by src so the per-iteration
     join co-locates without reshuffling the edge table.
+
+    Graphs at or under ``local_edge_threshold`` symmetric NULL-free
+    edges solve driver-side instead (numpy power iteration with Spark's
+    exact HALF_UP per-round rounding — identical ranks, milliseconds vs
+    ~20 scheduled jobs; the dedup_clusters adaptive-local-solve
+    pattern). Pass 0 to force the distributed path.
     """
-    edges = (
+    edges_ck = (
         pairs.selectExpr("id_a AS src", "id_b AS dst")
         .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
         .distinct()
+        # materialized ONCE: both the degree aggregate and the per-round
+        # join (or the local solve's one Arrow transfer) read these
+        # blocks instead of re-running the pair generator
+        .localCheckpoint(eager=True)
     )
+    n_edges = edges_ck.count()
+    spark = pairs.sparkSession
+    # Adaptive local solve (the dedup_clusters discipline): a
+    # metadata-sized graph runs the power iteration driver-side in
+    # milliseconds instead of 6 rounds x 3 exchanges of scheduled jobs.
+    # Identical ranks by construction (see _pagerank_local); pinned by
+    # tests/test_pagerank.py on the same graphs against the distributed
+    # path. NULL-keyed edges stay on the distributed path, whose SQL
+    # join semantics (a NULL edge carries no flow, its node still ranks
+    # on teleport) are authoritative.
+    if n_edges <= local_edge_threshold:
+        arrow_edges = edges_ck.toArrow()
+        if (
+            arrow_edges.column(0).null_count == 0
+            and arrow_edges.column(1).null_count == 0
+        ):
+            out_schema = pairs.select(
+                F.col("id_a").alias("id"), F.lit(0.0).alias("rank")
+            ).schema
+            release_checkpoint(edges_ck)
+            return _pagerank_local(
+                spark,
+                arrow_edges.column(0).to_pylist(),
+                arrow_edges.column(1).to_pylist(),
+                out_schema,
+                damping,
+                iterations,
+                iter_dp,
+            )
+    edges = edges_ck
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
     nodes = deg.select(F.col("src").alias("id")).localCheckpoint(eager=True)
+    release_checkpoint(edges_ck)  # edges_deg/nodes own the data now
     n = nodes.count()  # bounded: one scalar
     if n == 0:
         release_checkpoint(edges_deg)

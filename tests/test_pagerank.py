@@ -68,6 +68,46 @@ def test_empty_graph(spark):
     assert pagerank(df).count() == 0
 
 
+def test_local_and_distributed_paths_agree(spark, star_plus_chain):
+    """The adaptive local power iteration (metadata-sized graphs) must
+    reproduce the distributed loop's per-round quantized fixed point
+    BIT-FOR-BIT — same HALF_UP rounding, same teleport/damping doubles —
+    on hub, chain, string-id, and duplicate-pair graphs."""
+    _, df = star_plus_chain
+    graphs = [
+        df,
+        spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a long, id_b long"),
+        spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("x", "y"), ("b", "c")],
+            "id_a string, id_b string",
+        ),
+    ]
+    for pairs in graphs:
+        local = pagerank(pairs, damping=D, iterations=ITERS, iter_dp=DP)
+        dist = pagerank(
+            pairs, damping=D, iterations=ITERS, iter_dp=DP, local_edge_threshold=0
+        )
+        assert sorted(map(tuple, local.collect())) == sorted(
+            map(tuple, dist.collect())
+        )
+
+
+def test_null_keyed_edges_take_the_distributed_path(spark):
+    """NULL ids carry SQL join semantics (no flow over the NULL edge, the
+    node still ranks on teleport) — the local solve must defer to the
+    distributed path rather than guess, so both calls agree."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, None), (3, 4)], "id_a long, id_b long"
+    )
+    default = pagerank(pairs, damping=D, iterations=2, iter_dp=DP)
+    dist = pagerank(
+        pairs, damping=D, iterations=2, iter_dp=DP, local_edge_threshold=0
+    )
+    assert sorted(
+        map(tuple, default.collect()), key=str
+    ) == sorted(map(tuple, dist.collect()), key=str)
+
+
 def test_plan_is_jvm_side(spark, star_plus_chain):
     _, df = star_plus_chain
     plan = (
