@@ -309,6 +309,24 @@ def kmeans_train_sampled(
     vec_col: str = "embedding",
     max_sample: int = 100_000,
 ) -> DataFrame:
+    """:func:`kmeans_train_sampled_rows` as a DataFrame of
+    centroids(cluster int, centroid array<double>)."""
+    return vectors.sparkSession.createDataFrame(
+        kmeans_train_sampled_rows(
+            vectors, k, iterations, id_col, vec_col, max_sample
+        ),
+        "cluster int, centroid array<double>",
+    )
+
+
+def kmeans_train_sampled_rows(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample: int = 100_000,
+) -> list[tuple[int, list[float]]]:
     """Train k-means centroids on a bounded driver-side sample (numpy
     Lloyd's) — the standard IVF-quantizer pattern (FAISS trains its coarse
     quantizer on an in-memory sample; MLlib collects centroids per round).
@@ -369,11 +387,7 @@ def kmeans_train_sampled(
             members = x[assign == c]
             if len(members):
                 cent[c] = members.mean(axis=0)
-    spark = vectors.sparkSession
-    return spark.createDataFrame(
-        [(c, [float(v) for v in cent[c]]) for c in range(k)],
-        "cluster int, centroid array<double>",
-    )
+    return [(c, [float(v) for v in cent[c]]) for c in range(k)]
 
 
 def kmeans(

@@ -249,21 +249,29 @@ def write_inverted_index(
             return write_inverted_index(
                 docs, index_path, id_col, text_col, n_buckets, lease=False
             )
-    n_docs, avgdl, total_tokens, n_text_docs = _full_stats(docs, text_col)
-    idx = inverted_index(docs, id_col, text_col).withColumn(
-        "bkt", _term_bucket(F.col("term"), n_buckets)
-    )
-    # clear prior layout under the lease (keep the lock marker itself)
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(index_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(root):
-        for status in fs.listStatus(root):
-            if status.getPath().getName() != "_maintenance.lock":
-                fs.delete(status.getPath(), True)
-    idx.repartition(F.col("bkt")).write.partitionBy("bkt").mode(
-        "append"
-    ).parquet(index_path)
+    # The corpus-stats aggregate and the postings write are independent
+    # scans of ``docs`` — overlap them from a driver thread (guide-§2.6
+    # back-fill: the agg's tasks fill cores the write's tail frees)
+    # instead of paying the two jobs end to end.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_stats = pool.submit(_full_stats, docs, text_col)
+        idx = inverted_index(docs, id_col, text_col).withColumn(
+            "bkt", _term_bucket(F.col("term"), n_buckets)
+        )
+        # clear prior layout under the lease (keep the lock marker itself)
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(index_path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(root):
+            for status in fs.listStatus(root):
+                if status.getPath().getName() != "_maintenance.lock":
+                    fs.delete(status.getPath(), True)
+        idx.repartition(F.col("bkt")).write.partitionBy("bkt").mode(
+            "append"
+        ).parquet(index_path)
+        n_docs, avgdl, total_tokens, n_text_docs = f_stats.result()
     _write_stats(
         spark,
         index_path,

@@ -328,19 +328,40 @@ def pq_train(
     Returns codebooks(block int, cluster int, centroid array<double>) —
     m*k rows, broadcastable anywhere.
     """
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        pq_train_rows(corpus, id_col, vec_col, m, k, iterations, max_sample),
+        "block int, cluster int, centroid array<double>",
+    )
+
+
+def pq_train_rows(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 4,
+    max_sample: int = 100_000,
+) -> list[tuple[int, int, list[float]]]:
+    """:func:`pq_train` without the trailing createDataFrame — the
+    (block, cluster, centroid) rows stay DRIVER-SIDE for consumers that
+    cache/broadcast them directly (the one Spark job in the path is the
+    bounded sample collect; packing model-sized rows through a frame and
+    collecting them back was measured ~2 s of pure round-trip on a cold
+    session)."""
     x = _sampled_unit_matrix(corpus, id_col, vec_col, max_sample)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
-    out = []
+    out: list[tuple[int, int, list[float]]] = []
     for b in range(m):
         cent = _lloyd(x[:, b * d : (b + 1) * d], k, iterations, f"pq block {b}")
         out.extend(
             (b, c, [float(v) for v in cent[c]]) for c in range(k)
         )
-    spark = corpus.sparkSession
-    return spark.createDataFrame(out, "block int, cluster int, centroid array<double>")
+    return out
 
 
 def _sampled_unit_matrix(
@@ -352,14 +373,19 @@ def _sampled_unit_matrix(
     crash."""
     import numpy as np
 
-    rows = (
-        corpus.select(
-            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
-        )
-        .orderBy("id")
-        .limit(max_sample)
-        .collect()
+    ids = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
+    # Cheap path first (the kmeans_train_sampled probe): an unordered
+    # limit(max_sample + 1) collect needs no sort shuffle; getting fewer
+    # rows back proves the table fits the sample, so the deterministic
+    # smallest-ids order is a driver-side sort. Only a genuinely
+    # oversized corpus pays the distributed TakeOrdered.
+    rows = ids.limit(max_sample + 1).collect()
+    if len(rows) > max_sample:
+        rows = ids.orderBy("id").limit(max_sample).collect()
+    else:
+        rows.sort(key=lambda r: r["id"])
     if not rows:
         raise ValueError("cannot train a quantizer on an empty corpus")
     x = np.asarray([r["vec"] for r in rows], dtype=np.float64)
@@ -694,6 +720,33 @@ def ivfpq_train(
     array<double>), codebooks(block int, cluster int, centroid
     array<double>) — n_cells + m*k rows, broadcastable anywhere.
     """
+    cents, books = ivfpq_train_rows(
+        corpus, id_col, vec_col, n_cells, m, k, iterations,
+        coarse_iterations, max_sample,
+    )
+    spark = corpus.sparkSession
+    coarse = spark.createDataFrame(cents, "cell int, centroid array<double>")
+    codebooks = spark.createDataFrame(
+        books, "block int, cluster int, centroid array<double>"
+    )
+    return coarse, codebooks
+
+
+def ivfpq_train_rows(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 10,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 4,
+    coarse_iterations: int = 4,
+    max_sample: int = 100_000,
+) -> tuple[list[tuple[int, list[float]]], list[tuple[int, int, list[float]]]]:
+    """:func:`ivfpq_train` without the trailing createDataFrames — the
+    (cell, centroid) and (block, cluster, centroid) rows stay
+    DRIVER-SIDE (the pq_train_rows rationale: both quantizer levels are
+    model-sized and every consumer re-collects them anyway)."""
     x = _sampled_unit_matrix(corpus, id_col, vec_col, max_sample)
     dim = x.shape[1]
     if dim % m:
@@ -702,19 +755,12 @@ def ivfpq_train(
     assign = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
     res = x - cent[assign]
     d = dim // m
-    books = []
+    books: list[tuple[int, int, list[float]]] = []
     for b in range(m):
         cb = _lloyd(res[:, b * d : (b + 1) * d], k, iterations, f"ivfpq block {b}")
         books.extend((b, c, [float(v) for v in cb[c]]) for c in range(k))
-    spark = corpus.sparkSession
-    coarse = spark.createDataFrame(
-        [(int(c), [float(v) for v in cent[c]]) for c in range(n_cells)],
-        "cell int, centroid array<double>",
-    )
-    codebooks = spark.createDataFrame(
-        books, "block int, cluster int, centroid array<double>"
-    )
-    return coarse, codebooks
+    cents = [(int(c), [float(v) for v in cent[c]]) for c in range(n_cells)]
+    return cents, books
 
 
 def _coarse_row(coarse: DataFrame) -> DataFrame:

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from endtoend_etl_openmeteo_spark.operators.similarity import (
     cosine_topk,
@@ -255,8 +256,15 @@ def _cached_model_rows(spark: SparkSession, key: tuple, build) -> tuple[list, ob
     if key not in _TRAINED:
         loaded = _load_model(key)
         if loaded is None:
-            df = build()
-            loaded = ([tuple(r) for r in df.collect()], df.schema)
+            built = build()
+            if isinstance(built, tuple):
+                # (rows, schema) straight from a *_rows trainer — the
+                # model never round-trips through a frame at all (the
+                # createDataFrame→collect of model-sized rows measured
+                # ~2 s on a cold session, pure Janino/py4j fixed cost)
+                loaded = built
+            else:
+                loaded = ([tuple(r) for r in built.collect()], built.schema)
             _store_model(key, loaded[0], loaded[1])
         _TRAINED[key] = loaded
     return _TRAINED[key]
@@ -283,14 +291,14 @@ def _cached_model(spark: SparkSession, key: tuple, build) -> DataFrame:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from endtoend_etl_openmeteo_spark.operators.clusters import (
         kmeans_assign,
-        kmeans_train_sampled,
+        kmeans_train_sampled_rows,
     )
 
     emb = tbl(spark, sf_dir, "embeddings")
     centroids = _cached_model(
         spark,
         ("ivf_kmeans", sf_dir, 10, 2),
-        lambda: kmeans_train_sampled(emb, k=10, iterations=2),
+        lambda: (kmeans_train_sampled_rows(emb, k=10, iterations=2), _CENTROID_SCHEMA),
     )
     # keep_vec: the corpus arrives cell-tagged straight out of the map-side
     # argmin — no assignments-back-to-corpus re-join shuffle.
@@ -342,7 +350,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _codebook_row_from_local,
         _encode_with_payload,
         pq_topk_rerank,
-        pq_train,
+        pq_train_rows,
     )
 
     emb = tbl(spark, sf_dir, "embeddings")
@@ -352,7 +360,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, _ = _cached_model_rows(
         spark,
         ("pq_codebooks", sf_dir, 8, 32, 4),
-        lambda: pq_train(emb, m=8, k=32, iterations=4),
+        lambda: (pq_train_rows(emb, m=8, k=32, iterations=4), _PQ_BOOKS_SCHEMA),
     )
     blocks: dict[int, dict[int, list]] = {}
     for b, c, cent in rows:
@@ -388,6 +396,45 @@ def _pack_ivfpq(trained) -> "DataFrame":
         "centroid",
     )
     return c.unionByName(p)
+
+
+#: Schema of the packed two-level quantizer rows (_pack_ivfpq's frame
+#: and _pack_ivfpq_rows' local rows share it — one cache format).
+_PACKED_IVFPQ_SCHEMA = T.StructType(
+    [
+        T.StructField("part", T.StringType(), False),
+        T.StructField("a", T.IntegerType(), True),
+        T.StructField("b", T.IntegerType(), True),
+        T.StructField("centroid", T.ArrayType(T.DoubleType(), True), True),
+    ]
+)
+
+#: Schema of a sampled-kmeans / PQ-codebook trainer's local rows.
+_CENTROID_SCHEMA = T.StructType(
+    [
+        T.StructField("cluster", T.IntegerType(), True),
+        T.StructField("centroid", T.ArrayType(T.DoubleType(), True), True),
+    ]
+)
+
+_PQ_BOOKS_SCHEMA = T.StructType(
+    [
+        T.StructField("block", T.IntegerType(), True),
+        T.StructField("cluster", T.IntegerType(), True),
+        T.StructField("centroid", T.ArrayType(T.DoubleType(), True), True),
+    ]
+)
+
+
+def _pack_ivfpq_rows(trained_rows) -> tuple[list, object]:
+    """:func:`_pack_ivfpq` for DRIVER-SIDE trainer output
+    (ivfpq_train_rows): the packed (part, a, b, centroid) rows never
+    touch a frame — _cached_model_rows stores them as-is."""
+    cents, books = trained_rows
+    rows = [("coarse", int(cell), 0, list(c)) for cell, c in cents] + [
+        ("pq", int(blk), int(cl), list(c)) for blk, cl, c in books
+    ]
+    return rows, _PACKED_IVFPQ_SCHEMA
 
 
 def _ivfpq_locals(rows: list) -> tuple[list, list]:
@@ -428,7 +475,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _codebook_row_from_local,
         _encode_with_payload,
         ivfpq_topk_rerank,
-        ivfpq_train,
+        ivfpq_train_rows,
     )
 
     emb = tbl(spark, sf_dir, "embeddings")
@@ -439,8 +486,8 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, _ = _cached_model_rows(
         spark,
         ("ivfpq", sf_dir, 10, 8, 32, 4),
-        lambda: _pack_ivfpq(
-            ivfpq_train(emb, n_cells=10, m=8, k=32, iterations=4)
+        lambda: _pack_ivfpq_rows(
+            ivfpq_train_rows(emb, n_cells=10, m=8, k=32, iterations=4)
         ),
     )
     cents, books = _ivfpq_locals(rows)
@@ -551,7 +598,7 @@ def q_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from endtoend_etl_openmeteo_spark.operators.clusters import (
         kmeans_assign,
-        kmeans_train_sampled,
+        kmeans_train_sampled_rows,
     )
     from endtoend_etl_openmeteo_spark.operators.similarity import (
         stored_ivf_topk,
@@ -563,7 +610,7 @@ def q_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = _cached_model(
         spark,
         ("ivf_kmeans", sf_dir, 10, 2),
-        lambda: kmeans_train_sampled(emb, k=10, iterations=2),
+        lambda: (kmeans_train_sampled_rows(emb, k=10, iterations=2), _CENTROID_SCHEMA),
     )
     from endtoend_etl_openmeteo_spark.session import release_checkpoint
 
@@ -648,7 +695,7 @@ def q_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         _codebook_row_from_local,
         _encode_with_payload,
         ivfpq_topk_rerank,
-        ivfpq_train,
+        ivfpq_train_rows,
         stored_ivfpq_topk,
         write_ivfpq_index,
     )
@@ -664,8 +711,8 @@ def q_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, _ = _cached_model_rows(
         spark,
         ("ivfpq", sf_dir, 10, 8, 32, 4),
-        lambda: _pack_ivfpq(
-            ivfpq_train(emb, n_cells=10, m=8, k=32, iterations=4)
+        lambda: _pack_ivfpq_rows(
+            ivfpq_train_rows(emb, n_cells=10, m=8, k=32, iterations=4)
         ),
     )
     cents, books = _ivfpq_locals(rows)
@@ -762,7 +809,7 @@ def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from endtoend_etl_openmeteo_spark.operators.similarity import (
         _encode_with_payload,
-        ivfpq_train,
+        ivfpq_train_rows,
         write_ivfpq_index,
     )
     from endtoend_etl_openmeteo_spark.session import (
@@ -775,8 +822,8 @@ def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, _ = _cached_model_rows(
         spark,
         ("ivfpq", sf_dir, 10, 8, 32, 4),
-        lambda: _pack_ivfpq(
-            ivfpq_train(emb, n_cells=10, m=8, k=32, iterations=4)
+        lambda: _pack_ivfpq_rows(
+            ivfpq_train_rows(emb, n_cells=10, m=8, k=32, iterations=4)
         ),
     )
     cents, books = _ivfpq_locals(rows)
@@ -884,7 +931,7 @@ def q_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from endtoend_etl_openmeteo_spark.operators.similarity import (
         _encode_with_payload,
         init_streamed_ivfpq_index,
-        ivfpq_train,
+        ivfpq_train_rows,
     )
     from endtoend_etl_openmeteo_spark.session import (
         release_checkpoint,
@@ -898,8 +945,8 @@ def q_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, _ = _cached_model_rows(
         spark,
         ("ivfpq", sf_dir, 10, 8, 32, 4),
-        lambda: _pack_ivfpq(
-            ivfpq_train(emb, n_cells=10, m=8, k=32, iterations=4)
+        lambda: _pack_ivfpq_rows(
+            ivfpq_train_rows(emb, n_cells=10, m=8, k=32, iterations=4)
         ),
     )
     cents, books = _ivfpq_locals(rows)
