@@ -953,9 +953,18 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = scratch_dir(prefix="vt_cdc_")
     source, replica = f"{work}/source", f"{work}/replica"
     try:
-        for t in (source, replica):
+        # the two tables' seeding commits are independent (distinct
+        # dirs, same immutable input) — overlap them (guide-§2.6; the
+        # q_ann_ivfpq_stored contract-row thread-pool pattern)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def seed(t: str) -> None:
             vt_init(spark, t)
             vt_append(spark, base, t, stats_cols=["event_id"])
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(seed, t) for t in (source, replica)]:
+                f.result()
         newer = base.filter(F.col("event_id") % 7 == 0).select(
             "event_id",
             (F.col("value") + 500).alias("value"),
