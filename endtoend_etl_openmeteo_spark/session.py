@@ -39,6 +39,18 @@ ENGINE_CONF: dict[str, str] = {
     "spark.ui.retainedJobs": "100",
     "spark.ui.retainedStages": "100",
     "spark.sql.session.timeZone": "UTC",
+    # Whole-stage-codegen compile cache (static conf, default 100
+    # entries). An engine session serving the full declared surface
+    # compiles ~177 distinct plans x several codegen units each, so the
+    # default cache evicts constantly and identical plans re-pay ~0.1-2 s
+    # of Janino per re-run — the round-11-adjudicated q_sentence_stats /
+    # q_bloom_decontaminate timing jitter. 2000 entries covers the whole
+    # suite's units for bounded metaspace (generated classes are
+    # KB-sized); scale-neutral — a compile cache, independent of data
+    # volume and core count. Measured back-to-back at sf0.1: 85 of 177
+    # queries faster by >50 ms, suite total -19 s, no regression outside
+    # noise (OPTIMIZATION_r12.md).
+    "spark.sql.codegen.cache.maxEntries": "2000",
     # Pinned, not inherited: malformed input raises (matching the
     # reference's fromisoformat/raise behavior) on EVERY session,
     # including externally-created ones with different defaults.
