@@ -434,9 +434,13 @@ def kmeans(
     """
     from endtoend_etl_openmeteo_spark.operators.dedup import cpu_parallelize
 
+    # LAZY checkpoint: the dimensionality/count aggregate right below is
+    # the action that materializes it, so projection and validation run
+    # as ONE corpus pass instead of a checkpoint job plus an aggregate
+    # job (the bpe_train fused-pass pattern).
     v_ck = cpu_parallelize(vectors).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # Uniform dimensionality is a hard precondition: the per-dimension avg
     # below subscripts every vector up to the seed dimension, which under

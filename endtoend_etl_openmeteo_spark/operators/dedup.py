@@ -278,7 +278,13 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
     ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes, hash_family))
     if materialize:
-        base = base.localCheckpoint(eager=True)
+        # LAZY checkpoint: the verified-pairs materialization below is the
+        # first action, so the shingle/signature pass and the pair pass run
+        # as one job — the blocks still compute exactly once (persist
+        # semantics make the three readers share them within that job),
+        # where an eager checkpoint paid a separate materialization job
+        # (the bpe_train fused-pass pattern)
+        base = base.localCheckpoint(eager=False)
 
     banded = base.select(
         "id",
@@ -468,7 +474,11 @@ def incremental_neardup(
         .select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
         .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
         .select("id", "sig")
-        .localCheckpoint(eager=True)  # consumed 3x: band, verify, append
+        # lazy: the pairs checkpoint below is the first action — one job
+        # computes signatures AND pairs; the three readers (band, verify,
+        # append) share the blocks it pins (the bpe_train fused-pass
+        # pattern)
+        .localCheckpoint(eager=False)
     )
 
     def banded(sigs: DataFrame) -> DataFrame:
@@ -591,7 +601,10 @@ def incremental_exact_dedup(
         .select(
             F.col(id_col).alias("id"), F.md5(normalized_text(text_col)).alias("fp")
         )
-        .localCheckpoint(eager=True)  # consumed 3x: pairs, novelty, append
+        # lazy: materialized by the pairs checkpoint below — one job for
+        # digests AND pairs; the three readers (pairs, novelty, append)
+        # share the pinned blocks (the bpe_train fused-pass pattern)
+        .localCheckpoint(eager=False)
     )
     old_fp = None
     if batch_id is not None:
