@@ -943,9 +943,11 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == "src0")
         .select(F.explode(shingles("text", 5)).alias("sh"))
         .distinct()
-        # consumed twice (bloom build + exact verify join) — materialize
-        # the small reference set once instead of re-shingling src0
-        .localCheckpoint(eager=True)
+        # consumed twice (bloom build + exact verify join) — checkpoint
+        # the small reference set once instead of re-shingling src0;
+        # LAZY: the bloom-bitmap collect right below is the first action
+        # and materializes it (the bpe_train fused-pass pattern)
+        .localCheckpoint(eager=False)
     )
     bits = bloom_collect(bloom_build(bench, "sh"))
     cand = cpu_parallelize(docs.filter(F.col("source") != "src0")).select(

@@ -329,9 +329,12 @@ def run_streaming_corpus_ingest(
         )
         # with a quarantine, TWO sinks consume `stamped` — checkpoint it
         # so the landing files and the dedup join evaluate once per
-        # epoch, not once per sink; released with `pairs` below
+        # epoch, not once per sink; LAZY: the first sink write is the
+        # action that materializes it (the bpe_train fused-pass
+        # pattern), the second reads its blocks; released with `pairs`
+        # below
         stamped_ck = (
-            stamped.localCheckpoint(eager=True)
+            stamped.localCheckpoint(eager=False)
             if quarantine_path is not None
             else None
         )
