@@ -387,18 +387,27 @@ def append_inverted_index(
             "with write_inverted_index before appending"
         )
     n_buckets = stats["n_buckets"]
-    b_docs, _, b_tokens, b_text_docs = _full_stats(docs, text_col)
     idx = inverted_index(docs, id_col, text_col).withColumn(
         "bkt", _term_bucket(F.col("term"), n_buckets)
     )
     marker = pfs.create(pend, True)
     try:
-        marker.write(_json.dumps({"b_docs": b_docs}).encode("utf-8"))
+        # existence is the contract (writers refuse / readers warn over a
+        # leftover marker); the payload is diagnostic only
+        marker.write(_json.dumps({"op": "append"}).encode("utf-8"))
     finally:
         marker.close()
-    idx.repartition(F.col("bkt")).write.partitionBy("bkt").mode(
-        "append"
-    ).parquet(index_path)
+    # batch-stats aggregate ∥ postings write: two independent scans of
+    # the same batch (the write_inverted_index overlap), both inside the
+    # marker bracket so the crash window is unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_stats = pool.submit(_full_stats, docs, text_col)
+        idx.repartition(F.col("bkt")).write.partitionBy("bkt").mode(
+            "append"
+        ).parquet(index_path)
+        b_docs, _, b_tokens, b_text_docs = f_stats.result()
     n_docs = stats["n_docs"] + b_docs
     total_tokens = stats["total_tokens"] + b_tokens
     # Back-compat CONTRACT for pre-n_text_docs sidecars: assume the
@@ -474,14 +483,20 @@ def delete_from_inverted_index(
             "index predates the n_text_docs sidecar field — rebuild once "
             "with write_inverted_index before deleting"
         )
-    b_docs, _, b_tokens, b_text_docs = _full_stats(docs, text_col)
     import json as _json
 
     marker = pfs.create(pend, True)
     try:
-        marker.write(_json.dumps({"op": "delete", "b_docs": b_docs}).encode())
+        marker.write(_json.dumps({"op": "delete"}).encode())
     finally:
         marker.close()
+    # batch-stats aggregate ∥ the hinted-tombstone computation below:
+    # independent scans of the same batch (the write_inverted_index
+    # overlap), both inside the marker bracket
+    from concurrent.futures import ThreadPoolExecutor
+
+    _stats_pool = ThreadPoolExecutor(max_workers=1)
+    _f_stats = _stats_pool.submit(_full_stats, docs, text_col)
     # Tombstones carry the term-bucket PARTITION HINT ("bkt=<b>", one row
     # per distinct bucket the doc's terms hash into — computable here
     # because the doc text is in hand), so the vacuum tick prunes its
@@ -513,6 +528,10 @@ def delete_from_inverted_index(
     delete_from_stored_index(
         spark, hinted.unionByName(bare), index_path, lease=False
     )
+    try:
+        b_docs, _, b_tokens, b_text_docs = _f_stats.result()
+    finally:
+        _stats_pool.shutdown(wait=False)
     n_docs = max(0, stats["n_docs"] - b_docs)
     total_tokens = max(0, stats["total_tokens"] - b_tokens)
     n_text_docs = max(0, stats["n_text_docs"] - b_text_docs)
