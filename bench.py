@@ -205,7 +205,23 @@ def main() -> None:
             base = None
             if apply_baseline:
                 base = SENTINEL_BASELINE_S if i == 0 else SENTINEL_WARM_BASELINE_S
-            samples.append(sentinel_sample(spark, registry, sf_dir, i, base))
+            sample = sentinel_sample(spark, registry, sf_dir, i, base)
+            samples.append(sample)
+            if i == 0:
+                # The 0% pass IS the three sentinel queries' cold runs —
+                # record them as the timed entries (measured identically:
+                # noop sink, perf_counter bracket) instead of re-running
+                # them warm in suite order. This removes the r12 warm
+                # bias on `value` (the 0% pass pre-compiles their plans,
+                # so an in-suite re-run was ~1-1.5 s flattering) and
+                # restores the cold in-suite series. Cross-round note:
+                # BENCH_r12's entries for these three are warm-regime.
+                for s_name, s_t in sample["per_query"].items():
+                    if s_t > 0:
+                        timings[s_name] = s_t
+                        steal[s_name] = sample["steal_pct_during"]
+        if name in SENTINEL_BASELINE_S and timings.get(name, -1.0) > 0:
+            continue  # timed cold at the 0% sample above
         c0 = _cpu_sample()
         t0 = time.perf_counter()
         try:
@@ -253,8 +269,10 @@ def main() -> None:
         "sf": sf,
         "sentinel_ratio": ratio,
         "sentinel_cold0_ratio": samples[0]["ratio"] if apply_baseline else None,
+        # timings now carry the COLD sentinel runs (sample 0), so the
+        # warm in-suite ratio is computed from the final settled sample
         "sentinel_ratio_insuite_warm": (
-            _warm_ratio(timings) if apply_baseline else None
+            _warm_ratio(samples[-1]["per_query"]) if apply_baseline else None
         ),
         "sentinel_baseline_s": SENTINEL_BASELINE_S,
         "sentinel_warm_baseline_s": SENTINEL_WARM_BASELINE_S,
@@ -279,6 +297,16 @@ def main() -> None:
                 "n_errors": n_err,
                 "sentinel_ratio": ratio,
                 "sentinel_segments": [s["ratio"] for s in samples],
+                # contention made machine-filterable from the driver line
+                # (r12 verdict item 6b): per-segment steal during the
+                # sentinel samples + the driver-prefix queries that ran
+                # under >= 2% steal (sparse — empty on a quiet box)
+                "segment_steal": [s["steal_pct_during"] for s in samples],
+                "steal_hot": {
+                    n2: s2
+                    for n2, s2 in ((m, steal.get(m)) for m in prefix)
+                    if s2 is not None and s2 >= 2.0
+                },
                 "tail_sec": round(
                     sum(t for n, t in timings.items() if t >= 0 and n not in compact_q), 2
                 ),

@@ -371,7 +371,12 @@ def kmeans_train_sampled_rows(
     if len(rows) > max_sample:
         rows = ids.orderBy("id").limit(max_sample).collect()
     else:
-        rows.sort(key=lambda r: r["id"])
+        # NULL-tolerant key matching orderBy('id')'s nulls-first order
+        from endtoend_etl_openmeteo_spark.operators.similarity import (
+            _nulls_first_id,
+        )
+
+        rows.sort(key=_nulls_first_id)
     if not rows:
         raise ValueError("kmeans_train_sampled: empty corpus")
     dims = {len(r["vec"]) if r["vec"] is not None else -1 for r in rows}
@@ -530,6 +535,33 @@ def _round_half_up(x: float, dp: int) -> float:
     )
 
 
+def _round_half_up_vec(x, dp: int):
+    """Vectorized :func:`_round_half_up` over a numpy double array.
+
+    Fast path: scaled ``floor(y + 0.5) / scale`` — identical to the
+    Decimal path whenever the scaled value's fractional part is decidedly
+    away from the .5 tie boundary (the shortest-repr decimal deviates
+    from the double by <= half an ulp, and the scaling multiply adds at
+    most a few ulps, so a guard band of 1e-3 at |y| <= ~1e10 covers the
+    combined error with orders-of-magnitude margin). Values inside the
+    guard band — or too large for the fractional part to be trustworthy —
+    fall back per-element to the exact Decimal path, so the result is
+    bit-for-bit `[_round_half_up(v, dp) for v in x]` at C speed for the
+    overwhelming majority of elements (the ADVICE-flagged O(N·iters)
+    Python-Decimal wall on near-threshold graphs)."""
+    import numpy as np
+
+    scale = 10.0 ** dp
+    y = x * scale
+    out = np.floor(y + 0.5) / scale
+    frac = y - np.floor(y)
+    unsafe = (np.abs(frac - 0.5) <= 1e-3) | (np.abs(y) >= 2.0 ** 36)
+    if unsafe.any():
+        for i in np.nonzero(unsafe)[0]:
+            out[i] = _round_half_up(float(x[i]), dp)
+    return out
+
+
 def _pagerank_local(
     spark,
     srcs: list,
@@ -544,10 +576,12 @@ def _pagerank_local(
     PageRank. Arithmetic parity with the distributed loop: same teleport
     and damping literals (IEEE doubles, identical expression order), the
     per-dst contribution sum differs only in float addition ORDER, which
-    the per-round ``iter_dp`` rounding absorbs — the exact cross-engine
-    argument the DuckDB oracle already relies on — and the rounding
-    itself is Spark's HALF_UP (:func:`_round_half_up`), not numpy's
-    banker's."""
+    the per-round ``iter_dp`` rounding absorbs in practice (a sum landing
+    exactly on a rounding boundary could in principle resolve differently
+    across engines — the parity tests in tests/test_pagerank.py are the
+    gate, the same cross-engine argument the DuckDB oracle rests on) —
+    and the rounding itself is Spark's HALF_UP
+    (:func:`_round_half_up_vec`), not numpy's banker's."""
     import numpy as np
 
     nodes = sorted(set(srcs))  # symmetric edges: every node appears as src
@@ -562,11 +596,7 @@ def _pagerank_local(
     ranks = np.full(n, _round_half_up(1.0 / float(n), iter_dp), dtype=np.float64)
     for _ in range(iterations):
         sums = np.bincount(di, weights=ranks[si] / deg[si], minlength=n)
-        ranks = np.fromiter(
-            (_round_half_up(teleport + damping * s, iter_dp) for s in sums.tolist()),
-            dtype=np.float64,
-            count=n,
-        )
+        ranks = _round_half_up_vec(teleport + damping * sums, iter_dp)
     # match the distributed path's contract: materialized, caller-owned
     return _local_result_df(
         spark, [(nodes[i], float(ranks[i])) for i in range(n)], out_schema
@@ -631,8 +661,13 @@ def pagerank(
             arrow_edges.column(0).null_count == 0
             and arrow_edges.column(1).null_count == 0
         ):
-            out_schema = pairs.select(
-                F.col("id_a").alias("id"), F.lit(0.0).alias("rank")
+            # derive the id type from the SYMMETRIZED edge frame (the
+            # dedup_clusters rule): nodes come from id_a AND id_b, and
+            # the union coercion is what the distributed path returns —
+            # an id_a-only schema could mistype when the columns differ
+            # (e.g. int vs long)
+            out_schema = edges_ck.select(
+                F.col("src").alias("id"), F.lit(0.0).alias("rank")
             ).schema
             release_checkpoint(edges_ck)
             return _pagerank_local(

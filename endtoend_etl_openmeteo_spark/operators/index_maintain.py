@@ -573,10 +573,23 @@ def delete_from_stored_index(
     # the caller's id lineage a second time for the count (BM25's hinted
     # frame tokenizes the batch) was the delete path's dominant cost,
     # and local_df avoids the createDataFrame+coalesce(1) Python-runner
-    # trap for the write.
-    from endtoend_etl_openmeteo_spark.session import local_df
+    # trap for the write. A batch beyond LOCAL_TOMBSTONE_ROWS_MAX (a
+    # caller outside the design envelope — e.g. a 10M-id purge) is
+    # detected by the limit probe and falls back to a fully distributed
+    # distinct+write instead of silently OOMing the driver.
+    from endtoend_etl_openmeteo_spark.session import local_df, release_checkpoint
 
-    rows = [tuple(r) for r in ids.distinct().collect()]
+    dids = ids.distinct()
+    rows = [tuple(r) for r in dids.limit(LOCAL_TOMBSTONE_ROWS_MAX + 1).collect()]
+    if len(rows) > LOCAL_TOMBSTONE_ROWS_MAX:
+        ck = dids.localCheckpoint(eager=True)  # one evaluation of the lineage
+        try:
+            n = ck.select("id").distinct().count()
+            ck.write.mode("append").parquet(_tombstone_path(path))
+        finally:
+            release_checkpoint(ck)
+        _consolidate_tombstones(spark, path)
+        return n
     n = len({r[0] for r in rows})
     if n:
         local_df(spark, rows, "id long, part string").write.mode(
@@ -591,6 +604,13 @@ def delete_from_stored_index(
 #: vacuums would otherwise make each serve's sidecar read list/open an
 #: unbounded file count.
 TOMBSTONE_CONSOLIDATE_FILES = 8
+
+#: Driver-side bound for tombstone collects (delete batch / sidecar
+#: fold): 2M (id, part) rows ≈ tens of MB — the same memory class as the
+#: graph solves' LOCAL_EDGE_THRESHOLD. Beyond it the paths stay fully
+#: distributed (count-probe → distributed distinct + write), so an
+#: over-envelope caller degrades to extra Spark jobs, never a driver OOM.
+LOCAL_TOMBSTONE_ROWS_MAX = 2_000_000
 
 
 def _consolidate_tombstones(
@@ -617,16 +637,35 @@ def _consolidate_tombstones(
     ]
     if len(olds) <= max_files:
         return False
-    rows = [
-        tuple(r)
-        for r in spark.read.schema("id long, part string")
+    distinct = (
+        spark.read.schema("id long, part string")
         .parquet(_tombstone_path(path))
         .distinct()
-        .collect()
-    ]  # bounded: O(deletes) by the sidecar's construction
-    local_df(spark, rows, "id long, part string").write.mode("append").parquet(
-        _tombstone_path(path)
     )
+    rows = [
+        tuple(r) for r in distinct.limit(LOCAL_TOMBSTONE_ROWS_MAX + 1).collect()
+    ]  # bounded probe: O(deletes) by the sidecar's construction
+    if len(rows) > LOCAL_TOMBSTONE_ROWS_MAX:
+        # over-envelope sidecar (deletes since last vacuum beyond the
+        # driver bound): fold DISTRIBUTEDLY — checkpoint first so the
+        # write never reads the directory it is appending to, size the
+        # output to the bound so the fold still shrinks the file count
+        import math
+
+        from endtoend_etl_openmeteo_spark.session import release_checkpoint
+
+        ck = distinct.localCheckpoint(eager=True)
+        try:
+            n = ck.count()
+            ck.coalesce(
+                max(1, math.ceil(n / LOCAL_TOMBSTONE_ROWS_MAX))
+            ).write.mode("append").parquet(_tombstone_path(path))
+        finally:
+            release_checkpoint(ck)
+    else:
+        local_df(spark, rows, "id long, part string").write.mode("append").parquet(
+            _tombstone_path(path)
+        )
     for old in olds:
         fs.delete(old, False)
     return True

@@ -492,11 +492,48 @@ def delete_from_inverted_index(
         marker.close()
     # batch-stats aggregate ∥ the hinted-tombstone computation below:
     # independent scans of the same batch (the write_inverted_index
-    # overlap), both inside the marker bracket
+    # overlap), both inside the marker bracket. Context-managed like the
+    # sibling write/append paths: if the tombstone build or the stored
+    # delete raises, the pool still shuts down instead of leaving a
+    # non-daemon worker pinning the stats job past interpreter exit.
     from concurrent.futures import ThreadPoolExecutor
 
-    _stats_pool = ThreadPoolExecutor(max_workers=1)
-    _f_stats = _stats_pool.submit(_full_stats, docs, text_col)
+    with ThreadPoolExecutor(max_workers=1) as _stats_pool:
+        _f_stats = _stats_pool.submit(_full_stats, docs, text_col)
+        b_docs, b_tokens, b_text_docs = _delete_tombstones_and_stats(
+            spark, docs, index_path, id_col, text_col, stats, _f_stats
+        )
+    n_docs = max(0, stats["n_docs"] - b_docs)
+    total_tokens = max(0, stats["total_tokens"] - b_tokens)
+    n_text_docs = max(0, stats["n_text_docs"] - b_text_docs)
+    avgdl = (
+        _rounded_avgdl(spark, total_tokens, n_text_docs) if n_text_docs else 0.0
+    )
+    _write_stats(
+        spark,
+        index_path,
+        {
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "n_buckets": stats["n_buckets"],
+            "total_tokens": total_tokens,
+            "n_text_docs": n_text_docs,
+        },
+    )
+    pfs.delete(pend, False)  # stats committed — the delete is whole
+    return n_docs, avgdl
+
+
+def _delete_tombstones_and_stats(
+    spark, docs, index_path: str, id_col: str, text_col: str, stats: dict, _f_stats
+):
+    """The tombstone computation + stored delete of
+    :func:`delete_from_inverted_index`, factored so the stats pool wraps
+    it in a ``with`` block. Returns (b_docs, b_tokens, b_text_docs)."""
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        delete_from_stored_index,
+    )
+
     # Tombstones carry the term-bucket PARTITION HINT ("bkt=<b>", one row
     # per distinct bucket the doc's terms hash into — computable here
     # because the doc text is in hand), so the vacuum tick prunes its
@@ -528,29 +565,8 @@ def delete_from_inverted_index(
     delete_from_stored_index(
         spark, hinted.unionByName(bare), index_path, lease=False
     )
-    try:
-        b_docs, _, b_tokens, b_text_docs = _f_stats.result()
-    finally:
-        _stats_pool.shutdown(wait=False)
-    n_docs = max(0, stats["n_docs"] - b_docs)
-    total_tokens = max(0, stats["total_tokens"] - b_tokens)
-    n_text_docs = max(0, stats["n_text_docs"] - b_text_docs)
-    avgdl = (
-        _rounded_avgdl(spark, total_tokens, n_text_docs) if n_text_docs else 0.0
-    )
-    _write_stats(
-        spark,
-        index_path,
-        {
-            "n_docs": n_docs,
-            "avgdl": avgdl,
-            "n_buckets": stats["n_buckets"],
-            "total_tokens": total_tokens,
-            "n_text_docs": n_text_docs,
-        },
-    )
-    pfs.delete(pend, False)  # stats committed — the delete is whole
-    return n_docs, avgdl
+    b_docs, _, b_tokens, b_text_docs = _f_stats.result()
+    return b_docs, b_tokens, b_text_docs
 
 
 def read_index_stats(spark, index_path: str) -> dict:

@@ -364,6 +364,13 @@ def pq_train_rows(
     return out
 
 
+def _nulls_first_id(r) -> tuple:
+    """Sort key replicating Spark's ascending nulls-first ordering for a
+    driver-side row sort on ``id`` (shared by the small-corpus sample
+    probes here and in operators/clusters.py)."""
+    return (r["id"] is not None, r["id"] if r["id"] is not None else 0)
+
+
 def _sampled_unit_matrix(
     corpus: DataFrame, id_col: str, vec_col: str, max_sample: int
 ):
@@ -385,7 +392,10 @@ def _sampled_unit_matrix(
     if len(rows) > max_sample:
         rows = ids.orderBy("id").limit(max_sample).collect()
     else:
-        rows.sort(key=lambda r: r["id"])
+        # NULL-tolerant key matching orderBy('id')'s nulls-first ascending
+        # order — a bare r['id'] key raises TypeError on a NULL id where
+        # the distributed path sorted it first
+        rows.sort(key=_nulls_first_id)
     if not rows:
         raise ValueError("cannot train a quantizer on an empty corpus")
     x = np.asarray([r["vec"] for r in rows], dtype=np.float64)

@@ -1114,67 +1114,80 @@ def vt_merge(
     schema_json = _merge_schema(parent_schema_json, new.schema)
     merged_schema = StructType.fromJson(json.loads(schema_json))
 
-    bounds = new.agg(
-        F.min(k0).alias("lo"),
-        F.max(k0).alias("hi"),
-        F.count("*").alias("n"),
-        F.count(k0).alias("nk"),
-    ).collect()[0]
-    lo, hi = bounds["lo"], bounds["hi"]
-    if bounds["n"] != bounds["nk"]:
-        # NULL never equals NULL, so a keyed last-write-wins upsert is
-        # undefined for NULL-key rows — and `lo is None` would silently
-        # classify an all-NULL batch as empty and DROP it. Fail loudly.
-        raise ValueError(
-            f"vt_merge: {bounds['n'] - bounds['nk']} batch rows have NULL "
-            f"merge key {k0!r} — filter them or assign surrogate keys "
-            "upstream (NULL keys can never match and would be silently "
-            "collapsed by last-write-wins)"
-        )
-    # carry-forward of untouched entries is _commit's job (carry_from +
-    # dirty_paths); only the touched list matters here
-    touched = []
-    for e in entries:
-        mm = e.get("stats", {}).get(k0)
-        if not (
-            lo is None  # empty batch: nothing can touch
-            or (
-                mm is not None
-                and mm[0] is not None
-                and mm[1] is not None
-                and (mm[0] > hi or mm[1] < lo)
-            )
-        ):
-            touched.append(e)
+    # The batch lineage is evaluated twice (bounds aggregate, then the
+    # merged rewrite). Lazy checkpoint: the bounds agg is the first
+    # action and materializes the blocks in the same job; the rewrite
+    # reads them instead of re-running the caller's lineage. Released
+    # before returning (the fused-pass shape).
+    from endtoend_etl_openmeteo_spark.session import release_checkpoint
 
-    if touched:
-        affected = _entries_df(spark, table, touched, merged_schema)
-        merged = dedup_last_write_wins(
-            affected.unionByName(_align(new, merged_schema)), keys, order_col
+    new = new.localCheckpoint(eager=False)
+    try:
+        bounds = new.agg(
+            F.min(k0).alias("lo"),
+            F.max(k0).alias("hi"),
+            F.count("*").alias("n"),
+            F.count(k0).alias("nk"),
+        ).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        if bounds["n"] != bounds["nk"]:
+            # NULL never equals NULL, so a keyed last-write-wins upsert is
+            # undefined for NULL-key rows — and `lo is None` would silently
+            # classify an all-NULL batch as empty and DROP it. Fail loudly.
+            raise ValueError(
+                f"vt_merge: {bounds['n'] - bounds['nk']} batch rows have NULL "
+                f"merge key {k0!r} — filter them or assign surrogate keys "
+                "upstream (NULL keys can never match and would be silently "
+                "collapsed by last-write-wins)"
+            )
+        # carry-forward of untouched entries is _commit's job (carry_from +
+        # dirty_paths); only the touched list matters here
+        touched = []
+        for e in entries:
+            mm = e.get("stats", {}).get(k0)
+            if not (
+                lo is None  # empty batch: nothing can touch
+                or (
+                    mm is not None
+                    and mm[0] is not None
+                    and mm[1] is not None
+                    and (mm[0] > hi or mm[1] < lo)
+                )
+            ):
+                touched.append(e)
+
+        if touched:
+            affected = _entries_df(spark, table, touched, merged_schema)
+            merged = dedup_last_write_wins(
+                affected.unionByName(_align(new, merged_schema)), keys, order_col
+            )
+        else:
+            merged = dedup_last_write_wins(
+                _align(new, merged_schema), keys, order_col
+            )
+        new_files = (
+            _write_data(
+                spark,
+                merged,
+                table,
+                stats_cols=stats_cols,
+                bloom_cols=rewrite_bloom or None,
+            )
+            if lo is not None or touched
+            else []
         )
-    else:
-        merged = dedup_last_write_wins(_align(new, merged_schema), keys, order_col)
-    new_files = (
-        _write_data(
+        return _commit(
             spark,
-            merged,
             table,
-            stats_cols=stats_cols,
-            bloom_cols=rewrite_bloom or None,
+            new_files,
+            "merge",
+            parent,
+            extra={"schema": schema_json},
+            carry_from=manifest,
+            dirty_paths={e["path"] for e in touched},
         )
-        if lo is not None or touched
-        else []
-    )
-    return _commit(
-        spark,
-        table,
-        new_files,
-        "merge",
-        parent,
-        extra={"schema": schema_json},
-        carry_from=manifest,
-        dirty_paths={e["path"] for e in touched},
-    )
+    finally:
+        release_checkpoint(new)
 
 
 class _EpochReplayedMidCommit(Exception):
@@ -1613,6 +1626,20 @@ def _entry_delete_rows(spark, table: str, e: dict) -> int:
     )
 
 
+def _live_rows_or_none(entries: list[dict]) -> int | None:
+    """Σ live rows (rows − delete_rows) over ``entries`` from manifest
+    metadata alone, or None when any entry predates row tracking (the
+    caller must then probe with a scan)."""
+    if any(
+        "rows" not in e or (e.get("deletes") and "delete_rows" not in e)
+        for e in entries
+    ):
+        return None  # legacy entry (no row tracking / uncounted deletes)
+    return sum(
+        int(e["rows"]) - int(e.get("delete_rows", 0)) for e in entries
+    )
+
+
 def vt_delete(
     spark: SparkSession,
     table: str,
@@ -1669,6 +1696,15 @@ def vt_delete(
     # rewritten files must keep their bloom sidecars too (vt_compact's
     # rule) or point lookups on them degrade to keep-all until a compact
     rewrite_bloom = sorted({c for e in touched for c in e.get("bloom", {})})
+    # "did the delete empty every touched file?" is manifest arithmetic,
+    # not a scan: the counting pass above ran against LIVE rows (existing
+    # position deletes applied), so kept is empty iff the matches equal
+    # the touched entries' live row counts. Entries predating row
+    # tracking fall back to the isEmpty probe job.
+    live = _live_rows_or_none(touched)
+    kept_empty = (
+        rows_deleted == live if live is not None else kept.isEmpty()
+    )
     new_files = (
         _write_data(
             spark,
@@ -1677,7 +1713,7 @@ def vt_delete(
             stats_cols=stats_cols or None,
             bloom_cols=rewrite_bloom or None,
         )
-        if not kept.isEmpty()
+        if not kept_empty
         else []
     )
     version = _commit(
@@ -1926,6 +1962,15 @@ def vt_apply_cdc(
     schema = _snapshot_schema(manifest)
     if schema is None and entries:
         schema = spark.read.parquet(f"{table}/{entries[0]['path']}").schema
+    # The feed is typically an EXPENSIVE lineage (vt_diff's full outer
+    # join); it is consumed three times below (bounds agg, delete
+    # broadcast, upsert write). Lazy checkpoint: the bounds aggregate is
+    # the first action and materializes the blocks in the same job (the
+    # fused-pass shape), the later consumers read pinned blocks instead
+    # of re-running the join. Released before returning.
+    from endtoend_etl_openmeteo_spark.session import release_checkpoint
+
+    changes = changes.localCheckpoint(eager=False)
     # the feed may carry columns the replica predates (the source evolved
     # additively between the diffed versions): merge them in, vt_merge's
     # rule, so applying a diff reproduces v_to's schema too — projecting
@@ -1939,75 +1984,78 @@ def vt_apply_cdc(
         )
     )
 
-    bounds = changes.agg(
-        F.min(k0).alias("lo"),
-        F.max(k0).alias("hi"),
-        F.count("*").alias("n"),
-        F.count(k0).alias("nk"),
-    ).collect()[0]
-    lo, hi = bounds["lo"], bounds["hi"]
-    if bounds["n"] == 0:
-        return parent  # empty feed: nothing to apply
-    if bounds["n"] != bounds["nk"]:
-        # vt_merge's contract, enforced here too: a NULL-key delete can
-        # never match its target (plain-equality anti join), so the row
-        # silently survives and the documented apply(diff) round-trip
-        # identity breaks; an all-NULL-key feed would also classify
-        # every file as touched — a full-table rewrite. Fail loudly.
-        raise ValueError(
-            f"vt_apply_cdc: {bounds['n'] - bounds['nk']} feed rows have "
-            f"NULL key {k0!r} — filter them or assign surrogate keys "
-            "upstream (NULL keys can never match an existing row)"
-        )
-    touched = []
-    for e in entries:
-        mm = e.get("stats", {}).get(k0)
-        if not (
-            mm is not None
-            and mm[0] is not None
-            and mm[1] is not None
-            and (mm[0] > hi or mm[1] < lo)
-        ):
-            touched.append(e)
+    try:
+        bounds = changes.agg(
+            F.min(k0).alias("lo"),
+            F.max(k0).alias("hi"),
+            F.count("*").alias("n"),
+            F.count(k0).alias("nk"),
+        ).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        if bounds["n"] == 0:
+            return parent  # empty feed: nothing to apply
+        if bounds["n"] != bounds["nk"]:
+            # vt_merge's contract, enforced here too: a NULL-key delete can
+            # never match its target (plain-equality anti join), so the row
+            # silently survives and the documented apply(diff) round-trip
+            # identity breaks; an all-NULL-key feed would also classify
+            # every file as touched — a full-table rewrite. Fail loudly.
+            raise ValueError(
+                f"vt_apply_cdc: {bounds['n'] - bounds['nk']} feed rows have "
+                f"NULL key {k0!r} — filter them or assign surrogate keys "
+                "upstream (NULL keys can never match an existing row)"
+            )
+        touched = []
+        for e in entries:
+            mm = e.get("stats", {}).get(k0)
+            if not (
+                mm is not None
+                and mm[0] is not None
+                and mm[1] is not None
+                and (mm[0] > hi or mm[1] < lo)
+            ):
+                touched.append(e)
 
-    upserts = _align(
-        changes.filter(F.col("change_type").isin("insert", "update")), schema
-    ).withColumn("__prio", F.lit(1))
-    deletes = changes.filter(F.col("change_type") == "delete").select(*keys)
-    if touched:
-        affected = _entries_df(spark, table, touched, schema)
-        # deletes are feed-sized: the anti join broadcasts them, the
-        # affected files never shuffle for the delete
-        base = affected.join(F.broadcast(deletes), keys, "left_anti")
-        merged = dedup_last_write_wins(
-            base.withColumn("__prio", F.lit(0)).unionByName(upserts),
-            keys,
-            "__prio",
-        ).drop("__prio")
-    else:
-        merged = dedup_last_write_wins(upserts, keys, "__prio").drop("__prio")
-    # carry the parent's recorded stats/bloom columns through the rewrite
-    stats_cols = sorted(
-        set(stats_cols) | {c for e in touched for c in e.get("stats", {})}
-    )
-    rewrite_bloom = sorted({c for e in touched for c in e.get("bloom", {})})
-    new_files = _write_data(
-        spark,
-        merged,
-        table,
-        stats_cols=stats_cols,
-        bloom_cols=rewrite_bloom or None,
-    )
-    return _commit(
-        spark,
-        table,
-        new_files,
-        "cdc-apply",
-        parent,
-        extra={"schema": schema.json()},
-        carry_from=manifest,
-        dirty_paths={e["path"] for e in touched},
-    )
+        upserts = _align(
+            changes.filter(F.col("change_type").isin("insert", "update")), schema
+        ).withColumn("__prio", F.lit(1))
+        deletes = changes.filter(F.col("change_type") == "delete").select(*keys)
+        if touched:
+            affected = _entries_df(spark, table, touched, schema)
+            # deletes are feed-sized: the anti join broadcasts them, the
+            # affected files never shuffle for the delete
+            base = affected.join(F.broadcast(deletes), keys, "left_anti")
+            merged = dedup_last_write_wins(
+                base.withColumn("__prio", F.lit(0)).unionByName(upserts),
+                keys,
+                "__prio",
+            ).drop("__prio")
+        else:
+            merged = dedup_last_write_wins(upserts, keys, "__prio").drop("__prio")
+        # carry the parent's recorded stats/bloom columns through the rewrite
+        stats_cols = sorted(
+            set(stats_cols) | {c for e in touched for c in e.get("stats", {})}
+        )
+        rewrite_bloom = sorted({c for e in touched for c in e.get("bloom", {})})
+        new_files = _write_data(
+            spark,
+            merged,
+            table,
+            stats_cols=stats_cols,
+            bloom_cols=rewrite_bloom or None,
+        )
+        return _commit(
+            spark,
+            table,
+            new_files,
+            "cdc-apply",
+            parent,
+            extra={"schema": schema.json()},
+            carry_from=manifest,
+            dirty_paths={e["path"] for e in touched},
+        )
+    finally:
+        release_checkpoint(changes)
 
 
 def vt_merge_mor(
@@ -2063,111 +2111,137 @@ def vt_merge_mor(
     if order_col is not None:
         new = dedup_last_write_wins(new, keys, order_col)
 
-    bounds = new.agg(
-        F.min(k0).alias("lo"),
-        F.max(k0).alias("hi"),
-        F.count("*").alias("n"),
-        F.count(k0).alias("nk"),
-    ).collect()[0]
-    lo, hi = bounds["lo"], bounds["hi"]
-    if bounds["n"] != bounds["nk"]:
-        # same contract as vt_merge: an all-NULL-key batch would otherwise
-        # be classified as empty and silently dropped
-        raise ValueError(
-            f"vt_merge_mor: {bounds['n'] - bounds['nk']} batch rows have "
-            f"NULL merge key {k0!r} — filter them or assign surrogate keys "
-            "upstream (NULL keys can never match)"
-        )
-    if lo is None:
-        return parent, 0, 0  # empty batch: nothing to commit
+    # The (deduped) batch is consumed up to four times (bounds agg,
+    # probe/semi broadcast, loser anti join, insert write) and the
+    # candidate join twice (superseded positions, loser keys) — without
+    # checkpoints each consumer re-scans the candidate files and re-runs
+    # the batch lineage. Lazy checkpoints: the bounds agg materializes
+    # the batch, the delete-file write materializes the join; later
+    # consumers read pinned blocks (the fused-pass shape). Both released
+    # before returning.
+    from endtoend_etl_openmeteo_spark.session import release_checkpoint
 
-    # discovery scope: stats-pruned candidates only (conservative on
-    # missing stats, same rule as vt_merge)
-    candidates = [
-        e
-        for e in entries
-        if not (
-            (mm := e.get("stats", {}).get(k0)) is not None
-            and mm[0] is not None
-            and mm[1] is not None
-            and (mm[0] > hi or mm[1] < lo)
-        )
-    ]
-    superseded = None
-    to_insert = new
-    if candidates:
-        scan = _entries_df(spark, table, candidates, merged_schema, keep_meta=True)
-        if order_col is not None:
-            probe = new.select(*keys, F.col(order_col).alias("__new_ord"))
-            joined = scan.join(F.broadcast(probe), keys)
-            # NULL order sorts as -infinity — the COW path's semantics
-            # (dedup_last_write_wins orders DESC NULLS LAST, so a NULL-
-            # order row loses to any non-NULL one and batch wins
-            # NULL-vs-NULL ties). A bare <= / > pair would let NULLs
-            # satisfy NEITHER filter: the batch row inserts AND the
-            # existing row survives — duplicate keys after merge.
-            ex_null = F.col(order_col).isNull()
-            new_null = F.col("__new_ord").isNull()
-            superseded = joined.filter(
-                ex_null | (~new_null & (F.col(order_col) <= F.col("__new_ord")))
-            ).select("__file", "__pos")
-            # batch rows older than the table's copy lose outright
-            losers = (
-                joined.filter(
-                    ~ex_null & (new_null | (F.col(order_col) > F.col("__new_ord")))
+    new = new.localCheckpoint(eager=False)
+    joined_ck: DataFrame | None = None
+    try:
+        bounds = new.agg(
+            F.min(k0).alias("lo"),
+            F.max(k0).alias("hi"),
+            F.count("*").alias("n"),
+            F.count(k0).alias("nk"),
+        ).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        if bounds["n"] != bounds["nk"]:
+            # same contract as vt_merge: an all-NULL-key batch would
+            # otherwise be classified as empty and silently dropped
+            raise ValueError(
+                f"vt_merge_mor: {bounds['n'] - bounds['nk']} batch rows have "
+                f"NULL merge key {k0!r} — filter them or assign surrogate "
+                "keys upstream (NULL keys can never match)"
+            )
+        if lo is None:
+            return parent, 0, 0  # empty batch: nothing to commit
+
+        # discovery scope: stats-pruned candidates only (conservative on
+        # missing stats, same rule as vt_merge)
+        candidates = [
+            e
+            for e in entries
+            if not (
+                (mm := e.get("stats", {}).get(k0)) is not None
+                and mm[0] is not None
+                and mm[1] is not None
+                and (mm[0] > hi or mm[1] < lo)
+            )
+        ]
+        superseded = None
+        to_insert = new
+        if candidates:
+            scan = _entries_df(
+                spark, table, candidates, merged_schema, keep_meta=True
+            )
+            if order_col is not None:
+                probe = new.select(*keys, F.col(order_col).alias("__new_ord"))
+                # batch-key-sized (inner join against the broadcast
+                # probe); materialized by the delete-file write below,
+                # then the loser branch reads the same blocks
+                joined_ck = scan.join(F.broadcast(probe), keys).localCheckpoint(
+                    eager=False
                 )
-                .select(*keys)
-                .distinct()
+                joined = joined_ck
+                # NULL order sorts as -infinity — the COW path's semantics
+                # (dedup_last_write_wins orders DESC NULLS LAST, so a NULL-
+                # order row loses to any non-NULL one and batch wins
+                # NULL-vs-NULL ties). A bare <= / > pair would let NULLs
+                # satisfy NEITHER filter: the batch row inserts AND the
+                # existing row survives — duplicate keys after merge.
+                ex_null = F.col(order_col).isNull()
+                new_null = F.col("__new_ord").isNull()
+                superseded = joined.filter(
+                    ex_null | (~new_null & (F.col(order_col) <= F.col("__new_ord")))
+                ).select("__file", "__pos")
+                # batch rows older than the table's copy lose outright
+                losers = (
+                    joined.filter(
+                        ~ex_null
+                        & (new_null | (F.col(order_col) > F.col("__new_ord")))
+                    )
+                    .select(*keys)
+                    .distinct()
+                )
+                to_insert = new.join(losers, keys, "left_anti")
+            else:
+                superseded = scan.join(
+                    F.broadcast(new.select(keys).distinct()), keys, "semi"
+                ).select("__file", "__pos")
+
+        per_file: dict = {}
+        rows_superseded = 0
+        del_paths: list[str] = []
+        if superseded is not None:
+            del_paths, per_file, rows_superseded = _write_delete_files(
+                spark, table, superseded
             )
-            to_insert = new.join(losers, keys, "left_anti")
-        else:
-            superseded = scan.join(
-                F.broadcast(new.select(keys).distinct()), keys, "semi"
-            ).select("__file", "__pos")
+        hit = set(per_file)
 
-    per_file: dict = {}
-    rows_superseded = 0
-    del_paths: list[str] = []
-    if superseded is not None:
-        del_paths, per_file, rows_superseded = _write_delete_files(
-            spark, table, superseded
+        new_files = (
+            []
+            if to_insert.isEmpty()
+            else _write_data(
+                spark,
+                _align(to_insert, merged_schema),
+                table,
+                stats_cols=stats_cols or [k0],
+                bloom_cols=bloom_cols,
+            )
         )
-    hit = set(per_file)
-
-    new_files = (
-        []
-        if to_insert.isEmpty()
-        else _write_data(
+        if not new_files and not hit:
+            return parent, 0, 0  # fully-stale batch: nothing to commit
+        modified = []
+        for e in entries:
+            if e["path"] in hit:
+                e2 = dict(e)
+                e2["deletes"] = list(e.get("deletes", [])) + del_paths
+                # vt_count's exact per-entry subtraction (see vt_delete_mor)
+                e2["delete_rows"] = (
+                    _entry_delete_rows(spark, table, e) + per_file[e["path"]]
+                )
+                modified.append(e2)
+        version = _commit(
             spark,
-            _align(to_insert, merged_schema),
             table,
-            stats_cols=stats_cols or [k0],
-            bloom_cols=bloom_cols,
+            modified + new_files,
+            "merge-mor",
+            parent,
+            extra={"schema": schema_json, **(extra_meta or {})},
+            carry_from=manifest,
+            dirty_paths=hit,
         )
-    )
-    if not new_files and not hit:
-        return parent, 0, 0  # fully-stale batch: nothing to commit
-    modified = []
-    for e in entries:
-        if e["path"] in hit:
-            e2 = dict(e)
-            e2["deletes"] = list(e.get("deletes", [])) + del_paths
-            # vt_count's exact per-entry subtraction (see vt_delete_mor)
-            e2["delete_rows"] = (
-                _entry_delete_rows(spark, table, e) + per_file[e["path"]]
-            )
-            modified.append(e2)
-    version = _commit(
-        spark,
-        table,
-        modified + new_files,
-        "merge-mor",
-        parent,
-        extra={"schema": schema_json, **(extra_meta or {})},
-        carry_from=manifest,
-        dirty_paths=hit,
-    )
-    return version, len(hit), rows_superseded
+        return version, len(hit), rows_superseded
+    finally:
+        release_checkpoint(new)
+        if joined_ck is not None:
+            release_checkpoint(joined_ck)
 
 
 def vt_optimize(

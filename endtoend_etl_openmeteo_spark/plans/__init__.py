@@ -87,20 +87,21 @@ PRIORITY: list[str] = [
     "q_multimodal_features",
     # --- oracle-backed extension rows rotated per round so every family
     # eventually earns a driver-witnessed CORRECTNESS row (round-7 verdict
-    # task 2). Round 12: q_ann_index_delete / q_bm25_delete /
-    # q_optimize_cluster / q_rename_count earned green rows in
-    # CORRECTNESS_r11 and yield their slots to the four never-witnessed
-    # rows the round-11 verdict queued — the versioned-family tail
-    # (q_snapshot_diff: CDC between snapshots; q_snapshot_merge:
-    # snapshot-isolated MERGE; q_incremental_agg: CDC-driven incremental
-    # aggregate) plus q_bloom_decontaminate (the round-10 perf watch item;
-    # a driver row witnesses both correctness and plan health).
+    # task 2). Round 13: q_snapshot_diff / q_snapshot_merge /
+    # q_incremental_agg earned green rows in CORRECTNESS_r12 and yield
+    # their slots to the LAST never-witnessed oracle-backed stragglers
+    # the round-12 verdict queued — q_cdc_apply (CDC event application),
+    # q_sequence_pack (two-phase global-offset packing), q_strip_spans
+    # (substring-dedup span removal) — after which every oracle-backed
+    # query in the registry has had at least one driver-witnessed row.
+    # q_bloom_decontaminate keeps its slot one more round (rotated in
+    # round 12; its driver row doubles as the perf watch item's witness).
     # q_substring_dup / q_semdedup keep the rows they earned in round 7. ---
     "q_substring_dup",
     "q_semdedup",
-    "q_snapshot_diff",
-    "q_snapshot_merge",
-    "q_incremental_agg",
+    "q_cdc_apply",
+    "q_sequence_pack",
+    "q_strip_spans",
     "q_bloom_decontaminate",
     # --- approximate-family floor contracts + streaming parity (round 7):
     # the driver itself witnesses the dedup/ANN recall floors and the
@@ -110,12 +111,11 @@ PRIORITY: list[str] = [
     "q_stream_window",
     "q_ann_ivf_stored",
     # ------------------------- 50-entry line -------------------------
-    # Next rotation candidates (never driver-witnessed, queued for round
-    # 13): the last oracle-backed stragglers — q_cdc_apply (CDC event
-    # application), q_sequence_pack (two-phase global-offset packing),
-    # q_strip_spans (substring-dedup span removal) — after which every
-    # oracle-backed query in the registry will have had at least one
-    # driver-witnessed CORRECTNESS row.
+    # Displaced from the prefix in round 13 (witnessed green in
+    # CORRECTNESS_r12; still check_oracle + CI green).
+    "q_snapshot_diff",
+    "q_snapshot_merge",
+    "q_incremental_agg",
     # Displaced from the prefix in round 12 (witnessed green in
     # CORRECTNESS_r11; still check_oracle + CI green).
     "q_ann_index_delete",
@@ -239,13 +239,10 @@ PRIORITY: list[str] = [
     # (q_snapshot_merge / q_snapshot_diff / q_incremental_agg /
     # q_bloom_decontaminate rotated into the 50-prefix in round 12.)
     # Oracle-backed in round 6 (packing, md5_60 simhash; the round-6 contract
-    # rows q_dedup_contract / q_stream_window moved into the 50-prefix above)
-    "q_sequence_pack",
+    # rows q_dedup_contract / q_stream_window moved into the 50-prefix above;
+    # q_sequence_pack / q_strip_spans rotated into the 50-prefix in round 13)
     "q_repetition_filter",
     "q_simhash",
-    # Oracle-backed in round 7: the exact-substring (Lee et al.) transform
-    # stage (q_hybrid_search rotated into the 50-prefix in round 9)
-    "q_strip_spans",
     # (q_semdedup_prune / q_multimodal_video, oracle-backed in round 8,
     # rotated into the 50-prefix in round 10; q_ann_index_delete /
     # q_bm25_delete, oracle-backed in round 10, rotated in round 11.)

@@ -423,6 +423,38 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name", "n_regionkey")
 
 
+def _seed_two_appends(
+    spark, table: str, parts: list, stats_cols=None, bloom_cols=None
+) -> int:
+    """Seed a fresh versioned table with two INDEPENDENT appends run
+    concurrently (guide-§2.6 back-fill; the q_cdc_apply seeding pattern).
+    vt_append's CAS rebase makes racing appends both land whatever the
+    commit order, and every seeded query reads whole snapshots, so the
+    final table content is order-independent. Returns the version with
+    BOTH appends visible (max of the two commits)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from endtoend_etl_openmeteo_spark.operators.versioned import (
+        vt_append,
+        vt_init,
+    )
+
+    vt_init(spark, table)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                vt_append,
+                spark,
+                part,
+                table,
+                stats_cols=stats_cols,
+                bloom_cols=bloom_cols,
+            )
+            for part in parts
+        ]
+        return max(f.result() for f in futs)
+
+
 @register(
     "q_time_travel",
     # Three snapshots over arithmetically-disjoint event slices; the oracle
@@ -511,8 +543,6 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from endtoend_etl_openmeteo_spark.operators.versioned import (
-        vt_append,
-        vt_init,
         vt_merge,
         vt_read,
     )
@@ -524,13 +554,13 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = ev.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
     table = scratch_dir(prefix="vt_merge_")
     try:
-        vt_init(spark, table)
-        vt_append(
-            spark, ev.filter(F.col("event_id") <= mid), table,
-            stats_cols=["event_id"],
-        )
-        vt_append(
-            spark, ev.filter(F.col("event_id") > mid), table,
+        _seed_two_appends(
+            spark,
+            table,
+            [
+                ev.filter(F.col("event_id") <= mid),
+                ev.filter(F.col("event_id") > mid),
+            ],
             stats_cols=["event_id"],
         )
         newer = ev.filter(F.col("event_id") % 10 == 0).select(
@@ -576,9 +606,7 @@ def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from endtoend_etl_openmeteo_spark.operators.versioned import (
-        vt_append,
         vt_delete_mor,
-        vt_init,
         vt_read,
     )
     from endtoend_etl_openmeteo_spark.session import scratch_dir
@@ -587,13 +615,13 @@ def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = ev.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
     table = scratch_dir(prefix="vt_mor_")
     try:
-        vt_init(spark, table)
-        vt_append(
-            spark, ev.filter(F.col("event_id") <= mid), table,
-            stats_cols=["event_id"],
-        )
-        vt_append(
-            spark, ev.filter(F.col("event_id") > mid), table,
+        _seed_two_appends(
+            spark,
+            table,
+            [
+                ev.filter(F.col("event_id") <= mid),
+                ev.filter(F.col("event_id") > mid),
+            ],
             stats_cols=["event_id"],
         )
         vt_delete_mor(spark, table, F.col("event_id") % 7 == 0)
@@ -859,10 +887,8 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from endtoend_etl_openmeteo_spark.operators.versioned import (
-        vt_append,
         vt_delete,
         vt_diff,
-        vt_init,
         vt_merge,
     )
     from endtoend_etl_openmeteo_spark.session import scratch_dir
@@ -877,13 +903,14 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid, mx = bounds["mid"], bounds["mx"]
     table = scratch_dir(prefix="vt_cdc_")
     try:
-        vt_init(spark, table)
-        vt_append(
-            spark, ev.filter(F.col("event_id") <= mid), table,
-            stats_cols=["event_id"],
-        )
-        v_base = vt_append(
-            spark, ev.filter(F.col("event_id") > mid), table,
+        # the base snapshot is the one with BOTH seed appends visible
+        v_base = _seed_two_appends(
+            spark,
+            table,
+            [
+                ev.filter(F.col("event_id") <= mid),
+                ev.filter(F.col("event_id") > mid),
+            ],
             stats_cols=["event_id"],
         )
         updates = ev.filter(F.col("event_id") % 10 == 0).select(
@@ -1004,11 +1031,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    from endtoend_etl_openmeteo_spark.operators.versioned import (
-        vt_append,
-        vt_init,
-        vt_read,
-    )
+    from endtoend_etl_openmeteo_spark.operators.versioned import vt_read
     from endtoend_etl_openmeteo_spark.session import scratch_dir
 
     ev = tbl(spark, sf_dir, "events").select(
@@ -1016,15 +1039,16 @@ def q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("event_id") < 3000)
     table = scratch_dir(prefix="vt_bloom_")
     try:
-        vt_init(spark, table)
-        for wave in range(2):
-            vt_append(
-                spark,
-                ev.filter(F.col("event_id") % 2 == wave).repartition(2),
-                table,
-                stats_cols=["event_id"],
-                bloom_cols=["event_id"],
-            )
+        _seed_two_appends(
+            spark,
+            table,
+            [
+                ev.filter(F.col("event_id") % 2 == wave).repartition(2)
+                for wave in range(2)
+            ],
+            stats_cols=["event_id"],
+            bloom_cols=["event_id"],
+        )
         parts = [
             vt_read(spark, table, prune_eq=("event_id", p)).filter(
                 F.col("event_id") == p
@@ -1067,8 +1091,6 @@ def q_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from endtoend_etl_openmeteo_spark.operators.versioned import (
-        vt_append,
-        vt_init,
         vt_merge_mor,
         vt_read,
     )
@@ -1080,13 +1102,13 @@ def q_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = ev.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
     table = scratch_dir(prefix="vt_mor_merge_")
     try:
-        vt_init(spark, table)
-        vt_append(
-            spark, ev.filter(F.col("event_id") <= mid), table,
-            stats_cols=["event_id"],
-        )
-        vt_append(
-            spark, ev.filter(F.col("event_id") > mid), table,
+        _seed_two_appends(
+            spark,
+            table,
+            [
+                ev.filter(F.col("event_id") <= mid),
+                ev.filter(F.col("event_id") > mid),
+            ],
             stats_cols=["event_id"],
         )
         newer = ev.filter(F.col("event_id") % 10 == 0).select(
@@ -1129,8 +1151,6 @@ def q_optimize_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from endtoend_etl_openmeteo_spark.operators.versioned import (
-        vt_append,
-        vt_init,
         vt_optimize,
         vt_read,
     )
@@ -1141,14 +1161,12 @@ def q_optimize_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = scratch_dir(prefix="vt_opt_")
     try:
-        vt_init(spark, table)
-        for wave in range(2):
-            vt_append(
-                spark,
-                ev.filter(F.col("event_id") % 2 == wave),
-                table,
-                stats_cols=["event_id"],
-            )
+        _seed_two_appends(
+            spark,
+            table,
+            [ev.filter(F.col("event_id") % 2 == wave) for wave in range(2)],
+            stats_cols=["event_id"],
+        )
         vt_optimize(spark, table, ["event_id"], n_files=4)
         out = vt_read(
             spark, table, prune=("event_id", 600, 660)

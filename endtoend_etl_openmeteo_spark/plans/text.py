@@ -2081,51 +2081,70 @@ def _dedup_contract_parts(spark: SparkSession, sf_dir: str) -> tuple:
 
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < max_id)
 
-    # exact shingle-Jaccard ground truth over the slice (the same
-    # shingle_n=3 sets the minhash verify stage uses), computed via the
-    # shingle INVERTED INDEX instead of a nested-loop all-pairs join: a
-    # true pair at any threshold > 0 must share >= 1 shingle, so joining
-    # the exploded (id, shingle) postings on the shingle and counting
-    # gives |A∩B| for exactly the candidate pairs, |A∪B| = nA + nB - i
-    # from the per-doc sizes — lossless, and O(shared-shingle pairs)
-    # instead of O(slice^2) intersects (measured 4.0 s -> 0.7 s; the
-    # round(i/union, 6) double equals the old array_intersect form's).
-    sh = cpu_parallelize(docs.select("doc_id", "text")).select(
-        F.col("doc_id").alias("id"), F.explode(shingles("text", 3)).alias("s")
-    ).localCheckpoint(eager=True)  # postings feed sizes AND the self-join
-    sz = sh.groupBy("id").agg(F.count("*").alias("n"))  # shingles are distinct
-    pa, pb = sh.alias("pa"), sh.alias("pb")
-    inter = (
-        pa.join(pb, ["s"])
-        .filter(F.col("pa.id") < F.col("pb.id"))
-        .groupBy(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
-        .agg(F.count("*").alias("i"))
-    )
-    truth = (
-        inter.join(
-            F.broadcast(sz.select(F.col("id").alias("id_a"), F.col("n").alias("na"))),
-            "id_a",
+    def build_truth() -> DataFrame:
+        # exact shingle-Jaccard ground truth over the slice (the same
+        # shingle_n=3 sets the minhash verify stage uses), computed via
+        # the shingle INVERTED INDEX instead of a nested-loop all-pairs
+        # join: a true pair at any threshold > 0 must share >= 1 shingle,
+        # so joining the exploded (id, shingle) postings on the shingle
+        # and counting gives |A∩B| for exactly the candidate pairs,
+        # |A∪B| = nA + nB - i from the per-doc sizes — lossless, and
+        # O(shared-shingle pairs) instead of O(slice^2) intersects
+        # (measured 4.0 s -> 0.7 s; the round(i/union, 6) double equals
+        # the old array_intersect form's).
+        sh = cpu_parallelize(docs.select("doc_id", "text")).select(
+            F.col("doc_id").alias("id"), F.explode(shingles("text", 3)).alias("s")
+        ).localCheckpoint(eager=True)  # postings feed sizes AND the self-join
+        sz = sh.groupBy("id").agg(F.count("*").alias("n"))  # shingles distinct
+        pa, pb = sh.alias("pa"), sh.alias("pb")
+        inter = (
+            pa.join(pb, ["s"])
+            .filter(F.col("pa.id") < F.col("pb.id"))
+            .groupBy(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+            .agg(F.count("*").alias("i"))
         )
-        .join(
-            F.broadcast(sz.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))),
-            "id_b",
+        t = (
+            inter.join(
+                F.broadcast(
+                    sz.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+                ),
+                "id_a",
+            )
+            .join(
+                F.broadcast(
+                    sz.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
+                ).alias("j"),
+            )
+            .filter(F.col("j") >= 0.5)
+            .localCheckpoint(eager=True)  # consumed by three contracts
         )
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
-            ).alias("j"),
-        )
-        .filter(F.col("j") >= 0.5)
-        .localCheckpoint(eager=True)  # consumed by three contracts
-    )
-    release_checkpoint(sh)
+        release_checkpoint(sh)
+        return t
 
-    # three verdicts consume the emitted pairs — materialize once
-    emitted = minhash_lsh_pairs(
-        docs, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.5
-    ).localCheckpoint(eager=True)
+    def build_emitted() -> DataFrame:
+        # three verdicts consume the emitted pairs — materialize once
+        return minhash_lsh_pairs(
+            docs, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.5
+        ).localCheckpoint(eager=True)
+
+    # The truth build and the minhash pipeline are INDEPENDENT given the
+    # doc slice — run them concurrently (guide-§2.6 back-fill; wall ≈
+    # the slower build instead of the sum; each leg's internal shape is
+    # unchanged and stays pinned by the plan tests).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_truth = _pool.submit(build_truth)
+        _f_emitted = _pool.submit(build_emitted)
+        truth, emitted = _f_truth.result(), _f_emitted.result()
 
     def row(name, ok_col):
         return F.lit(name).alias("contract"), ok_col.alias("ok")

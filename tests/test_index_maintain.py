@@ -413,3 +413,43 @@ def test_tombstone_sidecar_stays_bounded_under_delete_churn(spark, tmp_path):
     assert _read_tombstones(spark, path) is None
     got = sorted(r["id"] for r in spark.read.parquet(path).collect())
     assert got == list(range(n_deletes, 100))
+
+
+def test_over_envelope_tombstone_batches_stay_distributed(
+    spark, tmp_path, monkeypatch
+):
+    """A delete batch (or sidecar fold) beyond LOCAL_TOMBSTONE_ROWS_MAX
+    must take the distributed fallback — never a driver-side collect of
+    the whole batch — and produce exactly the tombstones the local path
+    would have (r12 verdict item 5: the bounded collects need an
+    over-envelope guard, not just a docstring)."""
+    import endtoend_etl_openmeteo_spark.operators.index_maintain as im
+    from endtoend_etl_openmeteo_spark.operators.index_maintain import (
+        _read_tombstones,
+        delete_from_stored_index,
+        vacuum_index_tombstones,
+    )
+
+    path = str(tmp_path / "idx")
+    spark.range(100).select(
+        (F.col("id") % 4).alias("cell"), F.col("id"), (F.col("id") * 3).alias("v")
+    ).write.partitionBy("cell").mode("overwrite").parquet(path)
+
+    monkeypatch.setattr(im, "LOCAL_TOMBSTONE_ROWS_MAX", 3)
+    # 8-id batch > the 3-row envelope: forces the distributed write path
+    n = delete_from_stored_index(spark, list(range(8)), path)
+    assert n == 8
+    tomb = _read_tombstones(spark, path)
+    assert {r[0] for r in tomb.collect()} == set(range(8))
+    # churn more single-id deletes so the sidecar passes the fold
+    # threshold with the tiny envelope still pinned: the fold must also
+    # take its distributed branch and lose nothing
+    for i in range(8, 8 + im.TOMBSTONE_CONSOLIDATE_FILES):
+        delete_from_stored_index(spark, [i], path)
+    tomb = _read_tombstones(spark, path)
+    want = set(range(8 + im.TOMBSTONE_CONSOLIDATE_FILES))
+    assert {r[0] for r in tomb.collect()} == want
+    stats = vacuum_index_tombstones(spark, path)
+    assert stats["rows_removed"] == len(want)
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(len(want), 100))

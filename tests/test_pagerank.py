@@ -117,3 +117,29 @@ def test_plan_is_jvm_side(spark, star_plus_chain):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vectorized_half_up_matches_decimal_path():
+    """_round_half_up_vec must be bit-for-bit the per-element Decimal
+    HALF_UP (the vectorization exists so near-threshold graphs don't pay
+    millions of Python Decimal calls — ADVICE r12). Adversarial values:
+    exact .5 ties at the target scale, values one ulp either side of a
+    tie, negatives, zeros, and a dense random sweep."""
+    import numpy as np
+
+    from endtoend_etl_openmeteo_spark.operators.clusters import (
+        _round_half_up,
+        _round_half_up_vec,
+    )
+
+    dp = 10
+    ties = [i * 5e-11 for i in range(-21, 22)]  # k/2 * 10^-dp grid
+    near = [np.nextafter(t, s) for t in ties for s in (-1.0, 1.0)]
+    rng = np.random.default_rng(7)
+    dense = rng.uniform(-1.0, 1.0, 20000).tolist()
+    big = [123.456789, -98765.4321001, 1e5 + 2.5e-11]
+    for batch in (ties, near, dense, big, [0.0, 1.0, -1.0]):
+        x = np.asarray(batch, dtype=np.float64)
+        got = _round_half_up_vec(x, dp)
+        want = [_round_half_up(float(v), dp) for v in batch]
+        assert got.tolist() == want
