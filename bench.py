@@ -153,6 +153,19 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     registry = plans.load_all()
     spark = get_spark("bench")
+    try:
+        # The post-query release_persistent_rdds makes later actions that
+        # shared a released checkpoint log one WARN per RDD ("was locally
+        # checkpointed ... cannot be recomputed") — expected under the
+        # bench's release discipline and pure tail noise in the captured
+        # stderr; silence exactly that logger (r12 verdict hygiene item).
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # logging backend drift — noise returns, timings unaffected
 
     # JVM/codegen warmup on a cheap query so q-order doesn't skew timings.
     run_query(registry["q_scan"].fn(spark, sf_dir))
